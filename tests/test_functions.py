@@ -1,0 +1,311 @@
+"""Unit tests for the pure extraction-function library, with hand-written
+expected outputs (the reference has no parser unit tests — SURVEY.md §5 —
+so these fixtures pin OUR semantics deterministically)."""
+
+from ragflow_core16_ray.functions.bullets import (bullets_category,
+                                                  hierarchical_merge,
+                                                  line_level,
+                                                  make_colon_as_title,
+                                                  remove_contents_table)
+from ragflow_core16_ray.functions.hashing import (content_id, hash64,
+                                                  md5_hex,
+                                                  winnow_fingerprint)
+from ragflow_core16_ray.functions.html_extract import extract_html
+from ragflow_core16_ray.functions.markdown import extract_markdown
+from ragflow_core16_ray.functions.merge import naive_merge, split_on_delimiters
+from ragflow_core16_ray.functions.pdfish import extract_pdfish
+from ragflow_core16_ray.functions.table import (coerce, column_types,
+                                                field_name, parse_tsv_rows)
+from ragflow_core16_ray.functions.textstats import (lang_id, quality_counts,
+                                                    word_shingles)
+from ragflow_core16_ray.functions.tokenizer import (is_english, num_tokens,
+                                                    str_q2b, ws_tokens)
+
+
+# ------------------------------------------------------------ tokenizer ---
+
+def test_num_tokens_en():
+    assert num_tokens("hello world") == 2
+    assert num_tokens("") == 0
+
+
+def test_num_tokens_cjk_per_char():
+    assert num_tokens("数据流") == 3
+
+
+def test_str_q2b():
+    assert str_q2b("ＡＢＣ！　x") == "ABC! x"
+
+
+def test_is_english():
+    assert is_english(["the quick brown fox"])
+    assert not is_english(["数据流处理引擎"])
+
+
+def test_ws_tokens():
+    assert ws_tokens("  a  b\tc ") == ["a", "b", "c"]
+    assert ws_tokens("   ") == []
+
+
+# -------------------------------------------------------------- hashing ---
+
+def test_hash_stability():
+    assert hash64("abc") == hash64("abc")
+    assert content_id("x", "d1") != content_id("x", "d2")
+    assert md5_hex("abc") == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_winnow_fingerprint_locality():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    assert winnow_fingerprint(a) == winnow_fingerprint(a)
+    assert winnow_fingerprint(a) != winnow_fingerprint(a.replace("fox", "cat"))
+
+
+# ---------------------------------------------------------------- merge ---
+
+def test_split_on_delimiters_roundtrip():
+    s = "One. Two! 三。Four"
+    pieces = split_on_delimiters(s, "\n!?。；！？.")
+    assert "".join(pieces) == s
+    assert pieces == ["One.", " Two!", " 三。", "Four"]
+
+
+def test_naive_merge_budget():
+    secs = ["alpha beta gamma."] * 10
+    chunks = naive_merge(secs, chunk_token_num=8, delimiter="\n!?。；！？")
+    assert len(chunks) > 1
+    # merging all chunk text back (minus separators) covers all sections
+    joined = "\n".join(chunks)
+    assert joined.count("alpha beta gamma.") == 10
+
+
+def test_naive_merge_single_small():
+    assert naive_merge(["tiny"], 128) == ["tiny"]
+
+
+# -------------------------------------------------------------- bullets ---
+
+def test_bullets_and_hierarchy():
+    secs = [
+        "Chapter 1. Intro",
+        "1.1 Basics",
+        "content line one.",
+        "content line two.",
+        "1.2 More",
+        "second content.",
+        "Chapter 2. Next",
+        "2.1 Again",
+        "third content.",
+    ]
+    fam = bullets_category(secs)
+    assert fam == 0
+    assert line_level("Chapter 1. Intro", fam) == 0
+    assert line_level("1.1 Basics", fam) == 1
+    chunks = hierarchical_merge(secs, fam)
+    assert chunks == [
+        "Chapter 1. Intro\n1.1 Basics\ncontent line one.\ncontent line two.",
+        "Chapter 1. Intro\n1.2 More\nsecond content.",
+        "Chapter 2. Next\n2.1 Again\nthird content.",
+    ]
+
+
+def test_cjk_bullets():
+    secs = ["第一章 绪论", "一、背景", "正文内容。", "第二章 方法", "一、步骤", "更多内容。"]
+    fam = bullets_category(secs)
+    assert fam == 1
+    chunks = hierarchical_merge(secs, fam)
+    assert chunks[0] == "第一章 绪论\n一、背景\n正文内容。"
+
+
+def test_colon_title():
+    out = make_colon_as_title(
+        ["Summary: this is a sufficiently long trailing text body here"])
+    assert out[0] == "Summary"
+    assert out[1].startswith("this is")
+
+
+def test_remove_contents_table():
+    secs = ["Contents", "Intro ........ 2", "Methods ....... 3", "Real text."]
+    assert remove_contents_table(secs) == ["Real text."]
+
+
+# ----------------------------------------------------------------- html ---
+
+def test_html_main_content():
+    html = (
+        "<html><head><title>My Page</title><script>junk()</script></head>"
+        "<body><nav><a href='/'>Home</a><a href='/a'>About</a></nav>"
+        "<div class='sidebar'>" + "".join(f"<a href='/l{i}'>link {i}</a>" for i in range(10)) +
+        "</div><div class='content'><h1>My Page</h1>"
+        "<p>First paragraph with plenty of meaningful words inside it.</p>"
+        "<img src='media://d/0'/>"
+        "<p>Second paragraph, also with a decent amount of text content.</p>"
+        "</div><footer><a href='/p'>Privacy</a></footer></body></html>"
+    )
+    doc = extract_html(html)
+    assert doc.title == "My Page"
+    assert doc.sections == [
+        "First paragraph with plenty of meaningful words inside it.",
+        "Second paragraph, also with a decent amount of text content.",
+    ]
+    assert doc.figures == ["media://d/0"]
+
+
+def test_html_entities_and_no_blocks():
+    doc = extract_html("plain &amp; simple text with no tags at all")
+    assert doc.sections == ["plain & simple text with no tags at all"]
+
+
+# ------------------------------------------------------------- markdown ---
+
+def test_markdown_tables_and_headings():
+    lines = [
+        "# Title",
+        "## Section One",
+        "Body line one.\nBody line two.",
+        "| a | b |",
+        "|---|---|",
+        "| 1 | 2 |",
+        "Tail text.",
+    ]
+    doc = extract_markdown(lines)
+    assert doc.title == "Title"
+    assert doc.tables == [
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"]
+    assert doc.sections[0] == "Section One\nBody line one.\nBody line two."
+    assert doc.sections[1] == "Tail text."
+
+
+# ---------------------------------------------------------------- table ---
+
+def test_column_types_and_coerce():
+    cols = [["1", "x", "y"], ["1.5", "2", "3.25"], ["yes", "no", "true"],
+            ["2023-01-02", "2023/1/3", "bad"]]
+    types = column_types(cols)
+    assert types == ["text", "float", "bool", "date"]
+    # 2/3 ints beats the 0.6 majority bar → int column
+    assert column_types([["1", "2", "x"]]) == ["int"]
+    assert coerce("2023/1/3", "date") == "2023-01-03"
+    assert coerce("yes", "bool") == "true"
+    assert coerce("2", "float") == "2"
+
+
+def test_parse_tsv_rows():
+    t = parse_tsv_rows([
+        "item id\tprice\tactive",
+        "1\t9.50\tyes",
+        "deformed",
+        "2\t3.25\tno",
+    ])
+    assert t.fields == ["item_id_long", "price_flt", "active_kwd"]
+    assert t.row_lines() == [
+        "item_id_long:1; price_flt:9.5; active_kwd:true",
+        "item_id_long:2; price_flt:3.25; active_kwd:false",
+    ]
+
+
+def test_field_name():
+    assert field_name("Ship Date", "date") == "ship_date_dt"
+
+
+# --------------------------------------------------------------- pdfish ---
+
+def _mk_box(t, x0, x1, top, bot, page, lay, **kw):
+    import json
+
+    d = {"t": t, "x0": x0, "x1": x1, "top": top, "bot": bot, "page": page,
+         "lay": lay, **kw}
+    return {"kind": "box", "text": json.dumps(d, sort_keys=True),
+            "media_ref": "", "offset": 0}
+
+
+def test_pdfish_order_garbage_hf():
+    spans = [
+        _mk_box("Running Head", 50, 550, 10, 30, 0, "header"),
+        _mk_box("Doc Title", 100, 500, 60, 90, 0, "title"),
+        _mk_box("Second line.", 60, 540, 200, 220, 0, "text"),
+        _mk_box("First line.", 60, 540, 100, 120, 0, "text"),
+        _mk_box("• • •", 60, 540, 300, 320, 0, "text"),
+        _mk_box("page 1/2", 270, 330, 960, 980, 0, "footer"),
+        _mk_box("Running Head", 50, 550, 10, 30, 1, "header"),
+        _mk_box("Next page.", 60, 540, 100, 120, 1, "text"),
+    ]
+    out = extract_pdfish(spans)
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("title", "Doc Title"),
+        ("section", "First line."),
+        ("section", "Second line."),
+        ("section", "Next page."),
+    ]
+
+
+def test_pdfish_two_column():
+    spans = [
+        _mk_box("L1.", 50, 280, 100, 120, 0, "text"),
+        _mk_box("L2.", 50, 280, 160, 180, 0, "text"),
+        _mk_box("R1.", 320, 550, 100, 120, 0, "text"),
+        _mk_box("R2.", 320, 550, 160, 180, 0, "text"),
+    ]
+    out = extract_pdfish(spans)
+    assert [s["text"] for s in out] == ["L1.", "L2.", "R1.", "R2."]
+
+
+def test_pdfish_table_and_caption():
+    spans = [
+        _mk_box("h1", 60, 170, 820, 840, 0, "table", row=0, col=0, tno=0),
+        _mk_box("h2", 180, 290, 820, 840, 0, "table", row=0, col=1, tno=0),
+        _mk_box("7", 60, 170, 845, 865, 0, "table", row=1, col=0, tno=0),
+        _mk_box("8", 180, 290, 845, 865, 0, "table", row=1, col=1, tno=0),
+        {"kind": "caption", "text": "Table 1: numbers", "media_ref": "", "offset": 0},
+    ]
+    out = extract_pdfish(spans)
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("section", "Table 1: numbers"),
+        ("table_row", "h1 h2"),
+        ("table_row", "7 8"),
+    ]
+
+
+def test_pdfish_figure_and_toc():
+    spans = [
+        _mk_box("Contents", 250, 350, 60, 80, 0, "title"),
+        _mk_box("Intro ............ 2", 80, 520, 100, 120, 0, "text"),
+        _mk_box("Real text.", 60, 540, 100, 120, 1, "text"),
+        _mk_box("", 200, 400, 700, 800, 1, "figure"),
+        {"kind": "image", "text": "", "media_ref": "media://d/f0", "offset": 0},
+        {"kind": "caption", "text": "Figure 1: something", "media_ref": "", "offset": 0},
+    ]
+    out = extract_pdfish(spans)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in out] == [
+        ("section", "Real text.", ""),
+        ("figure", "Figure 1: something", "media://d/f0"),
+    ]
+
+
+def test_pdfish_sentence_concat():
+    spans = [
+        _mk_box("A line that does not end", 60, 540, 100, 120, 0, "text"),
+        _mk_box("but continues here.", 60, 540, 150, 170, 0, "text"),
+    ]
+    out = extract_pdfish(spans)
+    assert [s["text"] for s in out] == [
+        "A line that does not end but continues here."]
+
+
+# ------------------------------------------------------------ textstats ---
+
+def test_lang_id():
+    assert lang_id("the cat and the dog sat in the house") == "en"
+    assert lang_id("le chat et la maison est une belle chose") == "fr"
+    assert lang_id("数据流处理引擎集群节点") == "zh"
+
+
+def test_quality_counts():
+    q = quality_counts("The cat, the hat!")
+    assert q["n_ws_tokens"] == 4
+    assert q["n_punct"] == 2
+    assert q["n_stop"] == 2
+
+
+def test_word_shingles():
+    assert word_shingles("a b c d", k=3) == {"a b c", "b c d"}
