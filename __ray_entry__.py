@@ -1,44 +1,256 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in ragflow_core16_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+`queries()` exposes every implemented operator family from SURVEY.md §2
+plus the training-data-scale additions (dedup, similarity search, text
+analysis, multimodal plumbing, extraction itself). Entries with an
+`oracle_sql()` counterpart produce integer/string-typed outputs whose
+DuckDB hashes match bit-exactly; genuinely non-SQL ops (the extraction
+pipeline over the synthetic interleaved corpus, LSH/MinHash/SimHash
+approximations, the stubbed media decode) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+# docs per scale factor for the synthetic interleaved corpus (deterministic,
+# seeded; mega-doc every 150 docs → real shard/reassembly traffic)
+_CORPUS_DOCS = {"0.001": 200, "0.01": 500, "0.1": 2000}
+_CORPUS_SEED = 42
+_MEGA_EVERY = 150
+
+
+def _sf_tag(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else base
+
+
+def _corpus_for(sf_dir: str) -> str:
+    """Generate (once) the interleaved corpus sized for this sf."""
+    tag = _sf_tag(sf_dir)
+    n = _CORPUS_DOCS.get(tag, 200)
+    path = f"/tmp/graft_corpus_sf{tag}_{_CORPUS_SEED}_{n}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from ragflow_core16_ray.sources.synth import write_corpus
+
+        write_corpus(path, n_docs=n, seed=_CORPUS_SEED, mega_every=_MEGA_EVERY)
+        open(marker, "w").close()
+    return path
+
+
+def _extract_flat(sf_dir: str):
+    """Flagship: synthesize corpus → two-pass extraction pipeline → one row
+    per output span (doc_id, offset, kind, text, media_ref)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.extract import run_extract
+
+    corpus = _corpus_for(sf_dir)
+    out_dir = corpus + "_out"
+    run_extract(corpus, out_dir)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        rows = []
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            for s in spans or []:
+                rows.append({"doc_id": did, "offset": s["offset"],
+                             "kind": s["kind"], "text": s["text"],
+                             "media_ref": s["media_ref"]})
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"doc_id": pa.array([], pa.string()),
+             "offset": pa.array([], pa.int32()),
+             "kind": pa.array([], pa.string()),
+             "text": pa.array([], pa.string()),
+             "media_ref": pa.array([], pa.string())})
+
+    return rd.read_parquet(os.path.join(out_dir, "docs")).map_batches(
+        flatten, batch_format="pyarrow")
+
+
+def _media_features(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.extract import run_extract
+    from ragflow_core16_ray.pipelines.multimodal import media_features
+
+    corpus = _corpus_for(sf_dir)
+    out_dir = corpus + "_out_media"
+    run_extract(corpus, out_dir)
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"))
+    return media_features(extracted)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    return _extract_flat("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ragflow_core16_ray.pipelines import (dedup, relational, similarity,
+                                              text_analysis)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction engine (rows-only; golden equality lives in pytest)
+        "extract_spans": _extract_flat,
+        "media_features": _media_features,
+        # --- text analysis over documents
+        "token_counts": text_analysis.token_counts,
+        "quality_stats": text_analysis.quality_stats,
+        "fingerprints": text_analysis.fingerprints,
+        "top_words": lambda sf: text_analysis.top_words(sf),
+        "lang_pred": text_analysis.lang_pred,
+        # --- dedup
+        "exact_dedup": dedup.exact_dedup,
+        "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
+        "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
+        "emb_near_dup": lambda sf: dedup.embedding_near_dup(sf),
+        # --- similarity search
+        "emb_topk": lambda sf: similarity.brute_topk(sf),
+        "emb_lsh_topk": lambda sf: similarity.lsh_topk(sf),
+        # --- relational / streaming primitives
+        "pricing_summary": relational.pricing_summary,
+        "nation_revenue": relational.nation_revenue,
+        "top_customers": lambda sf: relational.top_customers(sf),
+        "events_hourly": relational.events_hourly,
+        "events_sessions": relational.events_sessions,
+    }
+
+
+_STOPWORDS_SQL = "('the','and','of','to','is','in','that','it','for','with')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens
+            FROM documents
+        """,
+        "quality_stats": rf"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_ws_tokens,
+                   length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
+                   len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                                   w -> w IN {_STOPWORDS_SQL})) AS n_stop,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   COALESCE(list_max(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       w -> length(w))), 0) AS max_word_len
+            FROM documents
+        """,
+        "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "top_words": r"""
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY word
+            ORDER BY cnt DESC, word
+            LIMIT 20
+        """,
+        "exact_dedup": """
+            SELECT text, MIN(doc_id) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "jaccard_pairs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+              FROM words,
+                   LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "emb_topk": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(
+                embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                vec_id
+            LIMIT 10
+        """,
+        # money/quantity sums are in exact integer cents (×100; discounted
+        # price in 10^-4 dollar units): integer sums are order-independent,
+        # so the distributed result hashes bit-equal to this oracle
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sum_qty_c,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_price_c,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS sum_disc_price_u,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-03'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS revenue_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_customers": """
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_c
+            FROM orders GROUP BY o_custkey
+            ORDER BY total_c DESC, o_custkey
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_epoch,
+                   SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_value_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH d AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(new_s) AS BIGINT) AS n_sessions
+            FROM d GROUP BY user_id
+        """,
+    }

@@ -1,0 +1,291 @@
+"""Deduplication operators over the `documents` table.
+
+Five dedup families, each the distributed-idiomatic shape:
+
+- exact: per-batch partial (text → min doc_id, count) combiner, then a
+  groupby over the partials — the shuffle moves one row per distinct text
+  per batch, not the corpus.
+- exact n-gram Jaccard pairs: shingle-explode → groupby(shingle) pair
+  emission → groupby(pair) intersection counts → Jaccard vs broadcast
+  doc-size map. Exact (SQL-oracle-able), the verification stage for LSH.
+- MinHash + LSH: per-doc 64 minhashes (fixed universal-hash family),
+  banded into 16×4; band-explode → groupby(band) → candidate pairs with
+  minhash-estimated Jaccard (the sub-quadratic scale path).
+- SimHash: 64-bit simhash per doc; hamming ≤ ``max_hamming`` near-dups
+  found via the pigeonhole band trick (split into max_hamming+1 pieces;
+  any near-pair must collide on ≥1 piece) → groupby(piece) → verify.
+- embedding cosine near-dup: within-label all-pairs over a broadcast
+  float64 matrix (`ray.put` once, numpy matmul per batch).
+
+The reference has no near-dedup (SURVEY.md §2.7); these are the
+training-data-scale additions the north rule calls for.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.hashing import hash64
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    """k-word shingles over the whitespace token stream (lowercased).
+    Whitespace-split (not \\w+) so the DuckDB oracle can reproduce it
+    exactly with string_split_regex."""
+    words = text.lower().split()
+    if not words:
+        return set()
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+# ---------------------------------------------------------------- exact ---
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """One row per distinct text: keep_id = min doc_id, n_dups = count."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("text", sort=False)["doc_id"].agg(["min", "size"])
+        return pd.DataFrame({"text": g.index, "keep_id": g["min"].values,
+                             "n_dups": g["size"].values})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas")
+    agg = ds.groupby("text").aggregate(
+        Min("keep_id", alias_name="keep_id"),
+        Sum("n_dups", alias_name="n_dups"))
+    return agg
+
+
+# ------------------------------------------------- exact jaccard pairs ---
+
+def jaccard_dup_pairs(sf_dir: str, k: int = 3,
+                      threshold: float = 0.5) -> pd.DataFrame:
+    """All doc pairs with exact k-shingle Jaccard ≥ threshold.
+
+    Shuffle plan: explode (shingle, doc_id) rows → groupby(shingle) emits
+    co-occurrence pairs → pandas pair-count → Jaccard against a broadcast
+    {doc_id: |shingles|} map (the small side never shuffles)."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_sh = [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            for sh in _shingles(text, k):
+                rows_doc.append(did)
+                rows_sh.append(sh)
+        return pd.DataFrame({"shingle": rows_sh, "doc_id": rows_doc})
+
+    sh = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas")
+
+    # per-doc shingle counts: tiny (one int per doc) → driver + broadcast
+    sizes_df = (sh.groupby("doc_id").count().to_pandas())
+    sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
+    sizes_ref = ray.put(sizes)
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    co = sh.groupby("shingle").map_groups(pairs_of_group,
+                                          batch_format="pandas")
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["id_a", "id_b"], sort=False).size()
+        return g.rename("inter").reset_index()
+
+    from ray.data.aggregate import Sum
+
+    inter = (co.map_batches(count_partial, batch_format="pandas")
+             .groupby(["id_a", "id_b"])
+             .aggregate(Sum("inter", alias_name="inter")))
+
+    def jacc(batch: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(sizes_ref)
+        a = batch["id_a"].map(sz).values
+        b = batch["id_b"].map(sz).values
+        inter_v = batch["inter"].values
+        j = inter_v / (a + b - inter_v)
+        keep = j >= threshold
+        return batch.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+
+    return (inter.map_batches(jacc, batch_format="pandas")
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ------------------------------------------------------------- minhash ---
+
+N_HASHES = 64
+N_BANDS = 16  # × 4 rows/band
+
+_rng = np.random.RandomState(0xC0FFEE)
+_A = _rng.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_B = _rng.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+
+
+def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
+    """64 min-wise universal hashes ((a*x+b) mod p) of the shingle set."""
+    if len(shingle_hashes) == 0:
+        return np.zeros(N_HASHES, dtype=np.int64)
+    x = shingle_hashes.astype(object)[:, None]  # object → exact bigint mults
+    vals = (x * _A[None, :] + _B[None, :]) % _MERSENNE
+    return vals.min(axis=0).astype(np.int64)
+
+
+def minhash_lsh_pairs(sf_dir: str, k: int = 3,
+                      est_threshold: float = 0.5) -> pd.DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, with the
+    minhash-estimated Jaccard; exact verification is `jaccard_dup_pairs`
+    (or a filtered re-read at scale)."""
+
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            hs = np.array([hash64(s) % _MERSENNE for s in _shingles(text, k)],
+                          dtype=np.int64)
+            sig = minhash_signature(hs)
+            for band in range(N_BANDS):
+                piece = sig[band * 4:(band + 1) * 4]
+                key = hash64(f"{band}:{piece.tolist()}")
+                rows.append({"band_key": np.int64(key % (1 << 62)),
+                             "doc_id": did,
+                             "sig": sig.tobytes()})
+        return pd.DataFrame(rows)
+
+    bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sig_batch, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g["doc_id"].tolist()
+        sigs = [np.frombuffer(s, dtype=np.int64) for s in g["sig"]]
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= est_threshold:
+                    out.append({"id_a": ids[i], "id_b": ids[j],
+                                "est_jaccard": est})
+        return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
+
+    cand = bands.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    df = cand.to_pandas()
+    if df.empty:
+        return df
+    return (df.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ------------------------------------------------------------- simhash ---
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (public Charikar scheme)."""
+    words = text.lower().split()
+    if not words:
+        return 0
+    v = np.zeros(64, dtype=np.int64)
+    idx = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for w in words:
+        bits = (np.uint64(hash64(w)) >> idx) & one
+        v += np.where(bits == one, 1, -1)
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ max_hamming, found by
+    the pigeonhole band trick (max_hamming+1 pieces; a qualifying pair must
+    agree on at least one piece)."""
+    n_pieces = max_hamming + 1
+    piece_bits = 64 // n_pieces
+
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            h = simhash64(text)
+            for p in range(n_pieces):
+                piece = (h >> (p * piece_bits)) & ((1 << piece_bits) - 1)
+                rows.append({"piece_key": np.int64((p << piece_bits) | piece),
+                             "doc_id": did, "sim": np.uint64(h)})
+        return pd.DataFrame(rows)
+
+    bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sig_batch, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g["doc_id"].tolist()
+        sims = g["sim"].tolist()
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(int(sims[i]) ^ int(sims[j])).count("1")
+                if d <= max_hamming:
+                    out.append({"id_a": ids[i], "id_b": ids[j], "hamming": d})
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    df = bands.groupby("piece_key").map_groups(
+        pairs, batch_format="pandas").to_pandas()
+    if df.empty:
+        return df
+    return (df.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ------------------------------------------------- embedding near-dup ---
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Within-label cosine-similarity near-dup pairs. The full matrix is
+    broadcast once via ray.put (float64 for SQL parity); each batch does
+    one numpy matmul against it. At 100 TB the label partitioning bounds
+    the candidate space; an IVF/LSH bucketing replaces 'label' when no
+    natural partition exists (see similarity.lsh_topk)."""
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    all_df = emb.to_pandas()  # small side: one float matrix, broadcast
+    mat = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = all_df["vec_id"].to_numpy()
+    labels = all_df["label"].to_numpy()
+    ref = ray.put((mat, ids, labels))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        m, all_ids, all_labels = ray.get(ref)
+        q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        sims = q @ m.T
+        out_a, out_b = [], []
+        for r, (vid, lab) in enumerate(zip(batch["vec_id"], batch["label"])):
+            mask = (sims[r] >= threshold) & (all_ids > vid) & (all_labels == lab)
+            for other in all_ids[mask]:
+                out_a.append(vid)
+                out_b.append(other)
+        return pd.DataFrame({"vec_id_a": out_a, "vec_id_b": out_b})
+
+    df = emb.map_batches(fn, batch_format="pandas").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"vec_id_a": pd.array([], dtype="int64"),
+                             "vec_id_b": pd.array([], dtype="int64")})
+    return df.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)

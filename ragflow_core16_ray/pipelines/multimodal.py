@@ -1,0 +1,92 @@
+"""Multimodal plumbing: media decode / feature-extract as an actor-pool
+stage.
+
+Media (image/audio/video) travels as opaque references / binary columns
+with typed metadata. The real decoders (PIL/ffmpeg/onnx vision models —
+the reference's deepdoc/vision stack) are NOT in this container, so the
+decode kernel is STUBBED: ``DecodeStub.decode_real`` raises
+NotImplementedError, and the pipeline runs a clearly-marked deterministic
+fake (seeded by the media ref) so the Ray-side plumbing — schema, actor
+signature, batch sizing, output layout — is real and tested.
+
+Swap-in point for production: replace ``_fake_decode`` with the real
+decoder in ``MediaFeatures.__init__`` (model load once per actor) and
+``__call__`` (batched inference), exactly like the reference's per-process
+model cache (deepdoc/vision/ocr.py:35,76-80) becomes actor state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.hashing import hash64
+
+FEATURE_DIM = 16
+
+
+class MediaFeatures:
+    """Actor-pool stage: (doc_id, media_ref) batches → decoded metadata +
+    feature vector. Batch size should be small for real binary payloads
+    (images ~MBs each); the constructor is the once-per-actor model-load
+    site."""
+
+    def __init__(self, feature_dim: int = FEATURE_DIM):
+        self.feature_dim = feature_dim
+        # real impl: self.model = load_onnx_session(...)  (once per actor)
+
+    @staticmethod
+    def decode_real(payload: bytes):
+        raise NotImplementedError(
+            "image/audio decoders are not available in this sandbox; "
+            "production swaps this for PIL/ffmpeg + an ONNX session")
+
+    def _fake_decode(self, media_ref: str) -> tuple[int, int, np.ndarray]:
+        """Deterministic fake: dimensions + feature vector derived from the
+        ref hash. Stands in for decode+embed so downstream schema/layout
+        are exercised for real."""
+        h = hash64(media_ref)
+        rng = np.random.RandomState(h % (2**32))
+        width = 64 + (h >> 8) % 1024
+        height = 64 + (h >> 20) % 1024
+        feat = rng.standard_normal(self.feature_dim).astype(np.float32)
+        feat /= np.linalg.norm(feat)
+        return int(width), int(height), feat
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        widths, heights, feats = [], [], []
+        for ref in batch["media_ref"]:
+            w, h, f = self._fake_decode(ref)
+            widths.append(w)
+            heights.append(h)
+            feats.append(f)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].values,
+            "media_ref": batch["media_ref"].values,
+            "width": pd.array(widths, dtype="int32"),
+            "height": pd.array(heights, dtype="int32"),
+            "feature": feats,
+        })
+
+
+def media_features(extracted: rd.Dataset, concurrency=(1, 4),
+                   batch_size: int = 64) -> rd.Dataset:
+    """Extracted-docs dataset → one row per figure span with decoded
+    metadata + features. flat-map explode happens vectorized in Arrow."""
+    import pyarrow as pa
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, refs = [], []
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            for s in spans or []:
+                if s["kind"] == "figure" and s["media_ref"]:
+                    doc_ids.append(did)
+                    refs.append(s["media_ref"])
+        return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
+                         "media_ref": pa.array(refs, pa.string())})
+
+    refs = extracted.map_batches(explode, batch_format="pyarrow")
+    return refs.map_batches(MediaFeatures, batch_format="pandas",
+                            batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,179 @@
+"""Relational primitives over the TPC-H-ish testdata tables.
+
+The reference has no relational operators (SURVEY.md §2.4), but the engine
+needs them (dedup groupbys, broadcast lookups, windowed event aggregation),
+so these pipelines demonstrate each primitive in its scale-correct shape:
+
+- pricing_summary: filter → per-batch partial aggregation (combiner) →
+  small groupby — the shuffle moves one row per (flag,status) per batch.
+- nation_revenue: two broadcast hash joins (customer, nation dims via
+  ray.put) — no shuffle join anywhere.
+- top_customers: partial groupby + global top-k by sort/limit.
+- events_hourly: tumbling-window aggregate via integer epoch-hour keys.
+- events_sessions: 30-min-gap sessionization per user inside
+  groupby(user_id).map_groups over ts-sorted groups (the streaming-shaped
+  pattern from the Ray guide).
+
+Money sums are rounded to 2 decimals at the end so oracle hashes are
+stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped: per (l_returnflag, l_linestatus) sums/counts over
+    lineitem shipped before 1998-09-03.
+
+    Money/quantity inputs are 2-decimal-structured doubles; a distributed
+    double sum is order-dependent and lands exactly on half-cent rounding
+    boundaries, so sums are done in exact integer cents (quantity ×100,
+    price ×100, discounted price in 10^-4 dollar units). Integer sums are
+    associative — bit-equal to the oracle regardless of partitioning."""
+    cutoff = pd.Timestamp("1998-09-03")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"] < cutoff]
+        if b.empty:
+            return pd.DataFrame(columns=["l_returnflag", "l_linestatus",
+                                         "sum_qty_c", "sum_base_price_c",
+                                         "sum_disc_price_u", "n_rows"])
+        qty_c = np.rint(b["l_quantity"].values * 100).astype("int64")
+        price_c = np.rint(b["l_extendedprice"].values * 100).astype("int64")
+        disc_c = np.rint(b["l_discount"].values * 100).astype("int64")
+        g = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].values,
+            "l_linestatus": b["l_linestatus"].values,
+            "sum_qty_c": qty_c,
+            "sum_base_price_c": price_c,
+            "sum_disc_price_u": price_c * (100 - disc_c),
+            "n_rows": 1,
+        }).groupby(["l_returnflag", "l_linestatus"], sort=False).sum()
+        return g.reset_index()
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"]).map_batches(
+        partial, batch_format="pandas")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("sum_base_price_c", alias_name="sum_base_price_c"),
+        Sum("sum_disc_price_u", alias_name="sum_disc_price_u"),
+        Sum("n_rows", alias_name="n_rows"))
+    df = agg.to_pandas()
+    for c in ("sum_qty_c", "sum_base_price_c", "sum_disc_price_u", "n_rows"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Total order revenue per nation name: orders ⋈ customer ⋈ nation with
+    both dims broadcast (ray.put once, dict lookup per batch)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nat_map = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    ref = ray.put((cust_map, nat_map))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cmap, nmap = ray.get(ref)
+        name = batch["o_custkey"].map(cmap).map(nmap)
+        cents = np.rint(batch["o_totalprice"].values * 100).astype("int64")
+        g = pd.DataFrame({"n_name": name.values, "revenue_c": cents,
+                          "n_orders": 1}).groupby("n_name", sort=False).sum()
+        return g.reset_index()
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pandas")
+    df = (ds.groupby("n_name")
+          .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                     Sum("n_orders", alias_name="n_orders"))
+          .to_pandas())
+    df["revenue_c"] = df["revenue_c"].astype("int64")
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by total order value (partial combiner → groupby →
+    sort/limit; ties broken by custkey)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(batch["o_totalprice"].values * 100).astype("int64")
+        g = pd.DataFrame({"o_custkey": batch["o_custkey"].values,
+                          "total_c": cents}).groupby(
+            "o_custkey", sort=False).sum()
+        return g.reset_index()
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pandas")
+    agg = ds.groupby("o_custkey").aggregate(Sum("total_c", alias_name="total_c"))
+    top = agg.sort(["total_c", "o_custkey"],
+                   descending=[True, False]).limit(k).to_pandas()
+    top["total_c"] = top["total_c"].astype("int64")
+    return top
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour windows per user: event count + rounded value sum.
+    Window key = integer epoch hour (timezone-free, hash-stable)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # µs-resolution timestamps → epoch seconds → hour index (must match
+        # the oracle's floor(epoch(ts)/3600) exactly)
+        hour = (batch["ts"].astype("datetime64[s]").astype("int64")
+                // 3600).astype("int64")
+        # value summed in cent-rounded integer units: associative, so the
+        # distributed sum hashes identically to the oracle's
+        val_c = np.rint(batch["value"].values * 100).astype("int64")
+        g = pd.DataFrame({"user_id": batch["user_id"].values,
+                          "hour_epoch": hour.values,
+                          "sum_value_c": val_c,
+                          "n_events": 1}).groupby(
+            ["user_id", "hour_epoch"], sort=False).sum()
+        return g.reset_index()
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        partial, batch_format="pandas")
+    agg = ds.groupby(["user_id", "hour_epoch"]).aggregate(
+        Sum("sum_value_c", alias_name="sum_value_c"),
+        Sum("n_events", alias_name="n_events"))
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_value_c"] = batch["sum_value_c"].astype("int64")
+        batch["n_events"] = batch["n_events"].astype("int64")
+        return batch
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Per-user sessionization: a new session starts after a >gap silence.
+    The groupby(user_id).map_groups body sees the user's events ts-sorted
+    (we sort inside the group — never rely on block order)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        deltas = g["ts"].diff()
+        n_sessions = int((deltas.isna() | (deltas > gap)).sum())
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "n_sessions": [n_sessions]})
+
+    return _t(sf_dir, "events", ["user_id", "ts"]).groupby(
+        "user_id").map_groups(sessions, batch_format="pandas")

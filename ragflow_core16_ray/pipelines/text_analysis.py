@@ -1,0 +1,96 @@
+"""Text-analysis operators over the `documents` table (training-data
+pipeline ops): token counting, quality counters, language id, document
+fingerprints, corpus word frequencies.
+
+All stages are vectorized `map_batches` with column-pruned reads; global
+aggregations pre-aggregate per batch before the (tiny) groupby shuffle.
+Integer / string outputs only, so the DuckDB oracle value-hashes match
+bit-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import md5_hex
+from ..functions.textstats import lang_id, quality_counts
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """doc_id, n_tokens (whitespace tokens — SQL-parity definition)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["text"].str.strip().str.split().str.len()
+            .fillna(0).astype("int64"),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
+def quality_stats(sf_dir: str) -> rd.Dataset:
+    """Integer quality counters per doc (ratios derivable client-side)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = [quality_counts(t) for t in batch["text"]]
+        out = pd.DataFrame(rows)
+        out.insert(0, "doc_id", batch["doc_id"].values)
+        return out
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
+def lang_pred(sf_dir: str) -> rd.Dataset:
+    """doc_id, predicted language (heuristic — no SQL oracle; accuracy is
+    asserted in tests instead)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "lang_pred": [lang_id(t) for t in batch["text"]],
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    """doc_id, fp = md5(text) — DuckDB's md5() emits the identical hex."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "fp": [md5_hex(t) for t in batch["text"]],
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
+def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global word frequencies, top-k. Pre-aggregates counts per batch
+    (one row per word per batch) so the groupby shuffle moves word partials,
+    not the corpus — the combiner pattern for 100 TB."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = (batch["text"].str.strip().str.split().explode()
+                  .value_counts())
+        return pd.DataFrame({"word": counts.index, "cnt": counts.values})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas")
+    agg = ds.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+    out = agg.sort(["cnt", "word"], descending=[True, False]).limit(k)
+    return out.to_pandas()

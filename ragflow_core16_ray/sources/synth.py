@@ -193,7 +193,16 @@ def _gen_pdfish(r: random.Random, doc_id: str, n_pages=None) -> list[dict]:
 # ---------------------------------------------------------------- book ----
 
 _EN_BULLETS = ("Chapter {n}. {t}", "{n}.{m} {t}", "({a}) {t}")
-_ZH_NUM = "一二三四五六七八九十"
+_ZH_DIGITS = "零一二三四五六七八九"
+
+
+def _zh_num(n: int) -> str:
+    """CJK numeral for 1..99 (十, 二十三, …)."""
+    if n < 10:
+        return _ZH_DIGITS[n]
+    tens, ones = divmod(n, 10)
+    out = ("" if tens == 1 else _ZH_DIGITS[tens]) + "十"
+    return out + (_ZH_DIGITS[ones] if ones else "")
 
 
 def _gen_book(r: random.Random, doc_id: str, n_chapters=None) -> list[dict]:
@@ -202,7 +211,7 @@ def _gen_book(r: random.Random, doc_id: str, n_chapters=None) -> list[dict]:
     spans = []
     for c in range(1, n_chapters + 1):
         if cjk:
-            spans.append(make_span("text", f"第{_ZH_NUM[c - 1]}章 {_zh(r, 6)}"))
+            spans.append(make_span("text", f"第{_zh_num(c)}章 {_zh(r, 6)}"))
         else:
             spans.append(make_span("text", f"Chapter {c}. {_words(r, 3).title()}"))
         for s in range(1, r.randint(2, 4) + 1):
