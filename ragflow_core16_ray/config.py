@@ -34,6 +34,11 @@ class ExtractConfig:
     # max hierarchy depth for book/bullet chunking (reference depth 5,
     # rag/nlp/__init__.py:420-507)
     max_hierarchy_depth: int = 5
+    # force a chunking template for all docs (role of the reference's
+    # user-selected parser_id, task_executor.py:67-84): None = content
+    # routing; "one" = whole-doc single chunk (rag/app/one.py); "qa" =
+    # question/answer pairing (rag/app/qa.py)
+    template_override: str | None = None
 
     def digest_payload(self) -> str:
         """Stable string for lineage digests (mirrors the reference's
@@ -49,9 +54,17 @@ DEFAULT_CONFIG = ExtractConfig()
 class RuntimeConfig:
     """Per-stage resource sizing for the Ray pipeline."""
 
-    # actor-pool size for the heavy parse stage; (min, max) autoscaling
-    parse_concurrency: tuple = (2, 8)
-    parse_batch_size: int = 64
+    # actor-pool size for the heavy parse stage; (min, max) autoscaling.
+    # Measured at sf0.1/32cpus: (4,28)×batch16 = 584 docs/s vs (2,8)×batch64
+    # = 476 docs/s — small batches keep the pool fed; the max leaves CPUs
+    # for the read/write stages. Ray caps the pool at available CPUs on
+    # smaller sessions.
+    parse_concurrency: tuple = (4, 28)
+    parse_batch_size: int = 16
+    # False → stateless task pool (parse state is just module-level
+    # regexes; no pool ramp-up). True → actor pool, required once the
+    # parse hosts real model state (ONNX sessions etc.).
+    use_actor_pool: bool = False
     # stateless merge stage batch size
     merge_batch_size: int = 256
     # output partition count hint

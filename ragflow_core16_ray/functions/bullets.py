@@ -72,6 +72,38 @@ def line_level(text: str, family: int) -> int:
     return -1
 
 
+_CJK_DIGITS = {"零": 0, "一": 1, "二": 2, "三": 3, "四": 4, "五": 5,
+               "六": 6, "七": 7, "八": 8, "九": 9}
+_ROMAN = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100}
+
+
+def index_int(text: str) -> int:
+    """Heading index → int: arabic, CJK numerals (十/百 composition) or
+    roman (role of rag/nlp/__init__.py:132-147 index_int; cn2an /
+    word2number are absent so the core cases are hand-rolled).
+    Returns -1 when unparseable."""
+    t = text.strip().lower()
+    if t.isdigit():
+        return int(t)
+    if t and all(c in _CJK_DIGITS or c in "十百" for c in t):
+        total, num = 0, 0
+        for c in t:
+            if c in _CJK_DIGITS:
+                num = _CJK_DIGITS[c]
+            elif c == "十":
+                total += (num or 1) * 10
+                num = 0
+            else:  # 百
+                total += (num or 1) * 100
+                num = 0
+        return total + num
+    if t and all(c in _ROMAN for c in t):
+        vals = [_ROMAN[c] for c in t]
+        return sum(-v if i + 1 < len(vals) and v < vals[i + 1] else v
+                   for i, v in enumerate(vals))
+    return -1
+
+
 _COLON_RE = re.compile(r"^([^:：\n]{2,40})[:：]\s*(\S.{19,})$", re.DOTALL)
 
 

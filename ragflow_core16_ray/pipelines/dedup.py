@@ -24,6 +24,7 @@ training-data-scale additions the north rule calls for.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -73,59 +74,70 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------------- exact jaccard pairs ---
 
-def jaccard_dup_pairs(sf_dir: str, k: int = 3,
-                      threshold: float = 0.5) -> pd.DataFrame:
+def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
+                      n_buckets: int = 64) -> pd.DataFrame:
     """All doc pairs with exact k-shingle Jaccard ≥ threshold.
 
-    Shuffle plan: explode (shingle, doc_id) rows → groupby(shingle) emits
-    co-occurrence pairs → pandas pair-count → Jaccard against a broadcast
-    {doc_id: |shingles|} map (the small side never shuffles)."""
+    Shuffle plan: explode (shingle-bucket, doc_id) rows (bucket = stable
+    hash of the shingle, so each shingle lives in exactly ONE bucket) →
+    groupby(bucket) — a bounded-width shuffle of n_buckets groups, not one
+    pandas call per distinct shingle — → vectorized self-merge per bucket
+    emits complete per-bucket pair-intersection counts → combiner tree sums
+    them → Jaccard against a broadcast {doc_id: |shingles|} map (the small
+    side never shuffles). Skew note: a pathological hot shingle (present in
+    g docs) costs g² merge rows inside one bucket; production would drop
+    stop-shingles above a document-frequency cap (changes the measure, so
+    not done here where the oracle must match exactly)."""
+    from ..stages.agg import combine_partials
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_sh = [], []
+        rows_doc, rows_sh, rows_b = [], [], []
         for did, text in zip(batch["doc_id"], batch["text"]):
             for sh in _shingles(text, k):
                 rows_doc.append(did)
                 rows_sh.append(sh)
-        return pd.DataFrame({"shingle": rows_sh, "doc_id": rows_doc})
+                rows_b.append(zlib.crc32(sh.encode()) % n_buckets)
+        return pd.DataFrame({"bucket": pd.array(rows_b, dtype="int32"),
+                             "shingle": rows_sh, "doc_id": rows_doc})
 
     sh = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pandas")
 
-    # per-doc shingle counts: tiny (one int per doc) → driver + broadcast
-    sizes_df = (sh.groupby("doc_id").count().to_pandas())
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
-    sizes_ref = ray.put(sizes)
+    # per-doc shingle counts: tiny (one int per doc) → combine + broadcast
+    def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("doc_id", sort=False).size()
+        return pd.DataFrame({"doc_id": g.index, "n": g.values})
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    sizes_df = combine_partials(
+        sh.map_batches(size_partial, batch_format="pandas"),
+        ["doc_id"], {"n": "sum"}).to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
-    co = sh.groupby("shingle").map_groups(pairs_of_group,
-                                          batch_format="pandas")
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: self-merge on shingle → co-occurring (a<b) doc pairs,
+        # counted in C. Complete per bucket since a shingle is bucket-local.
+        df = g[["shingle", "doc_id"]]
+        m = df.merge(df, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                                 "id_b": pd.array([], dtype="int64"),
+                                 "inter": pd.array([], dtype="int64")})
+        cnt = m.groupby(["doc_id_x", "doc_id_y"], sort=False).size()
+        out = cnt.rename("inter").reset_index()
+        return out.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"})
 
-    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(["id_a", "id_b"], sort=False).size()
-        return g.rename("inter").reset_index()
-
-    from ray.data.aggregate import Sum
-
-    inter = (co.map_batches(count_partial, batch_format="pandas")
-             .groupby(["id_a", "id_b"])
-             .aggregate(Sum("inter", alias_name="inter")))
+    inter_partials = sh.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
+    inter = combine_partials(inter_partials, ["id_a", "id_b"],
+                             {"inter": "sum"})
 
     def jacc(batch: pd.DataFrame) -> pd.DataFrame:
         sz = ray.get(sizes_ref)
         a = batch["id_a"].map(sz).values
         b = batch["id_b"].map(sz).values
         inter_v = batch["inter"].values
-        j = inter_v / (a + b - inter_v)
-        keep = j >= threshold
+        keep = inter_v / (a + b - inter_v) >= threshold
         return batch.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
 
     return (inter.map_batches(jacc, batch_format="pandas")
@@ -136,58 +148,75 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3,
 
 N_HASHES = 64
 N_BANDS = 16  # × 4 rows/band
+_P31 = (1 << 31) - 1  # Mersenne prime; 31-bit hashes keep a*x in uint64
 
 _rng = np.random.RandomState(0xC0FFEE)
-_A = _rng.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
-_B = _rng.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_A = _rng.randint(1, _P31, size=N_HASHES).astype(np.uint64)
+_B = _rng.randint(0, _P31, size=N_HASHES).astype(np.uint64)
 
 
 def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
-    """64 min-wise universal hashes ((a*x+b) mod p) of the shingle set."""
+    """64 min-wise universal hashes ((a*x+b) mod 2^31-1), fully vectorized
+    in uint64 (a,x < 2^31 so a*x+b never overflows)."""
     if len(shingle_hashes) == 0:
-        return np.zeros(N_HASHES, dtype=np.int64)
-    x = shingle_hashes.astype(object)[:, None]  # object → exact bigint mults
-    vals = (x * _A[None, :] + _B[None, :]) % _MERSENNE
-    return vals.min(axis=0).astype(np.int64)
+        return np.zeros(N_HASHES, dtype=np.uint64)
+    x = shingle_hashes.astype(np.uint64)[:, None]
+    vals = (x * _A[None, :] + _B[None, :]) % np.uint64(_P31)
+    return vals.min(axis=0)
 
 
-def minhash_lsh_pairs(sf_dir: str, k: int = 3,
-                      est_threshold: float = 0.5) -> pd.DataFrame:
+def _shingle_hashes31(text: str, k: int) -> np.ndarray:
+    """31-bit stable shingle hashes via crc32 (C-speed)."""
+    return np.fromiter(
+        (zlib.crc32(s.encode()) & 0x7FFFFFFF for s in _shingles(text, k)),
+        dtype=np.uint64)
+
+
+def minhash_lsh_pairs(sf_dir: str, k: int = 3, est_threshold: float = 0.5,
+                      n_buckets: int = 256) -> pd.DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, with the
     minhash-estimated Jaccard; exact verification is `jaccard_dup_pairs`
-    (or a filtered re-read at scale)."""
+    (or a filtered re-read at scale). Band keys are grouped through a
+    bounded bucket column (groupby over n_buckets groups, duplicate band
+    keys found vectorized inside each bucket)."""
 
     def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        dids, keys, sigs = [], [], []
         for did, text in zip(batch["doc_id"], batch["text"]):
-            hs = np.array([hash64(s) % _MERSENNE for s in _shingles(text, k)],
-                          dtype=np.int64)
-            sig = minhash_signature(hs)
+            sig = minhash_signature(_shingle_hashes31(text, k))
+            sb = sig.tobytes()
             for band in range(N_BANDS):
-                piece = sig[band * 4:(band + 1) * 4]
-                key = hash64(f"{band}:{piece.tolist()}")
-                rows.append({"band_key": np.int64(key % (1 << 62)),
-                             "doc_id": did,
-                             "sig": sig.tobytes()})
-        return pd.DataFrame(rows)
+                piece = sig[band * 4:(band + 1) * 4].tobytes()
+                dids.append(did)
+                keys.append(hash64(f"{band}:") ^ hash64(piece.hex()))
+                sigs.append(sb)
+        return pd.DataFrame({
+            "bucket": pd.array([np.int32(kk % n_buckets) for kk in keys],
+                               dtype="int32"),
+            "band_key": pd.array([np.int64(kk % (1 << 62)) for kk in keys],
+                                 dtype="int64"),
+            "doc_id": dids, "sig": sigs})
 
     bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         sig_batch, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].tolist()
-        sigs = [np.frombuffer(s, dtype=np.int64) for s in g["sig"]]
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("band_key", keep=False)]
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= est_threshold:
-                    out.append({"id_a": ids[i], "id_b": ids[j],
-                                "est_jaccard": est})
+        for _, grp in g.groupby("band_key", sort=False):
+            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = grp["doc_id"].tolist()
+            sigs = [np.frombuffer(s, dtype=np.uint64) for s in grp["sig"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    est = float((sigs[i] == sigs[j]).mean())
+                    if est >= est_threshold:
+                        out.append({"id_a": ids[i], "id_b": ids[j],
+                                    "est_jaccard": est})
         return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
 
-    cand = bands.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    cand = bands.groupby("bucket").map_groups(bucket_pairs,
+                                              batch_format="pandas")
     df = cand.to_pandas()
     if df.empty:
         return df
@@ -215,40 +244,51 @@ def simhash64(text: str) -> int:
     return out
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_pairs(sf_dir: str, max_hamming: int = 3,
+                  n_buckets: int = 256) -> pd.DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming, found by
     the pigeonhole band trick (max_hamming+1 pieces; a qualifying pair must
-    agree on at least one piece)."""
+    agree on at least one piece). Piece keys are grouped through a bounded
+    bucket column, duplicates verified vectorized per bucket."""
     n_pieces = max_hamming + 1
     piece_bits = 64 // n_pieces
 
     def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        dids, keys, sims = [], [], []
         for did, text in zip(batch["doc_id"], batch["text"]):
             h = simhash64(text)
             for p in range(n_pieces):
                 piece = (h >> (p * piece_bits)) & ((1 << piece_bits) - 1)
-                rows.append({"piece_key": np.int64((p << piece_bits) | piece),
-                             "doc_id": did, "sim": np.uint64(h)})
-        return pd.DataFrame(rows)
+                dids.append(did)
+                keys.append((p << piece_bits) | piece)
+                sims.append(h)
+        return pd.DataFrame({
+            "bucket": pd.array([np.int32(kk % n_buckets) for kk in keys],
+                               dtype="int32"),
+            "piece_key": pd.array(keys, dtype="int64"),
+            "doc_id": dids,
+            "sim": pd.array(sims, dtype="uint64")})
 
     bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         sig_batch, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].tolist()
-        sims = g["sim"].tolist()
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("piece_key", keep=False)]
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(sims[i]) ^ int(sims[j])).count("1")
-                if d <= max_hamming:
-                    out.append({"id_a": ids[i], "id_b": ids[j], "hamming": d})
+        for _, grp in g.groupby("piece_key", sort=False):
+            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = grp["doc_id"].tolist()
+            sims = grp["sim"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(int(sims[i]) ^ int(sims[j])).count("1")
+                    if d <= max_hamming:
+                        out.append({"id_a": ids[i], "id_b": ids[j],
+                                    "hamming": d})
         return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 
-    df = bands.groupby("piece_key").map_groups(
-        pairs, batch_format="pandas").to_pandas()
+    df = bands.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
     if df.empty:
         return df
     return (df.drop_duplicates(["id_a", "id_b"])

@@ -78,6 +78,7 @@ class ExtractRouter:
         if staged_rows:
             # deterministic name per first doc in the group ⇒ a retried
             # task overwrites its own file instead of duplicating shards
+            os.makedirs(self.staging, exist_ok=True)
             tbl = pa.Table.from_pylist(staged_rows, schema=SHARD_SCHEMA)
             name = staged_rows[0]["doc_id"]
             pq.write_table(tbl, os.path.join(self.staging, f"{name}.parquet"))
@@ -88,14 +89,27 @@ def extract_dataset(input_uri: str, staging_dir: str,
                     cfg: ExtractConfig = DEFAULT_CONFIG,
                     runtime: RuntimeConfig = DEFAULT_RUNTIME) -> rd.Dataset:
     """Pass 1 as a lazy Dataset (consume it, then run
-    :func:`reassemble_staged` for the mega-doc tail)."""
+    :func:`reassemble_staged` for the mega-doc tail).
+
+    Default is STATELESS tasks: this parse's only state is module-level
+    compiled regexes (once per worker process), and a task pool skips the
+    actor-pool ramp-up (~0.6s faster at sf0.1). Set
+    ``runtime.use_actor_pool`` for a model-backed parse (ONNX OCR/layout à
+    la the reference) where per-actor model load must amortize.
+    """
     ds = read_documents(input_uri)
+    if runtime.use_actor_pool:
+        return ds.map_batches(
+            ExtractRouter,
+            fn_constructor_args=(cfg, staging_dir),
+            batch_format="pyarrow",
+            batch_size=runtime.parse_batch_size,
+            concurrency=runtime.parse_concurrency,
+        )
     return ds.map_batches(
-        ExtractRouter,
-        fn_constructor_args=(cfg, staging_dir),
+        ExtractRouter(cfg, staging_dir),
         batch_format="pyarrow",
         batch_size=runtime.parse_batch_size,
-        concurrency=runtime.parse_concurrency,
     )
 
 

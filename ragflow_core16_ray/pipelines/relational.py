@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ..stages.agg import combine_partials
 
 
 def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
@@ -68,12 +68,10 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
              "l_discount", "l_shipdate"]).map_batches(
         partial, batch_format="pandas")
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty_c", alias_name="sum_qty_c"),
-        Sum("sum_base_price_c", alias_name="sum_base_price_c"),
-        Sum("sum_disc_price_u", alias_name="sum_disc_price_u"),
-        Sum("n_rows", alias_name="n_rows"))
-    df = agg.to_pandas()
+    df = combine_partials(ds, ["l_returnflag", "l_linestatus"],
+                          {"sum_qty_c": "sum", "sum_base_price_c": "sum",
+                           "sum_disc_price_u": "sum", "n_rows": "sum"}
+                          ).to_pandas()
     for c in ("sum_qty_c", "sum_base_price_c", "sum_disc_price_u", "n_rows"):
         df[c] = df[c].astype("int64")
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
@@ -98,10 +96,8 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         partial, batch_format="pandas")
-    df = (ds.groupby("n_name")
-          .aggregate(Sum("revenue_c", alias_name="revenue_c"),
-                     Sum("n_orders", alias_name="n_orders"))
-          .to_pandas())
+    df = combine_partials(ds, ["n_name"], {"revenue_c": "sum",
+                                           "n_orders": "sum"}).to_pandas()
     df["revenue_c"] = df["revenue_c"].astype("int64")
     df["n_orders"] = df["n_orders"].astype("int64")
     return df.sort_values("n_name").reset_index(drop=True)
@@ -120,9 +116,9 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         partial, batch_format="pandas")
-    agg = ds.groupby("o_custkey").aggregate(Sum("total_c", alias_name="total_c"))
-    top = agg.sort(["total_c", "o_custkey"],
-                   descending=[True, False]).limit(k).to_pandas()
+    df = combine_partials(ds, ["o_custkey"], {"total_c": "sum"}).to_pandas()
+    top = (df.sort_values(["total_c", "o_custkey"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
     top["total_c"] = top["total_c"].astype("int64")
     return top
 
@@ -148,16 +144,8 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
 
     ds = _t(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
         partial, batch_format="pandas")
-    agg = ds.groupby(["user_id", "hour_epoch"]).aggregate(
-        Sum("sum_value_c", alias_name="sum_value_c"),
-        Sum("n_events", alias_name="n_events"))
-
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["sum_value_c"] = batch["sum_value_c"].astype("int64")
-        batch["n_events"] = batch["n_events"].astype("int64")
-        return batch
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    return combine_partials(ds, ["user_id", "hour_epoch"],
+                            {"sum_value_c": "sum", "n_events": "sum"})
 
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:

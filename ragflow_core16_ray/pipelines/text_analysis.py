@@ -83,7 +83,7 @@ def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Global word frequencies, top-k. Pre-aggregates counts per batch
     (one row per word per batch) so the groupby shuffle moves word partials,
     not the corpus — the combiner pattern for 100 TB."""
-    from ray.data.aggregate import Sum
+    from ..stages.agg import combine_partials
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         counts = (batch["text"].str.strip().str.split().explode()
@@ -91,6 +91,7 @@ def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pd.DataFrame({"word": counts.index, "cnt": counts.values})
 
     ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas")
-    agg = ds.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
-    out = agg.sort(["cnt", "word"], descending=[True, False]).limit(k)
-    return out.to_pandas()
+    df = combine_partials(ds, ["word"], {"cnt": "sum"}).to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    return (df.sort_values(["cnt", "word"], ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -20,14 +20,18 @@ def _has_lance() -> bool:
         return False
 
 
-def read_documents(uri: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_documents(uri: str | list[str],
+                   columns: list[str] | None = None) -> rd.Dataset:
     """Read the interleaved documents table (doc_id, spans).
 
-    ``uri`` may be a Lance dataset dir (``*.lance`` or with Lance present)
-    or a Parquet file/dir. Columns are pruned at the read so a metadata-only
-    pass never ships span payloads off storage.
+    ``uri`` may be a Lance dataset dir (``*.lance`` or with Lance present),
+    a Parquet file/dir, or an explicit list of parquet files (the
+    partition-resume path). Columns are pruned at the read so a
+    metadata-only pass never ships span payloads off storage.
     """
-    if uri.endswith(".lance") or (_has_lance() and uri.rstrip("/").endswith("lance")):
+    if isinstance(uri, str) and (
+            uri.endswith(".lance")
+            or (_has_lance() and uri.rstrip("/").endswith("lance"))):
         return rd.read_lance(uri, columns=columns)
     return rd.read_parquet(uri, columns=columns)
 

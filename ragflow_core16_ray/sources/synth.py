@@ -325,5 +325,9 @@ def corpus_dataset(n_docs: int, seed: int = 42, mega_every: int = 2500,
 
 def write_corpus(path: str, n_docs: int, seed: int = 42,
                  mega_every: int = 2500, parallelism: int = -1) -> str:
-    corpus_dataset(n_docs, seed, mega_every, parallelism).write_parquet(path)
+    ds = corpus_dataset(n_docs, seed, mega_every, parallelism)
+    if parallelism > 0:
+        # one output file per partition (the resume/lineage unit)
+        ds = ds.repartition(parallelism)
+    ds.write_parquet(path)
     return path

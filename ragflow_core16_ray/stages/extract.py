@@ -137,7 +137,56 @@ def _pack_sections(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     return out
 
 
+_QUESTION_RE = None
+
+
+def _question_re():
+    global _QUESTION_RE
+    if _QUESTION_RE is None:
+        import re
+
+        # question-line taxonomy (role of rag/nlp/__init__.py:74-86
+        # QUESTION_PATTERN, simplified to the deterministic core)
+        _QUESTION_RE = re.compile(
+            r"(.*[?？]\s*$)|(^Q\d*[\.:：]\s)|(^(question|问题?)[\s::：])", re.I)
+    return _QUESTION_RE
+
+
+def _qa_pairs(texts: list[str]) -> list[tuple[str, str]]:
+    """Pair question lines with the answer text that follows them
+    (rag/app/qa.py text-mode semantics: content before the first question
+    is dropped; an unanswered trailing question keeps an empty answer)."""
+    qre = _question_re()
+    pairs: list[tuple[str, str]] = []
+    q: str | None = None
+    a: list[str] = []
+    for t in texts:
+        if qre.match(t.strip()):
+            if q is not None:
+                pairs.append((q, "\n".join(a)))
+            q, a = t.strip(), []
+        elif q is not None:
+            a.append(t)
+    if q is not None:
+        pairs.append((q, "\n".join(a)))
+    return pairs
+
+
 def phase_b(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+    if template == "one":
+        # whole-doc single chunk (rag/app/one.py): all text joined in
+        # reading order; tables/figures/title pass through after it
+        texts = [s["text"] for s in spans if s["kind"] == "section"]
+        others = [s for s in spans if s["kind"] != "section"]
+        joined = "\n".join(texts)
+        merged = [make_span("section", joined)] if joined else []
+        return finalize_offsets(merged + others)
+    if template == "qa":
+        texts = [s["text"] for s in spans if s["kind"] == "section"]
+        others = [s for s in spans if s["kind"] not in ("section", "title")]
+        merged = [make_span("qa", f"{q}\n{a}" if a else q)
+                  for q, a in _qa_pairs(texts)]
+        return finalize_offsets(merged + others)
     if template == "book":
         texts = [s["text"] for s in spans if s["kind"] == "section"]
         others = [s for s in spans if s["kind"] != "section"]
@@ -165,11 +214,16 @@ def extract_doc(spans: list[dict], cfg: ExtractConfig = DEFAULT_CONFIG,
     Returns (template, output spans, n_shards)."""
     from .shard import split_shards
 
-    template = template or route_template(spans)
-    shards = split_shards(spans, template, cfg)
+    base = route_template(spans)
+    template = template or cfg.template_override or base
+    # parsing (phase A) always follows the CONTENT (base) template; the
+    # requested template only changes the phase-B chunking — mirroring the
+    # reference where e.g. the `one` parser still runs the full PDF passes
+    # (rag/app/one.py) before emitting a single chunk
+    shards = split_shards(spans, base, cfg)
     parsed: list[dict] = []
     for sh in shards:
-        parsed.extend(phase_a(template, sh, cfg))
+        parsed.extend(phase_a(base, sh, cfg))
     return template, phase_b(template, parsed, cfg), len(shards)
 
 
@@ -226,7 +280,9 @@ def make_reassembler(cfg: ExtractConfig = DEFAULT_CONFIG):
         spans: list[dict] = []
         for shard_spans in group["spans"]:
             spans.extend(spans_to_pylist(shard_spans))
-        template = group["template"].iloc[0]
+        # shard rows carry the content (base) template; an override only
+        # changes the phase-B chunking
+        template = cfg.template_override or group["template"].iloc[0]
         out = phase_b(template, spans, cfg)
         return pa.Table.from_pylist([{
             "doc_id": group["doc_id"].iloc[0],

@@ -1,0 +1,100 @@
+"""Tests for TXT/JSON splitters, the positional tag codec, and the
+one/qa chunking templates."""
+
+import json
+
+from ragflow_core16_ray.config import ExtractConfig
+from ragflow_core16_ray.functions.postag import (encode_tag, parse_tags,
+                                                 strip_tags)
+from ragflow_core16_ray.functions.txt_json import (json_split,
+                                                   parse_delimiters,
+                                                   txt_split)
+from ragflow_core16_ray.schemas import make_span
+from ragflow_core16_ray.stages.extract import extract_doc
+
+
+def test_parse_delimiters_backticks():
+    assert parse_delimiters("\n!?`##`") == ["##", "\n", "!", "?"]
+    assert parse_delimiters("?!\n`##`") == ["##", "\n", "!", "?"]
+
+
+def test_txt_split_multichar_delim():
+    chunks = txt_split("part one##part two##part three",
+                       chunk_token_num=2, delimiter="`##`")
+    assert chunks == ["part one##", "part two##", "part three"]
+
+
+def test_txt_split_budget_merge():
+    chunks = txt_split("a.b.c.d", chunk_token_num=100, delimiter=".")
+    assert chunks == ["a.b.c.d"]
+
+
+def test_json_split_small_passthrough():
+    assert json_split({"a": 1}) == ['{"a": 1}']
+
+
+def test_json_split_large_dict():
+    obj = {f"k{i}": "x" * 50 for i in range(20)}
+    chunks = json_split(obj, max_size=200)
+    assert len(chunks) > 1
+    merged = {}
+    for c in chunks:
+        merged.update(json.loads(c))
+    assert merged == obj
+
+
+def test_json_split_nested_list():
+    obj = {"items": [{"v": "y" * 80} for _ in range(10)]}
+    chunks = json_split(obj, max_size=150)
+    assert all(len(c) <= 200 for c in chunks)
+    assert sum("y" in c for c in chunks) >= 5
+
+
+def test_postag_roundtrip():
+    tag = encode_tag(3, 10.0, 20.0, 30.5, 40.25)
+    text = f"hello{tag}world"
+    assert strip_tags(text) == "helloworld"
+    assert parse_tags(text) == [(3, 10.0, 20.0, 30.5, 40.2)]
+
+
+def test_template_one():
+    spans = [make_span("text", "First line.", offset=0),
+             make_span("text", "Second line.", offset=1)]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="one"))
+    assert tmpl == "one"
+    assert [s["text"] for s in out] == ["First line.\nSecond line."]
+
+
+def test_template_qa():
+    spans = [make_span("text", "Intro line dropped.", offset=0),
+             make_span("text", "What is a shard?", offset=1),
+             make_span("text", "A unit of parallel work.", offset=2),
+             make_span("text", "Q2: How many?", offset=3),
+             make_span("text", "Twelve pages each.", offset=4)]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="qa"))
+    assert tmpl == "qa"
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("qa", "What is a shard?\nA unit of parallel work."),
+        ("qa", "Q2: How many?\nTwelve pages each."),
+    ]
+
+
+def test_codec_sniff():
+    from ragflow_core16_ray.functions.codec import get_text, sniff_codec
+
+    assert sniff_codec("hello".encode()) == "utf-8"
+    assert sniff_codec("数据".encode("utf-8")) == "utf-8"
+    assert get_text("caf\xe9".encode("latin-1")) == "café"
+    assert get_text(b"\xef\xbb\xbfhi") == "hi"
+
+
+def test_index_int():
+    from ragflow_core16_ray.functions.bullets import index_int
+
+    assert index_int("12") == 12
+    assert index_int("十") == 10
+    assert index_int("二十三") == 23
+    assert index_int("一百零五") == 105
+    assert index_int("iv") == 4
+    assert index_int("xii") == 12
+    assert index_int("?!") == -1
