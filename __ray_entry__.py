@@ -44,17 +44,33 @@ def _corpus_for(sf_dir: str) -> str:
     return path
 
 
+def _extract_out(sf_dir: str) -> str:
+    """Run (once per corpus+config) the two-pass extraction pipeline;
+    queries sharing the same extracted output reuse it via a done-marker."""
+    from ragflow_core16_ray.pipelines.extract import run_extract
+
+    corpus = _corpus_for(sf_dir)
+    out_dir = corpus + "_out"
+    marker = os.path.join(out_dir, "_GRAFT_DONE")
+    if not os.path.exists(marker):
+        run_extract(corpus, out_dir)
+        open(marker, "w").close()
+    return out_dir
+
+
 def _extract_flat(sf_dir: str):
     """Flagship: synthesize corpus → two-pass extraction pipeline → one row
     per output span (doc_id, offset, kind, text, media_ref)."""
     import pyarrow as pa
     import ray.data as rd
 
-    from ragflow_core16_ray.pipelines.extract import run_extract
+    out_dir = _extract_out(sf_dir)
 
-    corpus = _corpus_for(sf_dir)
-    out_dir = corpus + "_out"
-    run_extract(corpus, out_dir)
+    flat_schema = pa.schema([("doc_id", pa.string()),
+                             ("offset", pa.int32()),
+                             ("kind", pa.string()),
+                             ("text", pa.string()),
+                             ("media_ref", pa.string())])
 
     def flatten(batch: pa.Table) -> pa.Table:
         rows = []
@@ -64,12 +80,7 @@ def _extract_flat(sf_dir: str):
                 rows.append({"doc_id": did, "offset": s["offset"],
                              "kind": s["kind"], "text": s["text"],
                              "media_ref": s["media_ref"]})
-        return pa.Table.from_pylist(rows) if rows else pa.table(
-            {"doc_id": pa.array([], pa.string()),
-             "offset": pa.array([], pa.int32()),
-             "kind": pa.array([], pa.string()),
-             "text": pa.array([], pa.string()),
-             "media_ref": pa.array([], pa.string())})
+        return pa.Table.from_pylist(rows, schema=flat_schema)
 
     return rd.read_parquet(os.path.join(out_dir, "docs")).map_batches(
         flatten, batch_format="pyarrow")
@@ -78,12 +89,9 @@ def _extract_flat(sf_dir: str):
 def _media_features(sf_dir: str):
     import ray.data as rd
 
-    from ragflow_core16_ray.pipelines.extract import run_extract
     from ragflow_core16_ray.pipelines.multimodal import media_features
 
-    corpus = _corpus_for(sf_dir)
-    out_dir = corpus + "_out_media"
-    run_extract(corpus, out_dir)
+    out_dir = _extract_out(sf_dir)
     extracted = rd.read_parquet(os.path.join(out_dir, "docs"))
     return media_features(extracted)
 

@@ -138,7 +138,16 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
                              env=env)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
+    # this sandbox VM has noisy-neighbor CPU variance (±30% run-to-run on
+    # identical work); best-of-N per level measures the pipeline, not the
+    # neighbors. Levels interleaved so noise hits both fairly.
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -147,8 +156,11 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "unit": "ratio",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        f"all_sec_{lo}": [r["value"] for r in runs_lo],
+        f"all_sec_{hi}": [r["value"] for r in runs_hi],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "n_docs": r_lo.get("n_docs"),
         "sf": sf_dir,
         "cpus": [lo, hi],
     }

@@ -208,7 +208,6 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000) -> list[dict]:
 
     # ---- merge text flow + emit --------------------------------------
     out: list[dict] = []
-    title_done = False
     cur: str | None = None
     cur_page = -1
 
@@ -243,12 +242,11 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000) -> list[dict]:
             continue
         b = o
         if b.lay == "title":
+            # every title box keeps kind "title" here; phase B decides
+            # (naive: first stays title, rest demote to sections; paper:
+            # titles are the section-grouping pivots)
             flush()
-            if not title_done:
-                out.append(make_span("title", b.text.strip()))
-                title_done = True
-            else:
-                out.append(make_span("section", b.text.strip()))
+            out.append(make_span("title", b.text.strip()))
             continue
         # text flow: continue the current line unless the previous text
         # ended a sentence (deterministic up/down-concat rule)

@@ -3,7 +3,9 @@
 Topology (designed for 100 TB / multi-node; tested single-node):
 
     pass 1 (one streaming read of the input, NO shuffle):
-        read_documents → map_batches(ExtractRouter actor pool)
+        read_documents → map_batches(ExtractRouter — stateless task pool by
+        default; actor pool via RuntimeConfig.use_actor_pool when the parse
+        hosts model state)
           - docs whose span count ≤ threshold (99.96% of the corpus):
             phase A + B fused in-place → final extracted rows
           - mega-docs: split into page/row-range shards (stages/shard.py)
@@ -61,20 +63,29 @@ class ExtractRouter:
         staged_rows = []
         for doc_id, spans in zip(batch["doc_id"].to_pylist(),
                                  batch["spans"].to_pylist()):
-            spans = spans_to_pylist(spans)
-            template = route_template(spans)
-            shards = split_shards(spans, template, self.cfg)
-            if len(shards) == 1:
-                _, out, _ = extract_doc(spans, self.cfg, template)
-                rows.append({"doc_id": doc_id, "template": template,
-                             "spans": out, "n_input_spans": len(spans),
+            try:
+                spans = spans_to_pylist(spans)
+                template = route_template(spans)
+                shards = split_shards(spans, template, self.cfg)
+                if len(shards) == 1:
+                    tmpl, out, _ = extract_doc(spans, self.cfg)
+                    rows.append({"doc_id": doc_id, "template": tmpl,
+                                 "spans": out, "n_input_spans": len(spans),
+                                 "n_shards": 1})
+                else:
+                    for si, sh in enumerate(shards):
+                        staged_rows.append({
+                            "doc_id": doc_id, "template": template,
+                            "shard_id": si, "n_shards": len(shards),
+                            "n_input_spans": len(spans), "spans": sh})
+            except Exception:  # noqa: BLE001 — poison-row containment
+                # one malformed document must not kill the job (the
+                # reference's per-task failure containment,
+                # task_executor.py:604-616); the error row is filterable
+                # downstream by template == "error"
+                rows.append({"doc_id": doc_id, "template": "error",
+                             "spans": [], "n_input_spans": len(spans or []),
                              "n_shards": 1})
-            else:
-                for si, sh in enumerate(shards):
-                    staged_rows.append({
-                        "doc_id": doc_id, "template": template,
-                        "shard_id": si, "n_shards": len(shards),
-                        "n_input_spans": len(spans), "spans": sh})
         if staged_rows:
             # deterministic name per first doc in the group ⇒ a retried
             # task overwrites its own file instead of duplicating shards
@@ -128,12 +139,12 @@ def reassemble_staged(staging_dir: str,
     # spread shards of the same (huge) doc across workers before the
     # heavy parse — the explicit skew-leveling repartition
     shards = shards.repartition(max(len(files) * 2, 8))
+    # stateless tasks (no model state) — skips actor-pool ramp-up, which
+    # otherwise dominates this small pass's wall time
     parsed = shards.map_batches(
-        ExtractShard,
-        fn_constructor_args=(cfg,),
+        ExtractShard(cfg),
         batch_format="pyarrow",
         batch_size=8,
-        concurrency=runtime.parse_concurrency,
     )
     return parsed.groupby("doc_id").map_groups(
         make_reassembler(cfg), batch_format="pandas")

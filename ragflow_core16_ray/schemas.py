@@ -57,7 +57,8 @@ EXTRACTED_SCHEMA = pa.schema(
 )
 
 INPUT_KINDS = ("html", "text", "md", "box", "row", "image", "caption")
-OUTPUT_KINDS = ("title", "section", "table_row", "table_html", "figure", "qa")
+OUTPUT_KINDS = ("title", "section", "table_row", "table_html", "figure",
+                "qa", "abstract")
 
 # Intermediate shape between phase A (heavy per-shard parse) and phase B
 # (light per-doc template merge): one row per shard.

@@ -36,7 +36,8 @@ from ..functions.merge import naive_merge
 from ..functions.pdfish import extract_pdfish
 from ..functions.table import parse_tsv_rows
 
-TEMPLATES = ("html", "pdfish", "book", "md", "table", "naive")
+TEMPLATES = ("html", "pdfish", "book", "md", "table", "naive",
+             "one", "qa", "paper")  # last three: template_override-selected
 
 
 def route_template(spans: list[dict]) -> str:
@@ -172,7 +173,80 @@ def _qa_pairs(texts: list[str]) -> list[tuple[str, str]]:
     return pairs
 
 
+_ABSTRACT_RE = None
+
+
+def _abstract_re():
+    global _ABSTRACT_RE
+    if _ABSTRACT_RE is None:
+        import re
+
+        _ABSTRACT_RE = re.compile(r"^\s*(abstract|摘\s*要)\b", re.I)
+    return _ABSTRACT_RE
+
+
+def _demote_extra_titles(spans: list[dict]) -> list[dict]:
+    """First title span stays the doc title; later title boxes become
+    section headings (the naive-template treatment of layout titles)."""
+    out = []
+    seen_title = False
+    for s in spans:
+        if s["kind"] == "title":
+            if seen_title:
+                s = make_span("section", s["text"], s["media_ref"])
+            seen_title = True
+        out.append(s)
+    return out
+
+
+def _paper_merge(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+    """Paper template (rag/app/paper.py:173-206 semantics): sections group
+    under their preceding layout title; each group packs to the token
+    budget with the title prefixed; a group titled Abstract/摘要 emits one
+    `abstract` span. The first title is the doc title."""
+    out: list[dict] = []
+    doc_title: str | None = None
+    cur_title: str | None = None
+    buf: list[str] = []
+
+    def flush():
+        nonlocal buf, cur_title
+        if not buf and cur_title is None:
+            return
+        if cur_title and _abstract_re().match(cur_title):
+            body = "\n".join(buf)
+            out.append(make_span("abstract",
+                                 cur_title + ("\n" + body if body else "")))
+        else:
+            chunks = naive_merge(buf, cfg.chunk_token_num, cfg.delimiter)
+            for c in chunks:
+                out.append(make_span(
+                    "section", (cur_title + "\n" + c) if cur_title else c))
+            if cur_title and not chunks:
+                out.append(make_span("section", cur_title))
+        buf = []
+        cur_title = None
+
+    for s in spans:
+        if s["kind"] == "title":
+            if doc_title is None:
+                doc_title = s["text"]
+                out.append(make_span("title", doc_title))
+                continue
+            flush()
+            cur_title = s["text"]
+        elif s["kind"] == "section":
+            buf.append(s["text"])
+        else:
+            flush()
+            out.append(s)
+    flush()
+    return finalize_offsets(out)
+
+
 def phase_b(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+    if template == "paper":
+        return _paper_merge(spans, cfg)
     if template == "one":
         # whole-doc single chunk (rag/app/one.py): all text joined in
         # reading order; tables/figures/title pass through after it
@@ -202,7 +276,7 @@ def phase_b(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
         return finalize_offsets(merged + others)
     if template == "table":
         return finalize_offsets(list(spans))
-    return finalize_offsets(_pack_sections(spans, cfg))
+    return finalize_offsets(_pack_sections(_demote_extra_titles(spans), cfg))
 
 
 def extract_doc(spans: list[dict], cfg: ExtractConfig = DEFAULT_CONFIG,

@@ -98,3 +98,41 @@ def test_index_int():
     assert index_int("iv") == 4
     assert index_int("xii") == 12
     assert index_int("?!") == -1
+
+
+def _pdf_box(t, page, top, lay, x0=60):
+    import json
+
+    return make_span("box", json.dumps(
+        {"t": t, "x0": x0, "x1": x0 + 480, "top": top, "bot": top + 20,
+         "page": page, "lay": lay}, sort_keys=True))
+
+
+def test_template_paper():
+    spans = [
+        _pdf_box("A Study Of Shards", 0, 60, "title"),
+        _pdf_box("Abstract", 0, 100, "title"),
+        _pdf_box("We study sharding.", 0, 140, "text"),
+        _pdf_box("Introduction", 0, 200, "title"),
+        _pdf_box("Body sentence one.", 0, 240, "text"),
+        _pdf_box("Body sentence two.", 0, 300, "text"),
+    ]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="paper"))
+    assert tmpl == "paper"
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("title", "A Study Of Shards"),
+        ("abstract", "Abstract\nWe study sharding."),
+        ("section", "Introduction\nBody sentence one.\nBody sentence two."),
+    ]
+
+
+def test_pdfish_extra_titles_demoted_in_naive():
+    spans = [
+        _pdf_box("Doc Title", 0, 60, "title"),
+        _pdf_box("Second Heading", 0, 200, "title"),
+        _pdf_box("Some text.", 0, 240, "text"),
+    ]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig())
+    assert tmpl == "pdfish"
+    assert out[0]["kind"] == "title"
+    assert all(s["kind"] == "section" for s in out[1:])
