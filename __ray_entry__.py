@@ -86,6 +86,40 @@ def _extract_flat(sf_dir: str):
         flatten, batch_format="pyarrow")
 
 
+def _extract_paper(sf_dir: str):
+    """Template-override run: whole corpus through the `paper` chunking
+    template (title-pivot grouping + abstract spans) — per-(template,kind)
+    span counts, demonstrating the parser_id-style override surface."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ragflow_core16_ray.config import ExtractConfig
+    from ragflow_core16_ray.pipelines.extract import run_extract
+
+    corpus = _corpus_for(sf_dir)
+    out_dir = corpus + "_out_paper"
+    marker = os.path.join(out_dir, "_GRAFT_DONE")
+    if not os.path.exists(marker):
+        run_extract(corpus, out_dir,
+                    cfg=ExtractConfig(template_override="paper"))
+        open(marker, "w").close()
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tmpl, spans in zip(batch["template"], batch["spans"]):
+            for s in spans:
+                rows.append((tmpl, s["kind"]))
+        df = pd.DataFrame(rows, columns=["template", "kind"])
+        g = df.groupby(["template", "kind"], sort=False).size()
+        return g.rename("n").reset_index()
+
+    from ragflow_core16_ray.stages.agg import combine_partials
+
+    ds = rd.read_parquet(os.path.join(out_dir, "docs")).map_batches(
+        counts, batch_format="pandas")
+    return combine_partials(ds, ["template", "kind"], {"n": "sum"})
+
+
 def _media_features(sf_dir: str):
     import ray.data as rd
 
@@ -108,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- extraction engine (rows-only; golden equality lives in pytest)
         "extract_spans": _extract_flat,
+        "extract_paper": _extract_paper,
         "media_features": _media_features,
         # --- text analysis over documents
         "token_counts": text_analysis.token_counts,

@@ -142,6 +142,9 @@ def _gen_pdfish(r: random.Random, doc_id: str, n_pages=None) -> list[dict]:
         two_col = n_pages >= 2 and r.random() < 0.3
         if page == 0:
             spans.append(_box(_words(r, 5).title(), 100, 500, 60, 90, page, "title"))
+            if r.random() < 0.4:
+                spans.append(_box("Abstract", 260, 340, 95, 115, page, "title"))
+                spans.append(_box(_sentence(r), 60, 540, 120, 140, page, "text"))
         if has_toc and page == 1:
             spans.append(_box("Contents", 250, 350, 60, 80, page, "title"))
             for i in range(r.randint(4, 8)):
