@@ -34,7 +34,9 @@ def _corpus_for(sf_dir: str) -> str:
     """Generate (once) the interleaved corpus sized for this sf."""
     tag = _sf_tag(sf_dir)
     n = _CORPUS_DOCS.get(tag, 200)
-    path = f"/tmp/graft_corpus_sf{tag}_{_CORPUS_SEED}_{n}"
+    from ragflow_core16_ray.sources.synth import CORPUS_VERSION
+
+    path = f"/tmp/graft_corpus_sf{tag}_v{CORPUS_VERSION}_{_CORPUS_SEED}_{n}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from ragflow_core16_ray.sources.synth import write_corpus
@@ -86,10 +88,10 @@ def _extract_flat(sf_dir: str):
         flatten, batch_format="pyarrow")
 
 
-def _extract_paper(sf_dir: str):
-    """Template-override run: whole corpus through the `paper` chunking
-    template (title-pivot grouping + abstract spans) — per-(template,kind)
-    span counts, demonstrating the parser_id-style override surface."""
+def _extract_override(sf_dir: str, template: str):
+    """Template-override run: whole corpus through one forced chunking
+    template — per-(template,kind) span counts, demonstrating the
+    parser_id-style override surface (rag/svr/task_executor.py:67-84)."""
     import pandas as pd
     import ray.data as rd
 
@@ -97,11 +99,11 @@ def _extract_paper(sf_dir: str):
     from ragflow_core16_ray.pipelines.extract import run_extract
 
     corpus = _corpus_for(sf_dir)
-    out_dir = corpus + "_out_paper"
+    out_dir = corpus + "_out_" + template
     marker = os.path.join(out_dir, "_GRAFT_DONE")
     if not os.path.exists(marker):
         run_extract(corpus, out_dir,
-                    cfg=ExtractConfig(template_override="paper"))
+                    cfg=ExtractConfig(template_override=template))
         open(marker, "w").close()
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
@@ -142,7 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- extraction engine (rows-only; golden equality lives in pytest)
         "extract_spans": _extract_flat,
-        "extract_paper": _extract_paper,
+        "extract_paper": lambda sf: _extract_override(sf, "paper"),
+        "extract_laws": lambda sf: _extract_override(sf, "laws"),
+        "extract_manual": lambda sf: _extract_override(sf, "manual"),
         "media_features": _media_features,
         # --- text analysis over documents
         "token_counts": text_analysis.token_counts,

@@ -17,10 +17,13 @@ Input span ``kind`` vocabulary (what a crawled interleaved doc contains):
 "row":..., "col":..., "tno":...}`` — models the reference's post-OCR IR,
 deepdoc/parser/pdf_parser.py:296-352), ``row`` TSV table row (first one in a
 doc is the header — rag/app/table.py:155-176 behavior), ``image`` media-only
-span, ``caption`` figure/table caption text.
+span, ``caption`` figure/table caption text, ``slide`` presentation slide
+text with thumbnail media_ref (deepdoc/parser/ppt_parser.py:22-80 output),
+``eml`` raw RFC-822 message text (rag/app/email.py input).
 
 Output span kinds: ``title``, ``section``, ``table_row``, ``table_html``,
-``figure``. ``offset`` is the emission order 0..n-1 per document.
+``figure``, ``qa``, ``abstract``, ``slide``. ``offset`` is the emission
+order 0..n-1 per document.
 """
 
 from __future__ import annotations
@@ -56,9 +59,10 @@ EXTRACTED_SCHEMA = pa.schema(
     ]
 )
 
-INPUT_KINDS = ("html", "text", "md", "box", "row", "image", "caption")
+INPUT_KINDS = ("html", "text", "md", "box", "row", "image", "caption",
+               "slide", "eml")
 OUTPUT_KINDS = ("title", "section", "table_row", "table_html", "figure",
-                "qa", "abstract")
+                "qa", "abstract", "slide")
 
 # Intermediate shape between phase A (heavy per-shard parse) and phase B
 # (light per-doc template merge): one row per shard.

@@ -2,8 +2,9 @@
 
 Produces the exact input-table shape from BASELINE.json / FIXTURES.md:
 ``doc_id:string, spans:list<struct<kind,text,media_ref,offset>>`` with the
-archetype mix html 40% / pdfish 25% / book 10% / md 10% / table 10% /
-txt 5% plus a handful of mega-docs (skew), exercising every reference
+archetype mix html 36% / pdfish 22% / book 10% / md 10% / table 10% /
+txt 4% / ppt 4% / eml 4% plus a handful of mega-docs (skew), exercising
+every reference
 behavior catalogued in SURVEY.md §2 (boilerplate strip, layout ordering,
 ToC removal, bullet hierarchies, typed table rows, token packing, CJK
 normalization).
@@ -23,10 +24,13 @@ import pyarrow as pa
 
 from ..schemas import DOCUMENTS_SCHEMA, finalize_offsets, make_span
 
-ARCHETYPES = ("html", "pdfish", "book", "md", "table", "txt")
+ARCHETYPES = ("html", "pdfish", "book", "md", "table", "txt", "ppt", "eml")
 # cumulative proportions for the seed-stable assignment
-_CUM = ((0.40, "html"), (0.65, "pdfish"), (0.75, "book"), (0.85, "md"),
-        (0.95, "table"), (1.0, "txt"))
+_CUM = ((0.36, "html"), (0.58, "pdfish"), (0.68, "book"), (0.78, "md"),
+        (0.88, "table"), (0.92, "txt"), (0.96, "ppt"), (1.0, "eml"))
+
+# bump when generator output changes so cached corpora regenerate
+CORPUS_VERSION = 2
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -280,6 +284,73 @@ def _gen_txt(r: random.Random, doc_id: str) -> list[dict]:
     return [make_span("text", _paragraph(r)) for _ in range(r.randint(20, 120))]
 
 
+# ----------------------------------------------------------------- ppt ----
+
+def _gen_ppt(r: random.Random, doc_id: str) -> list[dict]:
+    """Presentation: one `slide` span per slide (title + bullet lines),
+    media_ref = the slide thumbnail the reference stores per chunk
+    (rag/app/presentation.py: every page is a chunk + its thumbnail)."""
+    n_slides = r.randint(4, 25)
+    spans = []
+    for i in range(n_slides):
+        lines = [_words(r, r.randint(2, 6)).title()]
+        for _ in range(r.randint(2, 6)):
+            lines.append("- " + _sentence(r))
+        spans.append(make_span("slide", "\n".join(lines),
+                               f"media://{doc_id}/slide{i}"))
+    return spans
+
+
+# ----------------------------------------------------------------- eml ----
+
+def _gen_eml(r: random.Random, doc_id: str) -> list[dict]:
+    """RFC-822 message with deterministic MIME boundary: headers +
+    text/plain body, ~half also a text/html alternative, occasionally a
+    named attachment."""
+    subject = _words(r, r.randint(3, 6)).title()
+    sender = f"{r.choice(_EN_WORDS)}@example.com"
+    rcpt = f"{r.choice(_EN_WORDS)}@example.org"
+    date = (f"{r.randint(1, 28):02d} Mar 2024 "
+            f"{r.randint(0, 23):02d}:{r.randint(0, 59):02d}:00 +0000")
+    # ASCII-only bodies: unencoded 8-bit payloads are not valid RFC-822
+    # (and the stdlib would mangle them without a base64/qp CTE)
+    body_paras = [
+        " ".join(_words(r, r.randint(6, 16)).capitalize() + "."
+                 for _ in range(r.randint(1, 3)))
+        for _ in range(r.randint(2, 6))]
+    has_html = r.random() < 0.5
+    has_attach = r.random() < 0.3
+    attach_name = f"report-{r.randint(1, 99)}.dat"
+
+    headers = [f"From: {sender}", f"To: {rcpt}", f"Subject: {subject}",
+               f"Date: {date}", "MIME-Version: 1.0"]
+    boundary = f"=-graft-{doc_id}"
+    if has_html or has_attach:
+        parts = [f'Content-Type: multipart/mixed; boundary="{boundary}"',
+                 "", "preamble"]
+        parts += [f"--{boundary}",
+                  'Content-Type: text/plain; charset="utf-8"', "",
+                  "\n".join(body_paras)]
+        if has_html:
+            html_body = "".join(f"<p>{p}</p>" for p in body_paras)
+            parts += [f"--{boundary}",
+                      'Content-Type: text/html; charset="utf-8"', "",
+                      f"<html><body><div class='content'>{html_body}</div>"
+                      f"</body></html>"]
+        if has_attach:
+            parts += [f"--{boundary}",
+                      "Content-Type: application/octet-stream",
+                      f'Content-Disposition: attachment; filename="{attach_name}"',
+                      "Content-Transfer-Encoding: base64", "", "QUJD"]
+        parts.append(f"--{boundary}--")
+        raw = "\n".join(headers + parts)
+    else:
+        raw = "\n".join(headers
+                        + ['Content-Type: text/plain; charset="utf-8"', "",
+                           "\n".join(body_paras)])
+    return [make_span("eml", raw)]
+
+
 # ---------------------------------------------------------------- mega ----
 
 def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
@@ -295,7 +366,7 @@ def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
 
 _GEN = {"html": _gen_html, "pdfish": _gen_pdfish, "book": _gen_book,
         "md": _gen_md, "table": _gen_table, "txt": _gen_txt,
-        "mega": _gen_mega}
+        "ppt": _gen_ppt, "eml": _gen_eml, "mega": _gen_mega}
 
 
 def gen_doc(seed: int, idx: int, mega_every: int = 2500) -> dict:

@@ -29,7 +29,8 @@ from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..schemas import (EXTRACTED_SCHEMA, finalize_offsets, make_span,
                        spans_to_pylist)
 from ..functions.bullets import (bullets_category, hierarchical_merge,
-                                 make_colon_as_title, remove_contents_table)
+                                 make_colon_as_title, remove_contents_table,
+                                 title_frequency)
 from ..functions.html_extract import extract_html
 from ..functions.markdown import extract_markdown
 from ..functions.merge import naive_merge
@@ -37,7 +38,9 @@ from ..functions.pdfish import extract_pdfish
 from ..functions.table import parse_tsv_rows
 
 TEMPLATES = ("html", "pdfish", "book", "md", "table", "naive",
-             "one", "qa", "paper")  # last three: template_override-selected
+             "presentation", "email",
+             # template_override-selected:
+             "one", "qa", "paper", "laws", "manual")
 
 
 def route_template(spans: list[dict]) -> str:
@@ -46,6 +49,10 @@ def route_template(spans: list[dict]) -> str:
         return "pdfish"
     if "row" in kinds:
         return "table"
+    if "slide" in kinds:
+        return "presentation"
+    if "eml" in kinds:
+        return "email"
     if "html" in kinds:
         return "html"
     if "md" in kinds:
@@ -98,6 +105,45 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
         out.extend(make_span("table_html", t) for t in md.tables)
         for s in spans:
             if s["kind"] == "image" and s.get("media_ref"):
+                out.append(make_span("figure", "", s["media_ref"]))
+        return out
+    if template == "presentation":
+        # each slide is its own chunk-to-be; phase B passes slides through
+        # (rag/app/presentation.py: "Every page will be treated as a chunk"
+        # with its thumbnail stored alongside)
+        out = []
+        for s in spans:
+            if s["kind"] == "slide":
+                out.append(make_span("slide", s["text"], s.get("media_ref", "")))
+            elif s["kind"] == "image" and s.get("media_ref"):
+                out.append(make_span("figure", "", s["media_ref"]))
+            elif s["kind"] in ("text", "caption"):
+                out.append(make_span("section", s["text"]))
+        return out
+    if template == "email":
+        # headers → text lines → html-extracted sections, in that order
+        # (rag/app/email.py:58-85); attachments become media refs
+        from ..functions.eml import parse_eml
+
+        out = []
+        for s in spans:
+            if s["kind"] == "eml":
+                parsed = parse_eml(s["text"])
+                for line in parsed.headers:
+                    out.append(make_span("section", line))
+                for line in parsed.text_lines:
+                    out.append(make_span("section", line))
+                for html in parsed.html_parts:
+                    h = extract_html(html)
+                    if h.title:
+                        out.append(make_span("section", h.title))
+                    for sec in h.sections:
+                        out.append(make_span("section", sec))
+                for name in parsed.attachments:
+                    out.append(make_span("figure", "", f"attach://{name}"))
+            elif s["kind"] == "text":
+                out.append(make_span("section", s["text"]))
+            elif s["kind"] == "image" and s.get("media_ref"):
                 out.append(make_span("figure", "", s["media_ref"]))
         return out
     # naive / book: raw sections pass through; merges happen in phase B
@@ -244,9 +290,68 @@ def _paper_merge(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     return finalize_offsets(out)
 
 
+def _manual_merge(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+    """Manual template (rag/app/manual.py:214-258 semantics): pick the most
+    frequent heading level as the pivot, assign a section id that advances
+    at every pivot-level heading, then greedily pack consecutive sections —
+    always glue while a chunk holds <32 tokens, keep gluing to 1024 tokens
+    while the section id is unchanged."""
+    from ..functions.tokenizer import num_tokens
+
+    texts = [s["text"] for s in spans if s["kind"] in ("section", "title")]
+    others = [s for s in spans if s["kind"] not in ("section", "title")]
+    fam = bullets_category(texts)
+    most, levels = title_frequency(texts, fam)
+    # content lines rank below every heading (reference: max_lvl + 1,
+    # manual.py:209-210)
+    deep = 1 << 10
+    sec_ids: list[int] = []
+    sid = 0
+    prev = None
+    for i, lvl in enumerate(levels):
+        lvl = lvl if lvl >= 0 else deep
+        if lvl <= most and i > 0 and lvl != prev:
+            sid += 1
+        sec_ids.append(sid)
+        prev = lvl
+    chunks: list[str] = []
+    last_sid = -2
+    tk = 0
+    for txt, sec_id in zip(texts, sec_ids):
+        if chunks and (tk < 32 or (tk < 1024 and sec_id == last_sid)):
+            chunks[-1] += "\n" + txt
+            tk += num_tokens(txt)
+            continue
+        chunks.append(txt)
+        tk = num_tokens(txt)
+        last_sid = sec_id
+    merged = [make_span("section", c) for c in chunks]
+    return finalize_offsets(merged + others)
+
+
 def phase_b(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     if template == "paper":
         return _paper_merge(spans, cfg)
+    if template == "manual":
+        return _manual_merge(spans, cfg)
+    if template == "laws":
+        # like book but strictly hierarchical: a doc with no recognizable
+        # bullet family yields no text chunks (rag/app/laws.py:200-208
+        # "No chunk parsed out" — there is no naive_merge fallback)
+        texts = [s["text"] for s in spans if s["kind"] in ("section", "title")]
+        others = [s for s in spans if s["kind"] not in ("section", "title")]
+        texts = remove_contents_table(texts)
+        texts = make_colon_as_title(texts)
+        fam = bullets_category(texts)
+        chunks = (hierarchical_merge(texts, fam, cfg.max_hierarchy_depth)
+                  if fam >= 0 else [])
+        merged = [make_span("section", c) for c in chunks]
+        return finalize_offsets(merged + others)
+    if template == "presentation":
+        # every slide stays one chunk (rag/app/presentation.py); when the
+        # base parse produced plain sections (pdf page text), each section
+        # likewise stays unpacked
+        return finalize_offsets(list(spans))
     if template == "one":
         # whole-doc single chunk (rag/app/one.py): all text joined in
         # reading order; tables/figures/title pass through after it

@@ -1,0 +1,129 @@
+"""Unit tests for the laws / manual / presentation / email templates
+(reference semantics: rag/app/{laws,manual,presentation,email}.py)."""
+
+from ragflow_core16_ray.config import ExtractConfig
+from ragflow_core16_ray.functions.eml import parse_eml
+from ragflow_core16_ray.schemas import make_span
+from ragflow_core16_ray.stages.extract import extract_doc, route_template
+
+
+def _texts(spans, kind="section"):
+    return [s["text"] for s in spans if s["kind"] == kind]
+
+
+BOOK_SPANS = [
+    make_span("text", "Chapter 1. Introduction"),
+    make_span("text", "1.1 Scope"),
+    make_span("text", "Alpha beta gamma."),
+    make_span("text", "Delta epsilon."),
+    make_span("text", "1.2 Terms"),
+    make_span("text", "Zeta eta."),
+    make_span("text", "Chapter 2. Rules"),
+    make_span("text", "2.1 General"),
+    make_span("text", "Theta iota."),
+]
+
+
+def test_laws_hierarchical_no_fallback():
+    tmpl, out, _ = extract_doc(BOOK_SPANS,
+                               ExtractConfig(template_override="laws"))
+    assert tmpl == "laws"
+    secs = _texts(out)
+    # every content chunk is prefixed with its full heading path
+    assert any(s.startswith("Chapter 1. Introduction\n1.1 Scope") for s in secs)
+    assert any(s.startswith("Chapter 2. Rules\n2.1 General") for s in secs)
+
+
+def test_laws_bulletless_doc_yields_no_chunks():
+    spans = [make_span("text", "just prose with no headings at all."),
+             make_span("text", "more prose here.")]
+    _, out, _ = extract_doc(spans, ExtractConfig(template_override="laws"))
+    assert _texts(out) == []  # rag/app/laws.py: "No chunk parsed out"
+
+
+def test_manual_packs_by_pivot_section():
+    # long content so the 32-token always-glue floor is passed within a
+    # section but chunks still split at pivot headings
+    filler = " ".join(["alpha beta gamma delta epsilon"] * 10)
+    spans = [
+        make_span("text", "Chapter 1. Setup"),
+        make_span("text", filler),
+        make_span("text", "Chapter 2. Usage"),
+        make_span("text", filler),
+    ]
+    _, out, _ = extract_doc(spans, ExtractConfig(template_override="manual"))
+    secs = _texts(out)
+    assert len(secs) == 2
+    assert secs[0].startswith("Chapter 1. Setup")
+    assert secs[1].startswith("Chapter 2. Usage")
+
+
+def test_manual_small_sections_glue():
+    # tiny sections (<32 tokens running total) glue across the pivot
+    spans = [
+        make_span("text", "Chapter 1. A"),
+        make_span("text", "x."),
+        make_span("text", "Chapter 2. B"),
+        make_span("text", "y."),
+    ]
+    _, out, _ = extract_doc(spans, ExtractConfig(template_override="manual"))
+    assert len(_texts(out)) == 1
+
+
+def test_presentation_one_chunk_per_slide():
+    spans = [make_span("slide", f"Slide {i}\n- point", f"media://d/s{i}")
+             for i in range(5)]
+    assert route_template(spans) == "presentation"
+    tmpl, out, _ = extract_doc(spans)
+    assert tmpl == "presentation"
+    assert [s["kind"] for s in out] == ["slide"] * 5
+    assert [s["media_ref"] for s in out] == [f"media://d/s{i}" for i in range(5)]
+    assert [s["offset"] for s in out] == list(range(5))
+
+
+RAW_EML = """From: a@example.com
+To: b@example.org
+Subject: Quarterly sync
+MIME-Version: 1.0
+Content-Type: multipart/mixed; boundary="=-b1"
+
+preamble
+--=-b1
+Content-Type: text/plain; charset="utf-8"
+
+Hello team.
+Numbers look good.
+--=-b1
+Content-Type: text/html; charset="utf-8"
+
+<html><body><div class="content"><p>Hello team in html form with quite a
+lot of words so density scoring keeps it.</p></div></body></html>
+--=-b1
+Content-Type: application/octet-stream
+Content-Disposition: attachment; filename="q3.xlsx"
+Content-Transfer-Encoding: base64
+
+QUJD
+--=-b1--
+"""
+
+
+def test_parse_eml_decomposition():
+    p = parse_eml(RAW_EML)
+    assert "Subject: Quarterly sync" in p.headers
+    assert "Hello team." in p.text_lines
+    assert len(p.html_parts) == 1
+    assert p.attachments == ["q3.xlsx"]
+
+
+def test_email_template_end_to_end():
+    spans = [make_span("eml", RAW_EML)]
+    assert route_template(spans) == "email"
+    tmpl, out, _ = extract_doc(spans)
+    assert tmpl == "email"
+    joined = "\n".join(_texts(out))
+    assert "Subject: Quarterly sync" in joined
+    assert "Hello team." in joined        # text/plain part
+    assert "density scoring" in joined    # html part survived the strip
+    figs = [s["media_ref"] for s in out if s["kind"] == "figure"]
+    assert figs == ["attach://q3.xlsx"]
