@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": lambda sf: relational.top_customers(sf),
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
+        "events_asof_orders": relational.events_asof_orders,
     }
 
 
@@ -286,6 +287,18 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_value_c,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof_orders": """
+            SELECT event_id, o_orderkey
+            FROM (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (
+                         PARTITION BY e.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
         """,
         "events_sessions": """
             WITH d AS (

@@ -148,6 +148,63 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
                             {"sum_value_c": "sum", "n_events": "sum"})
 
 
+def events_asof_orders(sf_dir: str) -> rd.Dataset:
+    """As-of join (an operator Ray Data lacks): each event is matched to
+    the same customer's most recent order at event time
+    (max o_orderdate <= ts; date ties broken by max o_orderkey, making the
+    result deterministic).
+
+    Scale shape: both sides are large at 100 TB, so neither is broadcast.
+    Each side is projected to a common narrow schema, tagged, unioned, and
+    co-partitioned with ONE hash shuffle — ``groupby(key)`` over the union
+    — then merged per key group with a vectorized sort + searchsorted
+    (no per-row Python in the match). Partitioning assumption: all rows of
+    one key fit in one group; hot keys would be handled by salting the
+    event side and replicating that key's orders per salt."""
+
+    def _prep_events(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["user_id"].values,
+            "t_us": batch["ts"].astype("datetime64[us]").astype("int64"),
+            "event_id": batch["event_id"].values,
+            "o_orderkey": np.int64(-1),
+            "side": np.int8(0),
+        })
+
+    def _prep_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["o_custkey"].values,
+            "t_us": batch["o_orderdate"].astype("datetime64[us]").astype("int64"),
+            "event_id": np.int64(-1),
+            "o_orderkey": batch["o_orderkey"].values,
+            "side": np.int8(1),
+        })
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        _prep_events, batch_format="pandas")
+    od = _t(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _prep_orders, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        o = g[g["side"] == 1].sort_values(["t_us", "o_orderkey"])
+        if e.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "o_orderkey": pd.Series([], dtype="int64")})
+        # last order with t_us <= event time; (t_us, orderkey)-sorted, so
+        # equal-date ties resolve to the max orderkey
+        idx = np.searchsorted(o["t_us"].values, e["t_us"].values,
+                              side="right") - 1
+        matched = idx >= 0
+        return pd.DataFrame({
+            "event_id": e["event_id"].values[matched],
+            "o_orderkey": o["o_orderkey"].values[idx[matched]],
+        })
+
+    return ev.union(od).groupby("key").map_groups(merge, batch_format="pandas")
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Per-user sessionization: a new session starts after a >gap silence.
     The groupby(user_id).map_groups body sees the user's events ts-sorted

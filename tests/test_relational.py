@@ -1,0 +1,55 @@
+"""Relational-primitive correctness vs DuckDB at sf0.001 (the per-round
+driver re-checks the full suite at sf0.01 via tools/check_oracle.py; these
+pin the trickiest ones — the as-of join's tie-breaking and the
+sessionization window — in the fast test loop)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "orders"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_events_asof_orders_matches_oracle(ray_session, con):
+    from ragflow_core16_ray.pipelines.relational import events_asof_orders
+
+    got = (events_asof_orders(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = con.sql("""
+        SELECT event_id, o_orderkey
+        FROM (
+          SELECT e.event_id, o.o_orderkey,
+                 row_number() OVER (PARTITION BY e.event_id
+                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e
+          JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1 ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sessions_match_oracle(ray_session, con):
+    from ragflow_core16_ray.pipelines.relational import events_sessions
+
+    got = (events_sessions(SF).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    want = con.sql("""
+        WITH d AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, COUNT(*) AS n_events, SUM(new_s) AS n_sessions
+        FROM d GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
