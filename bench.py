@@ -60,7 +60,8 @@ BENCH_QUERIES = [
     "exact_dedup", "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
     "emb_near_dup", "emb_topk", "emb_lsh_topk",
     "pricing_summary", "nation_revenue", "top_customers",
-    "events_hourly", "events_sessions", "media_features",
+    "events_hourly", "events_sessions", "events_asof_orders",
+    "media_features",
 ]
 
 
@@ -112,7 +113,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     spawn, pass-2 setup ≈ 3s) — at the default bench size those fixed
     costs flatten the ratio and say nothing about the pipeline."""
     n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "200000"))
-    corpus = f"/tmp/graft_scaling_corpus_{n_docs}"
+    from ragflow_core16_ray.sources.synth import CORPUS_VERSION
+
+    corpus = f"/tmp/graft_scaling_corpus_v{CORPUS_VERSION}_{n_docs}"
     marker = os.path.join(corpus, "_DONE")
     _init_ray(hi)
     if not os.path.exists(marker):

@@ -34,6 +34,11 @@ class ExtractConfig:
     # max hierarchy depth for book/bullet chunking (reference depth 5,
     # rag/nlp/__init__.py:420-507)
     max_hierarchy_depth: int = 5
+    # emit table docs as chunked HTML <table>s instead of typed row lines
+    # (the reference's html4excel parser_config flag, rag/app/naive.py:418,
+    # 12 rows per chunk via excel_parser.html)
+    html4excel: bool = False
+    html_chunk_rows: int = 12
     # force a chunking template for all docs (role of the reference's
     # user-selected parser_id, task_executor.py:67-84): None = content
     # routing; "one" = whole-doc single chunk (rag/app/one.py); "qa" =

@@ -136,3 +136,25 @@ def parse_tsv_rows(row_texts: list[str]) -> TypedTable:
     header = row_texts[0].split("\t")
     data = [t.split("\t") for t in row_texts[1:]]
     return parse_typed_table(header, data)
+
+
+def tsv_to_html_chunks(row_texts: list[str], caption: str = "",
+                       chunk_rows: int = 12) -> list[str]:
+    """The `html4excel` table form: raw cells (no type coercion, no
+    deformed-row drop), header as <th>, data split into chunk_rows-row
+    <table> chunks each repeating the caption + header
+    (deepdoc/parser/excel_parser.py:73-103; naive passes chunk_rows=12,
+    rag/app/naive.py:418-419)."""
+    if not row_texts:
+        return []
+    head = "<tr>" + "".join(f"<th>{c}</th>"
+                            for c in row_texts[0].split("\t")) + "</tr>"
+    data = [t.split("\t") for t in row_texts[1:]]
+    chunks = []
+    for i in range(0, max(len(data), 1), chunk_rows):
+        body = "".join(
+            "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+            for row in data[i:i + chunk_rows])
+        cap = f"<caption>{caption}</caption>" if caption else ""
+        chunks.append(f"<table>{cap}{head}{body}</table>")
+    return chunks

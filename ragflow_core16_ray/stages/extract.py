@@ -70,6 +70,12 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
         return extract_pdfish(spans, page_height=cfg.page_height)
     if template == "table":
         rows = [s["text"] for s in spans if s["kind"] == "row"]
+        if cfg.html4excel:
+            from ..functions.table import tsv_to_html_chunks
+
+            return [make_span("table_html", h)
+                    for h in tsv_to_html_chunks(rows,
+                                                chunk_rows=cfg.html_chunk_rows)]
         return [make_span("table_row", line)
                 for line in parse_tsv_rows(rows).row_lines()]
     if template == "html":
