@@ -148,23 +148,28 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
                             {"sum_value_c": "sum", "n_events": "sum"})
 
 
-def events_asof_orders(sf_dir: str) -> rd.Dataset:
+def events_asof_orders(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """As-of join (an operator Ray Data lacks): each event is matched to
     the same customer's most recent order at event time
     (max o_orderdate <= ts; date ties broken by max o_orderkey, making the
     result deterministic).
 
     Scale shape: both sides are large at 100 TB, so neither is broadcast.
-    Each side is projected to a common narrow schema, tagged, unioned, and
-    co-partitioned with ONE hash shuffle — ``groupby(key)`` over the union
-    — then merged per key group with a vectorized sort + searchsorted
-    (no per-row Python in the match). Partitioning assumption: all rows of
-    one key fit in one group; hot keys would be handled by salting the
-    event side and replicating that key's orders per salt."""
+    Each side is projected to a common narrow schema, tagged with a COARSE
+    bucket (hash(key) % n_buckets), unioned, and co-partitioned with ONE
+    hash shuffle — ``groupby(bucket)`` — then each bucket group is merged
+    in one vectorized ``pd.merge_asof(by=key)`` call. Bucketing (instead
+    of grouping by raw key) keeps the group count at n_buckets, not
+    n_keys: per-group overhead is what kills fine-grained map_groups.
+    Size n_buckets ≈ a few × cluster cores; hot keys are leveled because a
+    bucket holds many keys, and a single pathological key would be salted
+    on the event side with its orders replicated per salt."""
 
     def _prep_events(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["user_id"].values
         return pd.DataFrame({
-            "key": batch["user_id"].values,
+            "bucket": key % np.int64(n_buckets),
+            "key": key,
             "t_us": batch["ts"].astype("datetime64[us]").astype("int64"),
             "event_id": batch["event_id"].values,
             "o_orderkey": np.int64(-1),
@@ -172,8 +177,10 @@ def events_asof_orders(sf_dir: str) -> rd.Dataset:
         })
 
     def _prep_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["o_custkey"].values
         return pd.DataFrame({
-            "key": batch["o_custkey"].values,
+            "bucket": key % np.int64(n_buckets),
+            "key": key,
             "t_us": batch["o_orderdate"].astype("datetime64[us]").astype("int64"),
             "event_id": np.int64(-1),
             "o_orderkey": batch["o_orderkey"].values,
@@ -187,22 +194,26 @@ def events_asof_orders(sf_dir: str) -> rd.Dataset:
         _prep_orders, batch_format="pandas")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["side"] == 0]
-        o = g[g["side"] == 1].sort_values(["t_us", "o_orderkey"])
-        if e.empty:
+        e = g[g["side"] == 0].sort_values("t_us", kind="stable")
+        # (t_us, orderkey)-sorted: merge_asof takes the LAST right row at
+        # an equal timestamp, so date ties resolve to the max orderkey
+        o = (g[g["side"] == 1]
+             .sort_values(["t_us", "o_orderkey"], kind="stable")
+             [["key", "t_us", "o_orderkey"]]
+             .rename(columns={"o_orderkey": "match_key"}))
+        if e.empty or o.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "o_orderkey": pd.Series([], dtype="int64")})
-        # last order with t_us <= event time; (t_us, orderkey)-sorted, so
-        # equal-date ties resolve to the max orderkey
-        idx = np.searchsorted(o["t_us"].values, e["t_us"].values,
-                              side="right") - 1
-        matched = idx >= 0
+        m = pd.merge_asof(e[["key", "t_us", "event_id"]], o,
+                          on="t_us", by="key", direction="backward")
+        m = m.dropna(subset=["match_key"])
         return pd.DataFrame({
-            "event_id": e["event_id"].values[matched],
-            "o_orderkey": o["o_orderkey"].values[idx[matched]],
+            "event_id": m["event_id"].values,
+            "o_orderkey": m["match_key"].values.astype("int64"),
         })
 
-    return ev.union(od).groupby("key").map_groups(merge, batch_format="pandas")
+    return (ev.union(od).groupby("bucket")
+            .map_groups(merge, batch_format="pandas"))
 
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
