@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
         "events_asof_orders": relational.events_asof_orders,
+        "events_window_orders": lambda sf: relational.events_window_orders(sf),
     }
 
 
@@ -299,6 +300,16 @@ def oracle_sql() -> dict[str, str]:
               JOIN orders o
                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
+        """,
+        "events_window_orders": """
+            SELECT e.event_id,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate > e.ts - INTERVAL 7 DAY
+             AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
         """,
         "events_sessions": """
             WITH d AS (

@@ -216,6 +216,71 @@ def events_asof_orders(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
             .map_groups(merge, batch_format="pandas"))
 
 
+def events_window_orders(sf_dir: str, days: int = 7,
+                         n_buckets: int = 64) -> rd.Dataset:
+    """Range join (Ray Data lacks one): per event, how many of the same
+    customer's orders fall in the window (ts - days, ts].
+
+    Same co-partitioning shape as the as-of join: one hash shuffle on a
+    coarse bucket, then vectorized merging per bucket. The interval count
+    is two as-of lookups against a per-key running order count —
+    count(<= ts) - count(<= ts - days) — so the whole bucket resolves in
+    two pd.merge_asof calls, no per-key loop."""
+    win_us = np.int64(days) * 86_400_000_000
+
+    def _prep_events(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["user_id"].values
+        return pd.DataFrame({
+            "bucket": key % np.int64(n_buckets),
+            "key": key,
+            "t_us": batch["ts"].astype("datetime64[us]").astype("int64"),
+            "event_id": batch["event_id"].values,
+            "side": np.int8(0),
+        })
+
+    def _prep_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["o_custkey"].values
+        return pd.DataFrame({
+            "bucket": key % np.int64(n_buckets),
+            "key": key,
+            "t_us": batch["o_orderdate"].astype("datetime64[us]").astype("int64"),
+            "event_id": np.int64(-1),
+            "side": np.int8(1),
+        })
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        _prep_events, batch_format="pandas")
+    od = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        _prep_orders, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0].sort_values("t_us", kind="stable")
+        o = g[g["side"] == 1].sort_values("t_us", kind="stable")[["key", "t_us"]]
+        if e.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_orders": pd.Series([], dtype="int64")})
+        if o.empty:
+            return pd.DataFrame({"event_id": e["event_id"].values,
+                                 "n_orders": np.zeros(len(e), dtype="int64")})
+        o = o.assign(cum=o.groupby("key").cumcount() + 1)
+        left = e[["key", "t_us", "event_id"]]
+
+        def count_upto(ts_vals: np.ndarray) -> np.ndarray:
+            probe = left.assign(t_us=ts_vals).sort_values("t_us", kind="stable")
+            m = pd.merge_asof(probe, o, on="t_us", by="key",
+                              direction="backward")
+            return (m.set_index("event_id")["cum"]
+                    .reindex(left["event_id"]).fillna(0).values)
+
+        hi = count_upto(left["t_us"].values)
+        lo = count_upto(left["t_us"].values - win_us)
+        return pd.DataFrame({"event_id": left["event_id"].values,
+                             "n_orders": (hi - lo).astype("int64")})
+
+    return (ev.union(od).groupby("bucket")
+            .map_groups(merge, batch_format="pandas"))
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Per-user sessionization: a new session starts after a >gap silence.
     The groupby(user_id).map_groups body sees the user's events ts-sorted

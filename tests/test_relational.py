@@ -36,6 +36,23 @@ def test_events_asof_orders_matches_oracle(ray_session, con):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_events_window_orders_matches_oracle(ray_session, con):
+    from ragflow_core16_ray.pipelines.relational import events_window_orders
+
+    got = (events_window_orders(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = con.sql("""
+        SELECT e.event_id, COUNT(o.o_orderkey) AS n_orders
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate > e.ts - INTERVAL 7 DAY
+         AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id ORDER BY e.event_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_sessions_match_oracle(ray_session, con):
     from ragflow_core16_ray.pipelines.relational import events_sessions
 
