@@ -122,6 +122,29 @@ def _extract_override(sf_dir: str, template: str):
     return combine_partials(ds, ["template", "kind"], {"n": "sum"})
 
 
+def _extraction_metrics(sf_dir: str):
+    """North-rule lineage surface: run the RESUMABLE partitioned pipeline
+    (8 lineage partitions) and return the per-partition manifest metrics —
+    the same rows an operator would watch on a 256-node run."""
+    import json
+    import pandas as pd
+
+    from ragflow_core16_ray.state.lineage import run_partitioned
+
+    corpus = _corpus_for(sf_dir)
+    out_dir = corpus + "_out_lineage"
+    run_partitioned(corpus, out_dir, n_partitions=8)  # resumes if present
+    import glob
+
+    rows = []
+    for p in sorted(glob.glob(out_dir + "/_lineage/part-*.json")):
+        m = json.load(open(p))
+        rows.append({"partition": int(p.rsplit("-", 1)[1][:-5]),
+                     "n_docs": m["n_docs"], "wall_sec": m["wall_sec"],
+                     "docs_per_sec": m["docs_per_sec"]})
+    return pd.DataFrame(rows)
+
+
 def _media_features(sf_dir: str):
     import ray.data as rd
 
@@ -147,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_paper": lambda sf: _extract_override(sf, "paper"),
         "extract_laws": lambda sf: _extract_override(sf, "laws"),
         "extract_manual": lambda sf: _extract_override(sf, "manual"),
+        "extraction_metrics": _extraction_metrics,
         "media_features": _media_features,
         # --- text analysis over documents
         "token_counts": text_analysis.token_counts,
@@ -163,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "emb_topk": lambda sf: similarity.brute_topk(sf),
         "emb_lsh_topk": lambda sf: similarity.lsh_topk(sf),
+        "emb_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         # --- relational / streaming primitives
         "pricing_summary": relational.pricing_summary,
         "nation_revenue": relational.nation_revenue,

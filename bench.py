@@ -115,14 +115,18 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "200000"))
     from ragflow_core16_ray.sources.synth import CORPUS_VERSION
 
-    corpus = f"/tmp/graft_scaling_corpus_v{CORPUS_VERSION}_{n_docs}"
+    # 256 output files: at 100 TB file count >> cores everywhere; a
+    # 64-file layout artificially coarsens read blocks (→ ~4.6s map tasks,
+    # only 8 waves at 32 cpus) and understates the high-parallelism level
+    n_files = int(os.environ.get("GRAFT_SCALING_FILES", "256"))
+    corpus = f"/tmp/graft_scaling_corpus_v{CORPUS_VERSION}f{n_files}_{n_docs}"
     marker = os.path.join(corpus, "_DONE")
     _init_ray(hi)
     if not os.path.exists(marker):
         from ragflow_core16_ray.sources.synth import write_corpus
 
         write_corpus(corpus, n_docs=n_docs, seed=42, mega_every=2500,
-                     parallelism=64)
+                     parallelism=n_files)
         open(marker, "w").close()
     import ray.data as rd
 

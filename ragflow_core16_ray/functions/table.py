@@ -16,6 +16,7 @@ distributed state.
 
 from __future__ import annotations
 
+import functools
 import re
 from dataclasses import dataclass
 
@@ -34,7 +35,10 @@ TYPE_SUFFIX = {"int": "_long", "float": "_flt", "date": "_dt",
                "bool": "_kwd", "text": "_tks"}
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def _classify(cell: str) -> str:
+    # memoized: real tables repeat cell values heavily (dates, booleans,
+    # small-int codes), and the regex cascade is the per-cell hot path
     c = cell.strip()
     if not c:
         return "empty"
@@ -72,9 +76,11 @@ def column_types(columns: list[list[str]], majority: float = 0.6) -> list[str]:
     return out
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def coerce(cell: str, typ: str) -> str:
     """Coerce a cell to its column type, rendered as a canonical string
-    (dates → ISO; bools → true/false; numbers normalized)."""
+    (dates → ISO; bools → true/false; numbers normalized). Memoized like
+    ``_classify`` (same repeated-value skew)."""
     c = cell.strip()
     if not c:
         return ""

@@ -135,10 +135,18 @@ def reassemble_staged(staging_dir: str,
         return None
     if not files:
         return None
+    # metadata-only shard count (no payload read) sizes the skew leveling
+    n_shards = sum(pq.read_metadata(os.path.join(staging_dir, f)).num_rows
+                   for f in files)
     shards = rd.read_parquet(staging_dir)
     # spread shards of the same (huge) doc across workers before the
-    # heavy parse — the explicit skew-leveling repartition
-    shards = shards.repartition(max(len(files) * 2, 8))
+    # heavy parse — the explicit skew-leveling repartition. Only worth its
+    # all-to-all when the tail is big; below that the per-file read blocks
+    # (plus Ray's dynamic block splitting of any single giant file)
+    # already spread the work, and the repartition's fixed latency
+    # dominates this small pass.
+    if n_shards > 16 * len(files):
+        shards = shards.repartition(max(8, min(512, n_shards // 8)))
     # stateless tasks (no model state) — skips actor-pool ramp-up, which
     # otherwise dominates this small pass's wall time
     parsed = shards.map_batches(

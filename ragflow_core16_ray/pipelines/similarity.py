@@ -5,8 +5,12 @@
   baseline, linear scan but fully distributed.
 - LSH-bucketed top-k: random-hyperplane signatures (fixed seed); only
   buckets within a signature hamming radius of the query are scanned, then
-  exact rerank — the sub-linear scale path (IVF-style with hyperplane cells
-  instead of k-means centroids; no external libs in sandbox).
+  exact rerank — sub-linear without any training pass.
+- IVF top-k: k-means coarse quantizer trained on a deterministic sample
+  (Lloyd iterations on the driver, centroids broadcast); only the nprobe
+  cells nearest the query are scanned + exact-reranked. At scale the
+  assignment pass writes centroid-partitioned parquet once and queries
+  read only their probed partitions; here build+probe fuse into one pass.
 """
 
 from __future__ import annotations
@@ -96,18 +100,87 @@ def lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
         m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         sig = _signature(m, pl)
         mask = np.isin(sig, np.fromiter(sigs, dtype=np.uint32))
-        if not mask.any():
-            return pd.DataFrame({"vec_id": [], "sim": [], "scanned": []})
-        sims = m[mask] @ qv
-        ids = batch["vec_id"].to_numpy()[mask]
-        order = np.lexsort((ids, -sims))[:k]
-        return pd.DataFrame({"vec_id": ids[order], "sim": sims[order],
-                             "scanned": int(mask.sum())})
+        rows = {"vec_id": [], "sim": [], "scanned": []}
+        if mask.any():
+            sims = m[mask] @ qv
+            ids = batch["vec_id"].to_numpy()[mask]
+            order = np.lexsort((ids, -sims))[:k]
+            rows = {"vec_id": list(ids[order]), "sim": list(sims[order]),
+                    "scanned": [0] * len(order)}
+        # one sentinel row per batch carries that batch's candidate count
+        # (a per-result column would multiply-count when summed)
+        rows["vec_id"].append(-1)
+        rows["sim"].append(-np.inf)
+        rows["scanned"].append(int(mask.sum()))
+        return pd.DataFrame(rows)
 
     df = _emb(sf_dir).map_batches(probe, batch_format="pandas").to_pandas()
-    if df.empty:
-        return pd.DataFrame({"vec_id": [], "scanned": []})
-    scanned = int(df["scanned"].sum())
+    scanned = int(df.loc[df["vec_id"] < 0, "scanned"].sum())
+    df = df[df["vec_id"] >= 0]
+    df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    out = df[["vec_id"]].reset_index(drop=True)
+    out["scanned"] = scanned
+    return out
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int,
+                    iters: int = 10, seed: int = 0x1FF) -> np.ndarray:
+    """Spherical k-means on a normalized sample (vectorized Lloyd's,
+    deterministic seed). Empty cells keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    n = min(n_centroids, len(sample))
+    cents = sample[rng.choice(len(sample), size=n, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(n):
+            pts = sample[assign == c]
+            if len(pts):
+                m = pts.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cents[c] = m / nm
+    return cents
+
+
+def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 6,
+             train_sample: int = 2048) -> pd.DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: train centroids on
+    the first ``train_sample`` vectors (deterministic — stable file
+    order), broadcast them, then one pass that assigns each vector to its
+    nearest centroid and exact-reranks only vectors landing in the
+    ``nprobe`` cells nearest the query. Returns (vec_id, scanned)."""
+    emb = _emb(sf_dir)
+    sample_df = emb.limit(train_sample).to_pandas()
+    X = _norm(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64))
+    cents = train_centroids(X, n_centroids)
+
+    q = load_query(sf_dir, query_vec_id)
+    q = q / np.linalg.norm(q)
+    probe_cells = np.argsort(-(cents @ q))[:nprobe]
+    state = ray.put((q, cents, set(int(c) for c in probe_cells)))
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        qv, C, cells = ray.get(state)
+        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        assign = np.argmax(m @ C.T, axis=1)
+        mask = np.isin(assign, np.fromiter(cells, dtype=np.int64))
+        rows = {"vec_id": [], "sim": [], "scanned": []}
+        if mask.any():
+            sims = m[mask] @ qv
+            ids = batch["vec_id"].to_numpy()[mask]
+            order = np.lexsort((ids, -sims))[:k]
+            rows = {"vec_id": list(ids[order]), "sim": list(sims[order]),
+                    "scanned": [0] * len(order)}
+        # sentinel row per batch (see lsh_topk): candidate count once
+        rows["vec_id"].append(-1)
+        rows["sim"].append(-np.inf)
+        rows["scanned"].append(int(mask.sum()))
+        return pd.DataFrame(rows)
+
+    df = emb.map_batches(probe, batch_format="pandas").to_pandas()
+    scanned = int(df.loc[df["vec_id"] < 0, "scanned"].sum())
+    df = df[df["vec_id"] >= 0]
     df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
     out = df[["vec_id"]].reset_index(drop=True)
     out["scanned"] = scanned
