@@ -146,25 +146,48 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     # this sandbox VM has noisy-neighbor CPU variance (±30% run-to-run on
-    # identical work); best-of-N per level measures the pipeline, not the
-    # neighbors. Levels interleaved so noise hits both fairly.
+    # identical work, drifting minute to minute); each timed run is PAIRED
+    # with a pure-CPU spin probe at the same concurrency in the same time
+    # window (tools/cpu_ceiling.py), giving a machine-relative work unit
+    # t_pipeline / t_spin that divides out both the transient neighbor
+    # load and the host's own lo→hi concurrency ceiling — the number a
+    # real N→4N NODE cluster (ceiling ≈ 1.0) would show. Raw best-of-N
+    # times and per-rep probes are all reported.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from cpu_ceiling import per_proc_sec
+
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     runs_lo, runs_hi = [], []
     for _ in range(reps):
-        runs_lo.append(one(lo))
-        runs_hi.append(one(hi))
+        for ncpu, runs in ((lo, runs_lo), (hi, runs_hi)):
+            spin = per_proc_sec(ncpu)
+            r = one(ncpu)
+            r["spin_sec"] = round(spin, 3)
+            r["rel_work"] = round(r["value"] / spin, 2)
+            runs.append(r)
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    w_lo = min(r["rel_work"] for r in runs_lo)
+    w_hi = min(r["rel_work"] for r in runs_hi)
+    ceiling_eff = min(r["spin_sec"] for r in runs_lo) / min(
+        r["spin_sec"] for r in runs_hi)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "host_ceiling_efficiency": round(ceiling_eff, 3),
+        "normalized_efficiency": round((w_lo / w_hi) / (hi / lo), 3),
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
         f"all_sec_{lo}": [r["value"] for r in runs_lo],
         f"all_sec_{hi}": [r["value"] for r in runs_hi],
+        f"all_spin_{lo}": [r["spin_sec"] for r in runs_lo],
+        f"all_spin_{hi}": [r["spin_sec"] for r in runs_hi],
+        f"all_rel_work_{lo}": [r["rel_work"] for r in runs_lo],
+        f"all_rel_work_{hi}": [r["rel_work"] for r in runs_hi],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "n_docs": r_lo.get("n_docs"),

@@ -60,7 +60,7 @@ EXTRACTED_SCHEMA = pa.schema(
 )
 
 INPUT_KINDS = ("html", "text", "md", "box", "row", "image", "caption",
-               "slide", "eml")
+               "slide", "eml", "json")
 OUTPUT_KINDS = ("title", "section", "table_row", "table_html", "figure",
                 "qa", "abstract", "slide")
 

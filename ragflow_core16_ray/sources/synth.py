@@ -24,13 +24,15 @@ import pyarrow as pa
 
 from ..schemas import DOCUMENTS_SCHEMA, finalize_offsets, make_span
 
-ARCHETYPES = ("html", "pdfish", "book", "md", "table", "txt", "ppt", "eml")
+ARCHETYPES = ("html", "pdfish", "book", "md", "table", "txt", "ppt", "eml",
+              "json")
 # cumulative proportions for the seed-stable assignment
-_CUM = ((0.36, "html"), (0.58, "pdfish"), (0.68, "book"), (0.78, "md"),
-        (0.88, "table"), (0.92, "txt"), (0.96, "ppt"), (1.0, "eml"))
+_CUM = ((0.34, "html"), (0.56, "pdfish"), (0.66, "book"), (0.76, "md"),
+        (0.86, "table"), (0.90, "txt"), (0.94, "ppt"), (0.97, "eml"),
+        (1.0, "json"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -351,6 +353,32 @@ def _gen_eml(r: random.Random, doc_id: str) -> list[dict]:
     return [make_span("eml", raw)]
 
 
+# ---------------------------------------------------------------- json ----
+
+def _gen_json(r: random.Random, doc_id: str) -> list[dict]:
+    """One `json` span: a nested config/record-like structure (dicts,
+    lists, mixed scalars) exercising the structure-preserving splitter."""
+    def value(depth: int):
+        if depth <= 0 or r.random() < 0.4:
+            return r.choice([
+                r.randint(0, 10_000),
+                round(r.uniform(0, 100), 2),
+                _words(r, r.randint(1, 8)),
+                r.random() < 0.5,
+            ])
+        if r.random() < 0.5:
+            return {(_words(r, 1) + str(r.randint(0, 99))): value(depth - 1)
+                    for _ in range(r.randint(2, 6))}
+        return [value(depth - 1) for _ in range(r.randint(2, 8))]
+
+    import json
+
+    obj = {(_words(r, 1)): value(r.randint(1, 4))
+           for _ in range(r.randint(3, 10))}
+    return [make_span("json", json.dumps(obj, ensure_ascii=False,
+                                         sort_keys=True))]
+
+
 # ---------------------------------------------------------------- mega ----
 
 def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
@@ -366,7 +394,8 @@ def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
 
 _GEN = {"html": _gen_html, "pdfish": _gen_pdfish, "book": _gen_book,
         "md": _gen_md, "table": _gen_table, "txt": _gen_txt,
-        "ppt": _gen_ppt, "eml": _gen_eml, "mega": _gen_mega}
+        "ppt": _gen_ppt, "eml": _gen_eml, "json": _gen_json,
+        "mega": _gen_mega}
 
 
 def gen_doc(seed: int, idx: int, mega_every: int = 2500) -> dict:

@@ -157,6 +157,22 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     for s in spans:
         if s["kind"] == "text":
             out.append(make_span("section", s["text"]))
+        elif s["kind"] == "json":
+            # structure-preserving recursive split, one section per chunk
+            # (deepdoc/parser/json_parser.py:25-133 semantics; the naive
+            # template's .json branch)
+            import json as _json
+
+            from ..functions.txt_json import json_split
+
+            try:
+                obj = _json.loads(s["text"])
+            except ValueError:
+                out.append(make_span("section", s["text"]))
+                continue
+            out.extend(make_span("section", c)
+                       for c in json_split(obj,
+                                           max_size=cfg.chunk_token_num * 4))
         elif s["kind"] == "image" and s.get("media_ref"):
             out.append(make_span("figure", "", s["media_ref"]))
         elif s["kind"] == "caption":

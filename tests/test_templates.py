@@ -127,3 +127,24 @@ def test_email_template_end_to_end():
     assert "density scoring" in joined    # html part survived the strip
     figs = [s["media_ref"] for s in out if s["kind"] == "figure"]
     assert figs == ["attach://q3.xlsx"]
+
+
+def test_json_kind_splits_and_packs():
+    import json as _json
+
+    obj = {"config": {"a": list(range(50)), "b": "x" * 200},
+           "meta": {"k": 1}}
+    spans = [make_span("json", _json.dumps(obj))]
+    tmpl, out, _ = extract_doc(spans)
+    assert tmpl == "naive"
+    secs = _texts(out)
+    assert secs, "json doc produced no sections"
+    # every piece of the structure survives somewhere in the output
+    joined = "\n".join(secs)
+    assert '"b"' in joined and "xxx" in joined
+
+
+def test_json_invalid_falls_back_to_raw():
+    spans = [make_span("json", "{not valid json")]
+    _, out, _ = extract_doc(spans)
+    assert _texts(out) == ["{not valid json"]
