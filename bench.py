@@ -78,7 +78,7 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
 
     out_dir = corpus + "_bench_out"
     t0 = time.perf_counter()
-    run_extract(corpus, out_dir)
+    run_metrics = run_extract(corpus, out_dir)
     headline = time.perf_counter() - t0
     n_docs = rd.read_parquet(os.path.join(out_dir, "docs")).count()
 
@@ -98,6 +98,7 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
         "metric": "extract_pipeline_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        "pass1_udf_cpu_sec": run_metrics.get("pass1_udf_cpu_sec"),
         "docs_per_sec": round(n_docs / headline, 2),
         "n_docs": n_docs,
         "queries": per_query,
@@ -188,6 +189,15 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         f"all_spin_{hi}": [r["spin_sec"] for r in runs_hi],
         f"all_rel_work_{lo}": [r["rel_work"] for r in runs_lo],
         f"all_rel_work_{hi}": [r["rel_work"] for r in runs_hi],
+        # packing = UDF-busy core-seconds / (wall x cores): ~1.0 means the
+        # streaming executor kept every core busy; the raw-efficiency gap
+        # is then per-core UDF slowdown (shared memory bus), not idling
+        f"udf_cpu_sec_{lo}": r_lo.get("pass1_udf_cpu_sec"),
+        f"udf_cpu_sec_{hi}": r_hi.get("pass1_udf_cpu_sec"),
+        f"packing_{lo}": round(r_lo["pass1_udf_cpu_sec"] / (t_lo * lo), 3)
+        if r_lo.get("pass1_udf_cpu_sec") else None,
+        f"packing_{hi}": round(r_hi["pass1_udf_cpu_sec"] / (t_hi * hi), 3)
+        if r_hi.get("pass1_udf_cpu_sec") else None,
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "n_docs": r_lo.get("n_docs"),

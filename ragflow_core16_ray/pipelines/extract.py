@@ -180,5 +180,12 @@ def run_extract(input_uri: str, output_dir: str,
     if pass2 is not None:
         pass2.write_parquet(docs_dir)
         n2 = 1
+    # total seconds spent INSIDE the parse UDF across all tasks: wall ×
+    # cores vs this number is the scheduler-packing evidence for the
+    # scaling run (bench.py --scaling)
+    import re as _re
+
+    m = _re.search(r"UDF time:.*?([\d\.]+)s total", pass1.stats())
     return {"output": docs_dir, "staging": staging, "had_mega": bool(n2),
-            "n_pass1": n1}
+            "n_pass1": n1,
+            "pass1_udf_cpu_sec": float(m.group(1)) if m else None}
