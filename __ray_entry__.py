@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": text_analysis.fingerprints,
         "top_words": lambda sf: text_analysis.top_words(sf),
         "lang_pred": text_analysis.lang_pred,
+        "quality_filter": lambda sf: text_analysis.quality_filter(sf),
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
@@ -228,6 +229,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "quality_filter": r"""
+            SELECT doc_id FROM documents
+            WHERE length(text) BETWEEN 200 AND 5000
+              AND len(regexp_extract_all(text, '\S+')) >= 30
+        """,
         "top_words": r"""
             SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word

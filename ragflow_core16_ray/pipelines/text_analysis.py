@@ -95,3 +95,25 @@ def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
     df["cnt"] = df["cnt"].astype("int64")
     return (df.sort_values(["cnt", "word"], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def quality_filter(sf_dir: str, min_chars: int = 200, max_chars: int = 5000,
+                   min_tokens: int = 30) -> rd.Dataset:
+    """Training-data quality gate: keep documents in a length band with a
+    minimum whitespace-token count. Pure zero-copy Arrow — both predicates
+    are pyarrow.compute kernels, no Python per row, no pandas conversion —
+    the shape every cheap corpus filter should take at 100 TB."""
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text)
+        n_tokens = pc.count_substring_regex(text, r"\S+")
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(n_chars, min_chars),
+                    pc.less_equal(n_chars, max_chars)),
+            pc.greater_equal(n_tokens, min_tokens))
+        return batch.filter(mask).select(["doc_id"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow")
