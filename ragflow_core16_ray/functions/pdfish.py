@@ -117,8 +117,13 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000) -> list[dict]:
                     table_order.append(tno)
                 t = tables[tno]
                 t.cells.append(b)
-                t.top = min(t.top, b.top)
-                t.page = min(t.page, b.page)
+                # reading-order anchor = first page the table appears on
+                # and its min top THERE — a continuation row's
+                # top-of-next-page y must not drag the table upward
+                if b.page < t.page:
+                    t.page, t.top, t.x0 = b.page, b.top, b.x0
+                elif b.page == t.page:
+                    t.top = min(t.top, b.top)
                 last_obj = t
             elif b.lay == "figure":
                 f = _Figure(b.page, b.top, b.x0)
@@ -226,15 +231,22 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000) -> list[dict]:
             cur_page = o.page
         if kind == "table":
             flush()
-            rows: dict[int, list[Box]] = {}
-            for c in sorted(o.cells, key=lambda c: (c.row or 0, c.col or 0)):
-                rows.setdefault(c.row or 0, []).append(c)
-            if o.caption:
-                out.append(make_span("section", o.caption.strip()))
-            for ri in sorted(rows):
-                out.append(make_span(
-                    "table_row",
-                    " ".join(c.text.strip() for c in rows[ri] if c.text.strip())))
+            # emit RAW cells (not rendered rows): a table can continue in
+            # the next page-range shard (the reference merges tables ≤1
+            # page apart, pdf_parser.py:701-716), so rendering happens in
+            # phase B after same-tno fragments are merged across shards
+            # (functions/pdfish.py::render_table_cells)
+            import json as _json
+
+            payload = _json.dumps({
+                "tno": o.tno,
+                "caption": o.caption.strip() if o.caption else "",
+                "cells": [[c.row or 0, c.col or 0, c.text]
+                          for c in sorted(o.cells,
+                                          key=lambda c: (c.row or 0,
+                                                         c.col or 0))],
+            }, ensure_ascii=False)
+            out.append(make_span("table_cells", payload))
             continue
         if kind == "figure":
             flush()
@@ -260,3 +272,54 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000) -> list[dict]:
             cur += " " + t
     flush()
     return out
+
+
+def render_table_cells(spans: list[dict]) -> list[dict]:
+    """Phase-B pre-pass: merge `table_cells` fragments sharing a table id
+    (a table split by a page-range shard cut arrives as one fragment per
+    shard) and render each merged table — caption section + one
+    `table_row` span per grid row — at its FIRST occurrence position.
+    Role of the reference's cross-page table merge
+    (deepdoc/parser/pdf_parser.py:701-716). Other spans pass through."""
+    import json as _json
+
+    merged: dict[int, dict] = {}
+    first_pos: dict[int, int] = {}
+    out: list[dict] = []
+    for s in spans:
+        if s["kind"] != "table_cells":
+            out.append(s)
+            continue
+        d = _json.loads(s["text"])
+        tno = d.get("tno")
+        key = -1 if tno is None else int(tno)
+        if key in merged:
+            merged[key]["cells"].extend(d["cells"])
+            if not merged[key]["caption"] and d.get("caption"):
+                merged[key]["caption"] = d["caption"]
+        else:
+            merged[key] = {"caption": d.get("caption", ""),
+                           "cells": list(d["cells"])}
+            first_pos[key] = len(out)
+            out.append({"kind": "_table_slot", "text": "", "media_ref": "",
+                        "offset": 0, "_key": key})
+
+    if not merged:
+        return out
+
+    rendered: list[dict] = []
+    for s in out:
+        if s.get("kind") != "_table_slot":
+            rendered.append(s)
+            continue
+        d = merged[s["_key"]]
+        if d["caption"]:
+            rendered.append(make_span("section", d["caption"]))
+        rows: dict[int, list] = {}
+        for r, c, text in sorted(d["cells"]):
+            rows.setdefault(r, []).append(text)
+        for ri in sorted(rows):
+            rendered.append(make_span(
+                "table_row",
+                " ".join(t.strip() for t in rows[ri] if t.strip())))
+    return rendered

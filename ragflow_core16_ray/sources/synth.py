@@ -32,7 +32,7 @@ _CUM = ((0.34, "html"), (0.56, "pdfish"), (0.66, "book"), (0.76, "md"),
         (1.0, "json"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -141,10 +141,14 @@ def _gen_pdfish(r: random.Random, doc_id: str, n_pages=None) -> list[dict]:
     has_toc = n_pages >= 4 and r.random() < 0.4
     tno = 0
     fig = 0
+    carry: list[dict] = []  # table cells continuing onto this page
     for page in range(n_pages):
         # repeated page header/footer (must be stripped everywhere —
         # layout_recognizer.py:149-156 behavior)
         spans.append(_box(header_txt, 50, 550, 10, 30, page, "header"))
+        if carry:
+            spans.extend(carry)
+            carry = []
         two_col = n_pages >= 2 and r.random() < 0.3
         if page == 0:
             spans.append(_box(_words(r, 5).title(), 100, 500, 60, 90, page, "title"))
@@ -177,16 +181,28 @@ def _gen_pdfish(r: random.Random, doc_id: str, n_pages=None) -> list[dict]:
                                     "https://example.com/x",
                                     "(cid:42)"])  # garbage lines
                 spans.append(_box(txt, 60, 540, y, y + 20, page, "text"))
-        # occasionally a small table with caption
+        # occasionally a small table with caption; ~1 in 3 of those spills
+        # its tail rows onto the next page (same tno — the reference's
+        # cross-page table case, pdf_parser.py:701-716; when the page
+        # break is also a shard cut this exercises the cross-shard merge)
         if r.random() < 0.25:
-            nrows, ncols = r.randint(2, 4), r.randint(2, 4)
+            nrows, ncols = r.randint(2, 6), r.randint(2, 4)
+            spills = page + 1 < n_pages and nrows >= 4 and r.random() < 0.35
+            split_at = nrows - r.randint(1, 2) if spills else nrows
             ty = 820
             for ri in range(nrows):
                 for ci in range(ncols):
                     cell = (_words(r, 1) if ri == 0 else str(r.randint(0, 999)))
-                    spans.append(_box(cell, 60 + 120 * ci, 170 + 120 * ci,
-                                      ty + 25 * ri, ty + 20 + 25 * ri, page,
-                                      "table", row=ri, col=ci, tno=tno))
+                    if ri < split_at:
+                        spans.append(_box(cell, 60 + 120 * ci, 170 + 120 * ci,
+                                          ty + 25 * ri, ty + 20 + 25 * ri,
+                                          page, "table", row=ri, col=ci,
+                                          tno=tno))
+                    else:
+                        cy = 40 + 25 * (ri - split_at)
+                        carry.append(_box(cell, 60 + 120 * ci, 170 + 120 * ci,
+                                          cy, cy + 20, page + 1, "table",
+                                          row=ri, col=ci, tno=tno))
             spans.append(make_span("caption", f"Table {tno + 1}: " + _words(r, 4)))
             tno += 1
         if r.random() < 0.2:

@@ -352,6 +352,14 @@ def _manual_merge(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
 
 
 def phase_b(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+    # cross-shard table continuation: merge same-tno table_cells fragments
+    # (a table split by a page-range shard cut) and render them before any
+    # template merge — the reference's cross-page table merge,
+    # pdf_parser.py:701-716
+    if any(s["kind"] == "table_cells" for s in spans):
+        from ..functions.pdfish import render_table_cells
+
+        spans = render_table_cells(spans)
     if template == "paper":
         return _paper_merge(spans, cfg)
     if template == "manual":

@@ -259,7 +259,13 @@ def test_pdfish_table_and_caption():
         {"kind": "caption", "text": "Table 1: numbers", "media_ref": "", "offset": 0},
     ]
     out = extract_pdfish(spans)
-    assert [(s["kind"], s["text"]) for s in out] == [
+    # phase A now emits raw table_cells (so shards can merge split
+    # tables); rendering happens in the phase-B pre-pass
+    assert [s["kind"] for s in out] == ["table_cells"]
+    from ragflow_core16_ray.functions.pdfish import render_table_cells
+
+    rendered = render_table_cells(out)
+    assert [(s["kind"], s["text"]) for s in rendered] == [
         ("section", "Table 1: numbers"),
         ("table_row", "h1 h2"),
         ("table_row", "7 8"),

@@ -148,3 +148,53 @@ def test_json_invalid_falls_back_to_raw():
     spans = [make_span("json", "{not valid json")]
     _, out, _ = extract_doc(spans)
     assert _texts(out) == ["{not valid json"]
+
+
+def test_cross_shard_table_merge():
+    """A table whose rows straddle the 12-page shard cut must come back as
+    ONE table (caption once, rows contiguous) — and the sharded result
+    must equal the unsharded one (pdf_parser.py:701-716 cross-page merge,
+    here across page-range shards)."""
+    import json
+
+    def box(text, page, top, row, col):
+        d = {"t": text, "x0": 60.0 + 120 * col, "x1": 170.0 + 120 * col,
+             "top": float(top), "bot": float(top + 20), "page": page,
+             "lay": "table", "row": row, "col": col, "tno": 0}
+        return make_span("box", json.dumps(d, sort_keys=True))
+
+    def textbox(text, page, top):
+        d = {"t": text, "x0": 60.0, "x1": 540.0, "top": float(top),
+             "bot": float(top + 20), "page": page, "lay": "text"}
+        return make_span("box", json.dumps(d, sort_keys=True))
+
+    # spans in page order (the input contract split_shards relies on);
+    # table rows 0-2 at the bottom of page 11, rows 3-4 at top of page 12
+    spans = []
+    for page in range(14):
+        if page == 12:
+            for ri in (3, 4):
+                for ci in range(2):
+                    spans.append(box(f"c{ri}{ci}", 12, 40 + 25 * (ri - 3),
+                                     ri, ci))
+        for i in range(4):
+            spans.append(textbox(f"line {page}-{i}.", page, 100 + 50 * i))
+        if page == 11:
+            for ri in range(3):
+                for ci in range(2):
+                    spans.append(box(f"c{ri}{ci}", 11, 820 + 25 * ri, ri, ci))
+            spans.append(make_span("caption", "Table 1: split"))
+
+    sharded_cfg = ExtractConfig(shard_span_threshold=16)
+    _, sharded, n_shards = extract_doc(spans, sharded_cfg)
+    assert n_shards > 1
+    _, unsharded, one = extract_doc(spans, ExtractConfig())
+    assert one == 1
+
+    key = [(s["kind"], s["text"]) for s in sharded]
+    assert key == [(s["kind"], s["text"]) for s in unsharded]
+    rows = [t for k, t in key if k == "table_row"]
+    assert rows == ["c00 c01", "c10 c11", "c20 c21", "c30 c31", "c40 c41"]
+    # caption appears exactly once (it may be packed into a neighboring
+    # section chunk by the token-budget merge)
+    assert sum(t.count("Table 1: split") for _, t in key) == 1
