@@ -39,6 +39,10 @@ class ExtractConfig:
     # 12 rows per chunk via excel_parser.html)
     html4excel: bool = False
     html_chunk_rows: int = 12
+    # weave the reference's in-band positional tags
+    # (@@page\tx0\tx1\ttop\tbottom##, pdf_parser.py:893-908) into pdfish
+    # title/section text; strip/parse with functions/postag.py
+    keep_positions: bool = False
     # force a chunking template for all docs (role of the reference's
     # user-selected parser_id, task_executor.py:67-84): None = content
     # routing; "one" = whole-doc single chunk (rag/app/one.py); "qa" =

@@ -95,9 +95,17 @@ def _is_garbage(text: str) -> bool:
     return any(p.match(t) for p in _GARBAGE_RES)
 
 
-def extract_pdfish(spans: list[dict], page_height: int = 1000) -> list[dict]:
+def extract_pdfish(spans: list[dict], page_height: int = 1000,
+                   keep_positions: bool = False) -> list[dict]:
     """spans (kind ∈ box/caption/image, in write order) → ordered phase-A
-    output spans (title/section/table_row/figure)."""
+    output spans (title/section/table_cells/figure).
+
+    ``keep_positions`` weaves the reference's in-band positional tags
+    (``@@page\tx0\tx1\ttop\tbottom##``, pdf_parser.py:893-908 _line_tag)
+    into title/section text; consumers strip/parse them with
+    functions/postag.py. Merge decisions are made on the UNTAGGED text so
+    the section structure is identical with and without tags."""
+    from .postag import encode_tag
     boxes: list[Box] = []
     tables: dict[int, _Table] = {}
     table_order: list[int] = []
@@ -214,13 +222,15 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000) -> list[dict]:
     # ---- merge text flow + emit --------------------------------------
     out: list[dict] = []
     cur: str | None = None
+    cur_plain: str | None = None  # tag-free shadow driving merge decisions
     cur_page = -1
 
     def flush():
-        nonlocal cur
+        nonlocal cur, cur_plain
         if cur is not None and cur.strip():
             out.append(make_span("section", cur.strip()))
         cur = None
+        cur_plain = None
 
     for kind, o in ordered:
         # text flow never merges across a page boundary, so page-aligned
@@ -253,23 +263,27 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000) -> list[dict]:
             out.append(make_span("figure", o.caption.strip(), o.media_ref))
             continue
         b = o
+        tag = (encode_tag(b.page, b.x0, b.x1, b.top, b.bot)
+               if keep_positions else "")
         if b.lay == "title":
             # every title box keeps kind "title" here; phase B decides
             # (naive: first stays title, rest demote to sections; paper:
             # titles are the section-grouping pivots)
             flush()
-            out.append(make_span("title", b.text.strip()))
+            out.append(make_span("title", b.text.strip() + tag))
             continue
         # text flow: continue the current line unless the previous text
         # ended a sentence (deterministic up/down-concat rule)
-        t = b.text.strip()
+        t_plain = b.text.strip()
+        t = t_plain + tag
         if cur is None:
-            cur = t
-        elif _SENT_END_RE.search(cur):
+            cur, cur_plain = t, t_plain
+        elif _SENT_END_RE.search(cur_plain):
             flush()
-            cur = t
+            cur, cur_plain = t, t_plain
         else:
             cur += " " + t
+            cur_plain += " " + t_plain
     flush()
     return out
 

@@ -67,7 +67,8 @@ def route_template(spans: list[dict]) -> str:
 
 def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     if template == "pdfish":
-        return extract_pdfish(spans, page_height=cfg.page_height)
+        return extract_pdfish(spans, page_height=cfg.page_height,
+                              keep_positions=cfg.keep_positions)
     if template == "table":
         rows = [s["text"] for s in spans if s["kind"] == "row"]
         if cfg.html4excel:

@@ -198,3 +198,30 @@ def test_cross_shard_table_merge():
     # caption appears exactly once (it may be packed into a neighboring
     # section chunk by the token-budget merge)
     assert sum(t.count("Table 1: split") for _, t in key) == 1
+
+
+def test_keep_positions_tags():
+    """keep_positions weaves in-band @@page\\tx0..## tags through pdfish
+    text; stripping them recovers the exact untagged output, and the tags
+    parse back to the source coordinates (pdf_parser.py:893-908)."""
+    import json
+
+    from ragflow_core16_ray.functions.postag import parse_tags, strip_tags
+
+    def tb(text, page, top):
+        d = {"t": text, "x0": 60.0, "x1": 540.0, "top": float(top),
+             "bot": float(top + 20), "page": page, "lay": "text"}
+        return make_span("box", json.dumps(d, sort_keys=True))
+
+    spans = [tb("First sentence.", 0, 100), tb("Second line", 0, 150),
+             tb("continues here.", 0, 200)]
+    _, plain, _ = extract_doc(spans)
+    _, tagged, _ = extract_doc(spans, ExtractConfig(keep_positions=True))
+
+    plain_texts = [s["text"] for s in plain]
+    tagged_texts = [s["text"] for s in tagged]
+    assert [strip_tags(t).replace("  ", " ").strip() for t in tagged_texts] \
+        == plain_texts
+    all_tags = [t for txt in tagged_texts for t in parse_tags(txt)]
+    assert (0, 60.0, 540.0, 100.0, 120.0) in all_tags
+    assert len(all_tags) == 3
