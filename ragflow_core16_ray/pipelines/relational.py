@@ -281,20 +281,30 @@ def events_window_orders(sf_dir: str, days: int = 7,
             .map_groups(merge, batch_format="pandas"))
 
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+def events_sessions(sf_dir: str, gap_minutes: int = 30,
+                    n_buckets: int = 64) -> rd.Dataset:
     """Per-user sessionization: a new session starts after a >gap silence.
-    The groupby(user_id).map_groups body sees the user's events ts-sorted
-    (we sort inside the group — never rely on block order)."""
+
+    Grouped by a coarse user-hash bucket (not raw user_id): one
+    map_groups call per bucket, with ALL users in the bucket sessionized
+    in a single vectorized pass (sort by (user, ts); a session boundary is
+    a user change or a >gap delta) — per-group Python overhead is what
+    kills fine-grained map_groups when the key domain is the user base."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        deltas = g["ts"].diff()
-        n_sessions = int((deltas.isna() | (deltas > gap)).sum())
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [len(g)],
-            "n_sessions": [n_sessions]})
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bucket"] = batch["user_id"] % np.int64(n_buckets)
+        return batch
 
-    return _t(sf_dir, "events", ["user_id", "ts"]).groupby(
-        "user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_s = (new_user | (g["ts"].diff() > gap)).astype("int64")
+        out = (pd.DataFrame({"user_id": g["user_id"].values,
+                             "n_events": 1, "n_sessions": new_s.values})
+               .groupby("user_id", sort=False).sum().reset_index())
+        return out
+
+    return (_t(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(sessions, batch_format="pandas"))
