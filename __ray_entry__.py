@@ -36,12 +36,15 @@ def _corpus_for(sf_dir: str) -> str:
     n = _CORPUS_DOCS.get(tag, 200)
     from ragflow_core16_ray.sources.synth import CORPUS_VERSION
 
-    path = f"/tmp/graft_corpus_sf{tag}_v{CORPUS_VERSION}_{_CORPUS_SEED}_{n}"
+    path = f"/tmp/graft_corpus_sf{tag}_v{CORPUS_VERSION}p8_{_CORPUS_SEED}_{n}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from ragflow_core16_ray.sources.synth import write_corpus
 
-        write_corpus(path, n_docs=n, seed=_CORPUS_SEED, mega_every=_MEGA_EVERY)
+        # 8 files: the resume/lineage partition unit (and realistic — at
+        # 100 TB the corpus is always many files)
+        write_corpus(path, n_docs=n, seed=_CORPUS_SEED,
+                     mega_every=_MEGA_EVERY, parallelism=8)
         open(marker, "w").close()
     return path
 
