@@ -57,14 +57,13 @@ class ExtractRouter:
         os.makedirs(staging_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..schemas import spans_to_pylist
+        from ..schemas import spans_column_to_pylists
 
         rows = []
         staged_rows = []
         for doc_id, spans in zip(batch["doc_id"].to_pylist(),
-                                 batch["spans"].to_pylist()):
+                                 spans_column_to_pylists(batch["spans"])):
             try:
-                spans = spans_to_pylist(spans)
                 template = route_template(spans)
                 shards = split_shards(spans, template, self.cfg)
                 if len(shards) == 1:

@@ -95,6 +95,35 @@ def spans_to_pylist(spans) -> list[dict]:
     return out
 
 
+def spans_column_to_pylists(col) -> list[list[dict]]:
+    """Fast decode of a ``list<struct>`` spans column to per-row
+    ``list[dict]``: flatten to the four child arrays (flat ``to_pylist``
+    is ~2.6× faster than Arrow's nested path) and re-slice by offsets.
+    Null rows decode to []."""
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    rows: list[list[dict]] = []
+    for chunk in chunks:
+        offsets = chunk.offsets.to_pylist()
+        flat = chunk.values
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        refs = flat.field("media_ref").to_pylist()
+        offs = flat.field("offset").to_pylist()
+        valid = (chunk.is_valid().to_pylist()
+                 if chunk.null_count else None)
+        for i in range(len(chunk)):
+            if valid is not None and not valid[i]:
+                rows.append([])
+                continue
+            rows.append([{"kind": kinds[j], "text": texts[j],
+                          "media_ref": refs[j], "offset": offs[j]}
+                         for j in range(offsets[i], offsets[i + 1])])
+    return rows
+
+
 def make_span(kind: str, text: str, media_ref: str = "", offset: int = 0) -> dict:
     return {"kind": kind, "text": text, "media_ref": media_ref, "offset": int(offset)}
 

@@ -448,11 +448,12 @@ class ExtractFused:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..schemas import spans_column_to_pylists
+
         doc_ids = batch["doc_id"].to_pylist()
-        spans_col = batch["spans"].to_pylist()
+        spans_col = spans_column_to_pylists(batch["spans"])
         rows = []
         for doc_id, spans in zip(doc_ids, spans_col):
-            spans = spans_to_pylist(spans)
             template, out, n_shards = extract_doc(spans, self.cfg)
             rows.append({
                 "doc_id": doc_id,
@@ -472,10 +473,12 @@ class ExtractShard:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..schemas import spans_column_to_pylists
+
         out_spans = []
         for template, spans in zip(batch["template"].to_pylist(),
-                                   batch["spans"].to_pylist()):
-            out_spans.append(phase_a(template, spans_to_pylist(spans), self.cfg))
+                                   spans_column_to_pylists(batch["spans"])):
+            out_spans.append(phase_a(template, spans, self.cfg))
         return batch.set_column(
             batch.schema.get_field_index("spans"), "spans",
             pa.array(out_spans, type=batch.schema.field("spans").type))
