@@ -329,3 +329,37 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
         return pd.DataFrame({"vec_id_a": pd.array([], dtype="int64"),
                              "vec_id_b": pd.array([], dtype="int64")})
     return df.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+def jaccard_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5,
+                     n_buckets: int = 64) -> pd.DataFrame:
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pair graph; each clustered doc gets cluster_id = min doc_id in its
+    component (the keep-one-per-cluster dedup step).
+
+    Scale shape: the expensive part — candidate pair generation — is the
+    distributed `jaccard_dup_pairs` pipeline; the surviving pair graph is
+    tiny relative to the corpus (near-dup pairs, not all pairs), so the
+    union-find over it is a driver-side reduction, the standard shape for
+    distributed CC over a sparse dup graph."""
+    pairs = jaccard_dup_pairs(sf_dir, k, threshold, n_buckets)
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the cluster label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = sorted((doc, find(doc)) for doc in parent)
+    return pd.DataFrame({"doc_id": [d for d, _ in rows],
+                         "cluster_id": [c for _, c in rows]})
