@@ -70,3 +70,18 @@ def test_sessions_match_oracle(ray_session, con):
         FROM d GROUP BY user_id ORDER BY user_id
     """).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_jaccard_clusters_union_find(ray_session, monkeypatch):
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines import dedup
+
+    # stub the distributed pair generation; verify the component labels
+    monkeypatch.setattr(dedup, "jaccard_dup_pairs",
+                        lambda *a, **k: pd.DataFrame(
+                            {"id_a": [1, 2, 10, 30],
+                             "id_b": [2, 3, 11, 31]}))
+    out = dedup.jaccard_clusters("unused")
+    assert list(zip(out["doc_id"], out["cluster_id"])) == [
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (30, 30), (31, 30)]
