@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "jaccard_clusters": lambda sf: dedup.jaccard_clusters(sf),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "minhash_verified_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
         "emb_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         # --- similarity search
@@ -252,6 +253,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "jaccard_pairs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+              FROM words,
+                   LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "minhash_verified_pairs": r"""
             WITH words AS (
               SELECT doc_id,
                      string_split_regex(trim(lower(text)), '\s+') AS ws

@@ -363,3 +363,40 @@ def jaccard_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5,
     rows = sorted((doc, find(doc)) for doc in parent)
     return pd.DataFrame({"doc_id": [d for d, _ in rows],
                          "cluster_id": [c for _, c in rows]})
+
+
+def minhash_verified_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
+                           est_threshold: float = 0.35) -> pd.DataFrame:
+    """The production near-dup shape: sub-quadratic LSH candidate
+    generation, then EXACT k-shingle Jaccard computed only for candidate
+    pairs. est_threshold is set below the exact threshold so banding
+    recall losses don't drop borderline pairs before verification.
+
+    The candidate set is tiny relative to the corpus, so verification
+    reads only the candidate docs (row-filtered read → id-keyed lookup);
+    at 100 TB this becomes a broadcast of the candidate-id set into a
+    filtered `read_parquet` + the same per-pair kernel in map_batches."""
+    cand = minhash_lsh_pairs(sf_dir, k, est_threshold)
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64")})
+    wanted = set(cand["id_a"]) | set(cand["id_b"])
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["doc_id"].isin(wanted)
+        return batch.loc[m, ["doc_id", "text"]]
+
+    docs = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(project, batch_format="pandas").to_pandas())
+    sh = {d: _shingles(t, k) for d, t in zip(docs["doc_id"], docs["text"])}
+
+    keep_a, keep_b = [], []
+    for a, b in zip(cand["id_a"], cand["id_b"]):
+        sa, sb = sh.get(a, set()), sh.get(b, set())
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= threshold:
+            keep_a.append(a)
+            keep_b.append(b)
+    return (pd.DataFrame({"id_a": keep_a, "id_b": keep_b})
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -85,3 +85,16 @@ def test_jaccard_clusters_union_find(ray_session, monkeypatch):
     out = dedup.jaccard_clusters("unused")
     assert list(zip(out["doc_id"], out["cluster_id"])) == [
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (30, 30), (31, 30)]
+
+
+def test_minhash_verified_matches_exact(ray_session):
+    """LSH candidates + exact verification must reproduce the exact
+    all-pairs Jaccard result on the test corpus (banding threshold set
+    low enough that recall is total here)."""
+    from ragflow_core16_ray.pipelines.dedup import (jaccard_dup_pairs,
+                                                    minhash_verified_pairs)
+
+    exact = jaccard_dup_pairs(SF)
+    fast = minhash_verified_pairs(SF)
+    assert list(zip(fast["id_a"], fast["id_b"])) == \
+        list(zip(exact["id_a"], exact["id_b"]))
