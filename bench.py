@@ -109,7 +109,7 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """The N-vs-4N evidence run. Uses a dedicated LARGER corpus
-    (GRAFT_SCALING_DOCS, default 48000 docs ≈ 60s of parse at 8 CPUs) so
+    (GRAFT_SCALING_DOCS, default 200k docs; BASELINE.md numbers use 600k) so
     parse compute dominates the session-fixed costs (Ray startup, worker
     spawn, pass-2 setup ≈ 3s) — at the default bench size those fixed
     costs flatten the ratio and say nothing about the pipeline."""
