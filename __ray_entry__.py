@@ -348,10 +348,10 @@ def oracle_sql() -> dict[str, str]:
         # so the distributed result hashes bit-equal to this oracle
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sum_qty_c,
-                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_price_c,
-                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS sum_disc_price_u,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS sum_disc_price_u,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1998-09-03'
@@ -359,7 +359,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_revenue": """
             SELECT n_name,
-                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS revenue_c,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_c,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -368,7 +368,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers": """
             SELECT o_custkey,
-                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_c
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_c
             FROM orders GROUP BY o_custkey
             ORDER BY total_c DESC, o_custkey
             LIMIT 10
@@ -376,7 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT user_id,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_epoch,
-                   SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_value_c,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_c,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
         """,

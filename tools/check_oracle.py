@@ -89,33 +89,41 @@ def main():
             print(f"FAIL   {name}: rows {len(a)} vs {len(b)}")
             n_fail += 1
             continue
-        # dtype-tolerant value compare
-        eq = True
+        # HASH-STRICT compare, mirroring the driver: sorted columns, sorted
+        # rows, byte-level serialization — an int64 vs float64 mismatch
+        # FAILS here even when values are numerically equal (that is the
+        # exact bug class that slipped through round 1's tolerant gate).
+        ha = pd.util.hash_pandas_object(a, index=False).values.tobytes()
+        hb = pd.util.hash_pandas_object(b, index=False).values.tobytes()
+        dtypes_eq = list(map(str, a.dtypes)) == list(map(str, b.dtypes))
+        if ha == hb and dtypes_eq:
+            print(f"PASS   {name}: {len(a)} rows (hash-strict)")
+            n_pass += 1
+            continue
+        n_fail += 1
+        if not dtypes_eq:
+            print(f"FAIL   {name}: dtype mismatch "
+                  f"{dict(zip(a.columns, map(str, a.dtypes)))} vs "
+                  f"{dict(zip(b.columns, map(str, b.dtypes)))}")
+        # tolerant diagnosis: are the values at least numerically equal?
+        import numpy as np
+
         for c in a.columns:
             av, bv = a[c], b[c]
-            if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
-                import numpy as np
-
-                if not np.allclose(av.astype(float), bv.astype(float),
-                                   rtol=0, atol=1e-9, equal_nan=True):
-                    eq = False
-            else:
-                try:
-                    same = (av.astype("int64") == bv.astype("int64")).all()
-                except (ValueError, TypeError):
-                    same = (av.astype(str) == bv.astype(str)).all()
-                if not same:
-                    eq = False
-            if not eq:
-                print(f"FAIL   {name}: column {c} differs")
+            try:
+                close = np.allclose(av.astype(float), bv.astype(float),
+                                    rtol=0, atol=1e-9, equal_nan=True)
+            except (ValueError, TypeError):
+                close = (av.astype(str) == bv.astype(str)).all()
+            if not close:
+                print(f"FAIL   {name}: column {c} VALUES differ")
                 print(pd.concat({"mine": av, "oracle": bv}, axis=1)
                       [(av.astype(str) != bv.astype(str))].head())
                 break
-        if eq:
-            print(f"PASS   {name}: {len(a)} rows")
-            n_pass += 1
         else:
-            n_fail += 1
+            if dtypes_eq:
+                print(f"FAIL   {name}: values numerically equal but hashes "
+                      f"differ (representation/ordering)")
     print(f"== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
