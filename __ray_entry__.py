@@ -71,24 +71,15 @@ def _extract_flat(sf_dir: str):
 
     out_dir = _extract_out(sf_dir)
 
-    flat_schema = pa.schema([("doc_id", pa.string()),
-                             ("offset", pa.int32()),
-                             ("kind", pa.string()),
-                             ("text", pa.string()),
-                             ("media_ref", pa.string())])
+    from ragflow_core16_ray.schemas import explode_spans
 
     def flatten(batch: pa.Table) -> pa.Table:
-        rows = []
-        for did, spans in zip(batch["doc_id"].to_pylist(),
-                              batch["spans"].to_pylist()):
-            for s in spans or []:
-                rows.append({"doc_id": did, "offset": s["offset"],
-                             "kind": s["kind"], "text": s["text"],
-                             "media_ref": s["media_ref"]})
-        return pa.Table.from_pylist(rows, schema=flat_schema)
+        flat = explode_spans(batch)
+        return flat.select(["doc_id", "offset", "kind", "text", "media_ref"])
 
-    return rd.read_parquet(os.path.join(out_dir, "docs")).map_batches(
-        flatten, batch_format="pyarrow")
+    return rd.read_parquet(
+        os.path.join(out_dir, "docs"), columns=["doc_id", "spans"]
+    ).map_batches(flatten, batch_format="pyarrow")
 
 
 def _extract_override(sf_dir: str, template: str):
@@ -109,19 +100,19 @@ def _extract_override(sf_dir: str, template: str):
                     cfg=ExtractConfig(template_override=template))
         open(marker, "w").close()
 
-    def counts(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for tmpl, spans in zip(batch["template"], batch["spans"]):
-            for s in spans:
-                rows.append((tmpl, s["kind"]))
-        df = pd.DataFrame(rows, columns=["template", "kind"])
+    from ragflow_core16_ray.schemas import explode_spans
+
+    def counts(batch) -> pd.DataFrame:
+        flat = explode_spans(batch, extra_cols=("template",))
+        df = flat.select(["template", "kind"]).to_pandas()
         g = df.groupby(["template", "kind"], sort=False).size()
         return g.rename("n").reset_index()
 
     from ragflow_core16_ray.stages.agg import combine_partials
 
-    ds = rd.read_parquet(os.path.join(out_dir, "docs")).map_batches(
-        counts, batch_format="pandas")
+    ds = rd.read_parquet(
+        os.path.join(out_dir, "docs"), columns=["template", "spans"]
+    ).map_batches(counts, batch_format="pyarrow")
     return combine_partials(ds, ["template", "kind"], {"n": "sum"})
 
 

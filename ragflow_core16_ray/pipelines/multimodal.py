@@ -75,17 +75,15 @@ def media_features(extracted: rd.Dataset, concurrency=(1, 4),
     """Extracted-docs dataset → one row per figure span with decoded
     metadata + features. flat-map explode happens vectorized in Arrow."""
     import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..schemas import explode_spans
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, refs = [], []
-        for did, spans in zip(batch["doc_id"].to_pylist(),
-                              batch["spans"].to_pylist()):
-            for s in spans or []:
-                if s["kind"] == "figure" and s["media_ref"]:
-                    doc_ids.append(did)
-                    refs.append(s["media_ref"])
-        return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
-                         "media_ref": pa.array(refs, pa.string())})
+        flat = explode_spans(batch)
+        keep = pc.and_(pc.equal(flat["kind"], "figure"),
+                       pc.not_equal(flat["media_ref"], ""))
+        return flat.filter(keep).select(["doc_id", "media_ref"])
 
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(MediaFeatures, batch_format="pandas",

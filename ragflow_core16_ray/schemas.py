@@ -124,6 +124,29 @@ def spans_column_to_pylists(col) -> list[list[dict]]:
     return rows
 
 
+def explode_spans(tbl: pa.Table, extra_cols: tuple[str, ...] = ("doc_id",)
+                  ) -> pa.Table:
+    """Vectorized one-row-per-span explode of a (doc_id, spans, ...) table:
+    ``pc.list_parent_indices`` + ``pc.list_flatten`` touch only the Arrow
+    child arrays (zero row-level Python), then the parent columns are
+    gathered with ``take``. Null/empty spans rows contribute no output."""
+    import pyarrow.compute as pc
+
+    col = tbl.column("spans")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    parent = pc.list_parent_indices(arr)
+    flat = pc.list_flatten(arr)  # StructArray of the span fields
+    cols: dict[str, pa.Array] = {}
+    for c in extra_cols:
+        pcol = tbl.column(c)
+        if isinstance(pcol, pa.ChunkedArray):
+            pcol = pcol.combine_chunks()
+        cols[c] = pcol.take(parent)
+    for f in ("kind", "text", "media_ref", "offset"):
+        cols[f] = flat.field(f)
+    return pa.table(cols)
+
+
 def make_span(kind: str, text: str, media_ref: str = "", offset: int = 0) -> dict:
     return {"kind": kind, "text": text, "media_ref": media_ref, "offset": int(offset)}
 
