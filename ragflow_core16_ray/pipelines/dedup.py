@@ -14,8 +14,8 @@ Five dedup families, each the distributed-idiomatic shape:
 - SimHash: 64-bit simhash per doc; hamming ≤ ``max_hamming`` near-dups
   found via the pigeonhole band trick (split into max_hamming+1 pieces;
   any near-pair must collide on ≥1 piece) → groupby(piece) → verify.
-- embedding cosine near-dup: within-label all-pairs over a broadcast
-  float64 matrix (`ray.put` once, numpy matmul per batch).
+- embedding cosine near-dup: groupby(label) co-locates each label's
+  vectors, one numpy self-matmul per group (nothing driver-side).
 
 The reference has no near-dedup (SURVEY.md §2.7); these are the
 training-data-scale additions the north rule calls for.
@@ -56,27 +56,46 @@ def _shingles(text: str, k: int = 3) -> set[str]:
 # ---------------------------------------------------------------- exact ---
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
-    """One row per distinct text: keep_id = min doc_id, n_dups = count."""
+    """One row per distinct text: keep_id = min doc_id, n_dups = count.
+
+    Shuffle plan: the groupby KEY is a 128-bit content hash (md5 hex), not
+    the text itself — block assignment, key comparison and within-block
+    sorting touch 32-byte strings instead of multi-KB documents. The text
+    rides once per distinct-text-per-batch as payload (the output must
+    contain each kept text anyway, so that traffic is the output, not
+    overhead); same-hash rows have identical text, so Min("text") is an
+    exact representative pick."""
+    import hashlib
+
     from ray.data.aggregate import Min, Sum
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("text", sort=False)["doc_id"].agg(["min", "size"])
-        return pd.DataFrame({"text": g.index, "keep_id": g["min"].values,
-                             "n_dups": g["size"].values})
+        texts = g.index.to_numpy()
+        return pd.DataFrame({
+            "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+            "text": texts, "keep_id": g["min"].values,
+            "n_dups": g["size"].values})
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pandas")
-    agg = ds.groupby("text").aggregate(
+    agg = ds.groupby("h").aggregate(
+        Min("text", alias_name="text"),
         Min("keep_id", alias_name="keep_id"),
         Sum("n_dups", alias_name="n_dups"))
-    return agg
+    return agg.drop_columns(["h"])
 
 
 # ------------------------------------------------- exact jaccard pairs ---
 
 def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
-                      n_buckets: int = 64) -> pd.DataFrame:
+                      n_buckets: int = 64, wanted_ref=None) -> pd.DataFrame:
     """All doc pairs with exact k-shingle Jaccard ≥ threshold.
+
+    ``wanted_ref`` (optional): ray.put() ObjectRef of a frozenset of doc
+    ids — restricts the computation to those docs (the distributed
+    LSH-verify path: the id set is broadcast once; the docs themselves
+    never leave the workers).
 
     Shuffle plan: explode (shingle-bucket, doc_id) rows (bucket = stable
     hash of the shingle, so each shingle lives in exactly ONE bucket) →
@@ -91,6 +110,8 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     from ..stages.agg import combine_partials
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if wanted_ref is not None:
+            batch = batch[batch["doc_id"].isin(ray.get(wanted_ref))]
         rows_doc, rows_sh, rows_b = [], [], []
         for did, text in zip(batch["doc_id"], batch["text"]):
             for sh in _shingles(text, k):
@@ -173,20 +194,25 @@ def _shingle_hashes31(text: str, k: int) -> np.ndarray:
 
 
 def minhash_lsh_pairs(sf_dir: str, k: int = 3, est_threshold: float = 0.5,
-                      n_buckets: int = 256) -> pd.DataFrame:
+                      n_buckets: int = 256, n_bands: int = N_BANDS
+                      ) -> pd.DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, with the
     minhash-estimated Jaccard; exact verification is `jaccard_dup_pairs`
     (or a filtered re-read at scale). Band keys are grouped through a
     bounded bucket column (groupby over n_buckets groups, duplicate band
-    keys found vectorized inside each bucket)."""
+    keys found vectorized inside each bucket). ``n_bands`` must divide
+    N_HASHES; narrower bands (more of them) raise candidate recall at the
+    cost of more false candidates."""
+    rows_per_band = N_HASHES // n_bands
 
     def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
         dids, keys, sigs = [], [], []
         for did, text in zip(batch["doc_id"], batch["text"]):
             sig = minhash_signature(_shingle_hashes31(text, k))
             sb = sig.tobytes()
-            for band in range(N_BANDS):
-                piece = sig[band * 4:(band + 1) * 4].tobytes()
+            for band in range(n_bands):
+                piece = sig[band * rows_per_band:
+                            (band + 1) * rows_per_band].tobytes()
                 dids.append(did)
                 keys.append(hash64(f"{band}:") ^ hash64(piece.hex()))
                 sigs.append(sb)
@@ -213,7 +239,11 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, est_threshold: float = 0.5,
                     if est >= est_threshold:
                         out.append({"id_a": ids[i], "id_b": ids[j],
                                     "est_jaccard": est})
-        return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
+        return pd.DataFrame(
+            {"id_a": pd.array([r["id_a"] for r in out], dtype="int64"),
+             "id_b": pd.array([r["id_b"] for r in out], dtype="int64"),
+             "est_jaccard": pd.array([r["est_jaccard"] for r in out],
+                                     dtype="float64")})
 
     cand = bands.groupby("bucket").map_groups(bucket_pairs,
                                               batch_format="pandas")
@@ -285,7 +315,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
                     if d <= max_hamming:
                         out.append({"id_a": ids[i], "id_b": ids[j],
                                     "hamming": d})
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+        return pd.DataFrame(
+            {"id_a": pd.array([r["id_a"] for r in out], dtype="int64"),
+             "id_b": pd.array([r["id_b"] for r in out], dtype="int64"),
+             "hamming": pd.array([r["hamming"] for r in out],
+                                 dtype="int64")})
 
     df = bands.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas").to_pandas()
@@ -298,36 +332,39 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
 # ------------------------------------------------- embedding near-dup ---
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
-    """Within-label cosine-similarity near-dup pairs. The full matrix is
-    broadcast once via ray.put (float64 for SQL parity); each batch does
-    one numpy matmul against it. At 100 TB the label partitioning bounds
-    the candidate space; an IVF/LSH bucketing replaces 'label' when no
-    natural partition exists (see similarity.lsh_topk)."""
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    all_df = emb.to_pandas()  # small side: one float matrix, broadcast
-    mat = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ids = all_df["vec_id"].to_numpy()
-    labels = all_df["label"].to_numpy()
-    ref = ray.put((mat, ids, labels))
+    """Within-label cosine-similarity near-dup pairs.
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        m, all_ids, all_labels = ray.get(ref)
-        q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        sims = q @ m.T
-        out_a, out_b = [], []
-        for r, (vid, lab) in enumerate(zip(batch["vec_id"], batch["label"])):
-            mask = (sims[r] >= threshold) & (all_ids > vid) & (all_labels == lab)
-            for other in all_ids[mask]:
-                out_a.append(vid)
-                out_b.append(other)
-        return pd.DataFrame({"vec_id_a": out_a, "vec_id_b": out_b})
+    Shuffle plan: ONE groupby(label) shuffle co-locates each label's
+    vectors; each group then does a single numpy self-matmul and reads the
+    upper triangle — nothing is ever materialized on the driver, so memory
+    per worker is bounded by the largest label, not the dataset. When no
+    natural partition exists, an IVF/LSH bucket id plays the role of
+    'label' (see similarity.lsh_topk); a pathologically hot label would be
+    sub-bucketed the same way."""
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "label", "embedding"])
 
-    df = emb.map_batches(fn, batch_format="pandas").to_pandas()
+    _EMPTY = pd.DataFrame({"vec_id_a": pd.array([], dtype="int64"),
+                           "vec_id_b": pd.array([], dtype="int64")})
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _EMPTY
+        g = g.sort_values("vec_id")
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = sims[ia, ib] >= threshold
+        ids = g["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "vec_id_a": ids[ia[keep]].astype("int64"),
+            "vec_id_b": ids[ib[keep]].astype("int64")})
+
+    df = (emb.groupby("label")
+          .map_groups(group_pairs, batch_format="pandas").to_pandas())
     if df.empty:
-        return pd.DataFrame({"vec_id_a": pd.array([], dtype="int64"),
-                             "vec_id_b": pd.array([], dtype="int64")})
+        return _EMPTY
     return df.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
@@ -366,37 +403,25 @@ def jaccard_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
 
 def minhash_verified_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
-                           est_threshold: float = 0.35) -> pd.DataFrame:
+                           est_threshold: float = 0.25) -> pd.DataFrame:
     """The production near-dup shape: sub-quadratic LSH candidate
-    generation, then EXACT k-shingle Jaccard computed only for candidate
-    pairs. est_threshold is set below the exact threshold so banding
-    recall losses don't drop borderline pairs before verification.
+    generation, then EXACT k-shingle Jaccard — computed DISTRIBUTED, only
+    over candidate docs. The driver touches ids and final pairs, never
+    documents or shingle sets.
 
-    The candidate set is tiny relative to the corpus, so verification
-    reads only the candidate docs (row-filtered read → id-keyed lookup);
-    at 100 TB this becomes a broadcast of the candidate-id set into a
-    filtered `read_parquet` + the same per-pair kernel in map_batches."""
-    cand = minhash_lsh_pairs(sf_dir, k, est_threshold)
+    Stage 1 uses narrow bands (32 bands × 2 rows) and a permissive
+    estimate filter, so a pair at the exact threshold J=0.5 is missed with
+    probability ≈ (1-0.5²)³² ≈ 1e-4 — candidate recall is a non-issue for
+    the exact gate rather than a banding-curve gamble. Stage 2 broadcasts
+    the candidate-id frozenset (ids only) into the `jaccard_dup_pairs`
+    pipeline: shingle explode → bucketed groupby → vectorized pair counts,
+    restricted to candidate docs. Any exact pair among candidate docs is
+    emitted, even if that specific pair never collided in a band."""
+    cand = minhash_lsh_pairs(sf_dir, k, est_threshold, n_bands=32)
     if cand.empty:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64")})
-    wanted = set(cand["id_a"]) | set(cand["id_b"])
-
-    def project(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch["doc_id"].isin(wanted)
-        return batch.loc[m, ["doc_id", "text"]]
-
-    docs = (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(project, batch_format="pandas").to_pandas())
-    sh = {d: _shingles(t, k) for d, t in zip(docs["doc_id"], docs["text"])}
-
-    keep_a, keep_b = [], []
-    for a, b in zip(cand["id_a"], cand["id_b"]):
-        sa, sb = sh.get(a, set()), sh.get(b, set())
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if union and inter / union >= threshold:
-            keep_a.append(a)
-            keep_b.append(b)
-    return (pd.DataFrame({"id_a": keep_a, "id_b": keep_b})
+    wanted_ref = ray.put(frozenset(cand["id_a"]) | frozenset(cand["id_b"]))
+    exact = jaccard_dup_pairs(sf_dir, k, threshold, wanted_ref=wanted_ref)
+    return (exact[["id_a", "id_b"]]
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
