@@ -19,7 +19,9 @@ deepdoc/parser/pdf_parser.py:296-352), ``row`` TSV table row (first one in a
 doc is the header — rag/app/table.py:155-176 behavior), ``image`` media-only
 span, ``caption`` figure/table caption text, ``slide`` presentation slide
 text with thumbnail media_ref (deepdoc/parser/ppt_parser.py:22-80 output),
-``eml`` raw RFC-822 message text (rag/app/email.py input).
+``eml`` raw RFC-822 message text (rag/app/email.py input), ``docx``
+base64-encoded OOXML zip bytes (rag/app/naive.py:175-238 input; base64
+because this schema is all-string — production uses a binary column).
 
 Output span kinds: ``title``, ``section``, ``table_row``, ``table_html``,
 ``figure``, ``qa``, ``abstract``, ``slide``. ``offset`` is the emission
@@ -60,7 +62,7 @@ EXTRACTED_SCHEMA = pa.schema(
 )
 
 INPUT_KINDS = ("html", "text", "md", "box", "row", "image", "caption",
-               "slide", "eml", "json")
+               "slide", "eml", "json", "docx")
 OUTPUT_KINDS = ("title", "section", "table_row", "table_html", "figure",
                 "qa", "abstract", "slide")
 

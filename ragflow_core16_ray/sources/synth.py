@@ -2,12 +2,11 @@
 
 Produces the exact input-table shape from BASELINE.json / FIXTURES.md:
 ``doc_id:string, spans:list<struct<kind,text,media_ref,offset>>`` with the
-archetype mix html 36% / pdfish 22% / book 10% / md 10% / table 10% /
-txt 4% / ppt 4% / eml 4% plus a handful of mega-docs (skew), exercising
-every reference
-behavior catalogued in SURVEY.md §2 (boilerplate strip, layout ordering,
-ToC removal, bullet hierarchies, typed table rows, token packing, CJK
-normalization).
+archetype mix html 28% / pdfish 22% / book 10% / md 10% / table 10% /
+docx 6% / txt 4% / ppt 4% / eml 3% / json 3% plus a handful of mega-docs
+(skew), exercising every reference behavior catalogued in SURVEY.md §2
+(boilerplate strip, layout ordering, ToC removal, bullet hierarchies,
+typed table rows, OOXML walk, token packing, CJK normalization).
 
 Everything is a pure function of ``(seed, doc_index)`` — no wall clock, no
 global RNG — so any shard of the corpus can be (re)generated independently
@@ -24,15 +23,15 @@ import pyarrow as pa
 
 from ..schemas import DOCUMENTS_SCHEMA, finalize_offsets, make_span
 
-ARCHETYPES = ("html", "pdfish", "book", "md", "table", "txt", "ppt", "eml",
-              "json")
+ARCHETYPES = ("html", "pdfish", "book", "md", "table", "docx", "txt", "ppt",
+              "eml", "json")
 # cumulative proportions for the seed-stable assignment
-_CUM = ((0.34, "html"), (0.56, "pdfish"), (0.66, "book"), (0.76, "md"),
-        (0.86, "table"), (0.90, "txt"), (0.94, "ppt"), (0.97, "eml"),
-        (1.0, "json"))
+_CUM = ((0.28, "html"), (0.50, "pdfish"), (0.60, "book"), (0.70, "md"),
+        (0.80, "table"), (0.86, "docx"), (0.90, "txt"), (0.94, "ppt"),
+        (0.97, "eml"), (1.0, "json"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -369,6 +368,114 @@ def _gen_eml(r: random.Random, doc_id: str) -> list[dict]:
     return [make_span("eml", raw)]
 
 
+# ---------------------------------------------------------------- docx ----
+
+_W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_R_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+
+def _xml_p(text: str, style: str = "", rid: str = "") -> str:
+    """One w:p element; text optionally split across two runs (exercising
+    run concatenation), optionally carrying an inline a:blip drawing."""
+    from xml.sax.saxutils import escape
+
+    ppr = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
+    runs = ""
+    if text:
+        cut = len(text) // 2 if len(text) > 8 else 0
+        if cut:
+            runs = (f"<w:r><w:t xml:space=\"preserve\">{escape(text[:cut])}"
+                    f"</w:t></w:r><w:r><w:t xml:space=\"preserve\">"
+                    f"{escape(text[cut:])}</w:t></w:r>")
+        else:
+            runs = f"<w:r><w:t>{escape(text)}</w:t></w:r>"
+    if rid:
+        runs += (f'<w:r><w:drawing><a:blip r:embed="{rid}"/>'
+                 f"</w:drawing></w:r>")
+    return f"<w:p>{ppr}{runs}</w:p>"
+
+
+def _xml_tbl(rows: list[list[str]]) -> str:
+    from xml.sax.saxutils import escape
+
+    trs = []
+    for row in rows:
+        tcs = "".join(
+            f"<w:tc><w:p><w:r><w:t>{escape(c)}</w:t></w:r></w:p></w:tc>"
+            for c in row)
+        trs.append(f"<w:tr>{tcs}</w:tr>")
+    return f"<w:tbl>{''.join(trs)}</w:tbl>"
+
+
+def _docx_bytes(body_xml: str, rels: dict[str, str]) -> bytes:
+    """Assemble a minimal valid .docx zip. Deterministic: fixed ZipInfo
+    timestamps (zipfile.writestr would otherwise stamp wall-clock time
+    into the archive and break seed-stable corpora)."""
+    import io
+    import zipfile
+
+    doc = (f'<w:document xmlns:w="{_W_NS}" xmlns:r="{_R_NS}" '
+           f'xmlns:a="{_A_NS}"><w:body>{body_xml}</w:body></w:document>')
+    rel_items = "".join(
+        f'<Relationship Id="{rid}" Type="http://schemas.openxmlformats.org/'
+        f'officeDocument/2006/relationships/image" Target="{target}"/>'
+        for rid, target in sorted(rels.items()))
+    rels_xml = ('<Relationships xmlns="http://schemas.openxmlformats.org/'
+                f'package/2006/relationships">{rel_items}</Relationships>')
+    ctypes = ('<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+              'content-types"><Default Extension="xml" ContentType="applicati'
+              'on/xml"/><Default Extension="png" ContentType="image/png"/>'
+              "</Types>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in (("[Content_Types].xml", ctypes),
+                           ("word/document.xml", doc),
+                           ("word/_rels/document.xml.rels", rels_xml),
+                           *((t, "PNG" + t) for t in rels.values())):
+            info = zipfile.ZipInfo(name if name.startswith(("word/", "["))
+                                   else "word/" + name,
+                                   date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, data)
+    return buf.getvalue()
+
+
+def _gen_docx(r: random.Random, doc_id: str) -> list[dict]:
+    """One `docx` span: base64 of a real OOXML zip — Title/Heading/Caption
+    styles, two-run paragraphs, inline images through document.xml.rels,
+    tables with adjacent-equal merged cells (→ colspan in the reader)."""
+    import base64
+
+    body: list[str] = []
+    rels: dict[str, str] = {}
+    body.append(_xml_p(_words(r, r.randint(3, 6)).title(), style="Title"))
+    img_n = 0
+    for h in range(r.randint(2, 5)):
+        body.append(_xml_p(_words(r, 3).title(),
+                           style=r.choice(["Heading1", "Heading2"])))
+        for _ in range(r.randint(1, 4)):
+            body.append(_xml_p(_paragraph(r)))
+        if r.random() < 0.35:
+            img_n += 1
+            rid = f"rId{img_n}"
+            rels[rid] = f"media/image{img_n}.png"
+            body.append(_xml_p("", rid=rid))  # image-only paragraph
+            if r.random() < 0.6:
+                body.append(_xml_p(f"Figure {img_n}: " + _words(r, 4),
+                                   style="Caption"))
+        if r.random() < 0.3:
+            ncols = r.randint(2, 4)
+            header = [_words(r, 1) for _ in range(ncols)]
+            if ncols >= 3 and r.random() < 0.5:
+                header[1] = header[0]  # merged cell → colspan in reader
+            rows = [header]
+            for _ in range(r.randint(1, 4)):
+                rows.append([str(r.randint(0, 999)) for _ in range(ncols)])
+            body.append(_xml_tbl(rows))
+    payload = _docx_bytes("".join(body), rels)
+    return [make_span("docx", base64.b64encode(payload).decode("ascii"))]
+
+
 # ---------------------------------------------------------------- json ----
 
 def _gen_json(r: random.Random, doc_id: str) -> list[dict]:
@@ -409,9 +516,9 @@ def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
 
 
 _GEN = {"html": _gen_html, "pdfish": _gen_pdfish, "book": _gen_book,
-        "md": _gen_md, "table": _gen_table, "txt": _gen_txt,
-        "ppt": _gen_ppt, "eml": _gen_eml, "json": _gen_json,
-        "mega": _gen_mega}
+        "md": _gen_md, "table": _gen_table, "docx": _gen_docx,
+        "txt": _gen_txt, "ppt": _gen_ppt, "eml": _gen_eml,
+        "json": _gen_json, "mega": _gen_mega}
 
 
 def gen_doc(seed: int, idx: int, mega_every: int = 2500) -> dict:

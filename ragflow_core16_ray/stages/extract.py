@@ -38,7 +38,7 @@ from ..functions.pdfish import extract_pdfish
 from ..functions.table import parse_tsv_rows
 
 TEMPLATES = ("html", "pdfish", "book", "md", "table", "naive",
-             "presentation", "email",
+             "presentation", "email", "docx",
              # template_override-selected:
              "one", "qa", "paper", "laws", "manual")
 
@@ -53,6 +53,8 @@ def route_template(spans: list[dict]) -> str:
         return "presentation"
     if "eml" in kinds:
         return "email"
+    if "docx" in kinds:
+        return "docx"
     if "html" in kinds:
         return "html"
     if "md" in kinds:
@@ -126,6 +128,35 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
                 out.append(make_span("figure", "", s["media_ref"]))
             elif s["kind"] in ("text", "caption"):
                 out.append(make_span("section", s["text"]))
+        return out
+    if template == "docx":
+        # OOXML walk (functions/docx.py): paragraphs in document order —
+        # first Title-styled paragraph becomes the doc title — then the
+        # tables, matching the reference's (lines, tbls) return shape
+        # (rag/app/naive.py:175-238); inline images surface as figures
+        # with their caption text when a Caption paragraph claimed them
+        from ..functions.docx import parse_docx
+
+        out = []
+        for s in spans:
+            if s["kind"] == "docx":
+                parsed = parse_docx(s["text"])
+                titled = False
+                for text, style, images in parsed.paragraphs:
+                    cap = text if style == "Caption" else ""
+                    if style == "Title" and not titled:
+                        titled = True
+                        out.append(make_span("title", text))
+                    elif not (cap and images):
+                        out.append(make_span("section", text))
+                    for part in images:
+                        out.append(make_span("figure", cap, f"docx://{part}"))
+                for html in parsed.tables:
+                    out.append(make_span("table_html", html))
+            elif s["kind"] == "text":
+                out.append(make_span("section", s["text"]))
+            elif s["kind"] == "image" and s.get("media_ref"):
+                out.append(make_span("figure", "", s["media_ref"]))
         return out
     if template == "email":
         # headers → text lines → html-extracted sections, in that order
