@@ -13,10 +13,11 @@ scratch and deterministically, the behaviors layered on top of that IR:
 - reading-order recovery: Y-then-X with fuzz, two-column column-major
   ordering (deepdoc/vision/recognizer.py:54-72,
   deepdoc/parser/pdf_parser.py:182-195),
-- horizontal same-line merge + sentence-continuation vertical concat
-  (deepdoc/parser/pdf_parser.py:365-579 — the XGBoost up/down gate is
-  replaced by a deterministic sentence-final-punctuation rule, per
-  SURVEY.md §7 "hard parts"),
+- horizontal same-line merge + vertical concat gated by the reference's
+  32-feature up/down vector with a deterministic rule threshold
+  (deepdoc/parser/pdf_parser.py:125-180,540-543 — the XGBoost booster is
+  external, so functions/concat_gate.py reimplements the features and
+  freezes the decisions with a fixture table, per SURVEY.md §7),
 - table reconstruction from row/col-tagged cells
   (deepdoc/vision/table_structure_recognizer.py:136-351), caption
   attachment to the nearest table/figure (pdf_parser.py:721-768),
@@ -43,9 +44,9 @@ _GARBAGE_RES = (
 )
 _TOC_HEAD_RE = re.compile(r"^\s*(contents|table of contents|目\s*录|目次)\s*$", re.I)
 _TOC_LINE_RE = re.compile(r"[\.…·]{4,}\s*\d+\s*$")
-# sentence-final punctuation (incl. CJK), optionally followed by closing
-# quotes/brackets — the deterministic stand-in for the xgb up/down gate
-_SENT_END_RE = re.compile(r"[\.!?。！？；;:：]['\")\]】”』」]*$")
+# boundary chars that take a joining space when lines concat
+# (pdf_parser.py:566-568: latin/digit boundaries get " ", CJK does not)
+_JOIN_SPACE_RE = re.compile(r"[0-9\.a-zA-Z]+$")
 _CAPTION_TABLE_RE = re.compile(r"^\s*(table|表)\s*\d*", re.I)
 _CAPTION_FIGURE_RE = re.compile(r"^\s*(fig(ure)?|图)\s*\d*", re.I)
 
@@ -62,6 +63,7 @@ class Box:
     row: int | None = None
     col: int | None = None
     tno: int | None = None
+    in_row: int = 0  # same-row neighbor count (pdf_parser.py:473-487)
 
 
 @dataclass
@@ -219,18 +221,40 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
 
         ordered.extend(sorted(items, key=key))
 
+    # ---- in-row neighbor counts (pdf_parser.py:473-487) ---------------
+    # per page: a text box's in_row = number of other text boxes whose
+    # vertical center sits within one mean line height of its own
+    for page, items in pages.items():
+        tb = [o for k, o in items if k == "box"]
+        if len(tb) < 2:
+            continue
+        mh = sum(b.bot - b.top for b in tb) / len(tb) or 1.0
+        centers = [(b.top + b.bot) / 2 for b in tb]
+        for i, b in enumerate(tb):
+            b.in_row = sum(
+                1 for j, c in enumerate(centers)
+                if j != i and abs(c - centers[i]) < mh)
+
     # ---- merge text flow + emit --------------------------------------
+    from .concat_gate import LineGeom, should_concat
+
+    def geom(b: Box) -> LineGeom:
+        return LineGeom(b.text.strip(), b.x0, b.x1, b.top, b.bot, b.page,
+                        b.lay, b.in_row)
+
     out: list[dict] = []
     cur: str | None = None
     cur_plain: str | None = None  # tag-free shadow driving merge decisions
+    prev_box: Box | None = None   # geometry of the last line in the flow
     cur_page = -1
 
     def flush():
-        nonlocal cur, cur_plain
+        nonlocal cur, cur_plain, prev_box
         if cur is not None and cur.strip():
             out.append(make_span("section", cur.strip()))
         cur = None
         cur_plain = None
+        prev_box = None
 
     for kind, o in ordered:
         # text flow never merges across a page boundary, so page-aligned
@@ -272,18 +296,24 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
             flush()
             out.append(make_span("title", b.text.strip() + tag))
             continue
-        # text flow: continue the current line unless the previous text
-        # ended a sentence (deterministic up/down-concat rule)
+        # text flow: the 32-feature gate decides whether this line
+        # continues the previous one (pdf_parser.py:540-543); decisions
+        # use the UNTAGGED text and the line geometry
         t_plain = b.text.strip()
         t = t_plain + tag
         if cur is None:
             cur, cur_plain = t, t_plain
-        elif _SENT_END_RE.search(cur_plain):
+        elif prev_box is not None and should_concat(geom(prev_box), geom(b)):
+            # joining space only across latin/digit boundaries
+            # (pdf_parser.py:566-568)
+            join = (" " if cur_plain and t_plain and _JOIN_SPACE_RE.match(
+                cur_plain[-1] + t_plain[0]) else "")
+            cur += join + t
+            cur_plain += join + t_plain
+        else:
             flush()
             cur, cur_plain = t, t_plain
-        else:
-            cur += " " + t
-            cur_plain += " " + t_plain
+        prev_box = b
     flush()
     return out
 

@@ -1,0 +1,106 @@
+"""Fixture table for the 32-feature up/down concat gate
+(functions/concat_gate.py), decisions hand-traced from the reference's
+feature semantics (deepdoc/parser/pdf_parser.py:125-180,540-543):
+continuation typography concatenates, sentence/bullet/table boundaries do
+not. These fixtures FREEZE the gate's behavior — change the weights only
+with a corresponding trace here."""
+
+import pytest
+
+from ragflow_core16_ray.functions.concat_gate import (LineGeom, match_proj,
+                                                      should_concat,
+                                                      updown_concat_features)
+
+
+def _line(text, top=100.0, bot=120.0, x0=60.0, x1=540.0, page=0, lay="text",
+          in_row=0):
+    return LineGeom(text, x0, x1, top, bot, page, lay, in_row)
+
+
+def _pair(up_text, down_text, **down_kw):
+    up = _line(up_text)
+    down = _line(down_text, top=down_kw.pop("top", 130.0),
+                 bot=down_kw.pop("bot", 150.0), **down_kw)
+    return up, down
+
+
+# (name, up_text, down_text, down_overrides, expected_concat)
+CASES = [
+    # wrapped mid-sentence latin line → continues
+    ("wrapped_latin", "The quick brown fox jumps over", "the lazy dog.",
+     {}, True),
+    # finished sentence, next starts a new one → break
+    ("sentence_break", "It works correctly.", "Next point follows here.",
+     {}, False),
+    # CJK comma continuation (feature 9) → continues
+    ("cjk_comma", "数据流处理管道，", "批处理继续执行。", {}, True),
+    # CJK line without any ending punctuation → continues
+    ("cjk_unfinished", "数据流批处理管道设计", "继续处理细节。", {}, True),
+    # CJK sentence ender 。 → break
+    ("cjk_sentence_break", "数据流处理完成。", "下一段开始。", {}, False),
+    # down is a numbered bullet (the reference's _match_proj) → break
+    ("bullet_down", "intro text continues here", "1. First item", {}, False),
+    ("bullet_cjk", "前文继续", "第一章 概述", {}, False),
+    # open paren in up, closed in down (feature 14) → continues
+    ("paren_span", "as shown (see Figure", "3) in the text.", {}, True),
+    # bare page-number-like numeric line (feature 19) → break
+    ("numeric_down", "some unfinished line over", "123", {}, False),
+    # vertical whitespace ≥ 2.5 line heights (feature 1) → break
+    ("big_gap", "The quick brown fox jumps over", "the lazy dog.",
+     {"top": 180.0, "bot": 200.0}, False),
+    # layout class change (feature 3) → never concat
+    ("layout_change", "body text without an ending", "A Title Line",
+     {"lay": "title"}, False),
+    # finished sentence + font-size jump → break
+    ("font_jump", "It ends here.", "bigger font text",
+     {"top": 130.0, "bot": 174.0}, False),
+    # down starts with continuation punctuation (feature 10) on an
+    # unfinished up → continues
+    ("down_closing", "the value is stored", "，然后继续", {}, True),
+]
+
+
+@pytest.mark.parametrize("name,up,down,kw,expected",
+                         CASES, ids=[c[0] for c in CASES])
+def test_gate_fixture(name, up, down, kw, expected):
+    u, d = _pair(up, down, **kw)
+    assert should_concat(u, d) is expected
+
+
+def test_feature_vector_shape_and_indices():
+    u, d = _pair("ends with, comma tail", "closing text here.")
+    fea = updown_concat_features(u, d)
+    assert len(fea) == 32
+    assert fea[0] is True                 # row ids equal (text flow)
+    assert fea[2] == 0                    # same page
+    assert fea[3] is True and fea[4] is True and fea[5] is True
+    assert fea[6] is False and fea[7] is False  # neither is a table
+    assert fea[12] == fea[13]             # reference duplicates 12 as 13
+    assert isinstance(fea[1], float) and isinstance(fea[23], float)
+
+
+def test_feature_sentence_and_continuation_punct():
+    u, d = _pair("it ends here.", "And continues.")
+    fea = updown_concat_features(u, d)
+    assert fea[8] is True                 # [a-z]\.$ matches
+    assert fea[9] is False
+    u2, d2 = _pair("前半句，", "后半句。")
+    fea2 = updown_concat_features(u2, d2)
+    assert fea2[8] is False
+    assert fea2[9] is True                # ，$ matches
+
+
+def test_match_proj_taxonomy():
+    assert match_proj("第三章 总则")
+    assert match_proj("（12）子项")
+    assert match_proj("3.1、嵌套")
+    assert not match_proj("plain prose line")
+    assert not match_proj("3.14159 is pi")
+
+
+def test_column_wrap_feature():
+    # up sits right of down (up ends a right column, down starts the next
+    # left column) → feature 21
+    u = _line("right column tail", x0=320, x1=540)
+    d = _line("left column head", x0=50, x1=280, top=100, bot=120)
+    assert updown_concat_features(u, d)[21] is True
