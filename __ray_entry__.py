@@ -225,6 +225,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "lang_pred": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk,
+                     len(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS n_words,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('the','and','of','to','is','in','that','it','for','with'))) AS n_en,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('le','la','les','de','et','est','une','que','des','dans'))) AS n_fr,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('el','la','los','de','y','es','una','que','las','en'))) AS n_es,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('der','die','das','und','ist','ein','nicht','mit','den','von'))) AS n_de
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN n_cjk > greatest(1, n_words) * 0.5 THEN 'zh'
+                        WHEN n_en >= n_fr AND n_en >= n_es AND n_en >= n_de THEN 'en'
+                        WHEN n_fr >= n_es AND n_fr >= n_de THEN 'fr'
+                        WHEN n_es >= n_de THEN 'es'
+                        ELSE 'de' END AS lang_pred
+            FROM c
+        """,
         "quality_filter": r"""
             SELECT doc_id FROM documents
             WHERE length(text) BETWEEN 200 AND 5000

@@ -148,8 +148,11 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
         out = cnt.rename("inter").reset_index()
         return out.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"})
 
-    inter_partials = sh.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas")
+    # partitions ≤ bucket count so every sort partition holds ≥1 group
+    # (a group-less partition yields no batches → Ray emits a schemaless
+    # empty block and warns); same bytes shuffle as the sort itself
+    inter_partials = sh.repartition(min(16, n_buckets)).groupby(
+        "bucket").map_groups(bucket_pairs, batch_format="pandas")
     inter = combine_partials(inter_partials, ["id_a", "id_b"],
                              {"inter": "sum"})
 
@@ -245,8 +248,8 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, est_threshold: float = 0.5,
              "est_jaccard": pd.array([r["est_jaccard"] for r in out],
                                      dtype="float64")})
 
-    cand = bands.groupby("bucket").map_groups(bucket_pairs,
-                                              batch_format="pandas")
+    cand = bands.repartition(min(16, n_buckets)).groupby(
+        "bucket").map_groups(bucket_pairs, batch_format="pandas")
     df = cand.to_pandas()
     if df.empty:
         return df
@@ -321,7 +324,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
              "hamming": pd.array([r["hamming"] for r in out],
                                  dtype="int64")})
 
-    df = bands.groupby("bucket").map_groups(
+    df = bands.repartition(min(16, n_buckets)).groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas").to_pandas()
     if df.empty:
         return df

@@ -64,6 +64,39 @@ def brute_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     return df[["vec_id"]].reset_index(drop=True)
 
 
+def _topk_rows(batch: pd.DataFrame, m: np.ndarray, qv: np.ndarray,
+               mask: np.ndarray, k: int) -> dict:
+    """Per-batch candidate rerank + one out-of-band sentinel row carrying
+    the batch's candidate count (an ``is_sentinel`` flag, NOT an in-band
+    magic vec_id — negative ids stay legal result values)."""
+    rows = {"vec_id": [], "sim": [], "scanned": [], "is_sentinel": []}
+    if mask.any():
+        sims = m[mask] @ qv
+        ids = batch["vec_id"].to_numpy()[mask]
+        order = np.lexsort((ids, -sims))[:k]
+        rows = {"vec_id": list(ids[order]), "sim": list(sims[order]),
+                "scanned": [0] * len(order),
+                "is_sentinel": [False] * len(order)}
+    rows["vec_id"].append(-1)
+    rows["sim"].append(-np.inf)
+    rows["scanned"].append(int(mask.sum()))
+    rows["is_sentinel"].append(True)
+    return rows
+
+
+def _finish_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Global merge of per-batch partials: sum sentinel scanned counts
+    (computed BEFORE any filtering, so it survives an all-sentinel frame),
+    rerank the ≤k-per-batch result rows, attach the total per row."""
+    scanned = int(df.loc[df["is_sentinel"], "scanned"].sum())
+    df = df[~df["is_sentinel"]]
+    df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    out = df[["vec_id"]].reset_index(drop=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["scanned"] = scanned
+    return out
+
+
 N_PLANES = 8
 _rng = np.random.RandomState(0x5EED5)
 # hyperplanes drawn once at import with a fixed seed (same on every worker)
@@ -100,27 +133,11 @@ def lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
         m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         sig = _signature(m, pl)
         mask = np.isin(sig, np.fromiter(sigs, dtype=np.uint32))
-        rows = {"vec_id": [], "sim": [], "scanned": []}
-        if mask.any():
-            sims = m[mask] @ qv
-            ids = batch["vec_id"].to_numpy()[mask]
-            order = np.lexsort((ids, -sims))[:k]
-            rows = {"vec_id": list(ids[order]), "sim": list(sims[order]),
-                    "scanned": [0] * len(order)}
-        # one sentinel row per batch carries that batch's candidate count
-        # (a per-result column would multiply-count when summed)
-        rows["vec_id"].append(-1)
-        rows["sim"].append(-np.inf)
-        rows["scanned"].append(int(mask.sum()))
+        rows = _topk_rows(batch, m, qv, mask, k)
         return pd.DataFrame(rows)
 
     df = _emb(sf_dir).map_batches(probe, batch_format="pandas").to_pandas()
-    scanned = int(df.loc[df["vec_id"] < 0, "scanned"].sum())
-    df = df[df["vec_id"] >= 0]
-    df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-    out = df[["vec_id"]].reset_index(drop=True)
-    out["scanned"] = scanned
-    return out
+    return _finish_topk(df, k)
 
 
 def train_centroids(sample: np.ndarray, n_centroids: int,
@@ -165,23 +182,8 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
         m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         assign = np.argmax(m @ C.T, axis=1)
         mask = np.isin(assign, np.fromiter(cells, dtype=np.int64))
-        rows = {"vec_id": [], "sim": [], "scanned": []}
-        if mask.any():
-            sims = m[mask] @ qv
-            ids = batch["vec_id"].to_numpy()[mask]
-            order = np.lexsort((ids, -sims))[:k]
-            rows = {"vec_id": list(ids[order]), "sim": list(sims[order]),
-                    "scanned": [0] * len(order)}
-        # sentinel row per batch (see lsh_topk): candidate count once
-        rows["vec_id"].append(-1)
-        rows["sim"].append(-np.inf)
-        rows["scanned"].append(int(mask.sum()))
+        rows = _topk_rows(batch, m, qv, mask, k)
         return pd.DataFrame(rows)
 
     df = emb.map_batches(probe, batch_format="pandas").to_pandas()
-    scanned = int(df.loc[df["vec_id"] < 0, "scanned"].sum())
-    df = df[df["vec_id"] >= 0]
-    df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-    out = df[["vec_id"]].reset_index(drop=True)
-    out["scanned"] = scanned
-    return out
+    return _finish_topk(df, k)

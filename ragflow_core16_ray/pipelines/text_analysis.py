@@ -53,8 +53,10 @@ def quality_stats(sf_dir: str) -> rd.Dataset:
 
 
 def lang_pred(sf_dir: str) -> rd.Dataset:
-    """doc_id, predicted language (heuristic — no SQL oracle; accuracy is
-    asserted in tests instead)."""
+    """doc_id, predicted language. The heuristic (CJK density, then
+    function-word argmax with fixed tie-break) is reproduced exactly in
+    the DuckDB oracle, so this query is hash-checked; accuracy is also
+    asserted in tests."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -38,6 +38,45 @@ def test_ivf_topk_subset_scan_high_recall(ray_session):
     assert recall >= 0.8
 
 
+def test_lsh_topk_subset_scan_recall(ray_session):
+    from ragflow_core16_ray.pipelines.similarity import brute_topk, lsh_topk
+
+    exact = set(brute_topk(SF, query_vec_id=0, k=10)["vec_id"])
+    approx = lsh_topk(SF, query_vec_id=0, k=10, probe_hamming=1)
+    scanned = int(approx["scanned"].iloc[0])
+    # sub-linear: candidates scanned strictly fewer than the table
+    assert 0 < scanned < _n_vecs()
+    recall = len(set(approx["vec_id"]) & exact) / len(exact)
+    # the sf0.001 embeddings are weakly clustered (top-10 cosine ≈ 0.3),
+    # so the right bound is information-theoretic, not absolute: LSH must
+    # beat a random scan of the same cost by ≥3× (a uniform sample of
+    # `scanned` vectors would recall ≈ scanned/n in expectation)
+    assert recall >= 3 * scanned / _n_vecs()
+    assert recall >= 0.15
+
+
+def test_minhash_lsh_candidate_recall(ray_session):
+    """Candidate recall of banded MinHash-LSH vs exact Jaccard pairs: at
+    the verified-pairs operating point (32 bands × 2 rows, est ≥ 0.25) a
+    true pair at J=0.5 is missed w.p. (1-0.5²)³² ≈ 1e-4, so every exact
+    pair must appear among candidates on this corpus."""
+    from ragflow_core16_ray.pipelines.dedup import (jaccard_dup_pairs,
+                                                    minhash_lsh_pairs)
+
+    exact = jaccard_dup_pairs(SF)
+    truth = set(zip(exact["id_a"], exact["id_b"]))
+    cand = minhash_lsh_pairs(SF, est_threshold=0.25, n_bands=32)
+    got = set(zip(cand["id_a"], cand["id_b"]))
+    assert truth, "corpus should contain near-dup pairs"
+    assert truth <= got  # full candidate recall at this operating point
+    # and the default 16×4 banding still reaches the theory bound
+    # (collision prob at J≥0.8 is ≥ 1-(1-0.8⁴)¹⁶ ≈ 0.9996)
+    cand16 = minhash_lsh_pairs(SF, est_threshold=0.35)
+    got16 = set(zip(cand16["id_a"], cand16["id_b"]))
+    recall16 = len(truth & got16) / len(truth)
+    assert recall16 >= 0.9
+
+
 def test_ivf_centroids_deterministic():
     from ragflow_core16_ray.pipelines.similarity import train_centroids
 
