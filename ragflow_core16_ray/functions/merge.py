@@ -10,12 +10,18 @@ overshoot by one piece, it is never split mid-piece). Sections are joined
 with a newline inside a chunk.
 
 Pure, deterministic; token currency = functions.tokenizer.num_tokens.
+Token counts are taken on TAG-FREE text: with keep_positions the sections
+carry in-band ``@@…##`` positional tags, and the reference packs on the
+tag-free text while carrying positions separately (rag/nlp/__init__.py
+naive_merge + add_positions) — so chunk boundaries must not shift when
+tags are enabled.
 """
 
 from __future__ import annotations
 
 import re
 
+from .postag import strip_tags
 from .tokenizer import num_tokens
 
 
@@ -42,7 +48,7 @@ def naive_merge(sections: list[str], chunk_token_num: int = 128,
     counts: list[int] = [0]
 
     def add(piece: str, new_section: bool):
-        tnum = num_tokens(piece)
+        tnum = num_tokens(strip_tags(piece))
         if counts[-1] > chunk_token_num:
             chunks.append(piece)
             counts.append(tnum)

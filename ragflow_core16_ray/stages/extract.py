@@ -67,7 +67,73 @@ def route_template(spans: list[dict]) -> str:
 
 # ------------------------------------------------------------- phase A ----
 
+def _qa_from_md(lines: list[str]) -> list[dict]:
+    """Markdown QA mode (rag/app/qa.py:413-447): a `#`-heading is a
+    question; the question TEXT is the join of the live heading stack
+    (deeper headings stack, a heading pops everything at its level or
+    deeper); the answer is every line until the next heading. `#` inside
+    fenced code blocks is not a heading; pairs with an empty answer are
+    dropped. The reference renders the answer markdown to HTML (the
+    `markdown` lib is absent here — the raw answer text is kept, same
+    pairing)."""
+    out: list[dict] = []
+    question_stack: list[str] = []
+    level_stack: list[int] = []
+    last_answer = ""
+    code_block = False
+
+    def emit():
+        nonlocal last_answer
+        if last_answer.strip() and question_stack:
+            out.append(make_span(
+                "qa", "\n".join(question_stack) + "\n" + last_answer.strip()))
+        last_answer = ""
+
+    for line in lines:
+        if line.strip().startswith("```"):
+            code_block = not code_block
+        level = 0
+        if not code_block:
+            i = 0
+            while i < len(line) and line[i] == "#":
+                i += 1
+            level = i
+        if not level or level > 6:
+            last_answer += "\n" + line
+            continue
+        emit()
+        question = line.lstrip("#").lstrip()
+        while question_stack and level <= level_stack[-1]:
+            question_stack.pop()
+            level_stack.pop()
+        question_stack.append(question)
+        level_stack.append(level)
+    emit()
+    return out
+
+
+def _qa_from_rows(rows: list[str]) -> list[dict]:
+    """Two-column QA mode (rag/app/qa.py:36-77 Excel semantics): per row,
+    the first non-empty cell is the question, the second the answer; rows
+    without both are failures and are skipped. No header convention."""
+    out: list[dict] = []
+    for row in rows:
+        cells = [c.strip() for c in row.split("\t") if c.strip()]
+        if len(cells) >= 2:
+            out.append(make_span("qa", cells[0] + "\n" + cells[1]))
+    return out
+
+
 def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+    # the qa template replaces the whole parse for md/table inputs, like
+    # the reference's qa chunker dispatching on file type (rag/app/qa.py)
+    if cfg.template_override == "qa":
+        if template == "md":
+            return _qa_from_md(
+                [s["text"] for s in spans if s["kind"] == "md"])
+        if template == "table":
+            return _qa_from_rows(
+                [s["text"] for s in spans if s["kind"] == "row"])
     if template == "pdfish":
         return extract_pdfish(spans, page_height=cfg.page_height,
                               keep_positions=cfg.keep_positions)

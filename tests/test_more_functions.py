@@ -136,3 +136,44 @@ def test_pdfish_extra_titles_demoted_in_naive():
     assert tmpl == "pdfish"
     assert out[0]["kind"] == "title"
     assert all(s["kind"] == "section" for s in out[1:])
+
+def test_template_qa_markdown_mode():
+    # rag/app/qa.py:413-447: heading stack forms the question path; code
+    # blocks shield '#'; empty-answer headings emit nothing on their own
+    md = [
+        "# Guide",
+        "## What is a shard?",
+        "A unit of parallel work.",
+        "```",
+        "# not a heading",
+        "```",
+        "## Sizing",
+        "### How many pages?",
+        "Twelve pages each.",
+        "## Reset level",
+        "Back at level two.",
+    ]
+    spans = [make_span("md", line, offset=i) for i, line in enumerate(md)]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="qa"))
+    assert tmpl == "qa"
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("qa", "Guide\nWhat is a shard?\nA unit of parallel work.\n```\n"
+               "# not a heading\n```"),
+        ("qa", "Guide\nSizing\nHow many pages?\nTwelve pages each."),
+        ("qa", "Guide\nReset level\nBack at level two."),
+    ]
+
+
+def test_template_qa_two_column_mode():
+    # rag/app/qa.py:36-77 Excel semantics: first two non-empty cells are
+    # (q, a); deformed rows are skipped; no header convention
+    rows = ["What is Ray?\tA compute engine.\textra ignored",
+            "only one cell",
+            "\tWhat about empties?\tSkips blank cells."]
+    spans = [make_span("row", r, offset=i) for i, r in enumerate(rows)]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="qa"))
+    assert tmpl == "qa"
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("qa", "What is Ray?\nA compute engine."),
+        ("qa", "What about empties?\nSkips blank cells."),
+    ]

@@ -225,3 +225,31 @@ def test_keep_positions_tags():
     all_tags = [t for txt in tagged_texts for t in parse_tags(txt)]
     assert (0, 60.0, 540.0, 100.0, 120.0) in all_tags
     assert len(all_tags) == 3
+
+
+def test_keep_positions_tags_survive_packing():
+    """Chunk boundaries must be IDENTICAL with and without tags even when
+    naive_merge actually packs (the token counter sees tag-free text;
+    tags would otherwise inflate counts and shift boundaries —
+    rag/nlp/__init__.py naive_merge counts tag-free, positions ride
+    separately)."""
+    import json
+
+    from ragflow_core16_ray.functions.postag import strip_tags
+
+    def tb(text, page, top):
+        d = {"t": text, "x0": 60.0, "x1": 540.0, "top": float(top),
+             "bot": float(top + 20), "page": page, "lay": "text"}
+        return make_span("box", json.dumps(d, sort_keys=True))
+
+    # 60 sentence-ended lines → several chunks at the default budget
+    spans = [tb(f"Sentence number {i} fills the running token budget "
+                f"with several words.", 0, 100 + 25 * i)
+             for i in range(60)]
+    _, plain, _ = extract_doc(spans)
+    _, tagged, _ = extract_doc(spans, ExtractConfig(keep_positions=True))
+    plain_texts = [s["text"] for s in plain]
+    tagged_texts = [s["text"] for s in tagged]
+    assert len(plain_texts) > 1  # packing actually happened
+    assert len(tagged_texts) == len(plain_texts)
+    assert [strip_tags(t) for t in tagged_texts] == plain_texts
