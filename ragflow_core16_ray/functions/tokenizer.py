@@ -33,20 +33,103 @@ _TOKEN_RE = re.compile(
 
 _WS_RE = re.compile(r"\s+")
 
+# ---- CJK segmentation: bidirectional maximum matching -------------------
+# A small built-in lexicon (common Mandarin vocabulary + this corpus's
+# data-processing domain terms — authored here, NOT the reference's huqie
+# dictionary) gives multi-char CJK words; unmatched spans fall back to one
+# token per char. Role of the reference's trie max-match tokenizer
+# (rag/nlp/rag_tokenizer.py:217-263 forward/backward match, :119-167
+# disambiguation) with the public BiMM heuristic in place of the DFS
+# scoring: run forward and backward max-match, keep the segmentation with
+# fewer tokens, then fewer single-char tokens, backward on ties.
+_CJK_LEXICON = frozenset("""
+数据 数据流 处理 批处理 表格 扫描 合并 排序 连接 过滤 窗口 分组 分片 分区
+键值 向量 哈希 范围 溢出 算子 工作 调度 布局 锚点 图表 标题 边距 语料
+标记 跨度 偏移 索引 质量 密度 提取 导航 页脚 侧栏 主文 内容 管道 引擎
+集群 节点 内存 磁盘 缓存 文档 文件 系统 模型 计算 存储 网络 服务 任务
+研究 研究生 生命 科学 学习 机器 智能 人工 语言 文字 中文 英文 时间 空间
+问题 方法 结果 分析 设计 实现 测试 性能 优化 程序 代码 函数 参数 变量
+目录 章节 段落 句子 词语 字符 编码 解码 压缩 加密 安全 错误 日志 监控
+北京 上海 中国 美国 世界 国家 城市 公司 大学 学校 老师 学生 朋友 家庭
+今天 明天 昨天 现在 未来 过去 开始 结束 继续 停止 增加 减少 提高 降低
+""".split())
+_CJK_MAX_WORD = max(map(len, _CJK_LEXICON))
+_CJK_RUN_RE = re.compile(r"[\p{Han}]+")
+
+
+def _max_match(run: str, forward: bool) -> list[str]:
+    out: list[str] = []
+    i = 0
+    n = len(run)
+    while i < n:
+        for ln in range(min(_CJK_MAX_WORD, n - i), 0, -1):
+            piece = (run[i:i + ln] if forward
+                     else run[n - i - ln:n - i])
+            if ln == 1 or piece in _CJK_LEXICON:
+                out.append(piece)
+                i += ln
+                break
+    if not forward:
+        out.reverse()
+    return out
+
+
+def bimm_segment(run: str) -> list[str]:
+    """Bidirectional maximum matching over a pure-CJK run."""
+    fw = _max_match(run, True)
+    bw = _max_match(run, False)
+    if len(fw) != len(bw):
+        return fw if len(fw) < len(bw) else bw
+    fw_singles = sum(1 for w in fw if len(w) == 1)
+    bw_singles = sum(1 for w in bw if len(w) == 1)
+    return fw if fw_singles < bw_singles else bw
+
 
 def tokenize(text: str) -> list[str]:
-    """BPE-ish pretokenization of ``text``."""
+    """BPE-ish pretokenization; runs of Han chars are segmented with
+    lexicon max-match instead of one-char-per-token, so CJK token budgets
+    and section boundaries no longer hinge on whitespace."""
     if not text:
         return []
-    return _TOKEN_RE.findall(text)
+    raw = _TOKEN_RE.findall(text)
+    out: list[str] = []
+    run: list[str] = []
+
+    def flush_run():
+        if run:
+            out.extend(bimm_segment("".join(run)))
+            run.clear()
+
+    for tok in raw:
+        if _CJK_RUN_RE.fullmatch(tok):
+            run.append(tok)  # adjacent pure-Han tokens form one run
+            continue
+        if _CJK_RUN_RE.search(tok):
+            # mixed token (e.g. " 数据流处理" captured by the ` ?\p{L}+`
+            # branch): split Han runs out, keep the rest verbatim
+            flush_run()
+            pos = 0
+            for m in _CJK_RUN_RE.finditer(tok):
+                if m.start() > pos:
+                    out.append(tok[pos:m.start()])
+                out.extend(bimm_segment(m.group(0)))
+                pos = m.end()
+            if pos < len(tok):
+                out.append(tok[pos:])
+            continue
+        flush_run()
+        out.append(tok)
+    flush_run()
+    return out
 
 
 def num_tokens(text: str) -> int:
     """Deterministic token count (the engine's chunk_token_num currency;
-    role of rag/utils/__init__.py:81-90 num_tokens_from_string)."""
+    role of rag/utils/__init__.py:81-90 num_tokens_from_string). Counts
+    the max-match segmentation, so a CJK word is one budget unit."""
     if not text:
         return 0
-    return len(_TOKEN_RE.findall(text))
+    return len(tokenize(text))
 
 
 def ws_tokens(text: str) -> list[str]:

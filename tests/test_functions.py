@@ -29,8 +29,11 @@ def test_num_tokens_en():
     assert num_tokens("") == 0
 
 
-def test_num_tokens_cjk_per_char():
-    assert num_tokens("数据流") == 3
+def test_num_tokens_cjk_word_units():
+    # lexicon max-match: a known CJK word is ONE budget unit; unknown
+    # chars still count per char
+    assert num_tokens("数据流") == 1
+    assert num_tokens("鑫垚") == 2
 
 
 def test_str_q2b():
@@ -315,3 +318,21 @@ def test_quality_counts():
 
 def test_word_shingles():
     assert word_shingles("a b c d", k=3) == {"a b c", "b c d"}
+
+
+def test_cjk_bimm_segmentation():
+    from ragflow_core16_ray.functions.tokenizer import (bimm_segment,
+                                                        num_tokens, tokenize)
+
+    # lexicon words come out whole
+    assert bimm_segment("数据流处理") == ["数据流", "处理"]
+    # the classic BiMM disambiguation: backward beats forward because it
+    # produces no single-char strays (研究生|命|科学 vs 研究|生命|科学)
+    assert bimm_segment("研究生命科学") == ["研究", "生命", "科学"]
+    # out-of-lexicon runs fall back to per-char
+    assert bimm_segment("鑫垚") == ["鑫", "垚"]
+    # mixed text: latin words + segmented CJK in reading order
+    assert tokenize("use 数据流处理 now") == [
+        "use", " ", "数据流", "处理", " now"]
+    # token budgets count CJK words, not chars
+    assert num_tokens("数据流处理") == 2
