@@ -88,10 +88,12 @@ def bimm_segment(run: str) -> list[str]:
 def tokenize(text: str) -> list[str]:
     """BPE-ish pretokenization; runs of Han chars are segmented with
     lexicon max-match instead of one-char-per-token, so CJK token budgets
-    and section boundaries no longer hinge on whitespace."""
+    and section boundaries no longer hinge on whitespace. Input is
+    normalized full→half width, traditional→simplified, lowercase first —
+    the reference's chain (rag_tokenizer.tokenize:291-300)."""
     if not text:
         return []
-    raw = _TOKEN_RE.findall(text)
+    raw = _TOKEN_RE.findall(tradi2simp(str_q2b(text)).lower())
     out: list[str] = []
     run: list[str] = []
 
@@ -154,6 +156,41 @@ def str_q2b(s: str) -> str:
             code -= 0xFEE0
         out.append(chr(code))
     return "".join(out)
+
+
+# traditional → simplified mapping for ~190 high-frequency characters
+# (authored from general knowledge of the standard simplifications — the
+# reference loads the full OpenCC-style table, rag/nlp/rag_tokenizer.py:
+# 109-117 _tradi2simp; a compact table covers the overwhelming share of
+# running text because character frequency is Zipfian)
+_T2S_PAIRS = (
+    "數数據据東东車车馬马鳥鸟龍龙門门問问間间開开關关時时書书長长風风雲云"
+    "電电語语話话讀读寫写學学習习國国圖图團团園园圓圆遠远運运動动飛飞機机"
+    "會会難难歡欢觀观見见現现規规視视覺觉親亲辦办協协華华萬万與与專专業业"
+    "絲丝紅红綠绿線线組组織织經经統统計计設设許许認认識识證证議议記记訓训"
+    "該该詳详試试詩诗誰谁調调談谈謝谢貝贝負负財财責责質质買买賣卖費费資资"
+    "賽赛輕轻輪轮轉转載载農农遊游選选邊边釋释鐘钟鋼钢錄录錯错鍵键鎮镇閱阅"
+    "陽阳陰阴際际隨随隱隐雖虽雙双雜杂離离須须頁页頂顶順顺領领頭头題题顏颜"
+    "願愿類类顯显飯饭飲饮餘余館馆驗验體体髮发點点黨党齊齐齒齿廠厂廣广慶庆"
+    "應应戰战戲戏擊击擴扩攝摄敗败標标樣样樹树橋桥檢检歲岁歷历歸归殘残氣气"
+    "漢汉滿满濟济為为無无熱热愛爱狀状獨独獲获環环產产異异當当盤盘確确碼码"
+    "積积稱称種种穩稳節节簡简純纯紙纸級级納纳維维網网總总縮缩繼继續续聽听"
+    "聯联聲声職职腦脑臺台舊旧藝艺藥药號号虛虚衛卫裝装製制訊讯貢贡購购軟软"
+    "較较辭辞達达過过還还這这進进連连週周鄉乡銀银錢钱閉闭陸陆雞鸡韓韩讓让"
+    "訪访評评詞词譯译優优儲储傳传傷伤備备價价億亿們们個个倉仓偉伟側侧傑杰"
+    "係系俠侠條条來来僅仅鬆松歐欧氫氢沒没淺浅測测灣湾爾尔牆墙獻献瑪玛礎础"
+    "祕秘禮礼蘇苏蘭兰訂订變变豐丰貴贵賓宾趙赵軌轨輸输辯辩遞递鄰邻醫医釘钉"
+    "針针鑑鉴閃闪隊队階阶駕驾騎骑驚惊魚鱼鮮鲜麗丽麥麦黃黄處处對对"
+    "幾几壓压嚴严豎竖尋寻導导層层屬属島岛帶带師师幹干廢废彈弹惡恶"
+)
+_T2S = {ord(_T2S_PAIRS[i]): _T2S_PAIRS[i + 1]
+        for i in range(0, len(_T2S_PAIRS), 2)}
+
+
+def tradi2simp(s: str) -> str:
+    """Traditional → simplified Chinese normalization (semantics of
+    rag/nlp/rag_tokenizer.py:112-117 _tradi2simp, built-in table)."""
+    return s.translate(_T2S)
 
 
 _CJK_RE = re.compile(r"[\p{Han}]")

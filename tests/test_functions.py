@@ -336,3 +336,15 @@ def test_cjk_bimm_segmentation():
         "use", " ", "数据流", "处理", " now"]
     # token budgets count CJK words, not chars
     assert num_tokens("数据流处理") == 2
+
+
+def test_tradi2simp():
+    from ragflow_core16_ray.functions.tokenizer import tokenize, tradi2simp
+
+    assert tradi2simp("數據處理引擎") == "数据处理引擎"
+    assert tradi2simp("simple stays") == "simple stays"
+    # the tokenize chain normalizes trad → simp before lexicon max-match,
+    # so traditional spellings hit the simplified lexicon words
+    assert tokenize("數據流處理") == ["数据流", "处理"]
+    # and full-width latin + case fold first (rag_tokenizer chain)
+    assert tokenize("ＡＢＣ Data") == ["abc", " data"]
