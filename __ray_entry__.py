@@ -149,6 +149,17 @@ def _media_features(sf_dir: str):
     return media_features(extracted)
 
 
+def _media_collage(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import media_collage
+
+    out_dir = _extract_out(sf_dir)
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"),
+                                columns=["doc_id", "spans"])
+    return media_collage(extracted)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _extract_flat("/root/testdata/sf0.001")
@@ -166,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_manual": lambda sf: _extract_override(sf, "manual"),
         "extraction_metrics": _extraction_metrics,
         "media_features": _media_features,
+        "media_collage": _media_collage,
         # --- text analysis over documents
         "token_counts": text_analysis.token_counts,
         "quality_stats": text_analysis.quality_stats,

@@ -1,0 +1,67 @@
+"""Image array operations — pure numpy (no PIL in this container).
+
+The reference manipulates PIL Images: crop with margin
+(deepdoc/parser/pdf_parser.py:1129-1208 ``crop``), rotated-crop via
+perspective transform for tilted OCR boxes (deepdoc/vision/ocr.py:561-594
+``get_rotate_crop_image``), and vertical concatenation of chunk images
+(rag/nlp/__init__.py:557-574 ``concat_img``). Here the same operations are
+implemented over decoded ``HxWxC`` uint8 numpy arrays — the form a real
+decoder (the swap-in point documented in pipelines/multimodal.py) would
+hand to a vision model anyway. Axis-aligned semantics are exact; the
+reference's arbitrary-angle perspective warp needs cv2, so rotation is
+provided in exact 90° steps plus the crop of the rotated box's bounding
+rect (documented substitution).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def crop(img: np.ndarray, x0: int, top: int, x1: int, bottom: int,
+         margin: int = 0) -> np.ndarray:
+    """Axis-aligned crop with optional margin, clamped to the image
+    (pdf_parser.py crop semantics: the box is widened by ``margin`` and
+    intersected with the page)."""
+    h, w = img.shape[:2]
+    x0 = max(0, int(x0) - margin)
+    top = max(0, int(top) - margin)
+    x1 = min(w, int(x1) + margin)
+    bottom = min(h, int(bottom) + margin)
+    if x1 <= x0 or bottom <= top:
+        return img[0:0, 0:0]
+    return img[top:bottom, x0:x1]
+
+
+def rotate90(img: np.ndarray, turns: int = 1) -> np.ndarray:
+    """Rotate by exact 90° steps (counter-clockwise, like np.rot90).
+    The reference rotates tall OCR crops by 90° when h/w ≥ 1.5
+    (ocr.py:590-593); that check is `maybe_rotate` below."""
+    return np.rot90(img, k=turns % 4, axes=(0, 1))
+
+
+def maybe_rotate(img: np.ndarray, ratio: float = 1.5) -> np.ndarray:
+    """ocr.py:590-593: a crop much taller than wide is rotated upright
+    before recognition."""
+    h, w = img.shape[:2]
+    return rotate90(img) if w > 0 and h / w >= ratio else img
+
+
+def vertical_concat(images: list[np.ndarray],
+                    fill: int = 255) -> np.ndarray:
+    """Stack images vertically on a common width (the max), padding
+    narrower ones with ``fill`` — rag/nlp/__init__.py:557-574 concat_img
+    (PIL pastes onto a white canvas of the max width)."""
+    images = [im for im in images if im.size]
+    if not images:
+        return np.zeros((0, 0, 3), dtype=np.uint8)
+    channels = images[0].shape[2] if images[0].ndim == 3 else None
+    width = max(im.shape[1] for im in images)
+    rows = []
+    for im in images:
+        h, w = im.shape[:2]
+        if w < width:
+            pad_shape = ((0, 0), (0, width - w)) + (((0, 0),) if channels else ())
+            im = np.pad(im, pad_shape, constant_values=fill)
+        rows.append(im)
+    return np.concatenate(rows, axis=0)

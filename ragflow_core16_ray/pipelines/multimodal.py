@@ -88,3 +88,41 @@ def media_features(extracted: rd.Dataset, concurrency=(1, 4),
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(MediaFeatures, batch_format="pandas",
                             batch_size=batch_size, concurrency=concurrency)
+
+
+def media_collage(extracted: rd.Dataset) -> rd.Dataset:
+    """Per-doc figure collage: decode (fake) each figure, upright-rotate
+    tall ones, stack vertically on a common width (functions/image_ops —
+    the reference's chunk-image concat, rag/nlp/__init__.py:557-574).
+    Output: one row per doc with ≥1 figure: (doc_id, n_figures,
+    collage_height, collage_width). The groupby(doc_id) co-locates a
+    doc's decoded frames on one worker; frames never cross the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64
+    from ..functions.image_ops import maybe_rotate, vertical_concat
+    from ..schemas import explode_spans
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat = explode_spans(batch)
+        keep = pc.and_(pc.equal(flat["kind"], "figure"),
+                       pc.not_equal(flat["media_ref"], ""))
+        return flat.filter(keep).select(["doc_id", "media_ref"])
+
+    def collage(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for ref in g["media_ref"]:
+            h = hash64(ref)
+            arr = np.full(((h >> 8) % 96 + 16, (h >> 16) % 96 + 16, 3),
+                          h % 251, dtype=np.uint8)  # fake decode
+            frames.append(maybe_rotate(arr))
+        out = vertical_concat(frames)
+        return pd.DataFrame({
+            "doc_id": [g["doc_id"].iloc[0]],
+            "n_figures": pd.array([len(frames)], dtype="int64"),
+            "collage_height": pd.array([out.shape[0]], dtype="int64"),
+            "collage_width": pd.array([out.shape[1]], dtype="int64")})
+
+    return (extracted.map_batches(explode, batch_format="pyarrow")
+            .groupby("doc_id").map_groups(collage, batch_format="pandas"))

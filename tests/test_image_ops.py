@@ -1,0 +1,65 @@
+"""Pure-numpy image ops (functions/image_ops.py — reference semantics:
+pdf_parser.py crop, ocr.py:590-593 upright rotation,
+rag/nlp/__init__.py:557-574 vertical concat) and the distributed collage
+pipeline."""
+
+import numpy as np
+
+from ragflow_core16_ray.functions.image_ops import (crop, maybe_rotate,
+                                                    rotate90,
+                                                    vertical_concat)
+
+
+def _img(h, w, v=7):
+    return np.full((h, w, 3), v, dtype=np.uint8)
+
+
+def test_crop_with_margin_clamps():
+    img = _img(100, 200)
+    c = crop(img, 50, 10, 150, 90, margin=20)
+    assert c.shape == (100, 140, 3)  # top clamped to 0, bottom to 100
+    assert crop(img, 190, 90, 300, 300).shape == (10, 10, 3)
+    assert crop(img, 5, 5, 5, 50).size == 0  # degenerate box
+
+
+def test_rotate90_steps():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    assert rotate90(img).shape == (4, 3, 1)
+    assert rotate90(img, 2).shape == (3, 4, 1)
+    assert np.array_equal(rotate90(rotate90(img), 3), img)
+
+
+def test_maybe_rotate_tall_only():
+    tall = _img(90, 30)
+    wide = _img(30, 90)
+    assert maybe_rotate(tall).shape == (30, 90, 3)  # h/w=3 ≥ 1.5 → rotated
+    assert maybe_rotate(wide).shape == (30, 90, 3)  # untouched
+
+
+def test_vertical_concat_pads_to_max_width():
+    out = vertical_concat([_img(10, 30, 1), _img(5, 50, 2)])
+    assert out.shape == (15, 50, 3)
+    assert (out[:10, 30:] == 255).all()  # padded region is white
+    assert (out[10:, :50] == 2).all()
+    assert vertical_concat([]).size == 0
+
+
+def test_media_collage_pipeline(ray_session):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import media_collage
+
+    rows = [
+        {"doc_id": "a", "spans": [
+            {"kind": "figure", "text": "", "media_ref": "m://a/0", "offset": 0},
+            {"kind": "figure", "text": "", "media_ref": "m://a/1", "offset": 1},
+            {"kind": "section", "text": "x", "media_ref": "", "offset": 2}]},
+        {"doc_id": "b", "spans": [
+            {"kind": "section", "text": "y", "media_ref": "", "offset": 0}]},
+    ]
+    ds = rd.from_items(rows)
+    out = media_collage(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == ["a"]  # doc b has no figures
+    assert int(out["n_figures"].iloc[0]) == 2
+    assert int(out["collage_height"].iloc[0]) > 0
+    assert int(out["collage_width"].iloc[0]) >= 16
