@@ -93,6 +93,10 @@ def tokenize(text: str) -> list[str]:
     the reference's chain (rag_tokenizer.tokenize:291-300)."""
     if not text:
         return []
+    if text.isascii():
+        # width/trad-simp normalization and Han merging are no-ops on
+        # pure-ASCII text; skip them (the overwhelmingly common case)
+        return _TOKEN_RE.findall(text.lower())
     raw = _TOKEN_RE.findall(tradi2simp(str_q2b(text)).lower())
     out: list[str] = []
     run: list[str] = []
@@ -128,9 +132,13 @@ def tokenize(text: str) -> list[str]:
 def num_tokens(text: str) -> int:
     """Deterministic token count (the engine's chunk_token_num currency;
     role of rag/utils/__init__.py:81-90 num_tokens_from_string). Counts
-    the max-match segmentation, so a CJK word is one budget unit."""
+    the max-match segmentation, so a CJK word is one budget unit. ASCII
+    fast path: normalization and CJK merging cannot change the count, so
+    skip them (this is the hot path of every packing decision)."""
     if not text:
         return 0
+    if text.isascii():
+        return len(_TOKEN_RE.findall(text.lower()))
     return len(tokenize(text))
 
 
@@ -143,19 +151,16 @@ def ws_tokens(text: str) -> list[str]:
     return _WS_RE.split(t)
 
 
+_Q2B_TABLE = {0x3000: 0x20}
+_Q2B_TABLE.update({c: c - 0xFEE0 for c in range(0xFF01, 0xFF5F)})
+
+
 def str_q2b(s: str) -> str:
     """Full-width → half-width normalization (semantics of
     rag/nlp/rag_tokenizer.py:101-110 _strQ2B: U+3000 → space, U+FF01–FF5E →
-    ASCII)."""
-    out = []
-    for ch in s:
-        code = ord(ch)
-        if code == 0x3000:
-            code = 0x20
-        elif 0xFF01 <= code <= 0xFF5E:
-            code -= 0xFEE0
-        out.append(chr(code))
-    return "".join(out)
+    ASCII). One C-level translate, not a per-char Python loop — this sits
+    inside tokenize() on every merge/packing decision."""
+    return s.translate(_Q2B_TABLE)
 
 
 # traditional → simplified mapping for ~190 high-frequency characters
