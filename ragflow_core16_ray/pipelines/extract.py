@@ -137,7 +137,10 @@ def reassemble_staged(staging_dir: str,
     # metadata-only shard count (no payload read) sizes the skew leveling
     n_shards = sum(pq.read_metadata(os.path.join(staging_dir, f)).num_rows
                    for f in files)
-    shards = rd.read_parquet(staging_dir)
+    # one read task per staged file — more tasks than files yields empty
+    # schemaless blocks (and a noisy executor warning) on this tiny tail
+    shards = rd.read_parquet(staging_dir,
+                             override_num_blocks=min(len(files), 512))
     # spread shards of the same (huge) doc across workers before the
     # heavy parse — the explicit skew-leveling repartition. Only worth its
     # all-to-all when the tail is big; below that the per-file read blocks
