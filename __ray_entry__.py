@@ -82,6 +82,15 @@ def _extract_flat(sf_dir: str):
     ).map_batches(flatten, batch_format="pyarrow")
 
 
+def _chunk_docs(sf_dir: str):
+    """Index-ready chunk docs with content_ltks / content_sm_ltks (role of
+    rag/nlp/__init__.py:251-279 tokenize_chunks before the doc-store sink).
+    No SQL oracle: the *_tks fields are the BiMM tokenizer's output."""
+    from ragflow_core16_ray.stages.enrich import chunk_docs
+
+    return chunk_docs(os.path.join(_extract_out(sf_dir), "docs"))
+
+
 def _extract_override(sf_dir: str, template: str):
     """Template-override run: whole corpus through one forced chunking
     template — per-(template,kind) span counts, demonstrating the
@@ -176,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_laws": lambda sf: _extract_override(sf, "laws"),
         "extract_manual": lambda sf: _extract_override(sf, "manual"),
         "extraction_metrics": _extraction_metrics,
+        "chunk_docs": _chunk_docs,
         "media_features": _media_features,
         "media_collage": _media_collage,
         # --- text analysis over documents

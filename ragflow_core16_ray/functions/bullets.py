@@ -104,6 +104,36 @@ def index_int(text: str) -> int:
     return -1
 
 
+# Question-numbering taxonomy for the PDF Q/A mode (role of
+# rag/nlp/__init__.py:74-86 QUESTION_PATTERN + :151-165 qbullets_category).
+# One flat family list: unlike section bullets there is no level hierarchy —
+# a question list uses a single numbering convention throughout.
+_CJK_NUM = "[零一二三四五六七八九十百0-9]"
+QBULLET_FAMILIES: list[re.Pattern] = [
+    re.compile(rf"^第{_CJK_NUM}+问"),
+    re.compile(rf"^第{_CJK_NUM}+条"),
+    re.compile(r"^[（(][零一二三四五六七八九十百]+[)）]"),
+    re.compile(r"^\d{1,2}[.、]\s*"),
+    re.compile(r"^[（(]\d{1,2}[)）]"),
+    re.compile(r"^[零一二三四五六七八九十百]+、"),
+    re.compile(r"^(?:QUESTION|Q)[\s.]*\d+", re.I),
+    re.compile(r"^QUESTION\s+(?:[IVX]+|ONE|TWO|THREE|FOUR|FIVE|SIX|SEVEN"
+               r"|EIGHT|NINE|TEN)\b", re.I),
+]
+
+
+def qbullets_category(lines: list[str]) -> int:
+    """Vote the question-numbering convention: the pattern matching the
+    most lines wins; -1 when nothing matches (then the caller falls back
+    to the generic ?-suffix pairing)."""
+    best, best_hits = -1, 0
+    for fi, pat in enumerate(QBULLET_FAMILIES):
+        hits = sum(1 for s in lines if pat.match(s.strip()))
+        if hits > best_hits:
+            best, best_hits = fi, hits
+    return best
+
+
 _COLON_RE = re.compile(r"^([^:：\n]{2,40})[:：]\s*(\S.{19,})$", re.DOTALL)
 
 

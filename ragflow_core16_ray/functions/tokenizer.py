@@ -129,6 +129,56 @@ def tokenize(text: str) -> list[str]:
     return out
 
 
+_NUMERIC_RE = re.compile(r"[0-9,.\-]+$")
+_HAN_TOKEN_RE = re.compile(r"[\p{Han}]{2,}$")
+
+
+def _subsegment(w: str) -> list[str]:
+    """Forward max-match over ``w`` with the whole-token match excluded,
+    so a lexicon compound decomposes into its parts."""
+    out: list[str] = []
+    i, n = 0, len(w)
+    while i < n:
+        for ln in range(min(_CJK_MAX_WORD, n - i), 0, -1):
+            if i == 0 and ln == n:
+                continue  # the token itself is not a decomposition
+            piece = w[i:i + ln]
+            if ln == 1 or piece in _CJK_LEXICON:
+                out.append(piece)
+                i += ln
+                break
+    return out
+
+
+def fine_grained_tokenize(tokens: list[str]) -> list[str]:
+    """Second-pass fine segmentation (semantics of
+    rag/nlp/rag_tokenizer.py:364-402 fine_grained_tokenize): on a
+    mostly-non-CJK token list, only '/'-compounds are split; on a CJK
+    list, tokens of 3+ Han chars are re-segmented with the token itself
+    excluded from the lexicon ('研究生' → '研究 生'), kept whole when the
+    decomposition is all single chars (no real sub-words found) or the
+    token is numeric/short."""
+    if not tokens:
+        return []
+    han = sum(1 for t in tokens if t and _CJK_RE.match(t[0]))
+    if han < 0.2 * len(tokens):
+        out: list[str] = []
+        for t in tokens:
+            out.extend(t.split("/") if "/" in t else (t,))
+        return out
+    out = []
+    for t in tokens:
+        if len(t) < 3 or _NUMERIC_RE.fullmatch(t) or not _HAN_TOKEN_RE.fullmatch(t):
+            out.append(t)
+            continue
+        pieces = _subsegment(t)
+        if any(len(p) > 1 for p in pieces):
+            out.extend(pieces)
+        else:
+            out.append(t)
+    return out
+
+
 def num_tokens(text: str) -> int:
     """Deterministic token count (the engine's chunk_token_num currency;
     role of rag/utils/__init__.py:81-90 num_tokens_from_string). Counts

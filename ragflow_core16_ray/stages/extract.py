@@ -112,6 +112,58 @@ def _qa_from_md(lines: list[str]) -> list[dict]:
     return out
 
 
+def _qa_from_pdf(spans: list[dict]) -> list[dict]:
+    """PDF Q-bullet mode (rag/app/qa.py:103-170 Pdf + qbullets_category):
+    vote ONE question-numbering convention over the doc's lines, then a
+    state machine in reading order — a line starting with the voted bullet
+    flushes the open pair and opens a new question (question text runs
+    through the first ？/? or to end of line, the remainder of the line
+    seeds the answer); any other line extends the open answer; a table
+    encountered mid-answer is folded into the answer stream (the
+    reference's interleaved tbl_text insertion). Lines before the first
+    question are dropped. Returns [] when no family wins the vote (caller
+    falls back to the generic ?-suffix pairing), mirroring the reference's
+    'Unable to recognize Q&A structure' failure path. Assumes tag-free
+    text (keep_positions off), as positions live in crops there."""
+    import re
+
+    from ..functions.bullets import QBULLET_FAMILIES, qbullets_category
+
+    stream: list[tuple[str, str]] = []
+    for s in spans:
+        if s["kind"] in ("section", "title"):
+            stream.extend(("line", ln) for ln in s["text"].split("\n")
+                          if ln.strip())
+        elif s["kind"] == "table_row":
+            stream.append(("table", s["text"]))
+    fam = qbullets_category([t for k, t in stream if k == "line"])
+    if fam < 0:
+        return []
+    bullet = QBULLET_FAMILIES[fam]
+    q_re = re.compile(bullet.pattern + r".*?(?:[?？]|$)", bullet.flags)
+    out: list[dict] = []
+    q = a = ""
+
+    def flush():
+        nonlocal q, a
+        if q:
+            out.append(make_span("qa", f"{q}\n{a.strip()}" if a.strip() else q))
+        q = a = ""
+
+    for kind, text in stream:
+        t = text.strip()
+        if kind == "table" or not bullet.match(t):
+            if q:
+                a += "\n" + t
+            continue
+        flush()
+        m = q_re.match(t)
+        q = m.group(0) if m else t
+        a = t[len(q):]
+    flush()
+    return out
+
+
 def _qa_from_rows(rows: list[str]) -> list[dict]:
     """Two-column QA mode (rag/app/qa.py:36-77 Excel semantics): per row,
     the first non-empty cell is the question, the second the answer; rows
@@ -449,7 +501,8 @@ def _manual_merge(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     return finalize_offsets(merged + others)
 
 
-def phase_b(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+def phase_b(template: str, spans: list[dict], cfg: ExtractConfig,
+            base: str | None = None) -> list[dict]:
     # cross-shard table continuation: merge same-tno table_cells fragments
     # (a table split by a page-range shard cut) and render them before any
     # template merge — the reference's cross-page table merge,
@@ -489,6 +542,13 @@ def phase_b(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
         merged = [make_span("section", joined)] if joined else []
         return finalize_offsets(merged + others)
     if template == "qa":
+        if base == "pdfish":
+            # PDF docs get the Q-bullet state machine; tables were folded
+            # into answers, so only figures pass through
+            pdf_pairs = _qa_from_pdf(spans)
+            if pdf_pairs:
+                figures = [s for s in spans if s["kind"] == "figure"]
+                return finalize_offsets(pdf_pairs + figures)
         texts = [s["text"] for s in spans if s["kind"] == "section"]
         others = [s for s in spans if s["kind"] not in ("section", "title")]
         merged = [make_span("qa", f"{q}\n{a}" if a else q)
@@ -531,7 +591,7 @@ def extract_doc(spans: list[dict], cfg: ExtractConfig = DEFAULT_CONFIG,
     parsed: list[dict] = []
     for sh in shards:
         parsed.extend(phase_a(base, sh, cfg))
-    return template, phase_b(template, parsed, cfg), len(shards)
+    return template, phase_b(template, parsed, cfg, base=base), len(shards)
 
 
 # --------------------------------------------------- map_batches stages ----
@@ -592,8 +652,9 @@ def make_reassembler(cfg: ExtractConfig = DEFAULT_CONFIG):
             spans.extend(spans_to_pylist(shard_spans))
         # shard rows carry the content (base) template; an override only
         # changes the phase-B chunking
-        template = cfg.template_override or group["template"].iloc[0]
-        out = phase_b(template, spans, cfg)
+        base = group["template"].iloc[0]
+        template = cfg.template_override or base
+        out = phase_b(template, spans, cfg, base=base)
         return pa.Table.from_pylist([{
             "doc_id": group["doc_id"].iloc[0],
             "template": template,

@@ -348,3 +348,42 @@ def test_tradi2simp():
     assert tokenize("數據流處理") == ["数据流", "处理"]
     # and full-width latin + case fold first (rag_tokenizer chain)
     assert tokenize("ＡＢＣ Data") == ["abc", " data"]
+
+
+def test_fine_grained_tokenize():
+    from ragflow_core16_ray.functions.tokenizer import (fine_grained_tokenize,
+                                                        tokenize)
+
+    # mostly-CJK list: a 3-char lexicon compound decomposes into its parts
+    # (rag_tokenizer.fine_grained_tokenize:364-402 second-best dict split)
+    assert fine_grained_tokenize(["研究生", "科学"]) == ["研究", "生", "科学"]
+    # short / numeric tokens kept whole
+    assert fine_grained_tokenize(["数据", "12.5", "科学"]) == [
+        "数据", "12.5", "科学"]
+    # mostly-non-CJK list: only '/'-compounds split
+    assert fine_grained_tokenize(["tcp/ip", "stack"]) == ["tcp", "ip", "stack"]
+    # end-to-end: tokenize then refine
+    toks = tokenize("研究生命科学")
+    assert fine_grained_tokenize(toks) == ["研究", "生命", "科学"]
+
+
+def test_chunk_doc_tokens_fields(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from ragflow_core16_ray.stages.enrich import tokenize_chunk_batch
+
+    batch = pa.table({
+        "doc_id": ["d1"],
+        "template": ["naive"],
+        "spans": [[{"kind": "section", "text": "Streams of 数据流处理 rock.",
+                    "media_ref": "", "offset": 0},
+                   {"kind": "table_html",
+                    "text": "<table><tr><td>a b</td></tr></table>",
+                    "media_ref": "", "offset": 1}]],
+    })
+    out = tokenize_chunk_batch(batch)
+    assert out.column("content_ltks").to_pylist()[0] == \
+        "streams  of   数据流 处理  rock ."
+    # table markup stripped before tokenizing (rag/nlp/__init__.py:253)
+    assert "table" not in out.column("content_ltks").to_pylist()[1]
+    assert out.column("content_with_weight").to_pylist()[1].startswith("<table>")

@@ -177,3 +177,46 @@ def test_template_qa_two_column_mode():
         ("qa", "What is Ray?\nA compute engine."),
         ("qa", "What about empties?\nSkips blank cells."),
     ]
+
+
+def _pdf_textbox(text, page, top):
+    d = {"t": text, "x0": 60.0, "x1": 540.0, "top": float(top),
+         "bot": float(top + 20), "page": page, "lay": "text"}
+    return make_span("box", json.dumps(d, sort_keys=True))
+
+
+def test_template_qa_pdf_mode():
+    # rag/app/qa.py:103-170 Pdf + rag/nlp qbullets_category: vote one
+    # question-numbering family, then bullet lines open questions, other
+    # lines extend answers, tables fold into the open answer, preamble
+    # before the first bullet is dropped.
+    def tbox(text, page, top, row):
+        d = {"t": text, "x0": 60.0, "x1": 170.0, "top": float(top),
+             "bot": float(top + 20), "page": page, "lay": "table",
+             "row": row, "col": 0, "tno": 0}
+        return make_span("box", json.dumps(d, sort_keys=True))
+
+    spans = [
+        _pdf_textbox("Exam preamble, not a question.", 0, 100),
+        _pdf_textbox("1. What is a shard?", 0, 200),
+        _pdf_textbox("A unit of parallel work.", 0, 300),
+        tbox("eight pages", 0, 400, 0),
+        _pdf_textbox("2. How many pages? Twelve pages each.", 0, 500),
+    ]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="qa"))
+    assert tmpl == "qa"
+    qa = [(s["kind"], s["text"]) for s in out if s["kind"] == "qa"]
+    assert qa == [
+        ("qa", "1. What is a shard?\nA unit of parallel work.\neight pages"),
+        ("qa", "2. How many pages?\nTwelve pages each."),
+    ]
+
+
+def test_qbullets_category_vote():
+    from ragflow_core16_ray.functions.bullets import qbullets_category
+
+    # arabic "N." outnumbers the single parenthesized line -> family 3
+    assert qbullets_category(
+        ["1. first?", "2. second?", "(3) other"]) == 3
+    assert qbullets_category(["no bullets here", "plain text"]) == -1
+    assert qbullets_category(["第一问 什么?", "第二问 为何?"]) == 0
