@@ -104,12 +104,20 @@ def coerce(cell: str, typ: str) -> str:
 
 
 _SLUG_RE = re.compile(r"[^0-9a-zA-Z一-鿿]+")
+# "/alt-name" suffixes and parenthesized hints are dropped before naming,
+# as in the reference's re.sub (rag/app/table.py:197-202)
+_HINT_RE = re.compile(r"(/.*|（[^（）]*?）|\([^()]*?\))")
 
 
 def field_name(header: str, typ: str) -> str:
-    """Slugged header + type suffix (role of the reference's
-    pinyin-+-suffix naming, rag/app/table.py:196-211)."""
-    slug = _SLUG_RE.sub("_", header.strip().lower()).strip("_") or "col"
+    """Pinyin-ized, slugged header + type suffix (rag/app/table.py:196-211
+    ``PY.get_pinyins(header, '_').lower() + suffix``). Han chars covered by
+    the built-in table become pinyin syllables; the rest stay in the slug
+    verbatim."""
+    from .pinyin import pinyinize
+
+    base = pinyinize(_HINT_RE.sub("", header.strip()).lower())
+    slug = _SLUG_RE.sub("_", base).strip("_") or "col"
     return slug + TYPE_SUFFIX[typ]
 
 

@@ -387,3 +387,16 @@ def test_chunk_doc_tokens_fields(ray_session, tmp_path):
     # table markup stripped before tokenizing (rag/nlp/__init__.py:253)
     assert "table" not in out.column("content_ltks").to_pylist()[1]
     assert out.column("content_with_weight").to_pylist()[1].startswith("<table>")
+
+
+def test_field_name_pinyin():
+    from ragflow_core16_ray.functions.table import field_name
+
+    # rag/app/table.py:196-211: pinyin-joined header + type suffix,
+    # '/alt' and parenthesized hints stripped first
+    assert field_name("年龄", "int") == "nian_ling_long"
+    assert field_name("姓名（必填）", "text") == "xing_ming_tks"
+    assert field_name("price/单价", "float") == "price_flt"
+    assert field_name("金额(元)", "float") == "jin_e_flt"
+    # unknown Han chars stay verbatim rather than guessing a reading
+    assert field_name("鑫垚", "text") == "鑫垚_tks"
