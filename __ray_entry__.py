@@ -332,6 +332,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
         """,
+        "simhash_pairs": r"""
+            WITH th AS (
+              SELECT doc_id, md5_number_lower(w) AS h
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\s+')) AS w
+                    FROM documents WHERE trim(text) <> '')
+            ), bits AS (
+              SELECT doc_id, i,
+                     CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1
+                                        THEN 1 ELSE -1 END) > 0
+                          THEN (1::UBIGINT << i) ELSE 0::UBIGINT END AS bv
+              FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+              GROUP BY doc_id, i
+            ), sims AS (
+              SELECT d.doc_id,
+                     COALESCE(s.sim, 0::UBIGINT) AS sim
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN (SELECT doc_id, CAST(SUM(bv) AS UBIGINT) AS sim
+                         FROM bits GROUP BY doc_id) s USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        """,
         "jaccard_clusters": r"""
             WITH RECURSIVE words AS (
               SELECT doc_id,

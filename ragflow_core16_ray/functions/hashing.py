@@ -27,6 +27,14 @@ def content_id(content: str, doc_id: str) -> str:
     ).hexdigest()
 
 
+def md5_hash64(text: str) -> int:
+    """64-bit word hash equal to DuckDB's ``md5_number_lower`` (the low
+    half of the md5 digest, little-endian) — chosen for the simhash
+    pipeline so its oracle can recompute identical signatures in SQL."""
+    return int.from_bytes(
+        hashlib.md5(text.encode("utf-8")).digest()[8:16], "little")
+
+
 def md5_hex(text: str) -> str:
     """md5 hexdigest — chosen for the oracled fingerprint query because
     DuckDB's md5() produces the identical string."""

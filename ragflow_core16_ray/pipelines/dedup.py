@@ -260,7 +260,13 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, est_threshold: float = 0.5,
 # ------------------------------------------------------------- simhash ---
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (public Charikar scheme)."""
+    """64-bit SimHash over whitespace tokens (public Charikar scheme).
+    The word hash is DuckDB-reproducible (``md5_number_lower``), so the
+    driver oracle recomputes identical signatures in pure SQL — and since
+    the pigeonhole piece-collision search is EXACT for hamming ≤
+    max_hamming, the whole pipeline is hash-checkable, not approximate."""
+    from ..functions.hashing import md5_hash64
+
     words = text.lower().split()
     if not words:
         return 0
@@ -268,7 +274,7 @@ def simhash64(text: str) -> int:
     idx = np.arange(64, dtype=np.uint64)
     one = np.uint64(1)
     for w in words:
-        bits = (np.uint64(hash64(w)) >> idx) & one
+        bits = (np.uint64(md5_hash64(w)) >> idx) & one
         v += np.where(bits == one, 1, -1)
     out = 0
     for i in range(64):
