@@ -55,35 +55,42 @@ def _shingles(text: str, k: int = 3) -> set[str]:
 
 # ---------------------------------------------------------------- exact ---
 
-def exact_dedup(sf_dir: str) -> rd.Dataset:
+def exact_dedup(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """One row per distinct text: keep_id = min doc_id, n_dups = count.
 
-    Shuffle plan: the groupby KEY is a 128-bit content hash (md5 hex), not
-    the text itself — block assignment, key comparison and within-block
-    sorting touch 32-byte strings instead of multi-KB documents. The text
-    rides once per distinct-text-per-batch as payload (the output must
-    contain each kept text anyway, so that traffic is the output, not
-    overhead); same-hash rows have identical text, so Min("text") is an
-    exact representative pick."""
+    Shuffle plan: per-batch partial (text → min doc_id, count) first, so
+    the shuffle moves one row per distinct-text-per-batch; the groupby KEY
+    is a bounded BUCKET of a 128-bit content hash (md5 hex), so block
+    assignment and sorting touch an int32, never the multi-KB text (the
+    text rides once as payload — the output must contain each kept text
+    anyway, so that traffic is the output, not overhead). Inside a bucket
+    one vectorized pandas groupby over the hash merges the partials;
+    same-hash rows have identical text, so 'first' is an exact
+    representative pick. ``n_buckets`` bounds per-task width — size it to
+    a few × cluster cores (the corpus/n_buckets distinct-text payload per
+    bucket is the per-task memory bound)."""
     import hashlib
-
-    from ray.data.aggregate import Min, Sum
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("text", sort=False)["doc_id"].agg(["min", "size"])
         texts = g.index.to_numpy()
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
         return pd.DataFrame({
-            "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
-            "text": texts, "keep_id": g["min"].values,
+            "bucket": pd.array([int(x[:8], 16) % n_buckets for x in h],
+                               dtype="int32"),
+            "h": h, "text": texts, "keep_id": g["min"].values,
             "n_dups": g["size"].values})
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        partial, batch_format="pandas")
-    agg = ds.groupby("h").aggregate(
-        Min("text", alias_name="text"),
-        Min("keep_id", alias_name="keep_id"),
-        Sum("n_dups", alias_name="n_dups"))
-    return agg.drop_columns(["h"])
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("h", sort=False)
+                .agg(text=("text", "first"), keep_id=("keep_id", "min"),
+                     n_dups=("n_dups", "sum"))
+                .reset_index(drop=True))
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(bucket_merge, batch_format="pandas"))
 
 
 # ------------------------------------------------- exact jaccard pairs ---
