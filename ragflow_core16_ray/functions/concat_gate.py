@@ -178,31 +178,46 @@ def should_concat(up: LineGeom, down: LineGeom) -> bool:
     booster's predict() <= 0.5 gate (pdf_parser.py:540-543). Weights are
     hand-set to reproduce the booster's *decisions* on the fixture table
     (tests/test_concat_gate.py) — continuation typography concatenates,
-    sentence/bullet/table boundaries do not."""
-    fea = updown_concat_features(up, down)
-    if not fea[3]:                 # layout type change: never concat
+    sentence/bullet/table boundaries do not.
+
+    Hot path note: only the geometry/regex features participate in the
+    rule threshold, so they are computed directly here; the token-overlap
+    features (25-27, 30-31 — booster-only signal we cannot weight without
+    the trained model) live in :func:`updown_concat_features`, which this
+    MUST stay decision-equivalent to on the fixture table (asserted by
+    tests/test_concat_gate.py::test_gate_uses_feature_vector). This runs
+    once per adjacent line pair of every PDF page — it was ~half of
+    pdfish parse time when it tokenized."""
+    if up.lay != down.lay:         # fea[3]: layout type change, never concat
         return False
-    if fea[15]:                    # down starts a new bullet/numbered item
+    ut, dt = up.text, down.text
+    if match_proj(dt):             # fea[15]: down starts a bullet/number
         return False
+    h = max(up.height, down.height)
+    y_rel = ((down.top + down.bot - up.top - up.bot) / 2) / h  # fea[1]
+    sent_end = bool(_SENT_END.search(ut))                      # fea[8]
     score = 0
-    score += 1 if not fea[8] else 0  # unfinished sentence tends to continue
-    score -= 3 if fea[8] else 0    # up ended a sentence
-    score += 3 if fea[9] else 0    # up ends mid-clause (comma/colon/open)
-    score += 2 if fea[10] else 0   # down begins with closing punctuation
-    score += 4 if fea[14] else 0   # paren opened in up, closed in down
-    score += 1 if fea[18] else 0   # up tail is lowercase/digit
-    score -= 1 if fea[16] and fea[8] else 0   # fresh Capitalized sentence
-    score -= 2 if fea[19] else 0   # down is a bare number (page no/cell)
-    if fea[1] > 2.5:               # vertical whitespace ≥ ~2.5 line heights
+    score += 1 if not sent_end else 0  # unfinished sentence continues
+    score -= 3 if sent_end else 0      # up ended a sentence
+    score += 3 if _CONT_END.search(ut) else 0     # fea[9]: mid-clause
+    score += 2 if _DOWN_CLOSE.search(dt) else 0   # fea[10]: closing punct
+    score += 4 if (_PAREN_OPEN.search(ut)
+                   and _PAREN_CLOSE.search(dt)) else 0  # fea[14]
+    score += 1 if (ut and _LOWER_DIGIT.match(ut[-1])) else 0  # fea[18]
+    score -= 1 if (_UPPER.match(dt) and sent_end) else 0      # fea[16]&[8]
+    score -= 2 if _NUMERIC.match(dt) else 0       # fea[19]: bare number
+    if y_rel > 2.5:                # vertical whitespace ≥ ~2.5 line heights
         score -= 2
-    if fea[1] < -0.5:              # down sits ABOVE up: a column/flow break
+    if y_rel < -0.5:               # down sits ABOVE up: a column/flow break
         score -= 3                 # (the reference's Y-sorted dfs never
                                    # descends upward; our column-major
                                    # stream can, so gate it explicitly)
-    if fea[23] > 8:                # horizontal gap / indent jump
-        score -= 1
-    if fea[22] > 0.5:              # strong font-size change
-        score -= 1
-    if fea[28] >= 2:               # both lines sit in multi-box rows
-        score -= 1
+    x_dis = min(abs(up.x1 - down.x0), abs(up.x0 - down.x1),
+                abs(up.x0 + up.x1 - down.x0 - down.x1) / 2)
+    if x_dis / max(max(up.char_width, down.char_width), 1e-6) > 8:
+        score -= 1                 # fea[23]: horizontal gap / indent jump
+    if abs(up.height - down.height) / min(up.height, down.height) > 0.5:
+        score -= 1                 # fea[22]: strong font-size change
+    if max(down.in_row, up.in_row) >= 2:
+        score -= 1                 # fea[28]: both lines in multi-box rows
     return score > 0

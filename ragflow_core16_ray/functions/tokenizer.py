@@ -55,13 +55,24 @@ _CJK_LEXICON = frozenset("""
 """.split())
 _CJK_MAX_WORD = max(map(len, _CJK_LEXICON))
 _CJK_RUN_RE = re.compile(r"[\p{Han}]+")
+# chars that can START (resp. END) a lexicon word: any other char can only
+# ever be a single-char token, so the max-match inner loop skips straight
+# to it (most Han chars in real text are not in the compact lexicon)
+_LEX_FIRST = frozenset(w[0] for w in _CJK_LEXICON)
+_LEX_LAST = frozenset(w[-1] for w in _CJK_LEXICON)
 
 
 def _max_match(run: str, forward: bool) -> list[str]:
     out: list[str] = []
     i = 0
     n = len(run)
+    anchors = _LEX_FIRST if forward else _LEX_LAST
     while i < n:
+        ch = run[i] if forward else run[n - i - 1]
+        if ch not in anchors:
+            out.append(ch)
+            i += 1
+            continue
         for ln in range(min(_CJK_MAX_WORD, n - i), 0, -1):
             piece = (run[i:i + ln] if forward
                      else run[n - i - ln:n - i])

@@ -104,3 +104,44 @@ def test_column_wrap_feature():
     u = _line("right column tail", x0=320, x1=540)
     d = _line("left column head", x0=50, x1=280, top=100, bot=120)
     assert updown_concat_features(u, d)[21] is True
+
+
+def _score_from_vector(fea):
+    """The rule threshold expressed over the full 32-feature vector —
+    the spec should_concat's fast path must stay decision-equivalent to."""
+    if not fea[3] or fea[15]:
+        return False
+    score = 0
+    score += 1 if not fea[8] else -3
+    score += 3 if fea[9] else 0
+    score += 2 if fea[10] else 0
+    score += 4 if fea[14] else 0
+    score += 1 if fea[18] else 0
+    score -= 1 if fea[16] and fea[8] else 0
+    score -= 2 if fea[19] else 0
+    if fea[1] > 2.5:
+        score -= 2
+    if fea[1] < -0.5:
+        score -= 3
+    if fea[23] > 8:
+        score -= 1
+    if fea[22] > 0.5:
+        score -= 1
+    if fea[28] >= 2:
+        score -= 1
+    return score > 0
+
+
+def test_gate_uses_feature_vector():
+    # the tokenize-free fast path in should_concat must match the
+    # vector-based scoring on every fixture pair AND on a geometry sweep
+    pairs = [_pair(c[1], c[2], **dict(c[3])) for c in CASES]
+    for dy in (5.0, 25.0, 80.0, -40.0):
+        for lay in ("text", "table"):
+            for txt in ("continues without end", "Ends here.", "第 3 页"):
+                pairs.append((_line("an unfinished leading line"),
+                              _line(txt, top=120 + dy, bot=140 + dy,
+                                    lay=lay, in_row=2)))
+    for u, d in pairs:
+        assert should_concat(u, d) == _score_from_vector(
+            updown_concat_features(u, d)), (u.text, d.text)
