@@ -400,3 +400,58 @@ def test_field_name_pinyin():
     assert field_name("金额(元)", "float") == "jin_e_flt"
     # unknown Han chars stay verbatim rather than guessing a reading
     assert field_name("鑫垚", "text") == "鑫垚_tks"
+
+
+def test_pdfish_two_column_edge_cases():
+    # Edge cases hand-traced from the reference's ordering semantics
+    # (deepdoc/parser/pdf_parser.py sort_Y_firstly + column handling):
+    # (a) same-visual-line fuzz — tops within the rounding fuzz order by
+    # x0; (b) a column-start gap NOT exceeding the 100pt bar stays
+    # row-major; (c) on a real two-column page a full-width title at the
+    # top leads its column flow, and a figure in the right column joins
+    # that column's stream at its y-position.
+    # (a) fuzz: tops 100.04 vs 100.06 round to the same line -> x0 order
+    spans = [
+        _mk_box("right.", 320, 550, 100.06, 120, 0, "text"),
+        _mk_box("left.", 50, 280, 100.04, 120, 0, "text"),
+    ]
+    # gap 320-280=40 <= 100: row-major, x0 breaks the tie
+    assert [s["text"] for s in extract_pdfish(spans)] == ["left.", "right."]
+
+    # (b) borderline x0-cluster gap exactly 100 is NOT two-column (strict
+    # > 100): row-major by top, x0 inside a line
+    spans = [
+        _mk_box("A1.", 50, 140, 100, 120, 0, "text"),
+        _mk_box("B1.", 150, 550, 100, 120, 0, "text"),
+        _mk_box("A2.", 50, 140, 160, 180, 0, "text"),
+        _mk_box("B2.", 150, 550, 160, 180, 0, "text"),
+    ]
+    # x0 clusters {50},{150}: min(right)-max(left) = 100 -> row-major;
+    # the concat gate then merges the same-visual-line halves, and the
+    # sentence end before A2 breaks the flow between rows
+    assert [s["text"] for s in extract_pdfish(spans)] == [
+        "A1. B1.", "A2. B2."]
+
+    # (c) two-column page: title tops the left flow, right-column figure
+    # rides its column at its y
+    spans = [
+        _mk_box("Doc Title", 50, 550, 40, 70, 0, "title"),
+        _mk_box("L1.", 50, 280, 100, 120, 0, "text"),
+        _mk_box("L2.", 50, 280, 160, 180, 0, "text"),
+        _mk_box("R1.", 420, 550, 100, 120, 0, "text"),
+        _mk_box("R2.", 420, 550, 200, 220, 0, "text"),
+        _mk_box("Fig body", 420, 550, 140, 180, 0, "figure"),
+        _mk_box("Figure 1: plot", 420, 550, 185, 195, 0, "caption"),
+    ]
+    out = extract_pdfish(spans)
+    kinds_texts = [(s["kind"], s["text"]) for s in out]
+    assert kinds_texts[0] == ("title", "Doc Title")
+    texts = [s["text"] for s in out if s["kind"] == "section"]
+    assert texts == ["L1.", "L2.", "R1.", "R2."]
+    # the figure span sits between R1 and R2 in the emitted stream
+    kinds = [s["kind"] for s in out]
+    assert "figure" in kinds
+    fig_i = kinds.index("figure")
+    r1_i = [i for i, s in enumerate(out) if s["text"] == "R1."][0]
+    r2_i = [i for i, s in enumerate(out) if s["text"] == "R2."][0]
+    assert r1_i < fig_i < r2_i
