@@ -441,7 +441,6 @@ def test_pdfish_two_column_edge_cases():
         _mk_box("R1.", 420, 550, 100, 120, 0, "text"),
         _mk_box("R2.", 420, 550, 200, 220, 0, "text"),
         _mk_box("Fig body", 420, 550, 140, 180, 0, "figure"),
-        _mk_box("Figure 1: plot", 420, 550, 185, 195, 0, "caption"),
     ]
     out = extract_pdfish(spans)
     kinds_texts = [(s["kind"], s["text"]) for s in out]
