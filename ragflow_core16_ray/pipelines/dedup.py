@@ -299,10 +299,44 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
     n_pieces = max_hamming + 1
     piece_bits = 64 // n_pieces
 
+    def _batch_simhashes(texts) -> list[int]:
+        """Vectorized batch simhash: each distinct word is md5-hashed ONCE
+        per batch (vocabulary is Zipfian, so this collapses most of the
+        hashing), its ±1 bit row built once, then each doc is one
+        counts-by-word × bitrow matmul."""
+        from ..functions.hashing import md5_hash64
+
+        docs_words = [t.lower().split() for t in texts]
+        vocab: dict[str, int] = {}
+        for ws in docs_words:
+            for w in ws:
+                if w not in vocab:
+                    vocab[w] = len(vocab)
+        if not vocab:
+            return [0] * len(texts)
+        hs = np.fromiter((md5_hash64(w) for w in vocab), dtype=np.uint64,
+                         count=len(vocab))
+        idx = np.arange(64, dtype=np.uint64)
+        bitrows = np.where((hs[:, None] >> idx) & np.uint64(1) == 1,
+                           np.int64(1), np.int64(-1))  # (U, 64)
+        out = []
+        weights = np.arange(64, dtype=np.uint64)
+        for ws in docs_words:
+            if not ws:
+                out.append(0)
+                continue
+            ids = np.fromiter((vocab[w] for w in ws), dtype=np.int64,
+                              count=len(ws))
+            uniq, cnt = np.unique(ids, return_counts=True)
+            v = cnt @ bitrows[uniq]
+            bits = (v > 0).astype(np.uint64)
+            out.append(int((bits << weights).sum()))
+        return out
+
     def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
         dids, keys, sims = [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
-            h = simhash64(text)
+        hashes = _batch_simhashes(batch["text"])
+        for did, h in zip(batch["doc_id"], hashes):
             for p in range(n_pieces):
                 piece = (h >> (p * piece_bits)) & ((1 << piece_bits) - 1)
                 dids.append(did)
