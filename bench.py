@@ -72,7 +72,7 @@ BENCH_QUERIES = [
     "emb_near_dup", "emb_topk", "emb_lsh_topk",
     "pricing_summary", "nation_revenue", "top_customers",
     "events_hourly", "events_sessions", "events_asof_orders",
-    "media_features",
+    "media_features", "chunk_docs",
 ]
 
 
@@ -95,7 +95,13 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
 
     per_query = {}
     if include_queries:
+        from ragflow_core16_ray.stages.enrich import chunk_docs as _chunks
+
         qs = e.queries()
+        # time chunk_docs over THIS run's extraction output (the query's
+        # own helper would re-extract into its marker dir)
+        qs = dict(qs, chunk_docs=lambda _sf: _chunks(
+            os.path.join(out_dir, "docs")))
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             n = _consume(qs[name](sf_dir))

@@ -30,6 +30,11 @@ Topology (designed for 100 TB / multi-node; tested single-node):
 Role mapping to the reference: pass-1 fusion = its unsharded tasks; the
 staging dir = its Redis/MySQL task queue for page-range tasks
 (task_service.py:292-388); the groupby = its per-doc chunk reassembly.
+
+Multi-node assumption: the staging dir, output dir and lineage manifests
+are PATHS — on a real cluster they must live on shared storage (objstore/
+NFS/S3-style). Every worker writes/reads them by name; nothing else in
+the topology is node-local.
 """
 
 from __future__ import annotations
