@@ -67,20 +67,17 @@ def route_template(spans: list[dict]) -> str:
 
 # ------------------------------------------------------------- phase A ----
 
-def _qa_from_md(lines: list[str]) -> list[dict]:
-    """Markdown QA mode (rag/app/qa.py:413-447): a `#`-heading is a
-    question; the question TEXT is the join of the live heading stack
-    (deeper headings stack, a heading pops everything at its level or
-    deeper); the answer is every line until the next heading. `#` inside
-    fenced code blocks is not a heading; pairs with an empty answer are
-    dropped. The reference renders the answer markdown to HTML (the
-    `markdown` lib is absent here — the raw answer text is kept, same
-    pairing)."""
+def _qa_stack(leveled: list[tuple[int, str]]) -> list[dict]:
+    """Shared heading-stack Q/A pairing (the state machine of both
+    rag/app/qa.py:413-447 markdown mode and :185-257 Docx mode): level>0
+    lines are questions — the question TEXT is the join of the live
+    heading stack (deeper headings stack, a heading pops everything at
+    its level or deeper); level==0 (or >6) lines extend the answer; pairs
+    with an empty answer are dropped."""
     out: list[dict] = []
     question_stack: list[str] = []
     level_stack: list[int] = []
     last_answer = ""
-    code_block = False
 
     def emit():
         nonlocal last_answer
@@ -89,6 +86,27 @@ def _qa_from_md(lines: list[str]) -> list[dict]:
                 "qa", "\n".join(question_stack) + "\n" + last_answer.strip()))
         last_answer = ""
 
+    for level, text in leveled:
+        if not level or level > 6:
+            last_answer += "\n" + text
+            continue
+        emit()
+        while question_stack and level <= level_stack[-1]:
+            question_stack.pop()
+            level_stack.pop()
+        question_stack.append(text)
+        level_stack.append(level)
+    emit()
+    return out
+
+
+def _qa_from_md(lines: list[str]) -> list[dict]:
+    """Markdown QA mode (rag/app/qa.py:413-447): a `#`-heading is a
+    question (`#` inside fenced code blocks is not a heading). The
+    reference renders the answer markdown to HTML (the `markdown` lib is
+    absent here — the raw answer text is kept, same pairing)."""
+    leveled: list[tuple[int, str]] = []
+    code_block = False
     for line in lines:
         if line.strip().startswith("```"):
             code_block = not code_block
@@ -98,18 +116,37 @@ def _qa_from_md(lines: list[str]) -> list[dict]:
             while i < len(line) and line[i] == "#":
                 i += 1
             level = i
-        if not level or level > 6:
-            last_answer += "\n" + line
-            continue
-        emit()
-        question = line.lstrip("#").lstrip()
-        while question_stack and level <= level_stack[-1]:
-            question_stack.pop()
-            level_stack.pop()
-        question_stack.append(question)
-        level_stack.append(level)
-    emit()
-    return out
+        leveled.append((level, line.lstrip("#").lstrip() if level else line))
+    return _qa_stack(leveled)
+
+
+_HEADING_STYLE_RE = None
+
+
+def _qa_from_docx(spans: list[dict]) -> list[dict]:
+    """DOCX QA mode (rag/app/qa.py:185-257 Docx + rag/nlp
+    docx_question_level): a Heading-N-styled paragraph is a level-N
+    question; other paragraphs and tables extend the answer, with the
+    same heading-stack pairing as markdown."""
+    import re
+
+    from ..functions.docx import parse_docx
+
+    global _HEADING_STYLE_RE
+    if _HEADING_STYLE_RE is None:
+        _HEADING_STYLE_RE = re.compile(r"Heading ?(\d+)$")
+    leveled: list[tuple[int, str]] = []
+    for s in spans:
+        if s["kind"] == "docx":
+            parsed = parse_docx(s["text"])
+            for text, style, _images in parsed.paragraphs:
+                m = _HEADING_STYLE_RE.match(style)
+                leveled.append((int(m.group(1)) if m else 0, text))
+            for html in parsed.tables:
+                leveled.append((0, html))
+        elif s["kind"] == "text":
+            leveled.append((0, s["text"]))
+    return _qa_stack(leveled)
 
 
 def _qa_from_pdf(spans: list[dict]) -> list[dict]:
@@ -186,6 +223,8 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
         if template == "table":
             return _qa_from_rows(
                 [s["text"] for s in spans if s["kind"] == "row"])
+        if template == "docx":
+            return _qa_from_docx(spans)
     if template == "pdfish":
         return extract_pdfish(spans, page_height=cfg.page_height,
                               keep_positions=cfg.keep_positions)

@@ -110,3 +110,27 @@ def test_extract_accepts_caption_figures():
     assert len(figs) == 1
     assert figs[0]["text"] == "Figure 1: a chart"  # caption rides the figure
     assert figs[0]["media_ref"] == "docx://media/image1.png"
+
+
+def test_docx_qa_mode():
+    # rag/app/qa.py:185-257 Docx + docx_question_level: Heading-N styles
+    # are level-N questions, the heading stack forms the question path,
+    # body paragraphs extend the answer, tables fold into the answer
+    from ragflow_core16_ray.config import ExtractConfig
+
+    body = (_xml_p("Guide", style="Heading1")
+            + _xml_p("What is a shard?", style="Heading2")
+            + _xml_p("A unit of parallel work.")
+            + _xml_p("Sizing", style="Heading2")
+            + _xml_p("How many pages?", style="Heading3")
+            + _xml_p("Twelve pages each.")
+            + _xml_tbl([["k", "v"], ["a", "1"]]))
+    blob = base64.b64encode(_doc(body)).decode()
+    spans = [make_span("docx", blob)]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="qa"))
+    assert tmpl == "qa"
+    qa = [s["text"] for s in out if s["kind"] == "qa"]
+    assert qa[0] == "Guide\nWhat is a shard?\nA unit of parallel work."
+    assert qa[1].startswith("Guide\nSizing\nHow many pages?\nTwelve pages each.")
+    # the trailing table rides the last open answer
+    assert "<table>" in qa[1]
