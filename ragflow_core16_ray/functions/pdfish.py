@@ -97,6 +97,46 @@ def _is_garbage(text: str) -> bool:
     return any(p.match(t) for p in _GARBAGE_RES)
 
 
+def _infer_grid(cells: list[Box]) -> None:
+    """Geometry-based table structure recovery — the role of the
+    reference's TSR model (deepdoc/vision/table_structure_recognizer.py:
+    29-92) re-expressed as deterministic clustering, used when a table's
+    boxes carry no row/col tags: rows are top-coordinate clusters (split
+    where the gap to the previous cell top exceeds half the median cell
+    height), numbered per page and continued across pages so a multi-page
+    table keeps one consistent grid; columns are x0 clusters over the
+    whole table (split at gaps wider than half the median cell width).
+    No-op when ANY cell already carries a tag (never second-guess real
+    structure)."""
+    if not cells or any(c.row is not None or c.col is not None
+                        for c in cells):
+        return
+    heights = sorted(c.bot - c.top for c in cells)
+    half_h = max(heights[len(heights) // 2] * 0.5, 1.0)
+    row_id = 0
+    for page in sorted({c.page for c in cells}):
+        prev_top = None
+        for c in sorted((c for c in cells if c.page == page),
+                        key=lambda c: c.top):
+            if prev_top is not None and c.top - prev_top > half_h:
+                row_id += 1
+            c.row = row_id
+            prev_top = c.top
+        row_id += 1
+    widths = sorted(c.x1 - c.x0 for c in cells)
+    min_gap = max(widths[len(widths) // 2] * 0.5, 4.0)
+    col = 0
+    prev_x = None
+    col_of: dict[float, int] = {}
+    for x in sorted({c.x0 for c in cells}):
+        if prev_x is not None and x - prev_x > min_gap:
+            col += 1
+        col_of[x] = col
+        prev_x = x
+    for c in cells:
+        c.col = col_of[c.x0]
+
+
 def extract_pdfish(spans: list[dict], page_height: int = 1000,
                    keep_positions: bool = False) -> list[dict]:
     """spans (kind ∈ box/caption/image, in write order) → ordered phase-A
@@ -272,6 +312,7 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
             # (functions/pdfish.py::render_table_cells)
             import json as _json
 
+            _infer_grid(o.cells)
             payload = _json.dumps({
                 "tno": o.tno,
                 "caption": o.caption.strip() if o.caption else "",

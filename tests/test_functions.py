@@ -454,3 +454,33 @@ def test_pdfish_two_column_edge_cases():
     r1_i = [i for i, s in enumerate(out) if s["text"] == "R1."][0]
     r2_i = [i for i, s in enumerate(out) if s["text"] == "R2."][0]
     assert r1_i < fig_i < r2_i
+
+
+def test_untagged_table_grid_inference():
+    # geometry-only TSR substitute (_infer_grid, role of
+    # table_structure_recognizer.py:29-92): no row/col/tno tags on the
+    # boxes — rows recovered from top clusters (with jitter), columns
+    # from x0 clusters, continuation page rows keep numbering
+    def cell(t, x0, top, page=0):
+        import json
+
+        d = {"t": t, "x0": x0, "x1": x0 + 80, "top": top, "bot": top + 18,
+             "page": page, "lay": "table"}
+        return {"kind": "box", "text": json.dumps(d, sort_keys=True),
+                "media_ref": "", "offset": 0}
+
+    spans = [
+        cell("h1", 60, 100.0), cell("h2", 200, 101.2),   # jittered header
+        cell("a1", 60, 130.0), cell("a2", 200, 129.5),
+        cell("b1", 60, 40.0, page=1), cell("b2", 200, 40.5, page=1),
+        _mk_box("body text after the table.", 60, 540, 300, 320, 1, "text"),
+    ]
+    out = extract_pdfish(spans)
+    import json
+
+    cells = json.loads([s for s in out if s["kind"] == "table_cells"][0]["text"])
+    assert cells["cells"] == [
+        [0, 0, "h1"], [0, 1, "h2"],
+        [1, 0, "a1"], [1, 1, "a2"],
+        [2, 0, "b1"], [2, 1, "b2"],
+    ]
