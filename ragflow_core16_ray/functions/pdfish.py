@@ -87,9 +87,41 @@ class _Figure:
 
 def parse_box(span_text: str) -> Box:
     d = json.loads(span_text)
+    # absent lay stays None so layout inference can tell "untagged" from
+    # an explicit "text" label
     return Box(d.get("t", ""), d.get("x0", 0.0), d.get("x1", 0.0),
                d.get("top", 0.0), d.get("bot", 0.0), int(d.get("page", 0)),
-               d.get("lay", "text"), d.get("row"), d.get("col"), d.get("tno"))
+               d.get("lay"), d.get("row"), d.get("col"), d.get("tno"))
+
+
+_SENT_END_LAY = re.compile(r"[.!?。！？;；,，]\s*$")
+
+
+def _infer_layout(boxes: list[Box], page_height: int) -> None:
+    """Layout classification for untagged boxes — the role of the
+    reference's 10-class layout model (deepdoc/vision/
+    layout_recognizer.py:31-161) re-expressed as deterministic page
+    heuristics, applied ONLY to boxes whose input carried no ``lay``:
+    short lines hugging the top/bottom page margins become header/footer;
+    lines set in type ≥1.3× the page's median line height, short and not
+    sentence-punctuated, become titles; everything else is body text.
+    Tagged boxes are never reclassified."""
+    untagged = [b for b in boxes if b.lay is None]
+    if not untagged:
+        return
+    heights = sorted(b.bot - b.top for b in boxes)
+    med_h = max(heights[len(heights) // 2], 1e-6)
+    for b in untagged:
+        short = len(b.text.strip()) <= 60
+        if short and b.bot < 0.08 * page_height:
+            b.lay = "header"
+        elif short and b.top > 0.92 * page_height:
+            b.lay = "footer"
+        elif ((b.bot - b.top) >= 1.3 * med_h and short
+              and not _SENT_END_LAY.search(b.text)):
+            b.lay = "title"
+        else:
+            b.lay = "text"
 
 
 def _is_garbage(text: str) -> bool:
@@ -207,6 +239,9 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
                 boxes.append(Box(text, 0, 0,
                                  boxes[-1].bot + 1 if boxes else 0.0, 0,
                                  boxes[-1].page if boxes else 0, "text"))
+
+    # ---- layout inference for untagged boxes -------------------------
+    _infer_layout(boxes, page_height)
 
     # ---- garbage filter ----------------------------------------------
     boxes = [b for b in boxes if b.text.strip() and not _is_garbage(b.text)]

@@ -484,3 +484,29 @@ def test_untagged_table_grid_inference():
         [1, 0, "a1"], [1, 1, "a2"],
         [2, 0, "b1"], [2, 1, "b2"],
     ]
+
+
+def test_untagged_layout_inference():
+    # _infer_layout (role of layout_recognizer.py:31-161) on boxes with NO
+    # lay key: margin-hugging short lines -> header/footer (dropped),
+    # outsized short unpunctuated line -> title, rest -> text flow
+    def bare(t, top, bot, x0=60.0, x1=540.0, page=0):
+        import json
+
+        d = {"t": t, "x0": x0, "x1": x1, "top": top, "bot": bot, "page": page}
+        return {"kind": "box", "text": json.dumps(d, sort_keys=True),
+                "media_ref": "", "offset": 0}
+
+    spans = [
+        bare("Running Head", 10, 30),            # top margin -> header
+        bare("Grand Title", 60, 100),            # 40pt vs 20pt median
+        bare("First body sentence runs here.", 150, 170),
+        bare("Second body line continues on.", 200, 220),
+        bare("7", 960, 980),                     # bottom margin -> footer
+    ]
+    out = extract_pdfish(spans)
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("title", "Grand Title"),
+        ("section", "First body sentence runs here."),
+        ("section", "Second body line continues on."),
+    ]
