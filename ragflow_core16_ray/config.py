@@ -66,11 +66,13 @@ class RuntimeConfig:
     # actor-pool size for the parse stage when use_actor_pool is set
     # ((min,max) autoscaling; Ray caps at available CPUs)
     parse_concurrency: tuple = (4, 28)
-    # parse batch size. Measured on the 200k-doc corpus at 32 cpus
-    # (stateless tasks, 64 input blocks): bs=128 → 13.3s, bs=16 → 16s,
-    # bs=None (whole 3k-doc block) → 24s. Mid-size batches amortize the
-    # Arrow-slice + rebuild cost without creating long uneven tasks.
-    parse_batch_size: int = 128
+    # parse batch size; 0 = auto-size from the corpus row count at build
+    # time (target ≈4 batches per core, clamped to [16, 128]). The two
+    # regimes pull opposite ways — measured at 32 cpus: 200k docs wants
+    # 128 (13.3s vs 16s at bs=16: batch overhead dominates), a 2k-doc
+    # corpus wants 16 (1.75s vs 4.7s at bs=128: 13 tasks starve 32
+    # cores). Auto picks both optima; a fixed value still overrides.
+    parse_batch_size: int = 0
     # False → stateless task pool (parse state is just module-level
     # regexes; no pool ramp-up). True → actor pool, required once the
     # parse hosts real model state (ONNX sessions etc.).

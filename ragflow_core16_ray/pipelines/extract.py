@@ -113,19 +113,48 @@ def extract_dataset(input_uri: str, staging_dir: str,
     la the reference) where per-actor model load must amortize.
     """
     ds = read_documents(input_uri)
+    batch_size = runtime.parse_batch_size or _auto_batch_size(input_uri)
     if runtime.use_actor_pool:
         return ds.map_batches(
             ExtractRouter,
             fn_constructor_args=(cfg, staging_dir),
             batch_format="pyarrow",
-            batch_size=runtime.parse_batch_size,
+            batch_size=batch_size,
             concurrency=runtime.parse_concurrency,
         )
     return ds.map_batches(
         ExtractRouter(cfg, staging_dir),
         batch_format="pyarrow",
-        batch_size=runtime.parse_batch_size,
+        batch_size=batch_size,
     )
+
+
+def _auto_batch_size(input_uri, per_core_batches: int = 4,
+                     lo: int = 16, hi: int = 128) -> int:
+    """Metadata-only batch sizing: ≈``per_core_batches`` parse tasks per
+    cluster core, clamped to [lo, hi]. A small corpus gets small batches
+    (task count, not per-batch overhead, limits wall time there); a big
+    corpus hits the ``hi`` cap where per-batch overhead amortizes. Falls
+    back to ``hi`` when the row count isn't cheaply knowable (at 100 TB
+    every corpus is in the capped regime anyway)."""
+    import glob
+
+    import ray
+
+    try:
+        if isinstance(input_uri, str) and os.path.isdir(input_uri):
+            files = glob.glob(os.path.join(input_uri, "*.parquet"))
+        elif isinstance(input_uri, (list, tuple)):
+            files = [f for f in input_uri if str(f).endswith(".parquet")]
+        elif isinstance(input_uri, str) and input_uri.endswith(".parquet"):
+            files = [input_uri]
+        else:
+            return hi
+        n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+        cores = int(ray.cluster_resources().get("CPU", 8)) or 8
+        return max(lo, min(hi, n_rows // (cores * per_core_batches) or lo))
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fatal
+        return hi
 
 
 def reassemble_staged(staging_dir: str,
