@@ -59,7 +59,7 @@ class Box:
     top: float
     bot: float
     page: int
-    lay: str
+    lay: str | None  # None = untagged, resolved by _infer_layout
     row: int | None = None
     col: int | None = None
     tno: int | None = None

@@ -128,8 +128,12 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
         return pd.DataFrame({"bucket": pd.array(rows_b, dtype="int32"),
                              "shingle": rows_sh, "doc_id": rows_doc})
 
+    # materialize: BOTH the size pass and the pair pass consume the
+    # shingle table — without this the lazy explode runs twice. The
+    # shingle blocks live in the (spillable) object store, never on the
+    # driver; at extreme scale trade this for a recompute by dropping it.
     sh = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        explode, batch_format="pandas")
+        explode, batch_format="pandas").materialize()
 
     # per-doc shingle counts: tiny (one int per doc) → combine + broadcast
     def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
