@@ -63,3 +63,45 @@ def test_json_split_valid_json(obj):
 
     for chunk in json_split(obj, max_size=100):
         json.loads(chunk)  # every chunk is valid JSON
+
+
+@given(st.lists(st.text(alphabet="数据流处理引擎学研究生命科学xyz", min_size=1,
+                        max_size=8), max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_fine_grained_preserves_chars(tokens):
+    from ragflow_core16_ray.functions.tokenizer import fine_grained_tokenize
+
+    out = fine_grained_tokenize(tokens)
+    # re-segmentation never invents or drops characters ('/' separators
+    # may be dropped on the non-CJK path)
+    assert "".join(out).replace("/", "") == \
+        "".join(tokens).replace("/", "")
+
+
+@given(st.lists(st.tuples(st.integers(0, 2),          # page
+                          st.integers(0, 40),         # top slot
+                          st.integers(0, 5)),         # col slot
+                min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_infer_grid_invariants(slots):
+    from ragflow_core16_ray.functions.pdfish import Box, _infer_grid
+
+    cells = [Box(f"c{i}", 60.0 + 100 * c, 140.0 + 100 * c,
+                 float(20 * t), float(20 * t + 15), p, "table")
+             for i, (p, t, c) in enumerate(slots)]
+    _infer_grid(cells)
+    # every cell got a grid position
+    assert all(c.row is not None and c.col is not None for c in cells)
+    # rows follow (page, top): sorting by assigned row never inverts page
+    # order, and within a page never inverts top order beyond the cluster
+    for a in cells:
+        for b in cells:
+            if a.page < b.page:
+                assert a.row < b.row or (a.row is None)
+            if a.page == b.page and a.row < b.row:
+                assert a.top <= b.top
+    # columns follow x0 ordering
+    for a in cells:
+        for b in cells:
+            if a.col < b.col:
+                assert a.x0 < b.x0
