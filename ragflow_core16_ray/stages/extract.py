@@ -674,7 +674,13 @@ class ExtractShard:
         out_spans = []
         for template, spans in zip(batch["template"].to_pylist(),
                                    spans_column_to_pylists(batch["spans"])):
-            out_spans.append(phase_a(template, spans, self.cfg))
+            try:
+                out_spans.append(phase_a(template, spans, self.cfg))
+            except Exception:  # noqa: BLE001 — poison-shard containment
+                # same contract as pass 1 (ExtractRouter): one malformed
+                # shard must not kill the job; the empty shard keeps its
+                # row so reassembly still emits the doc (partial)
+                out_spans.append([])
         return batch.set_column(
             batch.schema.get_field_index("spans"), "spans",
             pa.array(out_spans, type=batch.schema.field("spans").type))
@@ -693,7 +699,10 @@ def make_reassembler(cfg: ExtractConfig = DEFAULT_CONFIG):
         # changes the phase-B chunking
         base = group["template"].iloc[0]
         template = cfg.template_override or base
-        out = phase_b(template, spans, cfg, base=base)
+        try:
+            out = phase_b(template, spans, cfg, base=base)
+        except Exception:  # noqa: BLE001 — poison-doc containment
+            template, out = "error", []
         return pa.Table.from_pylist([{
             "doc_id": group["doc_id"].iloc[0],
             "template": template,

@@ -27,3 +27,38 @@ def test_poison_doc_contained(ray_session, tmp_path):
     assert df.loc["doc-ok-1", "template"] == "naive"
     assert df.loc["doc-poison-1", "template"] == "error"
     assert len(df.loc["doc-poison-1", "spans"]) == 0
+
+
+def test_poison_mega_shard_contained(ray_session, tmp_path):
+    # pass-2 containment: a MEGA doc (sharded through the staging dir)
+    # with one malformed shard must still reassemble — the poisoned
+    # shard contributes nothing, the doc row survives
+    import json
+
+    import ray.data as rd
+
+    from ragflow_core16_ray.config import ExtractConfig
+    from ragflow_core16_ray.pipelines.extract import run_extract
+    from ragflow_core16_ray.schemas import DOCUMENTS_SCHEMA
+
+    def tb(text, page):
+        d = {"t": text, "x0": 60.0, "x1": 540.0, "top": 100.0, "bot": 120.0,
+             "page": page, "lay": "text"}
+        return {"kind": "box", "text": json.dumps(d), "media_ref": "",
+                "offset": 0}
+
+    spans = [tb(f"line {p}.", p) for p in range(40)]
+    spans[25] = {"kind": "box", "text": "{corrupt", "media_ref": "",
+                 "offset": 0}
+    t = pa.Table.from_pylist(
+        [{"doc_id": "doc-mega-poison", "spans": spans}],
+        schema=DOCUMENTS_SCHEMA)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "out")
+    run_extract(src, out, cfg=ExtractConfig(shard_span_threshold=8))
+    df = rd.read_parquet(out + "/docs").to_pandas().set_index("doc_id")
+    row = df.loc["doc-mega-poison"]
+    assert row["n_shards"] > 1
+    texts = " ".join(s["text"] for s in row["spans"])
+    assert "line 0." in texts and "line 39." in texts
