@@ -573,11 +573,15 @@ def phase_b(template: str, spans: list[dict], cfg: ExtractConfig,
         # likewise stays unpacked
         return finalize_offsets(list(spans))
     if template == "one":
-        # whole-doc single chunk (rag/app/one.py): all text joined in
-        # reading order; tables/figures/title pass through after it
-        texts = [s["text"] for s in spans if s["kind"] == "section"]
-        others = [s for s in spans if s["kind"] != "section"]
-        joined = "\n".join(texts)
+        # whole-doc single chunk (rag/app/one.py): ALL textual content —
+        # sections, titles and table rows — joined in reading order into
+        # one chunk (the reference's excel branch likewise renders the
+        # whole sheet into the single chunk, one.py:94-97); only figures
+        # (media refs) pass through after it
+        textual = ("section", "title", "table_row", "table_html")
+        texts = [s["text"] for s in spans if s["kind"] in textual]
+        others = [s for s in spans if s["kind"] not in textual]
+        joined = "\n".join(t for t in texts if t)
         merged = [make_span("section", joined)] if joined else []
         return finalize_offsets(merged + others)
     if template == "qa":

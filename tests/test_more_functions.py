@@ -220,3 +220,16 @@ def test_qbullets_category_vote():
         ["1. first?", "2. second?", "(3) other"]) == 3
     assert qbullets_category(["no bullets here", "plain text"]) == -1
     assert qbullets_category(["第一问 什么?", "第二问 为何?"]) == 0
+
+
+def test_template_one_table_doc():
+    # one.py:94-97: an excel/table doc under the `one` template becomes a
+    # SINGLE chunk containing the whole sheet, not per-row chunks
+    spans = [make_span("row", "a\tb", offset=0),
+             make_span("row", "1\t2", offset=1),
+             make_span("row", "3\t4", offset=2)]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="one"))
+    assert tmpl == "one"
+    assert len([s for s in out if s["kind"] == "section"]) == 1
+    sec = out[0]["text"]
+    assert "a_long:1" in sec and "a_long:3" in sec
