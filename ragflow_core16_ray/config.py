@@ -43,6 +43,11 @@ class ExtractConfig:
     # (@@page\tx0\tx1\ttop\tbottom##, pdf_parser.py:893-908) into pdfish
     # title/section text; strip/parse with functions/postag.py
     keep_positions: bool = False
+    # "deepdoc" = full layout analysis (ordering, two-column, tables,
+    # ToC, header/footer); "plain" = the reference's "Plain Text"
+    # layout_recognize mode (rag/app/naive.py:282-299 PlainParser): raw
+    # text lines in input order, no layout machinery at all
+    layout_recognize: str = "deepdoc"
     # force a chunking template for all docs (role of the reference's
     # user-selected parser_id, task_executor.py:67-84): None = content
     # routing; "one" = whole-doc single chunk (rag/app/one.py); "qa" =

@@ -226,6 +226,24 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
         if template == "docx":
             return _qa_from_docx(spans)
     if template == "pdfish":
+        if cfg.layout_recognize == "plain":
+            # "Plain Text" mode (rag/app/naive.py:282-299 PlainParser via
+            # layout_recognize): raw text lines in input order — no
+            # ordering/two-column/table/ToC machinery; tables degrade to
+            # their cell text at input position
+            from ..functions.pdfish import parse_box
+
+            out = []
+            for s in spans:
+                if s["kind"] == "box":
+                    t = parse_box(s["text"]).text.strip()
+                elif s["kind"] == "caption":
+                    t = s["text"].strip()
+                else:
+                    continue
+                if t:
+                    out.append(make_span("section", t))
+            return out
         return extract_pdfish(spans, page_height=cfg.page_height,
                               keep_positions=cfg.keep_positions)
     if template == "table":

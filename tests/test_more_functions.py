@@ -233,3 +233,18 @@ def test_template_one_table_doc():
     assert len([s for s in out if s["kind"] == "section"]) == 1
     sec = out[0]["text"]
     assert "a_long:1" in sec and "a_long:3" in sec
+
+
+def test_plain_text_layout_mode():
+    # layout_recognize="plain" (rag/app/naive.py:282-299 PlainParser):
+    # raw lines in input order; no hf-removal, no reordering, no tables
+    spans = [
+        _pdf_textbox("Second visually.", 0, 500),
+        _pdf_textbox("First visually.", 0, 100),
+    ]
+    tmpl, out, _ = extract_doc(
+        spans, ExtractConfig(layout_recognize="plain", chunk_token_num=1))
+    assert tmpl == "pdfish"
+    texts = "\n".join(s["text"] for s in out)
+    # input order preserved (no Y-sort), both lines present
+    assert texts.index("Second visually.") < texts.index("First visually.")
