@@ -435,11 +435,19 @@ def render_table_cells(spans: list[dict]) -> list[dict]:
         d = merged[s["_key"]]
         if d["caption"]:
             rendered.append(make_span("section", d["caption"]))
-        rows: dict[int, list] = {}
+        # positional grid → NL row descriptions with header composition
+        # (table_structure_recognizer.py:399-501 __desc_table semantics;
+        # caption divergence: emitted ONCE as a section above instead of
+        # suffixed onto every row)
+        from .table import describe_grid_rows
+
+        cells: dict[int, dict[int, str]] = {}
         for r, c, text in sorted(d["cells"]):
-            rows.setdefault(r, []).append(text)
-        for ri in sorted(rows):
-            rendered.append(make_span(
-                "table_row",
-                " ".join(t.strip() for t in rows[ri] if t.strip())))
+            row = cells.setdefault(r, {})
+            row[c] = (row.get(c, "") + " " + text).strip()
+        ncol = max((max(cs) + 1 for cs in cells.values()), default=0)
+        grid = [[cells[r].get(c, "") for c in range(ncol)]
+                for r in sorted(cells)]
+        for line in describe_grid_rows(grid):
+            rendered.append(make_span("table_row", line))
     return rendered

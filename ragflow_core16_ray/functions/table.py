@@ -172,3 +172,71 @@ def tsv_to_html_chunks(row_texts: list[str], caption: str = "",
         cap = f"<caption>{caption}</caption>" if caption else ""
         chunks.append(f"<table>{cap}{head}{body}</table>")
     return chunks
+
+
+# --------------------------------------------------- NL table description ---
+
+_NUMBERISH_RE = re.compile(r"[+-]?[\d,.]+%?$")
+
+
+def _numericish_row(row: list[str]) -> bool:
+    vals = [c.strip() for c in row if c.strip()]
+    return bool(vals) and sum(
+        1 for c in vals if _NUMBERISH_RE.fullmatch(c)) * 2 >= len(vals)
+
+
+def describe_grid_rows(grid: list[list[str]], eng: bool | None = None
+                       ) -> list[str]:
+    """Natural-language row descriptions for a positional cell grid —
+    semantics of the reference's ``__desc_table``
+    (deepdoc/vision/table_structure_recognizer.py:399-501): header rows
+    are composed onto each data cell as ``header：value`` joined with
+    ``"; "``; stacked header rows merge child+parent with ``" for "`` /
+    ``"的"``; empty header cells inherit the cell above; a 2-column
+    headerless table renders key-value style (``a：b``); header rows are
+    not emitted. The reference takes header rows from the TSR model's
+    column-header class; model-free stand-in here: the leading (≤2)
+    non-numeric rows count as headers only when the remaining rows are
+    majority-numeric — a text-only grid has no headers and renders plain
+    rows."""
+    if not grid:
+        return []
+    if eng is None:
+        from .tokenizer import is_english
+
+        eng = is_english([c for row in grid for c in row if c])
+    ncol = max(len(r) for r in grid)
+    pad = [list(r) + [""] * (ncol - len(r)) for r in grid]
+    n_hdr = 0
+    while n_hdr < min(2, len(pad) - 1) and not _numericish_row(pad[n_hdr]):
+        n_hdr += 1
+    data = pad[n_hdr:]
+    if n_hdr and not all(_numericish_row(r) for r in data if any(
+            c.strip() for c in r)):
+        n_hdr, data = 0, pad
+    de = " for " if eng else "的"
+    headers = [""] * ncol
+    for r in range(n_hdr):
+        prev = list(headers)
+        for j in range(ncol):
+            txt = pad[r][j].strip()
+            if not txt:
+                headers[j] = prev[j]  # inherit the cell above
+            elif prev[j] and prev[j] not in txt:
+                # compose child with parent, longer side first
+                headers[j] = (txt + de + prev[j] if len(txt) > len(prev[j])
+                              else prev[j] + de + txt)
+            else:
+                headers[j] = txt
+    out: list[str] = []
+    for row in data:
+        cells = [(headers[j], row[j].strip()) for j in range(ncol)
+                 if row[j].strip()]
+        if not cells:
+            continue
+        if n_hdr == 0 and ncol <= 2:
+            out.append("：".join(txt for _, txt in cells))
+        else:
+            out.append("; ".join(f"{h}：{txt}" if h else txt
+                                 for h, txt in cells))
+    return out

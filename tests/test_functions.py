@@ -268,10 +268,11 @@ def test_pdfish_table_and_caption():
     from ragflow_core16_ray.functions.pdfish import render_table_cells
 
     rendered = render_table_cells(out)
+    # NL description form (__desc_table semantics): header row composed
+    # onto the numeric data row, not emitted separately
     assert [(s["kind"], s["text"]) for s in rendered] == [
         ("section", "Table 1: numbers"),
-        ("table_row", "h1 h2"),
-        ("table_row", "7 8"),
+        ("table_row", "h1：7; h2：8"),
     ]
 
 
@@ -510,3 +511,24 @@ def test_untagged_layout_inference():
         ("section", "First body sentence runs here."),
         ("section", "Second body line continues on."),
     ]
+
+
+def test_describe_grid_rows_header_composition():
+    from ragflow_core16_ray.functions.table import describe_grid_rows
+
+    # single header row over numeric data
+    assert describe_grid_rows([["h1", "h2"], ["7", "8"]]) == ["h1：7; h2：8"]
+    # stacked headers: child composes with parent via ' for '/'的';
+    # empty header cells inherit the cell above
+    # (table_structure_recognizer.py:408-445)
+    assert describe_grid_rows(
+        [["price", ""], ["low", "high"], ["1", "2"]]) == \
+        ["price for low：1; high：2"]
+    # an empty second-header cell inherits the header above it
+    assert describe_grid_rows(
+        [["price", "qty"], ["low", ""], ["1", "2"]]) == \
+        ["price for low：1; qty：2"]
+    # text-only 2-col grid: key-value join, no header guessing
+    assert describe_grid_rows([["k", "v"], ["a", "b"]]) == ["k：v", "a：b"]
+    # empty rows dropped
+    assert describe_grid_rows([["x", "y"], ["", ""]]) == ["x：y"]

@@ -194,7 +194,10 @@ def test_cross_shard_table_merge():
     key = [(s["kind"], s["text"]) for s in sharded]
     assert key == [(s["kind"], s["text"]) for s in unsharded]
     rows = [t for k, t in key if k == "table_row"]
-    assert rows == ["c00 c01", "c10 c11", "c20 c21", "c30 c31", "c40 c41"]
+    # 2-col text grid renders key-value style (__desc_table headerless
+    # 2-column branch); rows contiguous across the shard cut
+    assert rows == ["c00：c01", "c10：c11", "c20：c21", "c30：c31",
+                    "c40：c41"]
     # caption appears exactly once (it may be packed into a neighboring
     # section chunk by the token-budget merge)
     assert sum(t.count("Table 1: split") for _, t in key) == 1
