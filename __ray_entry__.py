@@ -49,13 +49,38 @@ def _corpus_for(sf_dir: str) -> str:
     return path
 
 
+_SRC_DIGEST = None
+
+
+def _src_digest() -> str:
+    """Fingerprint of the package source, so cached extraction output is
+    invalidated the moment ANY parse code changes (a config digest alone
+    cannot see code edits)."""
+    global _SRC_DIGEST
+    if _SRC_DIGEST is None:
+        import glob
+        import hashlib
+
+        import ragflow_core16_ray as pkg
+
+        h = hashlib.md5()
+        root = os.path.dirname(os.path.abspath(pkg.__file__))
+        for f in sorted(glob.glob(os.path.join(root, "**", "*.py"),
+                                  recursive=True)):
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        _SRC_DIGEST = h.hexdigest()[:10]
+    return _SRC_DIGEST
+
+
 def _extract_out(sf_dir: str) -> str:
-    """Run (once per corpus+config) the two-pass extraction pipeline;
-    queries sharing the same extracted output reuse it via a done-marker."""
+    """Run (once per corpus+config+code version) the two-pass extraction
+    pipeline; queries sharing the same extracted output reuse it via a
+    done-marker keyed on a source digest."""
     from ragflow_core16_ray.pipelines.extract import run_extract
 
     corpus = _corpus_for(sf_dir)
-    out_dir = corpus + "_out"
+    out_dir = corpus + "_out_" + _src_digest()
     marker = os.path.join(out_dir, "_GRAFT_DONE")
     if not os.path.exists(marker):
         run_extract(corpus, out_dir)
@@ -102,7 +127,7 @@ def _extract_override(sf_dir: str, template: str):
     from ragflow_core16_ray.pipelines.extract import run_extract
 
     corpus = _corpus_for(sf_dir)
-    out_dir = corpus + "_out_" + template
+    out_dir = corpus + "_out_" + template + "_" + _src_digest()
     marker = os.path.join(out_dir, "_GRAFT_DONE")
     if not os.path.exists(marker):
         run_extract(corpus, out_dir,
