@@ -160,7 +160,9 @@ def _extraction_metrics(sf_dir: str):
     from ragflow_core16_ray.state.lineage import run_partitioned
 
     corpus = _corpus_for(sf_dir)
-    out_dir = corpus + "_out_lineage"
+    # digest-keyed like _extract_out: resume must never pick up partitions
+    # produced by older parse code
+    out_dir = corpus + "_out_lineage_" + _src_digest()
     run_partitioned(corpus, out_dir, n_partitions=8)  # resumes if present
     import glob
 
@@ -359,11 +361,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": r"""
             WITH th AS (
+              -- trim's default strips only spaces; list every whitespace
+              -- char and drop empty tokens so the split matches Python's
+              -- str.split() exactly
               SELECT doc_id, md5_number_lower(w) AS h
               FROM (SELECT doc_id,
-                           unnest(string_split_regex(lower(trim(text)),
-                                                     '\s+')) AS w
-                    FROM documents WHERE trim(text) <> '')
+                           unnest(string_split_regex(
+                               trim(lower(text), ' ' || chr(9) || chr(10)
+                                    || chr(13) || chr(12) || chr(11)),
+                               '\s+')) AS w
+                    FROM documents)
+              WHERE w <> ''
             ), bits AS (
               SELECT doc_id, i,
                      CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1

@@ -124,9 +124,10 @@ QBULLET_FAMILIES: list[re.Pattern] = [
 
 def qbullets_category(lines: list[str]) -> int:
     """Vote the question-numbering convention: the pattern matching the
-    most lines wins; -1 when nothing matches (then the caller falls back
-    to the generic ?-suffix pairing)."""
-    best, best_hits = -1, 0
+    most lines wins; -1 when no pattern reaches TWO hits (one stray
+    numbered line must not hijack the doc into Q-bullet mode — the
+    caller falls back to the generic ?-suffix pairing)."""
+    best, best_hits = -1, 1
     for fi, pat in enumerate(QBULLET_FAMILIES):
         hits = sum(1 for s in lines if pat.match(s.strip()))
         if hits > best_hits:

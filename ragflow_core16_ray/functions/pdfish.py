@@ -145,8 +145,13 @@ def _infer_grid(cells: list[Box]) -> None:
         return
     heights = sorted(c.bot - c.top for c in cells)
     half_h = max(heights[len(heights) // 2] * 0.5, 1.0)
-    row_id = 0
+    # PAGE-SCOPED row ids (page*10^5 + per-page cluster index): fragments
+    # of a table split across page-range shards re-infer independently,
+    # and a 0-based numbering restarted per shard would collide page-2
+    # rows onto page-1 rows when render_table_cells merges the fragments;
+    # page-scoped ids stay collision-free and sort in reading order
     for page in sorted({c.page for c in cells}):
+        row_id = page * 100_000
         prev_top = None
         for c in sorted((c for c in cells if c.page == page),
                         key=lambda c: c.top):
@@ -154,7 +159,6 @@ def _infer_grid(cells: list[Box]) -> None:
                 row_id += 1
             c.row = row_id
             prev_top = c.top
-        row_id += 1
     widths = sorted(c.x1 - c.x0 for c in cells)
     min_gap = max(widths[len(widths) // 2] * 0.5, 4.0)
     col = 0
@@ -187,12 +191,24 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
     # walk in input order so captions/images attach to the object emitted
     # just before them (nearest-preceding, the generator/reference layout)
     last_obj: object = None
-    auto_tno = -1
+    # untagged tables get distinct negative auto keys per contiguous run
+    # of table boxes (a constant key would merge every untagged table in
+    # the doc into one); a table SPLIT across page-range shards still
+    # merges, because each shard's run of the same table is the first one
+    # and auto keys restart per shard — a best-effort continuation
+    # contract in the absence of tno tags
+    auto_tno = 0
+    auto_open = False
     for sp in spans:
         kind = sp["kind"]
         if kind == "box":
             b = parse_box(sp["text"])
+            if b.lay != "table":
+                auto_open = False
             if b.lay == "table":
+                if b.tno is None and not auto_open:
+                    auto_tno -= 1
+                    auto_open = True
                 tno = b.tno if b.tno is not None else auto_tno
                 if tno not in tables:
                     tables[tno] = _Table(tno, b.page, b.top, b.x0)
@@ -404,15 +420,23 @@ def render_table_cells(spans: list[dict]) -> list[dict]:
     import json as _json
 
     merged: dict[int, dict] = {}
-    first_pos: dict[int, int] = {}
     out: list[dict] = []
+    auto_key = 0
     for s in spans:
         if s["kind"] != "table_cells":
             out.append(s)
             continue
         d = _json.loads(s["text"])
         tno = d.get("tno")
-        key = -1 if tno is None else int(tno)
+        if tno is None or int(tno) < 0:
+            # auto-keyed (untagged) fragment: shard-local keys collide
+            # across shards for DIFFERENT tables, so every fragment gets
+            # a unique key here and the proximity pass below decides what
+            # merges — never the raw key
+            auto_key -= 1
+            key = auto_key
+        else:
+            key = int(tno)
         if key in merged:
             merged[key]["cells"].extend(d["cells"])
             if not merged[key]["caption"] and d.get("caption"):
@@ -420,12 +444,37 @@ def render_table_cells(spans: list[dict]) -> list[dict]:
         else:
             merged[key] = {"caption": d.get("caption", ""),
                            "cells": list(d["cells"])}
-            first_pos[key] = len(out)
             out.append({"kind": "_table_slot", "text": "", "media_ref": "",
                         "offset": 0, "_key": key})
 
     if not merged:
         return out
+
+    # proximity merge for untagged tables (the reference's rule: tables
+    # no more than one page apart merge, pdf_parser.py:701-716). Page is
+    # recoverable from the page-scoped inferred row ids (row // 1e5).
+    def _pages(k):
+        return [r // 100_000 for r, _, _ in merged[k]["cells"]]
+
+    autos = sorted((k for k in merged if k < 0 and merged[k]["cells"]),
+                   key=lambda k: min(_pages(k)))
+    dropped: set[int] = set()
+    kept = None
+    kept_max = -10
+    for k in autos:
+        pages = _pages(k)
+        if kept is not None and min(pages) - kept_max <= 1:
+            merged[kept]["cells"].extend(merged[k]["cells"])
+            if not merged[kept]["caption"] and merged[k]["caption"]:
+                merged[kept]["caption"] = merged[k]["caption"]
+            kept_max = max(kept_max, max(pages))
+            del merged[k]
+            dropped.add(k)
+            continue
+        kept, kept_max = k, max(pages)
+    if dropped:
+        out = [s for s in out
+               if s.get("kind") != "_table_slot" or s["_key"] not in dropped]
 
     rendered: list[dict] = []
     for s in out:

@@ -211,10 +211,12 @@ def describe_grid_rows(grid: list[list[str]], eng: bool | None = None
     while n_hdr < min(2, len(pad) - 1) and not _numericish_row(pad[n_hdr]):
         n_hdr += 1
     data = pad[n_hdr:]
-    if n_hdr and (not all(_numericish_row(r) for r in data if any(
-            c.strip() for c in r))
-            or not any(c.strip() for r in data for c in r)):
-        # non-numeric (or empty) body: no header guessing, render plain
+    body = [r for r in data if any(c.strip() for c in r)]
+    if n_hdr and (not body or sum(
+            1 for r in body if _numericish_row(r)) * 2 < len(body)):
+        # majority-non-numeric (or empty) body — a subtotal/footnote row
+        # must not disable composition: only when MOST rows look textual
+        # do we stop guessing headers and render plain
         n_hdr, data = 0, pad
     de = " for " if eng else "的"
     headers = [""] * ncol

@@ -69,12 +69,12 @@ def exact_dedup(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     representative pick. ``n_buckets`` bounds per-task width — size it to
     a few × cluster cores (the corpus/n_buckets distinct-text payload per
     bucket is the per-task memory bound)."""
-    import hashlib
+    from ..functions.hashing import md5_hex
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("text", sort=False)["doc_id"].agg(["min", "size"])
         texts = g.index.to_numpy()
-        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        h = [md5_hex(t) for t in texts]
         return pd.DataFrame({
             "bucket": pd.array([int(x[:8], 16) % n_buckets for x in h],
                                dtype="int32"),

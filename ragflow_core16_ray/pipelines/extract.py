@@ -150,6 +150,8 @@ def _auto_batch_size(input_uri, per_core_batches: int = 4,
             files = [input_uri]
         else:
             return hi
+        if not files:
+            return hi  # non-parquet layout (lance/hive): not cheaply knowable
         n_rows = sum(pq.read_metadata(f).num_rows for f in files)
         cores = int(ray.cluster_resources().get("CPU", 8)) or 8
         return max(lo, min(hi, n_rows // (cores * per_core_batches) or lo))

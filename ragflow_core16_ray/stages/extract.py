@@ -23,6 +23,8 @@ md → md, else book when a bullet family matches, else naive.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
@@ -120,7 +122,7 @@ def _qa_from_md(lines: list[str]) -> list[dict]:
     return _qa_stack(leveled)
 
 
-_HEADING_STYLE_RE = None
+_HEADING_STYLE_RE = re.compile(r"Heading ?(\d+)$")
 
 
 def _qa_from_docx(spans: list[dict]) -> list[dict]:
@@ -128,13 +130,8 @@ def _qa_from_docx(spans: list[dict]) -> list[dict]:
     docx_question_level): a Heading-N-styled paragraph is a level-N
     question; other paragraphs and tables extend the answer, with the
     same heading-stack pairing as markdown."""
-    import re
-
     from ..functions.docx import parse_docx
 
-    global _HEADING_STYLE_RE
-    if _HEADING_STYLE_RE is None:
-        _HEADING_STYLE_RE = re.compile(r"Heading ?(\d+)$")
     leveled: list[tuple[int, str]] = []
     for s in spans:
         if s["kind"] == "docx":
@@ -162,8 +159,6 @@ def _qa_from_pdf(spans: list[dict]) -> list[dict]:
     falls back to the generic ?-suffix pairing), mirroring the reference's
     'Unable to recognize Q&A structure' failure path. Assumes tag-free
     text (keep_positions off), as positions live in crops there."""
-    import re
-
     from ..functions.bullets import QBULLET_FAMILIES, qbullets_category
 
     stream: list[tuple[str, str]] = []

@@ -480,10 +480,12 @@ def test_untagged_table_grid_inference():
     import json
 
     cells = json.loads([s for s in out if s["kind"] == "table_cells"][0]["text"])
+    # row ids are page-scoped (page*1e5 + cluster) so shard-local
+    # re-inference can never collide when fragments merge
     assert cells["cells"] == [
         [0, 0, "h1"], [0, 1, "h2"],
         [1, 0, "a1"], [1, 1, "a2"],
-        [2, 0, "b1"], [2, 1, "b2"],
+        [100000, 0, "b1"], [100000, 1, "b2"],
     ]
 
 

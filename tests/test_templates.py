@@ -256,3 +256,45 @@ def test_keep_positions_tags_survive_packing():
     assert len(plain_texts) > 1  # packing actually happened
     assert len(tagged_texts) == len(plain_texts)
     assert [strip_tags(t) for t in tagged_texts] == plain_texts
+
+
+def test_untagged_table_across_shard_cut():
+    """Regression: an UNTAGGED (grid-inferred) table split by a page-range
+    shard cut must reassemble without row collisions, and sharded output
+    must equal unsharded (rows were previously renumbered from 0 per
+    shard and merged cell-onto-cell)."""
+    import json
+
+    def cell(t, x0, top, page):
+        d = {"t": t, "x0": x0, "x1": x0 + 80.0, "top": float(top),
+             "bot": float(top + 18), "page": page, "lay": "table"}
+        return make_span("box", json.dumps(d, sort_keys=True))
+
+    def textbox(t, page, top):
+        d = {"t": t, "x0": 60.0, "x1": 540.0, "top": float(top),
+             "bot": float(top + 20), "page": page, "lay": "text"}
+        return make_span("box", json.dumps(d, sort_keys=True))
+
+    spans = []
+    for page in range(14):
+        for i in range(3):
+            spans.append(textbox(f"line {page}-{i}.", page, 100 + 50 * i))
+        if page == 11:  # header + first data row at the bottom of page 11
+            spans.append(cell("h1", 60, 900, 11))
+            spans.append(cell("h2", 200, 900, 11))
+            spans.append(cell("1", 60, 925, 11))
+            spans.append(cell("2", 200, 925, 11))
+        if page == 12:  # continuation row at the top of page 12
+            spans.append(cell("3", 60, 40, 12))
+            spans.append(cell("4", 200, 40, 12))
+
+    sharded_cfg = ExtractConfig(shard_span_threshold=16)
+    _, sharded, n_shards = extract_doc(spans, sharded_cfg)
+    assert n_shards > 1
+    _, unsharded, one = extract_doc(spans, ExtractConfig())
+    assert one == 1
+    assert [(s["kind"], s["text"]) for s in sharded] == \
+        [(s["kind"], s["text"]) for s in unsharded]
+    rows = [t for k, t in ((s["kind"], s["text"]) for s in sharded)
+            if k == "table_row"]
+    assert rows == ["h1：1; h2：2", "h1：3; h2：4"]
