@@ -55,13 +55,20 @@ def vertical_concat(images: list[np.ndarray],
     images = [im for im in images if im.size]
     if not images:
         return np.zeros((0, 0, 3), dtype=np.uint8)
-    channels = images[0].shape[2] if images[0].ndim == 3 else None
+    if any(im.ndim == 3 for im in images):
+        # mixed grayscale/color input: promote 2D frames to 3-channel so
+        # padding and concat see one rank
+        nch = max(im.shape[2] for im in images if im.ndim == 3)
+        images = [im if im.ndim == 3
+                  else np.repeat(im[:, :, None], nch, axis=2)
+                  for im in images]
     width = max(im.shape[1] for im in images)
     rows = []
     for im in images:
         h, w = im.shape[:2]
         if w < width:
-            pad_shape = ((0, 0), (0, width - w)) + (((0, 0),) if channels else ())
+            pad_shape = ((0, 0), (0, width - w)) + (((0, 0),) if im.ndim == 3
+                                                    else ())
             im = np.pad(im, pad_shape, constant_values=fill)
         rows.append(im)
     return np.concatenate(rows, axis=0)

@@ -47,6 +47,14 @@ _TOC_LINE_RE = re.compile(r"[\.…·]{4,}\s*\d+\s*$")
 # boundary chars that take a joining space when lines concat
 # (pdf_parser.py:566-568: latin/digit boundaries get " ", CJK does not)
 _JOIN_SPACE_RE = re.compile(r"[0-9\.a-zA-Z]+$")
+# join rule: a space UNLESS the boundary char on either side is CJK or
+# fullwidth punctuation. Deliberate divergence from the reference's
+# literal check (pdf_parser.py:566-568 tests the LAST char of BOTH lines,
+# so 'proposal,' + 'and ...' concatenates to 'proposal,and' — corrupted
+# English); the evident intent — spaces for latin text, none inside CJK —
+# is what we implement.
+_CJK_BOUND_RE = re.compile(
+    r"[⺀-鿿豈-﫿＀-￯　-〿]")
 _CAPTION_TABLE_RE = re.compile(r"^\s*(table|表)\s*\d*", re.I)
 _CAPTION_FIGURE_RE = re.compile(r"^\s*(fig(ure)?|图)\s*\d*", re.I)
 
@@ -396,10 +404,10 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
         if cur is None:
             cur, cur_plain = t, t_plain
         elif prev_box is not None and should_concat(geom(prev_box), geom(b)):
-            # joining space only across latin/digit boundaries
-            # (pdf_parser.py:566-568)
-            join = (" " if cur_plain and t_plain and _JOIN_SPACE_RE.match(
-                cur_plain[-1] + t_plain[0]) else "")
+            # joining space unless the boundary is CJK (see _CJK_BOUND_RE)
+            join = (" " if cur_plain and t_plain
+                    and not _CJK_BOUND_RE.match(cur_plain[-1])
+                    and not _CJK_BOUND_RE.match(t_plain[0]) else "")
             cur += join + t
             cur_plain += join + t_plain
         else:

@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import re
 
-_WORD_RE = re.compile(r"[a-zA-ZÀ-ÿ]+")
+# on LOWERED text, and char-for-char identical to the oracle SQL's
+# '[a-zà-ÿ]' class (a wider Python class would count ß/× as word chars
+# that DuckDB treats as delimiters, silently diverging the hash gate)
+_WORD_RE = re.compile(r"[a-zà-ÿ]+")
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 _CJK_RE = re.compile(r"[一-鿿]")
 
@@ -50,7 +53,7 @@ def quality_counts(text: str) -> dict:
     derived client-side): n_chars, n_ws_tokens, n_punct, n_stop, n_upper,
     n_digit, max_word_len."""
     toks = text.split()
-    words = [w.lower() for w in _WORD_RE.findall(text)]
+    words = _WORD_RE.findall(text.lower())  # class matches lowered text
     return {
         "n_chars": len(text),
         "n_ws_tokens": len(toks),

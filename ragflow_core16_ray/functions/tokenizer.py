@@ -123,15 +123,19 @@ def tokenize(text: str) -> list[str]:
             continue
         if _CJK_RUN_RE.search(tok):
             # mixed token (e.g. " 数据流处理" captured by the ` ?\p{L}+`
-            # branch): split Han runs out, keep the rest verbatim
+            # branch): split Han runs out, keep the rest verbatim —
+            # EXCEPT pure-whitespace remainders (the pretokenizer's
+            # leading-space convention), which would otherwise become
+            # phantom tokens inflating num_tokens at every script
+            # boundary (the packing currency)
             flush_run()
             pos = 0
             for m in _CJK_RUN_RE.finditer(tok):
-                if m.start() > pos:
+                if m.start() > pos and not tok[pos:m.start()].isspace():
                     out.append(tok[pos:m.start()])
                 out.extend(bimm_segment(m.group(0)))
                 pos = m.end()
-            if pos < len(tok):
+            if pos < len(tok) and not tok[pos:].isspace():
                 out.append(tok[pos:])
             continue
         flush_run()

@@ -217,6 +217,11 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, est_threshold: float = 0.5,
     keys found vectorized inside each bucket). ``n_bands`` must divide
     N_HASHES; narrower bands (more of them) raise candidate recall at the
     cost of more false candidates."""
+    if n_bands <= 0 or N_HASHES % n_bands:
+        raise ValueError(
+            f"n_bands must divide N_HASHES={N_HASHES}; got {n_bands} "
+            "(a non-divisor silently drops hashes; >64 would make every "
+            "band piece empty and collide all docs)")
     rows_per_band = N_HASHES // n_bands
 
     def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:

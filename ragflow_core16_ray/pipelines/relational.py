@@ -215,7 +215,7 @@ def events_asof_orders(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     # repartition below the bucket count so every sort partition holds ≥1
     # group — a partition with none yields no batches and Ray then emits a
     # schemaless empty block (the PandasBlockSchema(names=[]) warning)
-    return (ev.union(od).repartition(n_buckets // 4).groupby("bucket")
+    return (ev.union(od).repartition(max(1, n_buckets // 4)).groupby("bucket")
             .map_groups(merge, batch_format="pandas"))
 
 
@@ -282,7 +282,7 @@ def events_window_orders(sf_dir: str, days: int = 7,
 
     # see events_asof_orders: keep sort partitions ≤ bucket count / 4 so
     # none comes up group-less (→ schemaless empty block warning)
-    return (ev.union(od).repartition(n_buckets // 4).groupby("bucket")
+    return (ev.union(od).repartition(max(1, n_buckets // 4)).groupby("bucket")
             .map_groups(merge, batch_format="pandas"))
 
 
@@ -312,5 +312,5 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30,
 
     return (_t(sf_dir, "events", ["user_id", "ts"])
             .map_batches(add_bucket, batch_format="pandas")
-            .repartition(n_buckets // 4)
+            .repartition(max(1, n_buckets // 4))
             .groupby("bucket").map_groups(sessions, batch_format="pandas"))

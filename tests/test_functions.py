@@ -332,9 +332,12 @@ def test_cjk_bimm_segmentation():
     assert bimm_segment("研究生命科学") == ["研究", "生命", "科学"]
     # out-of-lexicon runs fall back to per-char
     assert bimm_segment("鑫垚") == ["鑫", "垚"]
-    # mixed text: latin words + segmented CJK in reading order
+    # mixed text: latin words + segmented CJK in reading order; the
+    # pretokenizer's leading-space remainder is NOT a token (it would
+    # inflate the packing budget at every script boundary)
     assert tokenize("use 数据流处理 now") == [
-        "use", " ", "数据流", "处理", " now"]
+        "use", "数据流", "处理", " now"]
+    assert num_tokens("Hello 世界") == 2
     # token budgets count CJK words, not chars
     assert num_tokens("数据流处理") == 2
 
@@ -384,7 +387,7 @@ def test_chunk_doc_tokens_fields(ray_session, tmp_path):
     })
     out = tokenize_chunk_batch(batch)
     assert out.column("content_ltks").to_pylist()[0] == \
-        "streams  of   数据流 处理  rock ."
+        "streams  of 数据流 处理  rock ."
     # table markup stripped before tokenizing (rag/nlp/__init__.py:253)
     assert "table" not in out.column("content_ltks").to_pylist()[1]
     assert out.column("content_with_weight").to_pylist()[1].startswith("<table>")

@@ -248,3 +248,19 @@ def test_plain_text_layout_mode():
     texts = "\n".join(s["text"] for s in out)
     # input order preserved (no Y-sort), both lines present
     assert texts.index("Second visually.") < texts.index("First visually.")
+
+
+def test_qa_table_sharding_no_header_duplication():
+    # Regression: the table shard splitter copies the header row into
+    # every shard for type re-voting, but the qa excel mode has no header
+    # convention — a sharded qa table must yield exactly one pair per row
+    spans = [make_span("row", f"q{i}?\ta{i}", offset=i) for i in range(40)]
+    sharded = ExtractConfig(template_override="qa",
+                            shard_span_threshold=8, table_shard_rows=10)
+    tmpl, out, n_shards = extract_doc(spans, sharded)
+    assert tmpl == "qa" and n_shards > 1
+    qa = [s["text"] for s in out if s["kind"] == "qa"]
+    assert len(qa) == 40
+    assert qa[0] == "q0?\na0" and qa[-1] == "q39?\na39"
+    _, unsharded, _ = extract_doc(spans, ExtractConfig(template_override="qa"))
+    assert [s["text"] for s in unsharded if s["kind"] == "qa"] == qa
