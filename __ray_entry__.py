@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
+        "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
+            sf, k=4, threshold=0.6, grams="char"),
         "jaccard_clusters": lambda sf: dedup.jaccard_clusters(sf),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
         "minhash_verified_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
@@ -358,6 +360,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "char_jaccard_pairs": r"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN length(text) <= 4 THEN lower(text)
+                          ELSE substr(lower(text), i, 4) END AS g
+              FROM documents,
+                   LATERAL unnest(generate_series(
+                       1, greatest(length(text) - 3, 1))) AS t(i)
+              WHERE length(text) > 0
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
         """,
         "simhash_pairs": r"""
             WITH th AS (

@@ -95,9 +95,25 @@ def exact_dedup(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
 
 # ------------------------------------------------- exact jaccard pairs ---
 
+def _char_grams(text: str, n: int = 4) -> set[str]:
+    """Character n-grams over the raw lowercased text (no whitespace
+    normalization, so the DuckDB oracle reproduces it with substr over
+    generate_series). Shorter-than-n text is its own single gram."""
+    t = text.lower()
+    if not t:
+        return set()
+    if len(t) <= n:
+        return {t}
+    return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+
 def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
-                      n_buckets: int = 64, wanted_ref=None) -> pd.DataFrame:
+                      n_buckets: int = 64, wanted_ref=None,
+                      grams: str = "word") -> pd.DataFrame:
     """All doc pairs with exact k-shingle Jaccard ≥ threshold.
+    ``grams``: "word" = k-word shingles (the dedup default), "char" =
+    character k-grams (classic n-gram Jaccard — robust to tokenization,
+    the right measure for CJK or whitespace-poor text).
 
     ``wanted_ref`` (optional): ray.put() ObjectRef of a frozenset of doc
     ids — restricts the computation to those docs (the distributed
@@ -116,12 +132,14 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     not done here where the oracle must match exactly)."""
     from ..stages.agg import combine_partials
 
+    shingle_fn = _shingles if grams == "word" else _char_grams
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         if wanted_ref is not None:
             batch = batch[batch["doc_id"].isin(ray.get(wanted_ref))]
         rows_doc, rows_sh, rows_b = [], [], []
         for did, text in zip(batch["doc_id"], batch["text"]):
-            for sh in _shingles(text, k):
+            for sh in shingle_fn(text, k):
                 rows_doc.append(did)
                 rows_sh.append(sh)
                 rows_b.append(zlib.crc32(sh.encode()) % n_buckets)
