@@ -537,3 +537,14 @@ def test_describe_grid_rows_header_composition():
     assert describe_grid_rows([["k", "v"], ["a", "b"]]) == ["k：v", "a：b"]
     # empty rows dropped
     assert describe_grid_rows([["x", "y"], ["", ""]]) == ["x：y"]
+
+
+def test_describe_grid_rows_majority_body():
+    from ragflow_core16_ray.functions.table import describe_grid_rows
+
+    # a minority textual row (subtotal/footnote) must NOT disable header
+    # composition
+    assert describe_grid_rows(
+        [["region", "sales"], ["north", "5"], ["south", "7"],
+         ["east", "9"], ["subtotal pending", "tbd"]])[0] == \
+        "region：north; sales：5"

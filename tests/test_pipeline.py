@@ -63,3 +63,18 @@ def test_offsets_are_dense(extracted):
     for _, row in extracted.iterrows():
         offs = [s["offset"] for s in spans_to_pylist(row.spans)]
         assert offs == list(range(len(offs))), row.doc_id
+
+
+def test_auto_batch_size_clamps(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.extract import _auto_batch_size
+
+    t = pa.table({"doc_id": [f"d{i}" for i in range(100)]})
+    pq.write_table(t, str(tmp_path / "a.parquet"))
+    # 100 rows on a >=4-core session -> clamps to the floor
+    assert _auto_batch_size(str(tmp_path)) == 16
+    # non-parquet layout: not cheaply knowable -> the large-batch cap
+    assert _auto_batch_size(str(tmp_path / "nothing_here")) == 128
+    assert _auto_batch_size(["x.lance"]) == 128
