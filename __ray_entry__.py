@@ -185,6 +185,17 @@ def _media_features(sf_dir: str):
     return media_features(extracted)
 
 
+def _frame_samples(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import frame_samples
+
+    out_dir = _extract_out(sf_dir)
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"),
+                                columns=["doc_id", "spans"])
+    return frame_samples(extracted)
+
+
 def _media_collage(sf_dir: str):
     import ray.data as rd
 
@@ -215,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _chunk_docs,
         "media_features": _media_features,
         "media_collage": _media_collage,
+        "frame_samples": _frame_samples,
         # --- text analysis over documents
         "token_counts": text_analysis.token_counts,
         "quality_stats": text_analysis.quality_stats,

@@ -126,3 +126,65 @@ def media_collage(extracted: rd.Dataset) -> rd.Dataset:
 
     return (extracted.map_batches(explode, batch_format="pyarrow")
             .groupby("doc_id").map_groups(collage, batch_format="pandas"))
+
+
+class FrameSampler:
+    """Actor-pool stage: video refs → uniformly sampled frame rows.
+
+    Real decoder (ffmpeg/pyav) is absent in this sandbox, so duration and
+    frame payloads are a deterministic fake of the ref hash — the Ray-side
+    contract is real: one input row fans out to ``n_frames`` output rows
+    (timestamp_ms, frame_index, width, height), the constructor is the
+    once-per-actor decoder-handle site, and batches stay small because a
+    real decoded frame is MBs. Role of a frame-sampling ingest stage in a
+    video training-data pipeline (the reference has no video path; this is
+    a north-rule training-data addition)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+        # real impl: self.decoder = open_codec_context(...) (once per actor)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, refs, idxs, ts, ws, hs = [], [], [], [], [], []
+        for did, ref in zip(batch["doc_id"], batch["media_ref"]):
+            h = hash64(ref)
+            duration_ms = 1_000 + h % 600_000       # fake probe: 1s–10min
+            width = 320 + (h >> 8) % 1600
+            height = 240 + (h >> 20) % 900
+            for i in range(self.n_frames):
+                # uniform sampling: frame i at (i + 0.5)/n of the duration
+                doc_ids.append(did)
+                refs.append(ref)
+                idxs.append(i)
+                ts.append(int(duration_ms * (2 * i + 1)
+                              // (2 * self.n_frames)))
+                ws.append(width)
+                hs.append(height)
+        return pd.DataFrame({
+            "doc_id": doc_ids, "media_ref": refs,
+            "frame_index": pd.array(idxs, dtype="int32"),
+            "timestamp_ms": pd.array(ts, dtype="int64"),
+            "width": pd.array(ws, dtype="int32"),
+            "height": pd.array(hs, dtype="int32")})
+
+
+def frame_samples(extracted: rd.Dataset, n_frames: int = 4,
+                  concurrency=(1, 4), batch_size: int = 16) -> rd.Dataset:
+    """Extracted docs → sampled frame rows for every media-bearing figure
+    span. Same explode as media_features; the sampler fans each ref out to
+    ``n_frames`` rows inside the actor (no driver loop, no shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..schemas import explode_spans
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat = explode_spans(batch)
+        keep = pc.and_(pc.equal(flat["kind"], "figure"),
+                       pc.not_equal(flat["media_ref"], ""))
+        return flat.filter(keep).select(["doc_id", "media_ref"])
+
+    refs = extracted.map_batches(explode, batch_format="pyarrow")
+    return refs.map_batches(FrameSampler, fn_constructor_args=(n_frames,),
+                            batch_format="pandas", batch_size=batch_size,
+                            concurrency=concurrency)

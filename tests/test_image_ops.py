@@ -63,3 +63,22 @@ def test_media_collage_pipeline(ray_session):
     assert int(out["n_figures"].iloc[0]) == 2
     assert int(out["collage_height"].iloc[0]) > 0
     assert int(out["collage_width"].iloc[0]) >= 16
+
+
+def test_frame_sampler_fanout(ray_session):
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.multimodal import FrameSampler
+
+    s = FrameSampler(n_frames=4)
+    out = s(pd.DataFrame({"doc_id": ["d1", "d2"],
+                          "media_ref": ["media://d1/0", "media://d2/0"]}))
+    assert len(out) == 8
+    d1 = out[out.doc_id == "d1"]
+    # uniform midpoint sampling: timestamps strictly increasing, inside
+    # the probed duration, deterministic per ref
+    assert list(d1.frame_index) == [0, 1, 2, 3]
+    assert d1.timestamp_ms.is_monotonic_increasing
+    assert (d1.width.nunique() == 1) and (d1.height.nunique() == 1)
+    again = s(pd.DataFrame({"doc_id": ["d1"], "media_ref": ["media://d1/0"]}))
+    assert list(again.timestamp_ms) == list(d1.timestamp_ms)
