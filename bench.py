@@ -86,14 +86,16 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
     corpus = os.environ.get("GRAFT_BENCH_CORPUS") or _corpus(sf_dir)
     # warm the page cache so we measure compute+shuffle, not first disk read
     rd.read_parquet(corpus).count()
-    # warm the worker pool on a 64-doc throwaway corpus so the timed run
+    # warm the worker pool on a small throwaway corpus so the timed run
     # measures steady-state compute, not each worker's one-time package
-    # import (~1s/worker — amortized to nothing on a real long run)
+    # import (~1s/worker — amortized to nothing on a real long run). Sized
+    # to spawn the full worker pool (batches >> cores) and to include a
+    # few mega-docs so the pass-2 groupby codepath is also warm.
     from ragflow_core16_ray.sources.synth import write_corpus
 
-    warm = "/tmp/graft_bench_warm"
+    warm = "/tmp/graft_bench_warm_v2"
     if not os.path.exists(os.path.join(warm, "_DONE")):
-        write_corpus(warm, n_docs=64, seed=1, mega_every=10**9)
+        write_corpus(warm, n_docs=1024, seed=1, mega_every=300)
         open(os.path.join(warm, "_DONE"), "w").close()
     run_extract(warm, warm + "_out")
 

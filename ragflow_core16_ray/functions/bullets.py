@@ -43,14 +43,21 @@ BULLET_FAMILIES: list[list[re.Pattern]] = [
 ]
 
 
+# every pattern above is start-anchored with a known literal first-char
+# class; a section whose first char is outside this set can match nothing,
+# so the vote skips it without touching a regex (the common case)
+_BULLET_FIRST_CHARS = frozenset("0123456789Cc(第（一二三四五六七八九十")
+
+
 def bullets_category(sections: list[str]) -> int:
     """Pick the bullet family: most distinct matched levels, then most
     total hits; -1 if nothing matches."""
+    candidates = [s for s in sections if s and s[0] in _BULLET_FIRST_CHARS]
     best, best_key = -1, (0, 0)
     for fi, fam in enumerate(BULLET_FAMILIES):
         levels = set()
         hits = 0
-        for s in sections:
+        for s in candidates:
             for li, pat in enumerate(fam):
                 if pat.match(s):
                     levels.add(li)
@@ -64,7 +71,7 @@ def bullets_category(sections: list[str]) -> int:
 
 def line_level(text: str, family: int) -> int:
     """Heading level of a line under a family; -1 = content."""
-    if family < 0:
+    if family < 0 or not text or text[0] not in _BULLET_FIRST_CHARS:
         return -1
     for li, pat in enumerate(BULLET_FAMILIES[family]):
         if pat.match(text):

@@ -53,13 +53,13 @@ our tokenizer (functions/tokenizer.py) in place of rag_tokenizer.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from .tokenizer import tokenize
 
 # the reference's bullet/projection taxonomy (_match_proj,
 # pdf_parser.py:112-123) re-expressed
-_PROJ_RES = tuple(re.compile(p) for p in (
+_PROJ_PATTERNS = (
     r"第[零一二三四五六七八九十百]+章",
     r"第[零一二三四五六七八九十百]+[条节]",
     r"[零一二三四五六七八九十百]+[、是 　]",
@@ -68,7 +68,12 @@ _PROJ_RES = tuple(re.compile(p) for p in (
     r"[0-9]+(、|\.[　 ]|）|\.[^0-9./a-zA-Z_%><-]{4,})",
     r"[0-9]+\.[0-9.]+(、|\.[ 　])",
     r"[⚫•➢①② ]",
-))
+)
+_PROJ_RES = tuple(re.compile(p) for p in _PROJ_PATTERNS)
+# one alternation is match-equivalent to any(p.match): for anchored
+# match, success of the ordered alternation == success of any member;
+# this runs once per line pair in the pdfish hot loop
+_PROJ_COMBINED = re.compile("|".join(f"(?:{p})" for p in _PROJ_PATTERNS))
 
 _SENT_END = re.compile(r"([。？！；!?;+)）]|[a-z]\.)$")
 _CONT_END = re.compile(r"[，：‘“、0-9（+-]$")
@@ -87,7 +92,7 @@ _FUNCTION_WORDS = frozenset(
 
 
 def match_proj(text: str) -> bool:
-    return any(p.match(text) for p in _PROJ_RES)
+    return _PROJ_COMBINED.match(text) is not None
 
 
 @dataclass
@@ -102,6 +107,11 @@ class LineGeom:
     page: int
     lay: str
     in_row: int = 0
+    # lazy regex-feature bundles: in a merge chain every line is scored
+    # once as `down` (pair i) and once as `up` (pair i+1); memoizing per
+    # line halves the gate's regex work when the caller reuses the object
+    _up_feats: tuple | None = field(default=None, repr=False, compare=False)
+    _down_feats: tuple | None = field(default=None, repr=False, compare=False)
 
     @property
     def height(self) -> float:
@@ -110,6 +120,28 @@ class LineGeom:
     @property
     def char_width(self) -> float:
         return (self.x1 - self.x0) / max(len(self.text), 1)
+
+    def up_feats(self) -> tuple:
+        """(sent_end, cont_end, paren_open, last_is_lower_digit)."""
+        f = self._up_feats
+        if f is None:
+            ut = self.text
+            f = (bool(_SENT_END.search(ut)), bool(_CONT_END.search(ut)),
+                 bool(_PAREN_OPEN.search(ut)),
+                 bool(ut and _LOWER_DIGIT.match(ut[-1])))
+            self._up_feats = f
+        return f
+
+    def down_feats(self) -> tuple:
+        """(is_proj, down_close, paren_close, upper_start, numeric)."""
+        f = self._down_feats
+        if f is None:
+            dt = self.text
+            f = (_PROJ_COMBINED.match(dt) is not None,
+                 bool(_DOWN_CLOSE.search(dt)), bool(_PAREN_CLOSE.search(dt)),
+                 bool(_UPPER.match(dt)), bool(_NUMERIC.match(dt)))
+            self._down_feats = f
+        return f
 
 
 def _nounish(token: str) -> bool:
@@ -190,22 +222,21 @@ def should_concat(up: LineGeom, down: LineGeom) -> bool:
     pdfish parse time when it tokenized."""
     if up.lay != down.lay:         # fea[3]: layout type change, never concat
         return False
-    ut, dt = up.text, down.text
-    if match_proj(dt):             # fea[15]: down starts a bullet/number
+    proj, down_close, paren_close, upper_start, numeric = down.down_feats()
+    if proj:                       # fea[15]: down starts a bullet/number
         return False
+    sent_end, cont_end, paren_open, last_lower_digit = up.up_feats()
     h = max(up.height, down.height)
     y_rel = ((down.top + down.bot - up.top - up.bot) / 2) / h  # fea[1]
-    sent_end = bool(_SENT_END.search(ut))                      # fea[8]
     score = 0
-    score += 1 if not sent_end else 0  # unfinished sentence continues
+    score += 1 if not sent_end else 0  # unfinished sentence continues (fea[8])
     score -= 3 if sent_end else 0      # up ended a sentence
-    score += 3 if _CONT_END.search(ut) else 0     # fea[9]: mid-clause
-    score += 2 if _DOWN_CLOSE.search(dt) else 0   # fea[10]: closing punct
-    score += 4 if (_PAREN_OPEN.search(ut)
-                   and _PAREN_CLOSE.search(dt)) else 0  # fea[14]
-    score += 1 if (ut and _LOWER_DIGIT.match(ut[-1])) else 0  # fea[18]
-    score -= 1 if (_UPPER.match(dt) and sent_end) else 0      # fea[16]&[8]
-    score -= 2 if _NUMERIC.match(dt) else 0       # fea[19]: bare number
+    score += 3 if cont_end else 0      # fea[9]: mid-clause
+    score += 2 if down_close else 0    # fea[10]: closing punct
+    score += 4 if (paren_open and paren_close) else 0  # fea[14]
+    score += 1 if last_lower_digit else 0              # fea[18]
+    score -= 1 if (upper_start and sent_end) else 0    # fea[16]&[8]
+    score -= 2 if numeric else 0       # fea[19]: bare number
     if y_rel > 2.5:                # vertical whitespace ≥ ~2.5 line heights
         score -= 2
     if y_rel < -0.5:               # down sits ABOVE up: a column/flow break

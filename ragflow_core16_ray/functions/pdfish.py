@@ -344,16 +344,18 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
     out: list[dict] = []
     cur: str | None = None
     cur_plain: str | None = None  # tag-free shadow driving merge decisions
-    prev_box: Box | None = None   # geometry of the last line in the flow
+    prev_geom: LineGeom | None = None  # last line's geometry, built ONCE —
+    # the gate memoizes per-line regex features on it, and every line is
+    # scored once as `down` then once as `up` along the chain
     cur_page = -1
 
     def flush():
-        nonlocal cur, cur_plain, prev_box
+        nonlocal cur, cur_plain, prev_geom
         if cur is not None and cur.strip():
             out.append(make_span("section", cur.strip()))
         cur = None
         cur_plain = None
-        prev_box = None
+        prev_geom = None
 
     for kind, o in ordered:
         # text flow never merges across a page boundary, so page-aligned
@@ -401,9 +403,10 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
         # use the UNTAGGED text and the line geometry
         t_plain = b.text.strip()
         t = t_plain + tag
+        g = geom(b)
         if cur is None:
             cur, cur_plain = t, t_plain
-        elif prev_box is not None and should_concat(geom(prev_box), geom(b)):
+        elif prev_geom is not None and should_concat(prev_geom, g):
             # joining space unless the boundary is CJK (see _CJK_BOUND_RE)
             join = (" " if cur_plain and t_plain
                     and not _CJK_BOUND_RE.match(cur_plain[-1])
@@ -413,7 +416,7 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
         else:
             flush()
             cur, cur_plain = t, t_plain
-        prev_box = b
+        prev_geom = g
     flush()
     return out
 

@@ -58,11 +58,11 @@ def column_types(columns: list[list[str]], majority: float = 0.6) -> list[str]:
     """Majority vote per column (rag/app/table.py:97-127 semantics: the
     dominant non-empty class wins if it covers > ``majority`` of the
     non-empty cells; int demotes to float if floats present; else text)."""
+    from collections import Counter
+
     out = []
     for col in columns:
-        from collections import Counter
-
-        counts = Counter(_classify(c) for c in col)
+        counts = Counter(map(_classify, col))
         counts.pop("empty", None)
         total = sum(counts.values())
         if not total:

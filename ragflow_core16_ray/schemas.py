@@ -109,7 +109,14 @@ def spans_column_to_pylists(col) -> list[list[dict]]:
     rows: list[list[dict]] = []
     for chunk in chunks:
         offsets = chunk.offsets.to_pylist()
-        flat = chunk.values
+        # CRITICAL for sliced chunks (map_batches slices blocks into
+        # batches): ``.values`` returns the UNSLICED child array, so
+        # decoding it whole makes every small batch pay for its entire
+        # parent block (quadratic in batches-per-block — this was the
+        # round-2 bench regression when auto batch sizing shrank batches).
+        # Slice the children to exactly this chunk's span range first.
+        lo, hi = offsets[0], offsets[-1]
+        flat = chunk.values.slice(lo, hi - lo)
         kinds = flat.field("kind").to_pylist()
         texts = flat.field("text").to_pylist()
         refs = flat.field("media_ref").to_pylist()
@@ -122,7 +129,7 @@ def spans_column_to_pylists(col) -> list[list[dict]]:
                 continue
             rows.append([{"kind": kinds[j], "text": texts[j],
                           "media_ref": refs[j], "offset": offs[j]}
-                         for j in range(offsets[i], offsets[i + 1])])
+                         for j in range(offsets[i] - lo, offsets[i + 1] - lo)])
     return rows
 
 
