@@ -374,14 +374,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
         """,
         "char_jaccard_pairs": r"""
-            WITH sh AS (
-              SELECT DISTINCT doc_id,
-                     CASE WHEN length(text) <= 4 THEN lower(text)
-                          ELSE substr(lower(text), i, 4) END AS g
-              FROM documents,
-                   LATERAL unnest(generate_series(
-                       1, greatest(length(text) - 3, 1))) AS t(i)
+            -- lower() FIRST, then derive gram positions from the lowered
+            -- string: lowercasing can change string length (e.g. 'İ'),
+            -- and Python's _char_grams slides over text.lower()
+            WITH d AS (
+              SELECT doc_id, lower(text) AS t FROM documents
               WHERE length(text) > 0
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN length(t) <= 4 THEN t
+                          ELSE substr(t, i, 4) END AS g
+              FROM d,
+                   LATERAL unnest(generate_series(
+                       1, greatest(length(t) - 3, 1))) AS u(i)
             ), sizes AS (
               SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
             ), inter AS (

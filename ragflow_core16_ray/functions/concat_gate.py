@@ -159,8 +159,12 @@ def updown_concat_features(up: LineGeom, down: LineGeom) -> list:
     x_dis = min(abs(up.x1 - down.x0), abs(up.x0 - down.x1),
                 abs(up.x0 + up.x1 - down.x0 - down.x1) / 2)
     LEN = 6
-    tks_down = tokenize(down.text[:LEN].strip())
-    tks_up = tokenize(up.text[-LEN:].strip())
+    # tokenize the RAW boundary windows — the reference strips only when
+    # building the joint string (pdf_parser.py:137-141
+    # rag_tokenizer.tokenize(down['text'][:LEN])), and a window ending in
+    # whitespace must count the same tokens it would there
+    tks_down = tokenize(down.text[:LEN])
+    tks_up = tokenize(up.text[-LEN:])
     joint = up.text[-LEN:].strip()
     if up.text and down.text and re.match(
             r"[a-zA-Z0-9]+", up.text[-1] + down.text[0]):

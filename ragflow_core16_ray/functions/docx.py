@@ -52,6 +52,13 @@ class ParsedDocx:
     # (text, style, [media part names]) per non-empty paragraph, in order
     paragraphs: list[tuple[str, str, list[str]]] = field(default_factory=list)
     tables: list[str] = field(default_factory=list)  # one HTML string each
+    # document order of body children: ("p", paragraph index) and
+    # ("tbl", table index) interleaved exactly as in the document — the
+    # two flat lists above lose relative position, which matters to
+    # consumers like the QA template where a mid-document table must
+    # extend the heading it follows (rag/app/qa.py Docx processes tables
+    # at position)
+    body: list[tuple[str, int]] = field(default_factory=list)
 
 
 def _load_rels(zf: zipfile.ZipFile) -> dict[str, str]:
@@ -133,6 +140,7 @@ def parse_docx(payload: bytes | str) -> ParsedDocx:
     pending_images: list[str] = []  # image-only paragraphs awaiting text
     for child in body:
         if child.tag == _w("tbl"):
+            out.body.append(("tbl", len(out.tables)))
             out.tables.append(_table_html(child))
         elif child.tag == _w("p"):
             text = _para_text(child).strip()
@@ -156,5 +164,6 @@ def parse_docx(payload: bytes | str) -> ParsedDocx:
             if pending_images:
                 images = pending_images + images
                 pending_images = []
+            out.body.append(("p", len(out.paragraphs)))
             out.paragraphs.append((text, style, images))
     return out

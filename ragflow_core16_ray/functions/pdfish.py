@@ -374,10 +374,14 @@ def extract_pdfish(spans: list[dict], page_height: int = 1000,
             import json as _json
 
             _infer_grid(o.cells)
+            # each cell carries its PAGE explicitly: the phase-B proximity
+            # merge needs real pages, and deriving them from row ids only
+            # works for _infer_grid's page-scoped numbering (cells with
+            # explicit row tags would all report page 0)
             payload = _json.dumps({
                 "tno": o.tno,
                 "caption": o.caption.strip() if o.caption else "",
-                "cells": [[c.row or 0, c.col or 0, c.text]
+                "cells": [[c.row or 0, c.col or 0, c.text, c.page]
                           for c in sorted(o.cells,
                                           key=lambda c: (c.row or 0,
                                                          c.col or 0))],
@@ -462,10 +466,12 @@ def render_table_cells(spans: list[dict]) -> list[dict]:
         return out
 
     # proximity merge for untagged tables (the reference's rule: tables
-    # no more than one page apart merge, pdf_parser.py:701-716). Page is
-    # recoverable from the page-scoped inferred row ids (row // 1e5).
+    # no more than one page apart merge, pdf_parser.py:701-716). Cells
+    # carry their page explicitly (4th element); legacy 3-element payloads
+    # fall back to the page-scoped row-id encoding (row // 1e5).
     def _pages(k):
-        return [r // 100_000 for r, _, _ in merged[k]["cells"]]
+        return [(c[3] if len(c) > 3 else c[0] // 100_000)
+                for c in merged[k]["cells"]]
 
     autos = sorted((k for k in merged if k < 0 and merged[k]["cells"]),
                    key=lambda k: min(_pages(k)))
@@ -502,7 +508,8 @@ def render_table_cells(spans: list[dict]) -> list[dict]:
         from .table import describe_grid_rows
 
         cells: dict[int, dict[int, str]] = {}
-        for r, c, text in sorted(d["cells"]):
+        for cell in sorted(d["cells"]):
+            r, c, text = cell[0], cell[1], cell[2]
             row = cells.setdefault(r, {})
             row[c] = (row.get(c, "") + " " + text).strip()
         ncol = max((max(cs) + 1 for cs in cells.values()), default=0)

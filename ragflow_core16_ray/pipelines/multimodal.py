@@ -90,13 +90,19 @@ def media_features(extracted: rd.Dataset, concurrency=(1, 4),
                             batch_size=batch_size, concurrency=concurrency)
 
 
-def media_collage(extracted: rd.Dataset) -> rd.Dataset:
+def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     """Per-doc figure collage: decode (fake) each figure, upright-rotate
     tall ones, stack vertically on a common width (functions/image_ops —
     the reference's chunk-image concat, rag/nlp/__init__.py:557-574).
     Output: one row per doc with ≥1 figure: (doc_id, n_figures,
-    collage_height, collage_width). The groupby(doc_id) co-locates a
-    doc's decoded frames on one worker; frames never cross the driver."""
+    collage_height, collage_width).
+
+    Grouped by a coarse doc-hash bucket, NOT raw doc_id: one map_groups
+    call per bucket with all of its docs collaged in one pass (a
+    one-group-per-doc groupby is the fine-grained per-group-overhead
+    pattern the dedup/sessionization stages avoid for the same reason —
+    see events_sessions, relational.py). A doc's frames still co-locate
+    on one worker (same bucket ⇒ same group) and never cross the driver."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -108,24 +114,37 @@ def media_collage(extracted: rd.Dataset) -> rd.Dataset:
         flat = explode_spans(batch)
         keep = pc.and_(pc.equal(flat["kind"], "figure"),
                        pc.not_equal(flat["media_ref"], ""))
-        return flat.filter(keep).select(["doc_id", "media_ref"])
+        flat = flat.filter(keep).select(["doc_id", "media_ref"])
+        bucket = pa.array([hash64(d) & (n_buckets - 1)
+                           for d in flat["doc_id"].to_pylist()],
+                          type=pa.int64())
+        return flat.append_column("bucket", bucket)
 
-    def collage(g: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for ref in g["media_ref"]:
-            h = hash64(ref)
-            arr = np.full(((h >> 8) % 96 + 16, (h >> 16) % 96 + 16, 3),
-                          h % 251, dtype=np.uint8)  # fake decode
-            frames.append(maybe_rotate(arr))
-        out = vertical_concat(frames)
+    def collage_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "media_ref"], kind="stable")
+        doc_ids, n_figs, heights, widths = [], [], [], []
+        for doc_id, refs in g.groupby("doc_id", sort=False)["media_ref"]:
+            frames = []
+            for ref in refs:
+                h = hash64(ref)
+                arr = np.full(((h >> 8) % 96 + 16, (h >> 16) % 96 + 16, 3),
+                              h % 251, dtype=np.uint8)  # fake decode
+                frames.append(maybe_rotate(arr))
+            out = vertical_concat(frames)
+            doc_ids.append(doc_id)
+            n_figs.append(len(frames))
+            heights.append(out.shape[0])
+            widths.append(out.shape[1])
         return pd.DataFrame({
-            "doc_id": [g["doc_id"].iloc[0]],
-            "n_figures": pd.array([len(frames)], dtype="int64"),
-            "collage_height": pd.array([out.shape[0]], dtype="int64"),
-            "collage_width": pd.array([out.shape[1]], dtype="int64")})
+            "doc_id": doc_ids,
+            "n_figures": pd.array(n_figs, dtype="int64"),
+            "collage_height": pd.array(heights, dtype="int64"),
+            "collage_width": pd.array(widths, dtype="int64")})
 
     return (extracted.map_batches(explode, batch_format="pyarrow")
-            .groupby("doc_id").map_groups(collage, batch_format="pandas"))
+            .repartition(max(1, n_buckets // 4))
+            .groupby("bucket").map_groups(collage_bucket,
+                                          batch_format="pandas"))
 
 
 class FrameSampler:

@@ -136,11 +136,17 @@ def _qa_from_docx(spans: list[dict]) -> list[dict]:
     for s in spans:
         if s["kind"] == "docx":
             parsed = parse_docx(s["text"])
-            for text, style, _images in parsed.paragraphs:
-                m = _HEADING_STYLE_RE.match(style)
-                leveled.append((int(m.group(1)) if m else 0, text))
-            for html in parsed.tables:
-                leveled.append((0, html))
+            # walk body children IN DOCUMENT ORDER: a mid-document table
+            # extends the answer of the heading it follows, not the last
+            # heading of the file (the reference's qa.py Docx mode
+            # processes tables at position)
+            for kind, idx in parsed.body:
+                if kind == "p":
+                    text, style, _images = parsed.paragraphs[idx]
+                    m = _HEADING_STYLE_RE.match(style)
+                    leveled.append((int(m.group(1)) if m else 0, text))
+                else:
+                    leveled.append((0, parsed.tables[idx]))
         elif s["kind"] == "text":
             leveled.append((0, s["text"]))
     return _qa_stack(leveled)

@@ -134,3 +134,33 @@ def test_docx_qa_mode():
     assert qa[1].startswith("Guide\nSizing\nHow many pages?\nTwelve pages each.")
     # the trailing table rides the last open answer
     assert "<table>" in qa[1]
+
+
+def test_docx_qa_mode_mid_document_table_extends_preceding_answer():
+    # a table BETWEEN two headings belongs to the heading it follows, not
+    # the last heading of the file (the reference's qa.py Docx mode
+    # processes body children at position; ParsedDocx.body preserves the
+    # paragraph/table interleaving the flat lists lose)
+    from ragflow_core16_ray.config import ExtractConfig
+
+    body = (_xml_p("First question?", style="Heading1")
+            + _xml_p("First answer.")
+            + _xml_tbl([["k", "v"], ["a", "1"]])
+            + _xml_p("Second question?", style="Heading1")
+            + _xml_p("Second answer."))
+    blob = base64.b64encode(_doc(body)).decode()
+    spans = [make_span("docx", blob)]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="qa"))
+    qa = [s["text"] for s in out if s["kind"] == "qa"]
+    assert len(qa) == 2
+    assert qa[0].startswith("First question?\nFirst answer.")
+    assert "<table>" in qa[0]          # table rides the FIRST answer
+    assert "<table>" not in qa[1]
+    assert qa[1] == "Second question?\nSecond answer."
+
+
+def test_parse_docx_body_interleaving_order():
+    body = (_xml_p("before") + _xml_tbl([["a"]]) + _xml_p("after")
+            + _xml_tbl([["b"]]))
+    p = parse_docx(_doc(body))
+    assert p.body == [("p", 0), ("tbl", 0), ("p", 1), ("tbl", 1)]

@@ -484,11 +484,13 @@ def test_untagged_table_grid_inference():
 
     cells = json.loads([s for s in out if s["kind"] == "table_cells"][0]["text"])
     # row ids are page-scoped (page*1e5 + cluster) so shard-local
-    # re-inference can never collide when fragments merge
+    # re-inference can never collide when fragments merge; each cell
+    # carries its page explicitly (4th element) for the phase-B
+    # proximity merge
     assert cells["cells"] == [
-        [0, 0, "h1"], [0, 1, "h2"],
-        [1, 0, "a1"], [1, 1, "a2"],
-        [100000, 0, "b1"], [100000, 1, "b2"],
+        [0, 0, "h1", 0], [0, 1, "h2", 0],
+        [1, 0, "a1", 0], [1, 1, "a2", 0],
+        [100000, 0, "b1", 1], [100000, 1, "b2", 1],
     ]
 
 
@@ -548,3 +550,36 @@ def test_describe_grid_rows_majority_body():
         [["region", "sales"], ["north", "5"], ["south", "7"],
          ["east", "9"], ["subtotal pending", "tbd"]])[0] == \
         "region：north; sales：5"
+
+
+def test_row_tagged_untagged_tno_tables_do_not_merge_across_far_pages():
+    # two tno-less tables whose cells carry EXPLICIT row tags (legal per
+    # parse_box; _infer_grid no-ops then) on pages 0 and 5: the phase-B
+    # proximity rule must see their REAL pages (carried per cell) — the
+    # old row-id page encoding reported page 0 for both and merged them
+    import json
+
+    def tagged_cell(t, x0, top, page, row, col):
+        d = {"t": t, "x0": x0, "x1": x0 + 80, "top": top, "bot": top + 18,
+             "page": page, "lay": "table", "row": row, "col": col}
+        return {"kind": "box", "text": json.dumps(d, sort_keys=True),
+                "media_ref": "", "offset": 0}
+
+    def body(t, page):
+        return _mk_box(t, 60, 540, 300, 320, page, "text")
+
+    spans = [
+        tagged_cell("a1", 60, 100, 0, 0, 0), tagged_cell("a2", 200, 100, 0, 0, 1),
+        body("separating body text on page two.", 2),
+        tagged_cell("b1", 60, 100, 5, 0, 0), tagged_cell("b2", 200, 100, 5, 0, 1),
+    ]
+    from ragflow_core16_ray.functions.pdfish import render_table_cells
+    out = extract_pdfish(spans)
+    assert sum(1 for s in out if s["kind"] == "table_cells") == 2
+    rendered = render_table_cells(out)
+    rows = [s["text"] for s in rendered if s["kind"] == "table_row"]
+    # tables >1 page apart stay separate: one row per table, and the
+    # page-5 cells never collide onto the page-0 grid row
+    assert len(rows) == 2
+    assert any("a1" in r for r in rows) and any("b1" in r for r in rows)
+    assert not any("a1" in r and "b1" in r for r in rows)
