@@ -118,8 +118,11 @@ def _chunk_docs(sf_dir: str):
 
 def _extract_override(sf_dir: str, template: str):
     """Template-override run: whole corpus through one forced chunking
-    template — per-(template,kind) span counts, demonstrating the
-    parser_id-style override surface (rag/svr/task_executor.py:67-84)."""
+    template — per-(template,kind) span counts PLUS an order-independent
+    span-text hash (sum of per-span hash64, masked to int63), so a
+    regression that keeps counts stable but changes any span text still
+    shows as a row diff. Demonstrates the parser_id-style override
+    surface (rag/svr/task_executor.py:67-84)."""
     import pandas as pd
     import ray.data as rd
 
@@ -134,20 +137,35 @@ def _extract_override(sf_dir: str, template: str):
                     cfg=ExtractConfig(template_override=template))
         open(marker, "w").close()
 
+    from ragflow_core16_ray.functions.hashing import hash64
     from ragflow_core16_ray.schemas import explode_spans
+
+    _M63 = (1 << 63) - 1
 
     def counts(batch) -> pd.DataFrame:
         flat = explode_spans(batch, extra_cols=("template",))
-        df = flat.select(["template", "kind"]).to_pandas()
-        g = df.groupby(["template", "kind"], sort=False).size()
-        return g.rename("n").reset_index()
+        df = flat.select(["template", "kind", "text"]).to_pandas()
+        df["text_hash"] = [hash64(t) & _M63 for t in df["text"]]
+        g = (df.groupby(["template", "kind"], sort=False)
+             .agg(n=("text", "size"), text_hash=("text_hash", "sum")))
+        # modular sum keeps the partial in int64 range and stays
+        # order-independent under distributed combination
+        g["text_hash"] &= _M63
+        return g.reset_index()
 
     from ragflow_core16_ray.stages.agg import combine_partials
 
     ds = rd.read_parquet(
         os.path.join(out_dir, "docs"), columns=["template", "spans"]
     ).map_batches(counts, batch_format="pyarrow")
-    return combine_partials(ds, ["template", "kind"], {"n": "sum"})
+    out = combine_partials(ds, ["template", "kind"],
+                           {"n": "sum", "text_hash": "sum"})
+
+    def mask(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["text_hash"] &= _M63
+        return batch
+
+    return out.map_batches(mask, batch_format="pandas")
 
 
 def _extraction_metrics(sf_dir: str):
@@ -207,6 +225,43 @@ def _media_collage(sf_dir: str):
     return media_collage(extracted)
 
 
+def _extract_positions(sf_dir: str):
+    """keep_positions end-to-end at driver scale: the pdfish flow with
+    in-band ``@@page\\tx0\\tx1\\ttop\\tbot##`` tags woven through the text
+    (pdf_parser.py:893-908 _line_tag), then per-span tag accounting —
+    (doc_id, offset, kind, n_tags, n_tag_chars) for every span that
+    carries at least one tag. Exercises the tag codec (functions/postag)
+    on the full corpus, not just unit fixtures. Rows-only (tag geometry
+    has no SQL twin)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ragflow_core16_ray.config import ExtractConfig
+    from ragflow_core16_ray.pipelines.extract import run_extract
+
+    corpus = _corpus_for(sf_dir)
+    out_dir = corpus + "_out_pos_" + _src_digest()
+    marker = os.path.join(out_dir, "_GRAFT_DONE")
+    if not os.path.exists(marker):
+        run_extract(corpus, out_dir, cfg=ExtractConfig(keep_positions=True))
+        open(marker, "w").close()
+
+    from ragflow_core16_ray.functions.postag import strip_tags
+    from ragflow_core16_ray.schemas import explode_spans
+
+    def tag_stats(batch) -> pd.DataFrame:
+        flat = explode_spans(batch)
+        df = flat.select(["doc_id", "offset", "kind", "text"]).to_pandas()
+        plain = df["text"].map(strip_tags)
+        df["n_tag_chars"] = df["text"].str.len() - plain.str.len()
+        df = df[df["n_tag_chars"] > 0]
+        return df[["doc_id", "offset", "kind", "n_tag_chars"]]
+
+    return rd.read_parquet(
+        os.path.join(out_dir, "docs"), columns=["doc_id", "spans"]
+    ).map_batches(tag_stats, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _extract_flat("/root/testdata/sf0.001")
@@ -222,6 +277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_paper": lambda sf: _extract_override(sf, "paper"),
         "extract_laws": lambda sf: _extract_override(sf, "laws"),
         "extract_manual": lambda sf: _extract_override(sf, "manual"),
+        "extract_one": lambda sf: _extract_override(sf, "one"),
+        "extract_qa": lambda sf: _extract_override(sf, "qa"),
+        "positions_spans": _extract_positions,
         "extraction_metrics": _extraction_metrics,
         "chunk_docs": _chunk_docs,
         "media_features": _media_features,
