@@ -17,14 +17,17 @@ def _line(text, top=100.0, bot=120.0, x0=60.0, x1=540.0, page=0, lay="text",
     return LineGeom(text, x0, x1, top, bot, page, lay, in_row)
 
 
-def _pair(up_text, down_text, **down_kw):
-    up = _line(up_text)
+def _pair(up_text, down_text, up_kw=None, **down_kw):
+    up = _line(up_text, **(up_kw or {}))
     down = _line(down_text, top=down_kw.pop("top", 130.0),
                  bot=down_kw.pop("bot", 150.0), **down_kw)
     return up, down
 
 
 # (name, up_text, down_text, down_overrides, expected_concat)
+# down_overrides may carry "up_kw": {...} to override the UP line too.
+# Every decision below is hand-traced against the reference's feature
+# math (deepdoc/parser/pdf_parser.py:125-180) and the rule threshold.
 CASES = [
     # wrapped mid-sentence latin line → continues
     ("wrapped_latin", "The quick brown fox jumps over", "the lazy dog.",
@@ -57,13 +60,56 @@ CASES = [
     # down starts with continuation punctuation (feature 10) on an
     # unfinished up → continues
     ("down_closing", "the value is stored", "，然后继续", {}, True),
+    # ---- column wrap (feature 21 territory: up below/right of down) ----
+    # mid-clause comma at the bottom of the left column continues at the
+    # top of the right column despite the upward y jump
+    ("colwrap_comma_continues", "数据继续处理，", "下一列顶部继续",
+     {"up_kw": {"x0": 50, "x1": 280, "top": 400.0, "bot": 420.0},
+      "x0": 320, "x1": 540, "top": 100.0, "bot": 120.0}, True),
+    # a finished sentence does NOT leak across the column wrap
+    ("colwrap_sentence_breaks", "数据处理完成。", "新段落开始",
+     {"up_kw": {"x0": 50, "x1": 280, "top": 400.0, "bot": 420.0},
+      "x0": 320, "x1": 540, "top": 100.0, "bot": 120.0}, False),
+    # ---- font-size change (feature 22) ----
+    # strong continuation (comma) survives a 2.2× line-height jump
+    ("font_jump_comma_continues", "前半句仍在继续，", "较大字号的后半句",
+     {"top": 130.0, "bot": 174.0}, True),
+    # weak continuation + font jump + big gap → break
+    ("font_jump_with_gap_breaks", "a heading-ish lead…", "Bigger follows",
+     {"top": 160.0, "bot": 204.0}, False),
+    # ---- in-row counts (features 28/29) ----
+    # both lines sit in multi-box rows (table-ish) with neutral text → break
+    ("inrow_cells_break", "VALUE", "NEXT",
+     {"up_kw": {"in_row": 2}, "in_row": 2}, False),
+    # identical text/geometry without the in-row signal → continues
+    ("inrow_zero_continues", "VALUE", "NEXT", {}, True),
+    # one side in a multi-box row is enough (max of the two, feature 28)
+    ("inrow_asymmetric_breaks", "VALUE", "NEXT", {"in_row": 3}, False),
+    # ---- CJK continuation punctuation (feature 9 variants) ----
+    ("cjk_colon_continues", "配置如下：", "排序与分组设置", {}, True),
+    ("cjk_enum_comma_continues", "包括排序、", "过滤和分组。", {}, True),
+    # down starting with a closing quote (feature 10) rides the dialogue
+    ("cjk_quote_close_continues", "他说", "”不行。", {}, True),
+    # latin hyphenation wrap: '-' is continuation punctuation
+    ("hyphen_wrap_continues", "a well-known pro-", "cessing engine", {}, True),
+    # percent figure alone on the next line is a table-ish break (fea 19)
+    ("numeric_percent_breaks", "growth rate was", "42.5%", {}, False),
+    # ---- horizontal gap / indent jump (feature 23) ----
+    # far x-distance + neutral caps tail → break
+    ("xgap_caps_breaks", "ENDS IN CAPS HERE NOW AND MORE PADDING TEXT",
+     "tail", {"x0": 700, "x1": 740}, False),
+    # same geometry but a lowercase tail tips it to continue
+    ("xgap_lower_continues", "ends in lower case tail with padding text",
+     "tail", {"x0": 700, "x1": 740}, True),
 ]
 
 
 @pytest.mark.parametrize("name,up,down,kw,expected",
                          CASES, ids=[c[0] for c in CASES])
 def test_gate_fixture(name, up, down, kw, expected):
-    u, d = _pair(up, down, **kw)
+    kw = dict(kw)
+    up_kw = kw.pop("up_kw", None)
+    u, d = _pair(up, down, up_kw=up_kw, **kw)
     assert should_concat(u, d) is expected
 
 
@@ -135,7 +181,10 @@ def _score_from_vector(fea):
 def test_gate_uses_feature_vector():
     # the tokenize-free fast path in should_concat must match the
     # vector-based scoring on every fixture pair AND on a geometry sweep
-    pairs = [_pair(c[1], c[2], **dict(c[3])) for c in CASES]
+    pairs = []
+    for c in CASES:
+        kw = dict(c[3])
+        pairs.append(_pair(c[1], c[2], up_kw=kw.pop("up_kw", None), **kw))
     for dy in (5.0, 25.0, 80.0, -40.0):
         for lay in ("text", "table"):
             for txt in ("continues without end", "Ends here.", "第 3 页"):

@@ -264,3 +264,50 @@ def test_qa_table_sharding_no_header_duplication():
     assert qa[0] == "q0?\na0" and qa[-1] == "q39?\na39"
     _, unsharded, _ = extract_doc(spans, ExtractConfig(template_override="qa"))
     assert [s["text"] for s in unsharded if s["kind"] == "qa"] == qa
+
+
+def test_bimm_segmentation_parity_fixtures():
+    """Authored CJK segmentation fixtures pinning the BiMM tokenizer
+    (role of rag/nlp/rag_tokenizer.py:217-263 fw/bw max-match + :119-167
+    disambiguation): lexicon edits or matcher changes that shift chunk
+    boundaries must fail here visibly. 研究生命科学 is the classic BiMM
+    disambiguation case — backward (研究/生命/科学, 0 singles) must beat
+    forward (研究生/命/科学, 1 single) on the tie."""
+    from ragflow_core16_ray.functions.tokenizer import tokenize
+
+    fixtures = [
+        ("数据流处理引擎", ["数据流", "处理", "引擎"]),
+        ("研究生命科学", ["研究", "生命", "科学"]),
+        ("机器学习模型训练", ["机器", "学习", "模型", "训", "练"]),
+        ("我们使用批处理管道处理语料",
+         ["我", "们", "使", "用", "批处理", "管道", "处理", "语料"]),
+        ("Ray数据引擎支持分区与排序",
+         ["ray", "数据", "引擎", "支", "持", "分区", "与", "排序"]),
+        ("性能优化和内存管理", ["性能", "优化", "和", "内存", "管", "理"]),
+        ("这是一个测试句子", ["这", "是", "一", "个", "测试", "句子"]),
+        # trad→simp + full→half width normalization runs BEFORE matching
+        # (rag_tokenizer.tokenize:291-300 chain)
+        ("數據處理，ＡＢＣ！", ["数据", "处理", ",", "abc", "!"]),
+        ("機器學習", ["机器", "学习"]),
+    ]
+    for text, want in fixtures:
+        assert tokenize(text) == want, text
+
+
+def test_fine_grained_parity_fixtures():
+    """fine_grained_tokenize fixtures (rag_tokenizer.py:364-402 role):
+    lexicon compounds decompose (数据流 → 数据/流), tokens whose only
+    decomposition is all singles stay whole, short/numeric tokens pass
+    through, and '/'-compounds split in mostly-latin streams."""
+    from ragflow_core16_ray.functions.tokenizer import (
+        fine_grained_tokenize, tokenize)
+
+    assert fine_grained_tokenize(tokenize("数据流处理引擎")) == \
+        ["数据", "流", "处理", "引擎"]
+    assert fine_grained_tokenize(tokenize("研究生命科学")) == \
+        ["研究", "生命", "科学"]
+    assert fine_grained_tokenize(tokenize("我们使用批处理管道处理语料")) == \
+        ["我", "们", "使", "用", "批", "处理", "管道", "处理", "语料"]
+    # mostly-latin list: only '/'-compounds split
+    assert fine_grained_tokenize(["read/write", "path", "42"]) == \
+        ["read", "write", "path", "42"]

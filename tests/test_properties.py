@@ -105,3 +105,109 @@ def test_infer_grid_invariants(slots):
         for b in cells:
             if a.col < b.col:
                 assert a.x0 < b.x0
+
+
+# --------------------------------------------------------------------------
+# Cross-page table merge under shard cuts (pdf_parser.py:701-716 semantics;
+# phase A ships raw table_cells fragments, phase B merges + renders —
+# stages/extract.py render path). Property: the rendered output must be
+# SHARD-POSITION INVARIANT — wherever the page-range cut falls (including
+# inside a multi-page row cluster, and between two abutting tables), the
+# sharded pipeline must reproduce the unsharded output exactly.
+
+def _tbox(t, x0, top, page, lay="table", **tags):
+    import json
+
+    d = {"t": t, "x0": float(x0), "x1": float(x0) + 80.0, "top": float(top),
+         "bot": float(top) + 18.0, "page": page, "lay": lay, **tags}
+    return {"kind": "box", "text": json.dumps(d, sort_keys=True),
+            "media_ref": "", "offset": 0}
+
+
+def _body(t, page, top):
+    import json
+
+    d = {"t": t, "x0": 60.0, "x1": 540.0, "top": float(top),
+         "bot": float(top) + 20.0, "page": page, "lay": "text"}
+    return {"kind": "box", "text": json.dumps(d, sort_keys=True),
+            "media_ref": "", "offset": 0}
+
+
+def _table_doc(tables, n_pages=15):
+    """Build a page-ordered span list: 2 body lines per page + the given
+    tables. Each table: (start_page, n_pages_spanned, rows_per_page,
+    hug_top, tagged). hug_top puts continuation rows at the very top of
+    the next page (the cut falls INSIDE the visual row cluster); tagged
+    tables carry explicit row/col/tno."""
+    spans = []
+    for page in range(n_pages):
+        for ti, (p0, span_pages, rpp, hug, tagged) in enumerate(tables):
+            if p0 <= page < p0 + span_pages:
+                local = page - p0
+                base_top = 30.0 if (hug and local > 0) else 700.0
+                for r in range(rpp):
+                    row_abs = local * rpp + r
+                    for c in range(2):
+                        tags = ({"row": row_abs, "col": c, "tno": ti}
+                                if tagged else {})
+                        spans.append(_tbox(f"t{ti}r{row_abs}c{c}",
+                                           60 + 140 * c,
+                                           base_top + 25 * r, page, **tags))
+        for i in range(2):
+            spans.append(_body(f"body {page}-{i}.", page, 200.0 + 60 * i))
+    return spans
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12),      # start page
+                  st.integers(1, 3),       # pages spanned
+                  st.integers(1, 2),       # rows per page
+                  st.booleans(),           # hug_top (cut inside row cluster)
+                  st.booleans()),          # tagged (row/col/tno) vs inferred
+        min_size=1, max_size=3),
+    st.sampled_from([8, 12, 20, 40]),      # shard_span_threshold sweep —
+)                                          # moves the cut position around
+@settings(max_examples=40, deadline=None)
+def test_table_render_shard_position_invariance(tables, threshold):
+    from ragflow_core16_ray.stages.extract import extract_doc
+
+    spans = _table_doc(tables)
+    _, unsharded, one = extract_doc(spans, ExtractConfig())
+    assert one == 1
+    _, sharded, n_shards = extract_doc(
+        spans, ExtractConfig(shard_span_threshold=threshold))
+    assert [(s["kind"], s["text"]) for s in sharded] == \
+        [(s["kind"], s["text"]) for s in unsharded]
+
+
+def test_two_distinct_untagged_tables_abutting_the_cut():
+    """Two untagged tables on pages 11 and 12 (the 12-page task cut falls
+    between them): the ≤1-page proximity rule merges them — the same
+    best-effort continuation contract as the unsharded parse — and the
+    sharded result must equal the unsharded one. At a ≥2-page gap they
+    stay separate tables in both."""
+    from ragflow_core16_ray.stages.extract import extract_doc
+
+    def doc(gap):
+        return _table_doc([(11, 1, 2, False, False),
+                           (12 + gap, 1, 2, False, False)], n_pages=16)
+
+    for gap in (0, 2):
+        spans = doc(gap)
+        _, unsharded, _ = extract_doc(spans, ExtractConfig())
+        _, sharded, n_shards = extract_doc(
+            spans, ExtractConfig(shard_span_threshold=12))
+        assert n_shards > 1
+        assert [(s["kind"], s["text"]) for s in sharded] == \
+            [(s["kind"], s["text"]) for s in unsharded]
+        rows = [s["text"] for s in sharded if s["kind"] == "table_row"]
+        if gap == 0:
+            # adjacent pages: one merged table, all four rows contiguous
+            assert len(rows) == 4
+            assert any("t0r0c0" in r for r in rows)
+            assert any("t1r0c0" in r for r in rows)
+        else:
+            # two pages apart: still four rows but from two separate
+            # renders — each table's own grid, no cross-contamination
+            assert len(rows) == 4
