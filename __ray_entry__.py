@@ -292,8 +292,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": lambda sf: text_analysis.top_words(sf),
         "lang_pred": text_analysis.lang_pred,
         "quality_filter": lambda sf: text_analysis.quality_filter(sf),
+        "length_histogram": lambda sf: text_analysis.length_histogram(sf),
+        "stratified_sample": lambda sf: text_analysis.stratified_sample(sf),
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
+        "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
             sf, k=4, threshold=0.6, grams="char"),
@@ -373,6 +376,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE length(text) BETWEEN 200 AND 5000
               AND len(regexp_extract_all(text, '\S+')) >= 30
+        """,
+        "length_histogram": r"""
+            SELECT length(text) // 100 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # stratified deterministic sampling: stratum = the lang_pred
+        # heuristic; keep iff the first 8 hex chars of md5(doc_id) sort
+        # under the stratum's rate cutoff (lexicographic == numeric for
+        # fixed-width lowercase hex) — cutoffs must match
+        # text_analysis.STRATA_RATES via sample_cutoff_hex
+        "stratified_sample": r"""
+            WITH c AS (
+              SELECT doc_id, text,
+                     length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk,
+                     len(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS n_words,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('the','and','of','to','is','in','that','it','for','with'))) AS n_en,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('le','la','les','de','et','est','une','que','des','dans'))) AS n_fr,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('el','la','los','de','y','es','una','que','las','en'))) AS n_es,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('der','die','das','und','ist','ein','nicht','mit','den','von'))) AS n_de
+              FROM documents
+            ), lp AS (
+              SELECT doc_id,
+                     CASE WHEN n_cjk > greatest(1, n_words) * 0.5 THEN 'zh'
+                          WHEN n_en >= n_fr AND n_en >= n_es AND n_en >= n_de THEN 'en'
+                          WHEN n_fr >= n_es AND n_fr >= n_de THEN 'fr'
+                          WHEN n_es >= n_de THEN 'es'
+                          ELSE 'de' END AS lang_pred
+              FROM c
+            )
+            SELECT doc_id, lang_pred FROM lp
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang_pred
+                       WHEN 'en' THEN '33333333'
+                       WHEN 'fr' THEN '80000000'
+                       WHEN 'es' THEN '80000000'
+                       WHEN 'de' THEN 'ffffffff'
+                       WHEN 'zh' THEN 'ffffffff'
+                       ELSE '00000000' END
+        """,
+        "near_dup_removal": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+              FROM words,
+                   LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+            ), und AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+              UNION SELECT id_a, id_a FROM pairs
+              UNION SELECT id_b, id_b FROM pairs
+            ), reach(src, dst) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+            ), drops AS (
+              SELECT src AS doc_id FROM reach
+              GROUP BY src HAVING MIN(dst) <> src
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
         """,
         "top_words": r"""
             SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt

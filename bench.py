@@ -68,11 +68,12 @@ def _consume(res) -> int:
 # extract_spans is the headline and timed separately)
 BENCH_QUERIES = [
     "token_counts", "quality_stats", "fingerprints", "top_words",
+    "length_histogram", "stratified_sample",
     "exact_dedup", "jaccard_clusters", "minhash_lsh_pairs", "simhash_pairs",
     "emb_near_dup", "emb_topk", "emb_lsh_topk",
     "pricing_summary", "nation_revenue", "top_customers",
     "events_hourly", "events_sessions", "events_asof_orders",
-    "media_features", "chunk_docs",
+    "media_features", "media_collage", "chunk_docs",
 ]
 
 

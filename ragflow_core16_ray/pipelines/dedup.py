@@ -479,6 +479,35 @@ def jaccard_clusters(sf_dir: str, k: int = 3, threshold: float = 0.5,
                          "cluster_id": [c for _, c in rows]})
 
 
+def near_dup_removal(sf_dir: str, k: int = 3, threshold: float = 0.5,
+                     n_buckets: int = 64) -> rd.Dataset:
+    """The full near-dedup TRAINING-DATA step: cluster near-duplicates
+    (jaccard_clusters) and emit the corpus with every non-representative
+    cluster member REMOVED (representative = min doc_id in the component).
+
+    Scale shape: the drop-set is proportional to duplicates found, not
+    corpus size — it is broadcast once via ``ray.put`` and each filter
+    batch reads it zero-copy from the object store; the corpus itself
+    streams through a pyarrow filter, never materializing. Output:
+    (doc_id,) of surviving documents."""
+    import pyarrow as pa
+    import ray
+
+    clusters = jaccard_clusters(sf_dir, k, threshold, n_buckets)
+    drop = frozenset(d for d, c in zip(clusters["doc_id"],
+                                       clusters["cluster_id"]) if d != c)
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropset = ray.get(drop_ref)
+        mask = pa.array([d not in dropset
+                         for d in batch["doc_id"].to_pylist()])
+        return batch.filter(mask).select(["doc_id"])
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(keep,
+                                                 batch_format="pyarrow")
+
+
 def minhash_verified_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                            est_threshold: float = 0.25) -> pd.DataFrame:
     """The production near-dup shape: sub-quadratic LSH candidate

@@ -99,6 +99,64 @@ def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
             .head(k).reset_index(drop=True))
 
 
+def length_histogram(sf_dir: str, bucket: int = 100) -> pd.DataFrame:
+    """Corpus length distribution: (bucket = ⌊chars/bucket⌋, n docs).
+    Zero-copy Arrow per batch (utf8_length + value_counts) emitting one
+    partial row per occupied bucket, then the combiner tree — the shuffle
+    moves at most a few hundred histogram rows per block, never documents.
+    The shape every corpus-profiling pass should take at 100 TB."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.divide(pc.utf8_length(batch["text"]), bucket),
+                    pa.int64())
+        vc = pc.value_counts(b)
+        return pa.table({"bucket": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    df = combine_partials(ds, ["bucket"], {"n": "sum"}).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("bucket").reset_index(drop=True)
+
+
+# per-language sampling rates for stratified_sample: oversample the
+# low-resource strata, downsample the dominant one (the standard
+# training-data mixture move); expressed as 8-hex-digit md5-prefix
+# cutoffs so the DuckDB oracle compares the same strings
+STRATA_RATES = {"en": 0.2, "fr": 0.5, "es": 0.5, "de": 1.0, "zh": 1.0}
+
+
+def sample_cutoff_hex(rate: float) -> str:
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def stratified_sample(sf_dir: str,
+                      rates: dict[str, float] | None = None) -> rd.Dataset:
+    """Deterministic stratified corpus sampling: per document, stratum =
+    lang_id(text) and the doc is kept iff the first 8 hex chars of
+    md5(doc_id) fall under the stratum's rate cutoff (lexicographic hex
+    compare == numeric compare). No RNG state, no coordination: any
+    worker, any partitioning, any rerun draws the same sample — the only
+    sampling design that is reproducible AND embarrassingly parallel at
+    100 TB. Output: (doc_id, lang_pred) for kept docs."""
+    rates = rates or STRATA_RATES
+    cutoffs = {lang: sample_cutoff_hex(r) for lang, r in rates.items()}
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        langs = [lang_id(t) for t in batch["text"]]
+        keep = [md5_hex(str(d))[:8] < cutoffs.get(lg, "00000000")
+                for d, lg in zip(batch["doc_id"], langs)]
+        out = pd.DataFrame({"doc_id": batch["doc_id"].values,
+                            "lang_pred": langs})
+        return out[keep].reset_index(drop=True)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
 def quality_filter(sf_dir: str, min_chars: int = 200, max_chars: int = 5000,
                    min_tokens: int = 30) -> rd.Dataset:
     """Training-data quality gate: keep documents in a length band with a

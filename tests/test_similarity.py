@@ -86,3 +86,51 @@ def test_ivf_centroids_deterministic():
     c1 = train_centroids(x, 4)
     c2 = train_centroids(x, 4)
     assert np.array_equal(c1, c2)
+
+
+def test_length_histogram_counts(ray_session):
+    from ragflow_core16_ray.pipelines.text_analysis import length_histogram
+
+    df = length_histogram(SF)
+    docs = pq.read_table(SF + "/documents.parquet").to_pandas()
+    want = (docs["text"].str.len() // 100).value_counts().sort_index()
+    assert list(df["bucket"]) == list(want.index)
+    assert list(df["n"]) == list(want.values)
+
+
+def test_stratified_sample_deterministic_and_rate_bound(ray_session):
+    from ragflow_core16_ray.functions.hashing import md5_hex
+    from ragflow_core16_ray.pipelines.text_analysis import (
+        STRATA_RATES, sample_cutoff_hex, stratified_sample)
+
+    a = stratified_sample(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = stratified_sample(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    assert 0 < len(a) < _n_docs()
+    # every kept doc satisfies its stratum's cutoff rule
+    for d, lg in zip(a["doc_id"], a["lang_pred"]):
+        assert md5_hex(str(d))[:8] < sample_cutoff_hex(STRATA_RATES[lg])
+
+
+def _n_docs():
+    return pq.read_metadata(SF + "/documents.parquet").num_rows
+
+
+def test_near_dup_removal_drops_nonrepresentatives(ray_session):
+    from ragflow_core16_ray.pipelines.dedup import (jaccard_clusters,
+                                                    near_dup_removal)
+
+    clusters = jaccard_clusters(SF)
+    kept = set(near_dup_removal(SF).to_pandas()["doc_id"])
+    for d, c in zip(clusters["doc_id"], clusters["cluster_id"]):
+        if d == c:
+            assert d in kept      # representatives survive
+        else:
+            assert d not in kept  # members are removed
+    # docs outside any cluster survive
+    all_ids = set(pq.read_table(SF + "/documents.parquet")
+                  .column("doc_id").to_pylist())
+    unclustered = all_ids - set(clusters["doc_id"])
+    assert unclustered <= kept
