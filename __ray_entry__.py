@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_topk": lambda sf: similarity.brute_topk(sf),
         "emb_lsh_topk": lambda sf: similarity.lsh_topk(sf),
         "emb_ivf_topk": lambda sf: similarity.ivf_topk(sf),
+        "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
         # --- relational / streaming primitives
         "pricing_summary": relational.pricing_summary,
         "nation_revenue": relational.nation_revenue,

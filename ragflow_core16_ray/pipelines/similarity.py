@@ -159,6 +159,89 @@ def train_centroids(sample: np.ndarray, n_centroids: int,
     return cents
 
 
+def _train_from_corpus(sf_dir: str, n_centroids: int,
+                       train_sample: int) -> np.ndarray:
+    """Coarse quantizer trained on the first ``train_sample`` vectors
+    (deterministic — stable file order)."""
+    sample_df = _emb(sf_dir).limit(train_sample).to_pandas()
+    X = _norm(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64))
+    return train_centroids(X, n_centroids)
+
+
+def ivf_build_index(sf_dir: str, index_dir: str, n_centroids: int = 16,
+                    train_sample: int = 2048) -> str:
+    """One-time IVF index build — the SCALE path the fused ivf_topk only
+    simulates: train the coarse quantizer, assign every vector to its
+    nearest centroid in one distributed pass, and write a
+    CENTROID-PARTITIONED parquet layout (``index_dir/cell=<c>/…``) plus
+    the centroid matrix. A query then reads ONLY its probed partitions —
+    pruning at the read, so at 100 TB a 6-of-64-cell probe ships ~9% of
+    the table off storage instead of scanning it all. Idempotent: an
+    existing complete index is reused."""
+    marker = os.path.join(index_dir, "_INDEX_DONE")
+    if os.path.exists(marker):
+        return index_dir
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    cents = _train_from_corpus(sf_dir, n_centroids, train_sample)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cents_ref)
+        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        batch = batch.copy()
+        batch["cell"] = np.argmax(m @ C.T, axis=1).astype("int64")
+        return batch
+
+    (_emb(sf_dir).map_batches(assign, batch_format="pandas")
+     .write_parquet(index_dir, partition_cols=["cell"]))
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    open(marker, "w").close()
+    return index_dir
+
+
+def ivf_topk_indexed(sf_dir: str, index_dir: str | None = None,
+                     query_vec_id: int = 0, k: int = 10,
+                     n_centroids: int = 16, nprobe: int = 6,
+                     train_sample: int = 2048) -> pd.DataFrame:
+    """IVF search against the partitioned index: load centroids, pick the
+    ``nprobe`` cells nearest the query, and ``read_parquet`` ONLY those
+    cell directories — vectors in unprobed cells never leave storage
+    (vs. ivf_topk's fused scan, which reads everything and masks). Exact
+    rerank inside the probed cells; same quantizer seed/sample as
+    ivf_topk, so both return identical results (asserted in tests).
+    Returns (vec_id, scanned) where scanned = rows actually read."""
+    if index_dir is None:
+        index_dir = os.path.join(
+            "/tmp", f"graft_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_c{n_centroids}s{train_sample}")
+    ivf_build_index(sf_dir, index_dir, n_centroids, train_sample)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = load_query(sf_dir, query_vec_id)
+    q = q / np.linalg.norm(q)
+    probe_cells = np.argsort(-(cents @ q))[:nprobe]
+    import glob as _glob
+
+    # read_parquet takes FILE paths when given a list — expand each probed
+    # cell directory (empty cells simply have no directory/files)
+    paths = [f for c in probe_cells
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"cell={int(c)}", "*.parquet")))]
+    q_ref = ray.put(q)
+
+    def rerank(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        rows = _topk_rows(batch, m, qv, np.ones(len(batch), dtype=bool), k)
+        return pd.DataFrame(rows)
+
+    df = (rd.read_parquet(paths, columns=["vec_id", "embedding"])
+          .map_batches(rerank, batch_format="pandas").to_pandas())
+    return _finish_topk(df, k)
+
+
 def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
              n_centroids: int = 16, nprobe: int = 6,
              train_sample: int = 2048) -> pd.DataFrame:
@@ -168,9 +251,7 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     nearest centroid and exact-reranks only vectors landing in the
     ``nprobe`` cells nearest the query. Returns (vec_id, scanned)."""
     emb = _emb(sf_dir)
-    sample_df = emb.limit(train_sample).to_pandas()
-    X = _norm(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64))
-    cents = train_centroids(X, n_centroids)
+    cents = _train_from_corpus(sf_dir, n_centroids, train_sample)
 
     q = load_query(sf_dir, query_vec_id)
     q = q / np.linalg.norm(q)

@@ -134,3 +134,29 @@ def test_near_dup_removal_drops_nonrepresentatives(ray_session):
                   .column("doc_id").to_pylist())
     unclustered = all_ids - set(clusters["doc_id"])
     assert unclustered <= kept
+
+
+def test_ivf_indexed_matches_fused_and_prunes_read(ray_session, tmp_path):
+    """The partitioned-index path must return exactly what the fused IVF
+    scan returns (same quantizer seed/sample → same probed cells → same
+    candidate set), while reading only the probed cell partitions."""
+    from ragflow_core16_ray.pipelines.similarity import (ivf_build_index,
+                                                         ivf_topk,
+                                                         ivf_topk_indexed)
+
+    idx = str(tmp_path / "ivf_index")
+    fused = ivf_topk(SF, query_vec_id=0, k=10, n_centroids=8, nprobe=4)
+    indexed = ivf_topk_indexed(SF, index_dir=idx, query_vec_id=0, k=10,
+                               n_centroids=8, nprobe=4)
+    assert list(indexed["vec_id"]) == list(fused["vec_id"])
+    # pruned read: rows read == rows the fused path masked in, < corpus
+    assert int(indexed["scanned"].iloc[0]) == int(fused["scanned"].iloc[0])
+    assert 0 < int(indexed["scanned"].iloc[0]) < _n_vecs()
+    # the index is a real partitioned layout, reusable across queries
+    import os
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) > 4
+    # second query hits the existing index (idempotent build)
+    again = ivf_topk_indexed(SF, index_dir=idx, query_vec_id=3, k=5,
+                             n_centroids=8, nprobe=4)
+    assert len(again) == 5
