@@ -294,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": lambda sf: text_analysis.quality_filter(sf),
         "length_histogram": lambda sf: text_analysis.length_histogram(sf),
         "stratified_sample": lambda sf: text_analysis.stratified_sample(sf),
+        "source_profile": text_analysis.source_profile,
+        "lang_confusion": text_analysis.lang_confusion,
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
@@ -318,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": relational.events_sessions,
         "events_asof_orders": relational.events_asof_orders,
         "events_window_orders": lambda sf: relational.events_window_orders(sf),
+        "event_props_stats": relational.event_props_stats,
     }
 
 
@@ -382,6 +385,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT length(text) // 100 AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "source_profile": r"""
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "lang_confusion": r"""
+            WITH c AS (
+              SELECT doc_id, lang,
+                     length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk,
+                     len(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS n_words,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('the','and','of','to','is','in','that','it','for','with'))) AS n_en,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('le','la','les','de','et','est','une','que','des','dans'))) AS n_fr,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('el','la','los','de','y','es','una','que','las','en'))) AS n_es,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                         w -> w IN ('der','die','das','und','ist','ein','nicht','mit','den','von'))) AS n_de
+              FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN n_cjk > greatest(1, n_words) * 0.5 THEN 'zh'
+                        WHEN n_en >= n_fr AND n_en >= n_es AND n_en >= n_de THEN 'en'
+                        WHEN n_fr >= n_es AND n_fr >= n_de THEN 'fr'
+                        WHEN n_es >= n_de THEN 'es'
+                        ELSE 'de' END AS lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_props_stats": r"""
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(COALESCE(CAST(
+                       json_extract(props, '$.k') AS BIGINT), 0)) AS BIGINT)
+                       AS sum_k
+            FROM events GROUP BY event_type
         """,
         # stratified deterministic sampling: stratum = the lang_pred
         # heuristic; keep iff the first 8 hex chars of md5(doc_id) sort

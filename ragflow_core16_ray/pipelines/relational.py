@@ -148,6 +148,35 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
                             {"sum_value_c": "sum", "n_events": "sum"})
 
 
+def event_props_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured extraction at scale: parse each event's JSON
+    ``props`` payload inside the batch UDF and aggregate the extracted
+    field per event_type — (event_type, n, sum_k). The JSON never leaves
+    the worker that read it (extract-then-aggregate, the only shape that
+    works when the raw payload is the bulk of the bytes); integer sums
+    through the combiner tree hash bit-equal to DuckDB's json_extract
+    oracle. Malformed/missing payloads count as k=0 (same rule as the
+    oracle's COALESCE)."""
+    import json
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = []
+        for p in batch["props"]:
+            try:
+                v = json.loads(p).get("k", 0)
+                ks.append(int(v) if isinstance(v, (int, float)) else 0)
+            except (TypeError, ValueError):
+                ks.append(0)
+        g = pd.DataFrame({"event_type": batch["event_type"].values,
+                          "sum_k": pd.array(ks, dtype="int64"),
+                          "n": 1}).groupby("event_type", sort=False).sum()
+        return g.reset_index()
+
+    ds = _t(sf_dir, "events", ["event_type", "props"]).map_batches(
+        partial, batch_format="pandas")
+    return combine_partials(ds, ["event_type"], {"n": "sum", "sum_k": "sum"})
+
+
 def events_asof_orders(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """As-of join (an operator Ray Data lacks): each event is matched to
     the same customer's most recent order at event time

@@ -157,6 +157,59 @@ def stratified_sample(sf_dir: str,
         fn, batch_format="pandas")
 
 
+def source_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus profile: (source, n_docs, total_chars, n_langs).
+    One partial row per (source, lang) per batch — distinct-lang counts
+    cannot sum across batches, so the partial keeps the (source, lang)
+    pair and the tiny final rollup collapses it. The shuffle moves a few
+    hundred profile rows per block, never text — the per-domain reporting
+    shape for a crawl at 100 TB."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": batch["source"].to_pandas(),
+                           "lang": batch["lang"].to_pandas(),
+                           "chars": pc.utf8_length(batch["text"]).to_pandas()})
+        g = (df.groupby(["source", "lang"], sort=False)
+             .agg(n_docs=("chars", "size"), total_chars=("chars", "sum")))
+        return g.reset_index()
+
+    ds = _docs(sf_dir, ["source", "lang", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    by_pair = combine_partials(ds, ["source", "lang"],
+                               {"n_docs": "sum", "total_chars": "sum"}
+                               ).to_pandas()
+    out = (by_pair.groupby("source", sort=False)
+           .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"),
+                n_langs=("lang", "nunique")).reset_index())
+    for c in ("n_docs", "total_chars", "n_langs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID evaluation: (lang, lang_pred, n) confusion counts of
+    the heuristic against the corpus's labeled ``lang`` column — the
+    quality-measurement loop every classifier-driven filter needs.
+    Per-batch partial counts through the combiner tree (≤ |langs|² rows
+    per partial)."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": batch["lang"],
+                           "lang_pred": [lang_id(t) for t in batch["text"]]})
+        g = df.groupby(["lang", "lang_pred"], sort=False).size()
+        return g.rename("n").reset_index()
+
+    ds = _docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pandas")
+    out = combine_partials(ds, ["lang", "lang_pred"], {"n": "sum"}).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+
+
 def quality_filter(sf_dir: str, min_chars: int = 200, max_chars: int = 5000,
                    min_tokens: int = 30) -> rd.Dataset:
     """Training-data quality gate: keep documents in a length band with a
