@@ -214,6 +214,17 @@ def _frame_samples(sf_dir: str):
     return frame_samples(extracted)
 
 
+def _audio_segments(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import audio_segments
+
+    out_dir = _extract_out(sf_dir)
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"),
+                                columns=["doc_id", "spans"])
+    return audio_segments(extracted)
+
+
 def _media_collage(sf_dir: str):
     import ray.data as rd
 
@@ -285,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_collage": _media_collage,
         "frame_samples": _frame_samples,
+        "audio_segments": _audio_segments,
         # --- text analysis over documents
         "token_counts": text_analysis.token_counts,
         "quality_stats": text_analysis.quality_stats,
@@ -299,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
+        "incremental_dedup": lambda sf: dedup.incremental_dedup(sf),
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
             sf, k=4, threshold=0.6, grams="char"),
@@ -511,6 +524,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT text, MIN(doc_id) AS keep_id,
                    CAST(COUNT(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "incremental_dedup": r"""
+            SELECT doc_id FROM documents
+            WHERE CAST(substr(source, 4) AS BIGINT) % 2 = 1
+              AND text NOT IN (
+                  SELECT text FROM documents
+                  WHERE CAST(substr(source, 4) AS BIGINT) % 2 = 0)
         """,
         "jaccard_pairs": r"""
             WITH words AS (

@@ -508,6 +508,42 @@ def near_dup_removal(sf_dir: str, k: int = 3, threshold: float = 0.5,
                                                  batch_format="pyarrow")
 
 
+def incremental_dedup(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
+    """Incremental-ingest dedup via a DISTRIBUTED ANTI-JOIN: treat
+    even-numbered sources as the PRIOR corpus snapshot and odd ones as the
+    NEW batch; emit the new docs whose exact text does not already exist
+    in the prior corpus — the admit-only-novel step of every rolling
+    training-data ingest.
+
+    Shape: neither side broadcasts (at 100 TB the prior fingerprint set is
+    itself huge). Both sides reduce to (bucket, content-md5) rows —
+    one hash per doc, never the text — co-partitioned by a coarse bucket
+    of the hash; one shuffle; each bucket task builds the prior-hash set
+    locally and filters its new rows. Output: (doc_id,) admitted docs."""
+    from ..functions.hashing import md5_hex
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        is_prior = [int(s[3:]) % 2 == 0 for s in batch["source"]]
+        h = [md5_hex(t) for t in batch["text"]]
+        return pd.DataFrame({
+            "bucket": pd.array([hash64(x) & (n_buckets - 1) for x in h],
+                               dtype="int64"),
+            "h": h,
+            "prior": pd.array(is_prior, dtype="bool"),
+            "doc_id": batch["doc_id"].values})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        prior_set = set(g.loc[g["prior"], "h"])
+        new = g[~g["prior"]]
+        keep = new[~new["h"].isin(prior_set)]
+        return keep[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+    return (_docs(sf_dir, ["doc_id", "text", "source"])
+            .map_batches(tag, batch_format="pandas")
+            .repartition(max(1, n_buckets // 4))
+            .groupby("bucket").map_groups(anti, batch_format="pandas"))
+
+
 def minhash_verified_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                            est_threshold: float = 0.25) -> pd.DataFrame:
     """The production near-dup shape: sub-quadratic LSH candidate

@@ -187,6 +187,79 @@ class FrameSampler:
             "height": pd.array(hs, dtype="int32")})
 
 
+class AudioSegmenter:
+    """Actor-pool stage: audio refs → fixed-length overlapping segment
+    rows, the framing step in front of any ASR/embedding model.
+
+    Real decoder (ffmpeg/soundfile) is absent in this sandbox, so the
+    probe (duration, sample rate) is a deterministic fake of the ref hash
+    — the Ray-side contract is real: one input row fans out to one row
+    per ``window_ms`` segment with ``overlap_ms`` overlap (a trailing
+    partial window is kept iff ≥ half a window), constructor is the
+    once-per-actor decoder-handle site, small batches because real
+    decoded audio is MBs/minute. Role of an ASR ingest framing stage (the
+    reference's audio template transcribes via a remote LLM,
+    rag/app/audio.py:25-44 — external-service path; the framing plumbing
+    is what a self-hosted pipeline needs)."""
+
+    def __init__(self, window_ms: int = 30_000, overlap_ms: int = 5_000):
+        assert overlap_ms < window_ms
+        self.window_ms = window_ms
+        self.step_ms = window_ms - overlap_ms
+        # real impl: self.decoder = soundfile/ffmpeg handle (once per actor)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, refs, idxs, starts, ends, rates = [], [], [], [], [], []
+        for did, ref in zip(batch["doc_id"], batch["media_ref"]):
+            h = hash64(ref)
+            duration_ms = 2_000 + h % 900_000        # fake probe: 2s–15min
+            rate = (8_000, 16_000, 44_100)[h % 3]
+            start = 0
+            i = 0
+            while start < duration_ms:
+                end = min(start + self.window_ms, duration_ms)
+                if end - start < self.window_ms // 2 and i > 0:
+                    break  # drop a <half-window tail (ASR framing norm)
+                doc_ids.append(did)
+                refs.append(ref)
+                idxs.append(i)
+                starts.append(start)
+                ends.append(end)
+                rates.append(rate)
+                start += self.step_ms
+                i += 1
+        return pd.DataFrame({
+            "doc_id": doc_ids, "media_ref": refs,
+            "segment_index": pd.array(idxs, dtype="int32"),
+            "start_ms": pd.array(starts, dtype="int64"),
+            "end_ms": pd.array(ends, dtype="int64"),
+            "sample_rate": pd.array(rates, dtype="int32")})
+
+
+def audio_segments(extracted: rd.Dataset, window_ms: int = 30_000,
+                   overlap_ms: int = 5_000, concurrency=(1, 4),
+                   batch_size: int = 16) -> rd.Dataset:
+    """Extracted docs → overlapping audio segment rows for every
+    media-bearing figure span (same Arrow explode as media_features; the
+    fan-out happens inside the actor — no driver loop, no shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..schemas import explode_spans
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat = explode_spans(batch)
+        keep = pc.and_(pc.equal(flat["kind"], "figure"),
+                       pc.not_equal(flat["media_ref"], ""))
+        return flat.filter(keep).select(["doc_id", "media_ref"])
+
+    refs = extracted.map_batches(explode, batch_format="pyarrow")
+    return refs.map_batches(AudioSegmenter,
+                            fn_constructor_args=(window_ms, overlap_ms),
+                            batch_format="pandas", batch_size=batch_size,
+                            concurrency=concurrency)
+
+
 def frame_samples(extracted: rd.Dataset, n_frames: int = 4,
                   concurrency=(1, 4), batch_size: int = 16) -> rd.Dataset:
     """Extracted docs → sampled frame rows for every media-bearing figure

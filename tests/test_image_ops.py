@@ -82,3 +82,42 @@ def test_frame_sampler_fanout(ray_session):
     assert (d1.width.nunique() == 1) and (d1.height.nunique() == 1)
     again = s(pd.DataFrame({"doc_id": ["d1"], "media_ref": ["media://d1/0"]}))
     assert list(again.timestamp_ms) == list(d1.timestamp_ms)
+
+
+def test_audio_segmenter_windows(ray_session):
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.multimodal import AudioSegmenter
+
+    s = AudioSegmenter(window_ms=30_000, overlap_ms=5_000)
+    out = s(pd.DataFrame({"doc_id": ["d1", "d2"],
+                          "media_ref": ["media://d1/0", "media://d2/0"]}))
+    d1 = out[out.doc_id == "d1"]
+    assert list(d1.segment_index) == list(range(len(d1)))
+    # windows step by (window - overlap); every full window is 30s; the
+    # kept tail (if any) is at least half a window
+    starts = list(d1.start_ms)
+    assert starts == [i * 25_000 for i in range(len(d1))]
+    spans_ms = (d1.end_ms - d1.start_ms).tolist()
+    assert all(w == 30_000 for w in spans_ms[:-1])
+    assert spans_ms[-1] >= 15_000
+    assert d1.sample_rate.nunique() == 1
+    # deterministic per ref
+    again = s(pd.DataFrame({"doc_id": ["d1"], "media_ref": ["media://d1/0"]}))
+    assert list(again.end_ms) == list(d1.end_ms)
+
+
+def test_incremental_dedup_anti_join(ray_session):
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.dedup import incremental_dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = set(incremental_dedup(sf).to_pandas()["doc_id"])
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "text", "source"]).to_pandas()
+    prior = docs[[int(s[3:]) % 2 == 0 for s in docs["source"]]]
+    new = docs[[int(s[3:]) % 2 == 1 for s in docs["source"]]]
+    want = set(new.loc[~new["text"].isin(set(prior["text"])), "doc_id"])
+    assert got == want
+    assert 0 < len(got) <= len(new)
