@@ -30,20 +30,44 @@ _TABLE_TAG_RE = re.compile(r"</?(table|td|caption|tr|th)( [^<>]{0,12})?>")
 
 
 def tokenize_chunk_batch(batch: pa.Table) -> pa.Table:
-    """One extracted-doc batch → flat chunk docs with *_tks fields."""
+    """One extracted-doc batch → flat chunk docs with the reference's
+    chunk-doc fields: deterministic content-hash ``id``
+    (task_executor.py:266 ``xxh64(content + doc_id)`` — our stable hash64
+    plays the xxh64 role), ``title_tks``/``title_sm_tks`` from the
+    document name (rag/nlp/__init__.py:251-257 tokenizes the extensionless
+    filename; doc_id is our name), and the content ``*_tks`` pair."""
+    from ..functions.hashing import content_id
+
     flat = explode_spans(batch, extra_cols=("doc_id", "template"))
+    doc_ids = flat.column("doc_id").to_pylist()
     texts = flat.column("text").to_pylist()
+    ids: list[str] = []
     ltks: list[str] = []
     sm_ltks: list[str] = []
-    for t in texts:
+    title_cache: dict[str, tuple[str, str]] = {}
+    title_tks: list[str] = []
+    title_sm: list[str] = []
+    for did, t in zip(doc_ids, texts):
+        ids.append(content_id(t or "", did))
         toks = tokenize(_TABLE_TAG_RE.sub(" ", t)) if t else []
         ltks.append(" ".join(toks))
         sm_ltks.append(" ".join(fine_grained_tokenize(toks)))
+        cached = title_cache.get(did)
+        if cached is None:
+            ttoks = tokenize(did)
+            cached = (" ".join(ttoks),
+                      " ".join(fine_grained_tokenize(ttoks)))
+            title_cache[did] = cached
+        title_tks.append(cached[0])
+        title_sm.append(cached[1])
     return pa.table({
+        "id": pa.array(ids, type=pa.string()),
         "doc_id": flat.column("doc_id"),
         "template": flat.column("template"),
         "offset": flat.column("offset"),
         "kind": flat.column("kind"),
+        "title_tks": pa.array(title_tks, type=pa.string()),
+        "title_sm_tks": pa.array(title_sm, type=pa.string()),
         "content_with_weight": flat.column("text"),
         "content_ltks": pa.array(ltks, type=pa.string()),
         "content_sm_ltks": pa.array(sm_ltks, type=pa.string()),

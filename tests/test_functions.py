@@ -391,6 +391,15 @@ def test_chunk_doc_tokens_fields(ray_session, tmp_path):
     # table markup stripped before tokenizing (rag/nlp/__init__.py:253)
     assert "table" not in out.column("content_ltks").to_pylist()[1]
     assert out.column("content_with_weight").to_pylist()[1].startswith("<table>")
+    # content-hash chunk ids (task_executor.py:266 role): deterministic,
+    # distinct per chunk, doc-scoped
+    from ragflow_core16_ray.functions.hashing import content_id
+    ids = out.column("id").to_pylist()
+    assert ids[0] == content_id("Streams of 数据流处理 rock.", "d1")
+    assert len(set(ids)) == 2
+    # title fields from the doc name (rag/nlp/__init__.py:251-257 role),
+    # identical across a doc's chunks
+    assert out.column("title_tks").to_pylist() == ["d 1", "d 1"]
 
 
 def test_field_name_pinyin():
