@@ -139,7 +139,13 @@ def parse_typed_table(header_cells: list[str],
     columns = [[r[i] for r in rows] for i in range(ncols)]
     types = column_types(columns)
     fields = [field_name(h, t) for h, t in zip(header_cells, types)]
-    coerced = [[coerce(v, t) for v, t in zip(r, types)] for r in rows]
+    # coerce COLUMN-wise: text columns (usually the majority) reduce to a
+    # plain strip — same result as coerce(v, "text") without the call +
+    # cache overhead on the per-cell hot path
+    coerced_cols = [[c.strip() for c in col] if t == "text"
+                    else [coerce(v, t) for v in col]
+                    for col, t in zip(columns, types)]
+    coerced = [list(vals) for vals in zip(*coerced_cols)] if rows else []
     return TypedTable(fields, types, coerced)
 
 

@@ -311,3 +311,25 @@ def test_fine_grained_parity_fixtures():
     # mostly-latin list: only '/'-compounds split
     assert fine_grained_tokenize(["read/write", "path", "42"]) == \
         ["read", "write", "path", "42"]
+
+
+def test_ascii_tokenizer_specialization_equivalence():
+    """_TOKEN_RE_ASCII (stdlib re, hot-path specialization) must tokenize
+    LOWERED pure-ASCII text exactly like the general _TOKEN_RE (regex
+    module): exhaustive over ASCII char pairs plus fuzz — including the
+    \\x1c-\\x1f controls where the two engines' \\s classes differ."""
+    import itertools
+    import random
+
+    from ragflow_core16_ray.functions.tokenizer import (_TOKEN_RE,
+                                                        _TOKEN_RE_ASCII)
+
+    chars = [chr(i) for i in range(128)]
+    for a, b in itertools.product(chars, chars):
+        s = (a + b).lower()
+        assert _TOKEN_RE.findall(s) == _TOKEN_RE_ASCII.findall(s), repr(s)
+    rng = random.Random(0)
+    for _ in range(3000):
+        s = "".join(rng.choice(chars)
+                    for _ in range(rng.randint(0, 60))).lower()
+        assert _TOKEN_RE.findall(s) == _TOKEN_RE_ASCII.findall(s), repr(s)
