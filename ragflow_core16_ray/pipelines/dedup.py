@@ -109,7 +109,8 @@ def _char_grams(text: str, n: int = 4) -> set[str]:
 
 def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                       n_buckets: int = 64, wanted_ref=None,
-                      grams: str = "word") -> pd.DataFrame:
+                      grams: str = "word",
+                      max_doc_freq: int | None = None) -> pd.DataFrame:
     """All doc pairs with exact k-shingle Jaccard ≥ threshold.
     ``grams``: "word" = k-word shingles (the dedup default), "char" =
     character k-grams (classic n-gram Jaccard — robust to tokenization,
@@ -127,9 +128,14 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     emits complete per-bucket pair-intersection counts → combiner tree sums
     them → Jaccard against a broadcast {doc_id: |shingles|} map (the small
     side never shuffles). Skew note: a pathological hot shingle (present in
-    g docs) costs g² merge rows inside one bucket; production would drop
-    stop-shingles above a document-frequency cap (changes the measure, so
-    not done here where the oracle must match exactly)."""
+    g docs) costs g² merge rows inside one bucket; ``max_doc_freq`` is the
+    production mitigation — shingles seen in more than that many docs are
+    dropped BEFORE the self-merge (exact per shingle: a shingle lives in
+    exactly one bucket, so its document frequency is bucket-local). This is
+    the standard stop-shingle approximation: intersections under-count on
+    dropped shingles while sizes stay full, so it only ever LOSES pairs,
+    never invents them. Default None keeps the exact measure (the oracle
+    contract)."""
     from ..stages.agg import combine_partials
 
     shingle_fn = _shingles if grams == "word" else _char_grams
@@ -167,6 +173,11 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
         # vectorized: self-merge on shingle → co-occurring (a<b) doc pairs,
         # counted in C. Complete per bucket since a shingle is bucket-local.
         df = g[["shingle", "doc_id"]]
+        if max_doc_freq is not None:
+            # exact per-shingle document frequency (bucket-local): drop
+            # stop-shingles before the quadratic self-merge
+            df = df[df.groupby("shingle")["doc_id"]
+                    .transform("size") <= max_doc_freq]
         m = df.merge(df, on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         if m.empty:
@@ -193,8 +204,13 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
         keep = inter_v / (a + b - inter_v) >= threshold
         return batch.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
 
-    return (inter.map_batches(jacc, batch_format="pandas")
-            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    out = inter.map_batches(jacc, batch_format="pandas").to_pandas()
+    if out.empty:
+        # an all-empty result can come back schema-less from Ray; keep the
+        # typed contract (a df-capped run may legitimately drop every pair)
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64")})
+    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
 # ------------------------------------------------------------- minhash ---

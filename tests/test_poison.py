@@ -62,3 +62,28 @@ def test_poison_mega_shard_contained(ray_session, tmp_path):
     assert row["n_shards"] > 1
     texts = " ".join(s["text"] for s in row["spans"])
     assert "line 0." in texts and "line 39." in texts
+
+
+def test_extract_router_null_and_empty_spans(ray_session, tmp_path):
+    """Degenerate input rows — null spans cell, empty span list — must
+    flow through pass 1 as benign empty docs, not crash a task."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.config import DEFAULT_CONFIG
+    from ragflow_core16_ray.pipelines.extract import ExtractRouter
+    from ragflow_core16_ray.schemas import DOCUMENTS_SCHEMA, SPAN_STRUCT
+
+    mk = lambda k, t: {"kind": k, "text": t, "media_ref": "", "offset": 0}
+    tbl = pa.Table.from_pylist([
+        {"doc_id": "ok", "spans": [mk("text", "a normal line.")]},
+        {"doc_id": "nul", "spans": None},
+        {"doc_id": "empty", "spans": []},
+    ], schema=DOCUMENTS_SCHEMA)
+    out = ExtractRouter(DEFAULT_CONFIG, str(tmp_path / "stage"))(tbl)
+    got = {r["doc_id"]: r for r in out.to_pylist()}
+    assert set(got) == {"ok", "nul", "empty"}
+    assert got["ok"]["spans"] and got["ok"]["template"] != "error"
+    for d in ("nul", "empty"):
+        assert got[d]["spans"] == []
+        assert got[d]["n_shards"] == 1

@@ -160,3 +160,20 @@ def test_ivf_indexed_matches_fused_and_prunes_read(ray_session, tmp_path):
     again = ivf_topk_indexed(SF, index_dir=idx, query_vec_id=3, k=5,
                              n_centroids=8, nprobe=4)
     assert len(again) == 5
+
+
+def test_jaccard_max_doc_freq_stop_shingles(ray_session):
+    """The hot-shingle mitigation: with a df cap, stop-shingles are
+    dropped before the quadratic self-merge — the cap can only LOSE
+    pairs, never invent them, and the default (None) measure is
+    unchanged."""
+    from ragflow_core16_ray.pipelines.dedup import jaccard_dup_pairs
+
+    exact = jaccard_dup_pairs(SF, k=3, threshold=0.5)
+    capped = jaccard_dup_pairs(SF, k=3, threshold=0.5, max_doc_freq=2)
+    exact_set = set(zip(exact["id_a"], exact["id_b"]))
+    capped_set = set(zip(capped["id_a"], capped["id_b"]))
+    assert capped_set <= exact_set
+    # a tight cap on this corpus must actually drop something somewhere
+    # (near-dup docs share shingles with df >= 2 by construction)
+    assert len(capped_set) < len(exact_set) or len(exact_set) == 0
