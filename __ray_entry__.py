@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": lambda sf: text_analysis.length_histogram(sf),
         "stratified_sample": lambda sf: text_analysis.stratified_sample(sf),
         "source_profile": text_analysis.source_profile,
+        "approx_distinct_words": lambda sf: text_analysis.approx_distinct_words(sf),
         "lang_confusion": text_analysis.lang_confusion,
         # --- dedup
         "exact_dedup": dedup.exact_dedup,

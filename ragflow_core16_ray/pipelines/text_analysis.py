@@ -99,6 +99,59 @@ def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
             .head(k).reset_index(drop=True))
 
 
+def approx_distinct_words(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Distributed HyperLogLog: approximate distinct whitespace-word count
+    over the corpus. Per batch, words hash (stable 64-bit) into 2**p
+    registers keeping the max first-set-bit rank of the remaining hash
+    bits (geometric, like the classic leading-zero rank); partials are
+    (register, rho)
+    rows merged with MAX through the combiner tree — the shuffle moves at
+    most 2**p tiny rows per block regardless of corpus size, the defining
+    property of a mergeable sketch (vs. exact distinct's full shuffle of
+    every word). Deterministic (no RNG): same corpus → same estimate.
+    Output: one row (n_distinct_est, n_registers). Accuracy ≈1.04/√2**p
+    (~1.6% at p=12), asserted against the exact count in tests."""
+    import numpy as np
+
+    from ..functions.hashing import hash64
+    from ..stages.agg import combine_partials
+
+    m = 1 << p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype="int64")
+        for text in batch["text"]:
+            for w in text.split():
+                h = hash64(w)
+                reg = h & (m - 1)
+                rest = h >> p
+                # rank = position of first set bit in the remaining 64-p
+                # bits (1-based); all-zero rest → max rank
+                rho = (64 - p) + 1 if rest == 0 else (
+                    (rest & -rest).bit_length())
+                if rho > regs[reg]:
+                    regs[reg] = rho
+        occupied = np.nonzero(regs)[0]
+        return pd.DataFrame({"register": occupied.astype("int64"),
+                             "rho": regs[occupied]})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas")
+    merged = combine_partials(ds, ["register"], {"rho": "max"}).to_pandas()
+    regs = np.zeros(m, dtype="float64")
+    regs[merged["register"].to_numpy()] = merged["rho"].to_numpy()
+    # standard HLL estimator with the small-range (linear counting) fix
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.sum(regs == 0))
+    if raw <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    else:
+        est = raw
+    return pd.DataFrame({"n_distinct_est": pd.array([int(round(est))],
+                                                    dtype="int64"),
+                         "n_registers": pd.array([m], dtype="int64")})
+
+
 def length_histogram(sf_dir: str, bucket: int = 100) -> pd.DataFrame:
     """Corpus length distribution: (bucket = ⌊chars/bucket⌋, n docs).
     Zero-copy Arrow per batch (utf8_length + value_counts) emitting one

@@ -177,3 +177,20 @@ def test_jaccard_max_doc_freq_stop_shingles(ray_session):
     # a tight cap on this corpus must actually drop something somewhere
     # (near-dup docs share shingles with df >= 2 by construction)
     assert len(capped_set) < len(exact_set) or len(exact_set) == 0
+
+
+def test_approx_distinct_words_hll_accuracy(ray_session):
+    """HLL sketch: deterministic, and within the theoretical error band
+    of the exact distinct count (≈1.04/√m ⇒ use a generous 5% bound at
+    p=12)."""
+    from ragflow_core16_ray.pipelines.text_analysis import (
+        approx_distinct_words)
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["text"]).to_pandas()
+    exact = len({w for t in docs["text"] for w in t.split()})
+    a = approx_distinct_words(SF)
+    b = approx_distinct_words(SF)
+    est = int(a["n_distinct_est"].iloc[0])
+    assert est == int(b["n_distinct_est"].iloc[0])  # deterministic
+    assert abs(est - exact) / exact < 0.05, (est, exact)
