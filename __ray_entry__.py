@@ -199,7 +199,8 @@ def _media_features(sf_dir: str):
     from ragflow_core16_ray.pipelines.multimodal import media_features
 
     out_dir = _extract_out(sf_dir)
-    extracted = rd.read_parquet(os.path.join(out_dir, "docs"))
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"),
+                                columns=["doc_id", "spans"])
     return media_features(extracted)
 
 
@@ -309,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_profile": text_analysis.source_profile,
         "approx_distinct_words": lambda sf: text_analysis.approx_distinct_words(sf),
         "lang_confusion": text_analysis.lang_confusion,
+        "top_bigrams": lambda sf: text_analysis.top_bigrams(sf),
+        "term_weights": lambda sf: text_analysis.term_weights(sf),
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
@@ -520,6 +523,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY cnt DESC, word
             LIMIT 20
+        """,
+        "top_bigrams": r"""
+            WITH toks AS (
+                SELECT string_split_regex(trim(text), '\s+') AS ts
+                FROM documents WHERE trim(text) <> ''
+            ), pairs AS (
+                SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+                FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+            )
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM pairs
+            GROUP BY bigram
+            ORDER BY cnt DESC, bigram
+            LIMIT 20
+        """,
+        # ranking key (tf desc, df asc, term asc) is integer-exact on both
+        # sides; tokens are ascii runs so lower() is locale-independent
+        "term_weights": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           regexp_extract_all(text, '[A-Za-z0-9]+'),
+                           x -> lower(x))) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE length(term) >= 2
+                GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+                       ) AS BIGINT) AS rank
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df, rank
+            FROM ranked WHERE rank <= 5
         """,
         "exact_dedup": """
             SELECT text, MIN(doc_id) AS keep_id,

@@ -68,7 +68,7 @@ def _consume(res) -> int:
 # extract_spans is the headline and timed separately)
 BENCH_QUERIES = [
     "token_counts", "quality_stats", "fingerprints", "top_words",
-    "length_histogram", "stratified_sample",
+    "length_histogram", "stratified_sample", "top_bigrams", "term_weights",
     "exact_dedup", "jaccard_clusters", "minhash_lsh_pairs", "simhash_pairs",
     "emb_near_dup", "emb_topk", "emb_lsh_topk",
     "pricing_summary", "nation_revenue", "top_customers",

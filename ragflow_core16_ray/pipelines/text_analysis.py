@@ -263,6 +263,101 @@ def lang_confusion(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["lang", "lang_pred"]).reset_index(drop=True))
 
 
+def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global bigram (word-pair) frequencies, top-k — the n-gram statistics
+    pass of a training-data corpus profile. Bigram construction is
+    vectorized (explode + per-doc shift + string concat, no Python loop
+    over tokens); one partial row per bigram per batch rides the combiner
+    tree, so the shuffle moves bigram partials, never documents.
+    Tie-break (cnt desc, bigram asc) matches the oracle's ORDER BY, so the
+    top-k boundary is deterministic."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.strip().str.split().explode()
+        nxt = toks.groupby(level=0).shift(-1)
+        counts = (toks + " " + nxt).dropna().value_counts()
+        return pd.DataFrame({"bigram": counts.index, "cnt": counts.values})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas")
+    df = combine_partials(ds, ["bigram"], {"cnt": "sum"}).to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    return (df.sort_values(["cnt", "bigram"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def term_weights(sf_dir: str, k: int = 5, min_len: int = 2,
+                 n_buckets: int = 64) -> rd.Dataset:
+    """Per-document term weighting: corpus document frequency joined back
+    onto per-doc term counts, top-k terms per doc — the distributed shape
+    of the reference's chunk term-weight enrichment
+    (rag/nlp/term_weight.py: per-term idf × dict weights over tokenized
+    chunks; its NER/POS dictionaries are external assets, so the weight
+    key here is the dictionary-free core).
+
+    Ranking is integer-exact — (tf desc, df asc, term asc) — the same
+    order tf·idf induces for a fixed tf, so the oracle hash is strict;
+    the float idf scale is a client-side display concern.
+
+    Shape (two bucket shuffles, nothing broadcast — at 100 TB both the
+    vocabulary and the doc set are huge):
+      1. tokenize per batch → exact (doc_id, term, tf) rows (a document
+         never splits across rows, so tf is final at birth);
+      2. co-partition by a coarse hash bucket of ``term``: every row of a
+         term lands in one group, so df is just the group's per-term row
+         count — the df aggregate and the df join collapse into ONE
+         shuffle instead of an aggregate plus a second join;
+      3. re-bucket by doc_id hash for the vectorized per-doc top-k.
+    Output: (doc_id, term, tf, df, rank), rank 1..k."""
+    import re
+
+    from ..functions.hashing import hash64
+
+    tok_re = re.compile(r"[A-Za-z0-9]+")
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].map(
+            lambda t: [w.lower() for w in tok_re.findall(t)
+                       if len(w) >= min_len])
+        flat = (pd.DataFrame({"doc_id": batch["doc_id"].values,
+                              "term": toks})
+                .explode("term").dropna(subset=["term"]))
+        g = (flat.groupby(["doc_id", "term"], sort=False)
+             .size().rename("tf").reset_index())
+        g["tf"] = g["tf"].astype("int64")
+        g["term_bucket"] = pd.array(
+            [hash64(t) & (n_buckets - 1) for t in g["term"]], dtype="int64")
+        return g
+
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        # all (doc, term) rows of every term in this bucket are here and
+        # each is unique, so df = rows per term — no separate aggregate
+        out = g[["doc_id", "term", "tf"]].copy()
+        out["df"] = (g.groupby("term", sort=False)["term"]
+                     .transform("size").astype("int64").values)
+        out["doc_bucket"] = pd.array(
+            [hash64(str(d)) & (n_buckets - 1) for d in out["doc_id"]],
+            dtype="int64")
+        return out
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tf", "df", "term"],
+                          ascending=[True, False, True, True], kind="stable")
+        out = g.groupby("doc_id", sort=False).head(k).copy()
+        out["rank"] = (out.groupby("doc_id", sort=False).cumcount() + 1
+                       ).astype("int64")
+        return out[["doc_id", "term", "tf", "df", "rank"]]
+
+    width = max(1, n_buckets // 4)
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(tf_rows, batch_format="pandas")
+            .repartition(width)
+            .groupby("term_bucket").map_groups(annotate_df,
+                                               batch_format="pandas")
+            .repartition(width)
+            .groupby("doc_bucket").map_groups(topk, batch_format="pandas"))
+
+
 def quality_filter(sf_dir: str, min_chars: int = 200, max_chars: int = 5000,
                    min_tokens: int = 30) -> rd.Dataset:
     """Training-data quality gate: keep documents in a length band with a

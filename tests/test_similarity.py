@@ -194,3 +194,51 @@ def test_approx_distinct_words_hll_accuracy(ray_session):
     est = int(a["n_distinct_est"].iloc[0])
     assert est == int(b["n_distinct_est"].iloc[0])  # deterministic
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_top_bigrams_matches_local_count(ray_session):
+    from ragflow_core16_ray.pipelines.text_analysis import top_bigrams
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["text"]).to_pandas()
+    from collections import Counter
+    want = Counter()
+    for t in docs["text"]:
+        ts = t.split()
+        want.update(a + " " + b for a, b in zip(ts, ts[1:]))
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = top_bigrams(SF, k=20)
+    assert list(got["bigram"]) == [b for b, _ in top]
+    assert list(got["cnt"]) == [c for _, c in top]
+
+
+def test_term_weights_tf_df_rank(ray_session):
+    """tf/df exact vs a local recompute; ranks dense 1..k per doc with the
+    (tf desc, df asc, term asc) order."""
+    import re
+    from collections import Counter
+
+    from ragflow_core16_ray.pipelines.text_analysis import term_weights
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    tok = re.compile(r"[A-Za-z0-9]+")
+    tf = {}
+    df = Counter()
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        c = Counter(w.lower() for w in tok.findall(t) if len(w) >= 2)
+        tf[did] = c
+        df.update(c.keys())
+
+    got = term_weights(SF, k=5).to_pandas()
+    for did, g in got.groupby("doc_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        want = sorted(tf[did].items(),
+                      key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:5]
+        assert list(g["term"]) == [w for w, _ in want]
+        assert list(g["tf"]) == [c for _, c in want]
+        assert list(g["df"]) == [df[w] for w, _ in want]
+    # every doc with at least one token appears
+    n_docs_with_terms = sum(1 for c in tf.values() if c)
+    assert got["doc_id"].nunique() == n_docs_with_terms
