@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": text_analysis.lang_confusion,
         "top_bigrams": lambda sf: text_analysis.top_bigrams(sf),
         "term_weights": lambda sf: text_analysis.term_weights(sf),
+        "repetition_stats": text_analysis.repetition_stats,
+        "decontam_ngrams": lambda sf: text_analysis.decontam_ngrams(sf),
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
@@ -564,6 +566,74 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, df, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # integer repetition counters only — the filter ratios are floats
+        # computed client-side, so the hash compare stays exact
+        "repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), t2 AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1]) AS bis,
+                     list_transform(range(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i + 1] || ' '
+                                         || ws[i + 2]) AS tris
+              FROM t
+            ), wc AS (
+              SELECT doc_id, MAX(c) AS mx FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS w FROM t2)
+                GROUP BY doc_id, w) GROUP BY doc_id
+            ), bc AS (
+              SELECT doc_id, MAX(c) AS mx FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(bis) AS b FROM t2)
+                GROUP BY doc_id, b) GROUP BY doc_id
+            ), tc AS (
+              SELECT doc_id, SUM(c) AS dup FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(tris) AS g FROM t2)
+                GROUP BY doc_id, g) WHERE c > 1 GROUP BY doc_id
+            )
+            SELECT t2.doc_id,
+                   CAST(t2.n AS BIGINT) AS n_words,
+                   CAST(wc.mx AS BIGINT) AS max_word_cnt,
+                   CAST(greatest(t2.n - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(bc.mx, 0) AS BIGINT) AS top_bigram_cnt,
+                   CAST(greatest(t2.n - 2, 0) AS BIGINT) AS n_trigrams,
+                   CAST(COALESCE(tc.dup, 0) AS BIGINT) AS dup_trigram_cnt
+            FROM t2
+            JOIN wc USING (doc_id)
+            LEFT JOIN bc USING (doc_id)
+            LEFT JOIN tc USING (doc_id)
+        """,
+        # eval split = doc_id % 29 == 0; n-grams are distinct per doc on
+        # both sides, mirroring decontam_ngrams' gram_set()
+        "decontam_ngrams": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, len(ws) - 3),
+                         i -> array_to_string(ws[i:i + 4], ' '))) AS grams
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents WHERE trim(text) <> '')
+              WHERE len(ws) >= 5
+            ), ev AS (
+              SELECT DISTINCT unnest(grams) AS gr FROM g
+              WHERE doc_id % 29 = 0
+            ), tr AS (
+              SELECT doc_id, unnest(grams) AS gr FROM g
+              WHERE doc_id % 29 <> 0
+            )
+            SELECT tr.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN ev.gr IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits
+            FROM tr LEFT JOIN ev USING (gr)
+            GROUP BY tr.doc_id
         """,
         "exact_dedup": """
             SELECT text, MIN(doc_id) AS keep_id,

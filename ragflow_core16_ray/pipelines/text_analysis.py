@@ -358,6 +358,109 @@ def term_weights(sf_dir: str, k: int = 5, min_len: int = 2,
             .groupby("doc_bucket").map_groups(topk, batch_format="pandas"))
 
 
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style per-document repetition counters (the published
+    repetition filters of Rae et al. 2021, "Scaling Language Models" —
+    public knowledge): most-frequent-word count, most-frequent-bigram
+    count, and the number of trigram occurrences belonging to a repeated
+    trigram, each with its denominator. Integers only, so the DuckDB
+    oracle value-hash is strict; the filter ratios (e.g.
+    dup_trigram_cnt / n_trigrams > 0.3 ⇒ drop) are client-side floats.
+
+    Fully vectorized: one explode + shifted-concat per batch builds all
+    n-gram streams; per-doc maxima come from two-level pandas groupbys
+    (C-speed), never a Python loop over tokens. Stays embarrassingly
+    parallel — no shuffle at all; each document's counters are final at
+    birth inside its batch."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["text"].str.strip() != ""].reset_index(drop=True)
+        toks = batch["text"].str.strip().str.split().explode()
+        nxt = toks.groupby(level=0).shift(-1)
+        nxt2 = toks.groupby(level=0).shift(-2)
+
+        def gram_stats(grams: pd.Series):
+            counts = grams.groupby([grams.index, grams]).size()
+            per_doc = counts.groupby(level=0)
+            return per_doc.sum(), per_doc.max(), counts
+
+        n_words, max_word, _ = gram_stats(toks)
+        bi_full = toks + " " + nxt  # identical indexes → positional align
+        n_bigrams, top_bigram, _ = gram_stats(bi_full.dropna())
+        tri = (bi_full + " " + nxt2).dropna()
+        n_trigrams, _, tri_counts = gram_stats(tri)
+        dup_tri = tri_counts[tri_counts > 1].groupby(level=0).sum()
+
+        idx = batch.index
+
+        def col(s):
+            return s.reindex(idx).fillna(0).astype("int64").values
+
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].values,
+            "n_words": col(n_words), "max_word_cnt": col(max_word),
+            "n_bigrams": col(n_bigrams), "top_bigram_cnt": col(top_bigram),
+            "n_trigrams": col(n_trigrams), "dup_trigram_cnt": col(dup_tri),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
+def decontam_ngrams(sf_dir: str, n: int = 5,
+                    eval_mod: int = 29) -> rd.Dataset:
+    """Benchmark decontamination: count, for every training document, its
+    distinct word n-grams that also appear in a held-out evaluation split
+    (the standard n-gram-overlap decontamination step of every LLM
+    training-data pipeline — e.g. the 13-gram check published with GPT-3).
+    The eval split here is the deterministic ``doc_id % eval_mod == 0``
+    slice of the same corpus; in production it is the benchmark suites.
+
+    Scale shape: the eval side is SMALL by construction (benchmarks, not
+    corpora), so its distinct-gram set is collected once and broadcast via
+    ``ray.put``; the training corpus then streams through one
+    ``map_batches`` doing C-speed set intersections — no shuffle at all.
+    If the eval set ever outgrew worker memory, the fallback is the
+    co-partitioned anti-join shape of `dedup.incremental_dedup`.
+
+    Output: (doc_id, n_grams, n_hits) for every non-eval doc with ≥ n
+    words; contaminated ⇔ n_hits > 0 (thresholding is client policy)."""
+    import ray
+
+    def gram_set(text: str) -> set[str]:
+        ws = text.strip().split()
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    def eval_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        grams: set[str] = set()
+        for t in batch.loc[batch["doc_id"] % eval_mod == 0, "text"]:
+            grams |= gram_set(t)
+        return pd.DataFrame({"g": sorted(grams)})
+
+    eval_df = (_docs(sf_dir, ["doc_id", "text"])
+               .map_batches(eval_partial, batch_format="pandas").to_pandas())
+    eval_ref = ray.put(frozenset(eval_df["g"]))
+
+    def hits(batch: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eval_ref)
+        batch = batch[batch["doc_id"] % eval_mod != 0]
+        out_id, out_n, out_h = [], [], []
+        for did, t in zip(batch["doc_id"], batch["text"]):
+            gs = gram_set(t)
+            if not gs:
+                continue
+            out_id.append(did)
+            out_n.append(len(gs))
+            out_h.append(len(gs & ev))
+        return pd.DataFrame({
+            "doc_id": pd.array(out_id, dtype="int64"),
+            "n_grams": pd.array(out_n, dtype="int64"),
+            "n_hits": pd.array(out_h, dtype="int64")})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hits, batch_format="pandas")
+
+
 def quality_filter(sf_dir: str, min_chars: int = 200, max_chars: int = 5000,
                    min_tokens: int = 30) -> rd.Dataset:
     """Training-data quality gate: keep documents in a length band with a

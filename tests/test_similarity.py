@@ -242,3 +242,65 @@ def test_term_weights_tf_df_rank(ray_session):
     # every doc with at least one token appears
     n_docs_with_terms = sum(1 for c in tf.values() if c)
     assert got["doc_id"].nunique() == n_docs_with_terms
+
+
+def test_repetition_stats_matches_local_count(ray_session):
+    """Gopher-style counters vs a local Counter recompute per doc."""
+    from collections import Counter
+
+    from ragflow_core16_ray.pipelines.text_analysis import repetition_stats
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    got = repetition_stats(SF).to_pandas().set_index("doc_id")
+    n_expected = 0
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        ws = t.split()
+        if not ws:
+            assert did not in got.index
+            continue
+        n_expected += 1
+        r = got.loc[did]
+        wc = Counter(ws)
+        bc = Counter(a + " " + b for a, b in zip(ws, ws[1:]))
+        tc = Counter(" ".join(g) for g in zip(ws, ws[1:], ws[2:]))
+        assert r["n_words"] == len(ws)
+        assert r["max_word_cnt"] == max(wc.values())
+        assert r["n_bigrams"] == max(len(ws) - 1, 0)
+        assert r["top_bigram_cnt"] == (max(bc.values()) if bc else 0)
+        assert r["n_trigrams"] == max(len(ws) - 2, 0)
+        assert r["dup_trigram_cnt"] == sum(c for c in tc.values() if c > 1)
+    assert len(got) == n_expected
+
+
+def test_decontam_ngrams_flags_eval_overlap(ray_session):
+    """Every doc sharing a 5-gram with the eval split has n_hits > 0;
+    n_grams/n_hits match a local set recompute; eval docs are excluded."""
+    from ragflow_core16_ray.pipelines.text_analysis import decontam_ngrams
+
+    n, mod = 5, 29
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    ev = set()
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        if did % mod == 0:
+            ev |= grams(t)
+    assert ev, "fixture must have a non-empty eval split"
+
+    got = decontam_ngrams(SF, n=n, eval_mod=mod).to_pandas()
+    assert (got["doc_id"] % mod != 0).all()
+    by_id = got.set_index("doc_id")
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        if did % mod == 0:
+            continue
+        gs = grams(t)
+        if not gs:
+            assert did not in by_id.index
+            continue
+        assert by_id.loc[did, "n_grams"] == len(gs)
+        assert by_id.loc[did, "n_hits"] == len(gs & ev)
