@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
         "minhash_verified_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
+        "winnow_matches": lambda sf: dedup.winnow_matches(sf),
         "emb_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         # --- similarity search
         "emb_topk": lambda sf: similarity.brute_topk(sf),
@@ -749,6 +750,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        """,
+        # winnowing (k=16, w=8): per window of 8 consecutive k-gram md5
+        # hashes select the min, rightmost on ties (list_position on the
+        # reversed window finds the LAST minimum), then count distinct
+        # shared fingerprints per doc pair
+        "winnow_matches": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(text) - 16 + 2),
+                                    i -> md5_number_lower(substr(text, i, 16))
+                     ) AS hs
+              FROM documents WHERE length(text) >= 16 + 8 - 1
+            ), sel AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                         range(1, len(hs) - 8 + 2),
+                         p -> hs[p + 8 - list_position(
+                                  list_reverse(hs[p:p + 7]),
+                                  list_min(hs[p:p + 7]))])) AS fp
+              FROM h WHERE len(hs) >= 8
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sel a JOIN sel b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 5
         """,
         "jaccard_clusters": r"""
             WITH RECURSIVE words AS (

@@ -213,6 +213,115 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
+# ---------------------------------------------------------- winnowing ---
+
+def winnow_fps(text: str, k: int = 16, w: int = 8,
+               _cache: dict | None = None) -> np.ndarray:
+    """Distinct winnowed fingerprints of a document (Schleimer/Wilkerson/
+    Aiken 2003 "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS scheme, public knowledge): hash every character k-gram, then
+    in each window of w consecutive hashes select the minimum, rightmost
+    on ties. Guarantees every shared substring of length ≥ k + w - 1
+    yields at least one shared fingerprint.
+
+    The gram hash is DuckDB's ``md5_number_lower``, so the driver oracle
+    recomputes identical selections in pure SQL (list window argmin).
+    Docs shorter than k + w - 1 chars have no full window and emit
+    nothing (documented; the oracle mirrors). ``_cache`` lets a batch
+    reuse gram hashes across documents."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.hashing import md5_hash64
+
+    m = len(text) - k + 1
+    if m < w:
+        return np.empty(0, dtype=np.uint64)
+    cache = _cache if _cache is not None else {}
+
+    def gh(g: str) -> int:
+        v = cache.get(g)
+        if v is None:
+            v = cache[g] = md5_hash64(g)
+        return v
+
+    h = np.fromiter((gh(text[i:i + k]) for i in range(m)),
+                    dtype=np.uint64, count=m)
+    wins = sliding_window_view(h, w)
+    # rightmost min: argmin of the reversed window finds the LAST minimum
+    j = (w - 1) - np.argmin(wins[:, ::-1], axis=1)
+    return np.unique(h[np.arange(len(wins)) + j])
+
+
+def winnow_matches(sf_dir: str, k: int = 16, w: int = 8,
+                   min_shared: int = 5, n_buckets: int = 64,
+                   max_doc_freq: int | None = None) -> pd.DataFrame:
+    """MOSS-style containment detection: doc pairs sharing ≥ min_shared
+    winnowed fingerprints — catches copied PASSAGES (quotes, boilerplate,
+    partial plagiarism) that whole-document Jaccard dilutes away, because
+    winnowing guarantees a fingerprint for every shared run of
+    k + w - 1 = 23 chars.
+
+    Shuffle plan (the `jaccard_dup_pairs` shape): explode
+    (fp-bucket, fp, doc_id) rows — bucket = fp % n_buckets, so each
+    fingerprint lives in exactly ONE bucket and per-bucket pair counts
+    are complete — → bounded groupby(bucket) → vectorized self-merge →
+    combiner-tree sum → threshold. Nothing driver-side until the final
+    ≥-threshold pair list (proportional to matches found, not corpus
+    size). ``max_doc_freq`` is the hot-fingerprint mitigation: a
+    boilerplate fingerprint present in g docs costs g² merge rows; at
+    production scale drop fingerprints with bucket-local df above the
+    cap (loses only pairs whose evidence is pure boilerplate)."""
+    from ..stages.agg import combine_partials
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}
+        ids, fps = [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            f = winnow_fps(text, k, w, cache)
+            ids.append(np.full(len(f), did, dtype=np.int64))
+            fps.append(f)
+        fp = (np.concatenate(fps) if fps
+              else np.empty(0, dtype=np.uint64))
+        return pd.DataFrame({
+            "bucket": pd.array((fp % np.uint64(n_buckets)).astype(np.int32),
+                               dtype="int32"),
+            "fp": fp.astype(np.int64),  # reinterpret: pandas-safe 64-bit
+            "doc_id": np.concatenate(ids) if ids
+                      else np.empty(0, dtype=np.int64)})
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["fp", "doc_id"]]
+        if max_doc_freq is not None:
+            df = df[df.groupby("fp")["doc_id"]
+                    .transform("size") <= max_doc_freq]
+        m = df.merge(df, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                                 "id_b": pd.array([], dtype="int64"),
+                                 "n_shared": pd.array([], dtype="int64")})
+        cnt = m.groupby(["doc_id_x", "doc_id_y"], sort=False).size()
+        out = cnt.rename("n_shared").reset_index()
+        return out.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"})
+
+    partials = rows.repartition(min(16, n_buckets)).groupby(
+        "bucket").map_groups(bucket_pairs, batch_format="pandas")
+    shared = combine_partials(partials, ["id_a", "id_b"],
+                              {"n_shared": "sum"})
+    out = shared.map_batches(
+        lambda b: b[b["n_shared"] >= min_shared],
+        batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "n_shared": pd.array([], dtype="int64")})
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------- minhash ---
 
 N_HASHES = 64

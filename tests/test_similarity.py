@@ -304,3 +304,65 @@ def test_decontam_ngrams_flags_eval_overlap(ray_session):
             continue
         assert by_id.loc[did, "n_grams"] == len(gs)
         assert by_id.loc[did, "n_hits"] == len(gs & ev)
+
+
+def test_winnow_fps_guarantee_and_rightmost_min(ray_session):
+    """The winnowing guarantee: two docs sharing a substring of length
+    ≥ k + w - 1 share at least one fingerprint; selection picks the
+    rightmost window minimum (checked against a naive reimplementation)."""
+    import hashlib
+
+    from ragflow_core16_ray.pipelines.dedup import winnow_fps
+
+    k, w = 16, 8
+    shared = "the quick brown fox jumps over it"  # 33 ≥ k+w-1 = 23
+    a = "left padding text then " + shared + " tail a"
+    b = "completely different lead-in " + shared + " other end"
+    fa, fb = winnow_fps(a, k, w), winnow_fps(b, k, w)
+    assert set(fa.tolist()) & set(fb.tolist())
+
+    def md5h(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                              "little")
+
+    def naive(text):
+        hs = [md5h(text[i:i + k]) for i in range(len(text) - k + 1)]
+        if len(hs) < w:
+            return set()
+        sel = set()
+        for p in range(len(hs) - w + 1):
+            win = hs[p:p + w]
+            m = min(win)
+            sel.add(hs[p + max(i for i, v in enumerate(win) if v == m)])
+        return sel
+
+    for t in (a, b, "short", "x" * 40, "ab" * 30):
+        assert set(winnow_fps(t, k, w).tolist()) == naive(t), t
+
+
+def test_winnow_matches_counts_shared_fps(ray_session):
+    """Pair counts equal a local distinct-fingerprint intersection."""
+    from collections import Counter
+
+    from ragflow_core16_ray.pipelines.dedup import winnow_fps, winnow_matches
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    fps = {did: set(winnow_fps(t).tolist())
+           for did, t in zip(docs["doc_id"], docs["text"])}
+    want = Counter()
+    ids = sorted(fps)
+    inv = {}
+    for did in ids:
+        for f in fps[did]:
+            inv.setdefault(f, []).append(did)
+    for f, ds in inv.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                want[(ds[i], ds[j])] += 1
+    want = {p: c for p, c in want.items() if c >= 2}
+
+    got = winnow_matches(SF, min_shared=2)
+    got_d = {(a, b): c for a, b, c in
+             zip(got["id_a"], got["id_b"], got["n_shared"])}
+    assert got_d == want
