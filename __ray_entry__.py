@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_verified_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
         "winnow_matches": lambda sf: dedup.winnow_matches(sf),
+        "dup_passage_stats": lambda sf: dedup.dup_passage_stats(sf),
         "emb_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         # --- similarity search
         "emb_topk": lambda sf: similarity.brute_topk(sf),
@@ -777,6 +778,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 5
+        """,
+        # non-overlapping 10-word passages, tail dropped; a passage is dup
+        # iff its exact text occurs >1 time corpus-wide (within-doc too)
+        "dup_passage_stats": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), p AS (
+              SELECT doc_id,
+                     array_to_string(ws[(j - 1) * 10 + 1 : j * 10],
+                                     ' ') AS passage
+              FROM t, LATERAL unnest(generate_series(1, len(ws) // 10))
+                           AS g(j)
+            ), c AS (
+              SELECT passage, COUNT(*) AS cnt FROM p GROUP BY passage
+            )
+            SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_passages,
+                   CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_passages
+            FROM p JOIN c USING (passage)
+            GROUP BY p.doc_id
         """,
         "jaccard_clusters": r"""
             WITH RECURSIVE words AS (

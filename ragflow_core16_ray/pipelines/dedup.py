@@ -669,6 +669,60 @@ def incremental_dedup(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
             .groupby("bucket").map_groups(anti, batch_format="pandas"))
 
 
+def dup_passage_stats(sf_dir: str, passage_words: int = 10,
+                      n_buckets: int = 64) -> rd.Dataset:
+    """Passage-level duplication profile (the sub-document granularity of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — public): split every doc into non-overlapping
+    ``passage_words``-word passages (tail shorter than a full passage
+    dropped) and report, per doc, how many of its passages occur MORE THAN
+    ONCE corpus-wide (including within-doc repeats). Whole-doc dedup
+    misses these — boilerplate paragraphs pasted into otherwise-unique
+    pages are exactly what this catches.
+
+    Shape: docs reduce to (bucket, passage-md5, doc_id) rows — one hash
+    per passage, never the text; bucket = stable hash of the md5, so a
+    passage's global count is bucket-local and complete. One bounded
+    groupby(bucket) computes counts and per-doc partials; a combiner tree
+    sums partials per doc (two ints per doc per bucket). Nothing
+    driver-side, nothing broadcast — scales with corpus size, unlike a
+    broadcast dup-set."""
+    from ..functions.hashing import md5_hex
+    from ..stages.agg import combine_partials
+
+    P = passage_words
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_b, rows_h, rows_d = [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            ws = text.split()
+            for j in range(len(ws) // P):
+                h = md5_hex(" ".join(ws[j * P:(j + 1) * P]))
+                rows_b.append(hash64(h) % n_buckets)
+                rows_h.append(h)
+                rows_d.append(did)
+        return pd.DataFrame({
+            "bucket": pd.array(rows_b, dtype="int32"),
+            "h": rows_h,
+            "doc_id": pd.array(rows_d, dtype="int64")})
+
+    def counts(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("h")["doc_id"].transform("size") > 1
+        agg = (g.assign(dup=dup).groupby("doc_id", sort=False)
+               .agg(n_passages=("h", "size"), n_dup_passages=("dup", "sum")))
+        agg = agg.reset_index()
+        agg["n_passages"] = agg["n_passages"].astype("int64")
+        agg["n_dup_passages"] = agg["n_dup_passages"].astype("int64")
+        return agg
+
+    partials = (_docs(sf_dir, ["doc_id", "text"])
+                .map_batches(explode, batch_format="pandas")
+                .repartition(max(1, n_buckets // 4))
+                .groupby("bucket").map_groups(counts, batch_format="pandas"))
+    return combine_partials(partials, ["doc_id"],
+                            {"n_passages": "sum", "n_dup_passages": "sum"})
+
+
 def minhash_verified_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                            est_threshold: float = 0.25) -> pd.DataFrame:
     """The production near-dup shape: sub-quadratic LSH candidate

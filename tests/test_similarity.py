@@ -366,3 +366,33 @@ def test_winnow_matches_counts_shared_fps(ray_session):
     got_d = {(a, b): c for a, b, c in
              zip(got["id_a"], got["id_b"], got["n_shared"])}
     assert got_d == want
+
+
+def test_dup_passage_stats_matches_local(ray_session):
+    """Per-doc passage counts equal a local Counter recompute; docs
+    shorter than one passage emit nothing."""
+    from collections import Counter
+
+    from ragflow_core16_ray.pipelines.dedup import dup_passage_stats
+
+    P = 10
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    passages = {}
+    global_cnt = Counter()
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        ws = t.split()
+        ps = [" ".join(ws[j * P:(j + 1) * P]) for j in range(len(ws) // P)]
+        passages[did] = ps
+        global_cnt.update(ps)
+
+    got = dup_passage_stats(SF, passage_words=P).to_pandas()
+    got = got.set_index("doc_id")
+    for did, ps in passages.items():
+        if not ps:
+            assert did not in got.index
+            continue
+        assert got.loc[did, "n_passages"] == len(ps)
+        assert got.loc[did, "n_dup_passages"] == sum(
+            1 for p in ps if global_cnt[p] > 1)
+    assert len(got) == sum(1 for ps in passages.values() if ps)
