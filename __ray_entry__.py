@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_topk": lambda sf: similarity.lsh_topk(sf),
         "emb_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
+        "bm25_topk": lambda sf: similarity.bm25_topk(sf),
         # --- relational / streaming primitives
         "pricing_summary": relational.pricing_summary,
         "nation_revenue": relational.nation_revenue,
@@ -851,6 +852,46 @@ def oracle_sql() -> dict[str, str]:
         # money/quantity sums are in exact integer cents (×100; discounted
         # price in 10^-4 dollar units): integer sums are order-independent,
         # so the distributed result hashes bit-equal to this oracle
+        # Okapi/Lucene BM25, k1=1.2 b=0.75, query = 'hash table scan';
+        # scores quantized to round(s*1e6) so float accumulation order
+        # can't break the hash compare; ties break on doc_id
+        "bm25_topk": r"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), stats AS (
+              SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d
+            ), q AS (
+              SELECT unnest(['hash', 'table', 'scan']) AS term
+            ), df AS (
+              SELECT term, COUNT(*) AS df
+              FROM q JOIN d ON list_contains(d.ws, q.term)
+              GROUP BY term
+            ), tf AS (
+              SELECT d.doc_id, q.term, len(d.ws) AS dl,
+                     len(list_filter(d.ws, x -> x = q.term)) AS tf
+              FROM d CROSS JOIN q
+            ), sc AS (
+              SELECT tf.doc_id,
+                     SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * (tf.tf * (1.2 + 1))
+                         / (tf.tf + 1.2 * (1 - 0.75
+                                           + 0.75 * tf.dl / stats.avgdl))
+                     ) AS s
+              FROM tf
+              JOIN df USING (term) CROSS JOIN stats
+              WHERE tf.tf > 0
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY round(s * 1000000) DESC, doc_id
+                   ) AS BIGINT) AS rank,
+                   doc_id,
+                   CAST(round(s * 1000000) AS BIGINT) AS score_q
+            FROM sc
+            WHERE round(s * 1000000) > 0
+            ORDER BY rank LIMIT 10
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -268,3 +268,83 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
 
     df = emb.map_batches(probe, batch_format="pandas").to_pandas()
     return _finish_topk(df, k)
+
+
+# ------------------------------------------------------- BM25 retrieval ---
+
+def bm25_topk(sf_dir: str, query: str = "hash table scan",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """Distributed BM25 top-k keyword retrieval (Robertson/Spärck Jones
+    probabilistic ranking, the public Okapi/Lucene formulation with
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))) — the lexical half of the
+    reference's ES-backed hybrid search (rag/nlp/search.py role),
+    re-expressed as two streaming passes with nothing driver-side but
+    the ≤k result.
+
+    Pass 1 (tiny): per-batch partials of corpus size, total doc length
+    and per-query-term document frequency — a few ints per batch,
+    combined on the driver into broadcast constants (query terms are a
+    handful; the corpus never shuffles). Pass 2: vectorized per-batch
+    scoring (explode → filter to query terms → group count, all C-speed)
+    emits each batch's local top-k only; the driver merges ≤k rows per
+    batch. No shuffle at all — the canonical scatter-gather top-k.
+
+    Scores are emitted quantized (``score_q = round(score·1e6)``) so the
+    DuckDB oracle is hash-strict: float accumulation order can differ
+    between engines only below the quantum. Ties break on doc_id asc."""
+    terms = query.split()
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.strip()
+        nonempty = toks != ""
+        split = toks[nonempty].str.split()
+        dl = split.str.len()
+        tdf = {t: int(split.map(lambda ws, t=t: t in ws).sum())
+               for t in terms}
+        return pd.DataFrame({
+            "n_docs": pd.array([int(nonempty.sum())], dtype="int64"),
+            "sum_dl": pd.array([int(dl.sum())], dtype="int64"),
+            **{f"df_{i}": pd.array([tdf[t]], dtype="int64")
+               for i, t in enumerate(terms)}})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    st = docs.map_batches(stats_partial, batch_format="pandas") \
+        .to_pandas().sum()
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    avgdl = sum_dl / n_docs
+    idf = {t: float(np.log(1.0 + (n_docs - st[f"df_{i}"] + 0.5)
+                           / (st[f"df_{i}"] + 0.5)))
+           for i, t in enumerate(terms)}
+    const = ray.put((idf, avgdl))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        idf_m, av = ray.get(const)
+        batch = batch[batch["text"].str.strip() != ""].reset_index(drop=True)
+        if batch.empty:
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "score_q": pd.array([], dtype="int64")})
+        split = batch["text"].str.strip().str.split()
+        dl = split.str.len().values.astype(np.float64)
+        toks = split.explode()
+        toks = toks[toks.isin(terms)]
+        tf = toks.groupby([toks.index, toks]).size()
+        s = np.zeros(len(batch))
+        for t in terms:
+            tft = np.zeros(len(batch))
+            if (slice_ := tf[tf.index.get_level_values(1) == t]).size:
+                tft[slice_.index.get_level_values(0)] = slice_.values
+            denom = tft + k1 * (1 - b + b * dl / av)
+            s += idf_m[t] * (tft * (k1 + 1)) / denom
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].values,
+            "score_q": np.round(s * 1e6).astype(np.int64)})
+        out = out[out["score_q"] > 0]
+        return out.sort_values(["score_q", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    df = docs.map_batches(score, batch_format="pandas").to_pandas()
+    df = df.sort_values(["score_q", "doc_id"],
+                        ascending=[False, True]).head(k).reset_index(drop=True)
+    df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
+    return df[["rank", "doc_id", "score_q"]]

@@ -396,3 +396,38 @@ def test_dup_passage_stats_matches_local(ray_session):
         assert got.loc[did, "n_dup_passages"] == sum(
             1 for p in ps if global_cnt[p] > 1)
     assert len(got) == sum(1 for ps in passages.values() if ps)
+
+
+def test_bm25_topk_matches_local_recompute(ray_session):
+    """Distributed scatter-gather BM25 equals a single-process recompute
+    of the same Okapi formula over the whole corpus (exact, not just
+    top-k overlap), proving the per-batch top-k merge loses nothing."""
+    import math
+
+    from ragflow_core16_ray.pipelines.similarity import bm25_topk
+
+    k1, b, terms, k = 1.2, 0.75, ["hash", "table", "scan"], 10
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs["text"].str.strip() != ""]
+    split = [t.split() for t in docs["text"]]
+    n = len(split)
+    avgdl = sum(len(ws) for ws in split) / n
+    dfs = {t: sum(1 for ws in split if t in ws) for t in terms}
+    idf = {t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+           for t in terms}
+    scores = []
+    for did, ws in zip(docs["doc_id"], split):
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            s += idf[t] * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(ws) / avgdl))
+        q = round(s * 1e6)
+        if q > 0:
+            scores.append((did, int(q)))
+    want = sorted(scores, key=lambda x: (-x[1], x[0]))[:k]
+
+    got = bm25_topk(SF, k=k)
+    assert list(got["rank"]) == list(range(1, len(want) + 1))
+    assert list(zip(got["doc_id"], got["score_q"])) == want
