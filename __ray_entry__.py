@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_weights": lambda sf: text_analysis.term_weights(sf),
         "repetition_stats": text_analysis.repetition_stats,
         "decontam_ngrams": lambda sf: text_analysis.decontam_ngrams(sf),
+        "lm_quality_rank": lambda sf: text_analysis.lm_quality_rank(sf),
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
@@ -779,6 +780,32 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 5
+        """,
+        # unigram LM with add-one smoothing trained on the corpus itself;
+        # avg per-word logprob quantized to 1e-6 so ROW_NUMBER ordering
+        # is float-order-independent
+        "lm_quality_rank": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents WHERE trim(text) <> ''
+            ), c AS (
+              SELECT w, COUNT(*) AS cnt FROM w GROUP BY w
+            ), tot AS (
+              SELECT SUM(cnt) AS t, COUNT(*) AS v FROM c
+            ), d AS (
+              SELECT w.doc_id,
+                     SUM(ln((c.cnt + 1.0) / (tot.t + tot.v))) AS lp,
+                     COUNT(*) AS n
+              FROM w JOIN c USING (w) CROSS JOIN tot
+              GROUP BY w.doc_id
+            )
+            SELECT doc_id,
+                   CAST(round(lp / n * 1000000) AS BIGINT) AS avg_logprob_q,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY round(lp / n * 1000000) DESC, doc_id
+                   ) AS BIGINT) AS rank
+            FROM d
         """,
         # non-overlapping 10-word passages, tail dropped; a passage is dup
         # iff its exact text occurs >1 time corpus-wide (within-doc too)

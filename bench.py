@@ -70,7 +70,8 @@ BENCH_QUERIES = [
     "token_counts", "quality_stats", "fingerprints", "top_words",
     "length_histogram", "stratified_sample", "top_bigrams", "term_weights",
     "exact_dedup", "jaccard_clusters", "minhash_lsh_pairs", "simhash_pairs",
-    "emb_near_dup", "emb_topk", "emb_lsh_topk",
+    "emb_near_dup", "emb_topk", "emb_lsh_topk", "bm25_topk",
+    "winnow_matches", "dup_passage_stats", "repetition_stats",
     "pricing_summary", "nation_revenue", "top_customers",
     "events_hourly", "events_sessions", "events_asof_orders",
     "media_features", "media_collage", "chunk_docs",

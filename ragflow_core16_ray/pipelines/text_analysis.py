@@ -481,3 +481,95 @@ def quality_filter(sf_dir: str, min_chars: int = 200, max_chars: int = 5000,
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         keep, batch_format="pyarrow")
+
+
+def lm_quality_rank(sf_dir: str, bucket_shift: int = 12) -> rd.Dataset:
+    """CCNet-style corpus quality ordering (Wenzek et al. 2020, public):
+    score every document by its average per-word log-probability under a
+    unigram LM with add-one smoothing trained on the corpus itself, then
+    assign a GLOBAL curriculum rank (1 = most in-distribution). The score
+    is quantized (``round(lp/n · 1e6)``) so the DuckDB oracle — a plain
+    ROW_NUMBER window — hash-matches despite float accumulation order.
+
+    Scale shape, two broadcasts and one bounded shuffle:
+    (1) global word counts via the combiner tree (partials per batch, one
+    row per word per batch); the {word: count} map is broadcast via
+    ``ray.put`` — at 100 TB the vocab table would instead stay
+    distributed and the score pass would join on a term-bucketed shuffle
+    (the `term_weights` shape). (2) vectorized per-batch scoring. (3) the
+    distributed RANK: scores histogram into coarse buckets
+    (``avg_q >> bucket_shift`` — order-preserving); the per-bucket doc
+    counts are tiny (≤ #buckets rows) and broadcast as cumulative
+    offsets; one groupby(bucket) sorts each bucket locally and adds its
+    offset. No global sort, no driver-side ordering; bucket width bounds
+    the largest in-memory sort."""
+    import numpy as np
+    import ray
+
+    from ..stages.agg import combine_partials
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = (batch["text"].str.strip().str.split().explode()
+                  .value_counts())
+        return pd.DataFrame({"word": counts.index, "cnt": counts.values})
+
+    vocab = combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(count_partial,
+                                            batch_format="pandas"),
+        ["word"], {"cnt": "sum"}).to_pandas()
+    total = int(vocab["cnt"].sum())
+    v_size = len(vocab)
+    # log p(w) = ln((cnt+1)/(T+V)), computed identically in the oracle
+    logp_ref = ray.put((dict(zip(vocab["word"],
+                                 vocab["cnt"].astype("int64"))),
+                        float(total + v_size)))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cnts, denom = ray.get(logp_ref)
+        batch = batch[batch["text"].str.strip() != ""].reset_index(drop=True)
+        if batch.empty:
+            return pd.DataFrame({
+                "bucket": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="int64"),
+                "avg_logprob_q": pd.array([], dtype="int64")})
+        toks = batch["text"].str.strip().str.split().explode()
+        lp = np.log((toks.map(cnts).fillna(0).values + 1.0) / denom)
+        g = pd.Series(lp, index=toks.index).groupby(level=0)
+        avg_q = np.round(g.sum() / g.size() * 1e6).astype("int64")
+        avg_q = avg_q.reindex(batch.index).values
+        return pd.DataFrame({
+            "bucket": pd.array(avg_q >> bucket_shift, dtype="int64"),
+            "doc_id": batch["doc_id"].values,
+            "avg_logprob_q": pd.array(avg_q, dtype="int64")})
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas").materialize()
+
+    # per-bucket doc counts: ≤ #buckets tiny rows through the combiner
+    def bcount(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("bucket", sort=False).size()
+        return pd.DataFrame({"bucket": g.index.astype("int64"),
+                             "n": g.values})
+
+    hist = combine_partials(scored.map_batches(bcount,
+                                               batch_format="pandas"),
+                            ["bucket"], {"n": "sum"}).to_pandas()
+    hist = hist.sort_values("bucket", ascending=False)
+    # offset = docs in strictly HIGHER buckets (rank is avg_q desc)
+    hist["offset"] = hist["n"].cumsum().shift(1, fill_value=0)
+    offsets_ref = ray.put(dict(zip(hist["bucket"].astype(int),
+                                   hist["offset"].astype(int))))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["avg_logprob_q", "doc_id"],
+                          ascending=[False, True])
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.array(range(off + 1, off + 1 + len(g)),
+                             dtype="int64")
+        return g[["doc_id", "avg_logprob_q", "rank"]]
+
+    n_buckets = max(1, len(hist))
+    return (scored.repartition(min(16, n_buckets))
+            .groupby("bucket").map_groups(rank_bucket,
+                                          batch_format="pandas"))

@@ -431,3 +431,31 @@ def test_bm25_topk_matches_local_recompute(ray_session):
     got = bm25_topk(SF, k=k)
     assert list(got["rank"]) == list(range(1, len(want) + 1))
     assert list(zip(got["doc_id"], got["score_q"])) == want
+
+
+def test_lm_quality_rank_is_a_permutation(ray_session):
+    """Ranks are a dense 1..N permutation ordered by (avg_logprob_q desc,
+    doc_id asc), and scores match a local unigram-LM recompute."""
+    import math
+    from collections import Counter
+
+    from ragflow_core16_ray.pipelines.text_analysis import lm_quality_rank
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs["text"].str.strip() != ""]
+    cnt = Counter(w for t in docs["text"] for w in t.split())
+    denom = sum(cnt.values()) + len(cnt)
+    want_q = {}
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        ws = t.split()
+        lp = sum(math.log((cnt[w] + 1.0) / denom) for w in ws)
+        want_q[did] = round(lp / len(ws) * 1e6)
+
+    got = lm_quality_rank(SF).to_pandas()
+    assert len(got) == len(want_q)
+    assert dict(zip(got["doc_id"], got["avg_logprob_q"])) == want_q
+    ordered = got.sort_values("rank")
+    assert list(ordered["rank"]) == list(range(1, len(got) + 1))
+    keys = list(zip(-ordered["avg_logprob_q"], ordered["doc_id"]))
+    assert keys == sorted(keys)
