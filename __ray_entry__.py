@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text_analysis.repetition_stats,
         "decontam_ngrams": lambda sf: text_analysis.decontam_ngrams(sf),
         "lm_quality_rank": lambda sf: text_analysis.lm_quality_rank(sf),
+        "pack_sequences": lambda sf: text_analysis.pack_sequences(sf),
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
@@ -780,6 +781,29 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 5
+        """,
+        # shard-local greedy packing: cumulative token offsets in doc_id
+        # order, bins of 256 tokens, docs may span bins
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 16 AS shard,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens
+              FROM documents WHERE trim(text) <> ''
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     SUM(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens AS start_offset
+              FROM t
+            )
+            SELECT doc_id, shard,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(start_offset // 256 AS BIGINT) AS first_bin,
+                   CAST((start_offset + n_tokens - 1) // 256 AS BIGINT)
+                       AS last_bin
+            FROM c
         """,
         # unigram LM with add-one smoothing trained on the corpus itself;
         # avg per-word logprob quantized to 1e-6 so ROW_NUMBER ordering

@@ -573,3 +573,51 @@ def lm_quality_rank(sf_dir: str, bucket_shift: int = 12) -> rd.Dataset:
     return (scored.repartition(min(16, n_buckets))
             .groupby("bucket").map_groups(rank_bucket,
                                           batch_format="pandas"))
+
+
+def pack_sequences(sf_dir: str, budget: int = 256,
+                   n_shards: int = 16) -> rd.Dataset:
+    """GPT-style sequence packing layout: concatenate documents (in
+    deterministic doc_id order within a shard) into a token stream and
+    cut it into fixed ``budget``-token training bins, documents spanning
+    bin boundaries split mid-document — the standard pretraining packing
+    step (every LLM data pipeline has one; the reference's naive_merge,
+    rag/nlp/__init__.py:510-541, is the per-document analogue of the
+    same token-budget fill).
+
+    Emits the PLACEMENT (doc_id, shard, start_offset, n_tokens,
+    first_bin, last_bin), not the packed text — at 100 TB the placement
+    table is what the actual tensor-writer stage consumes, and it is
+    integers only, so the oracle (a window cumsum) is hash-strict.
+
+    Shape: one groupby(shard) shuffle (shard = doc_id % n_shards); each
+    group sorts locally by doc_id and runs a vectorized cumsum. Bins are
+    shard-local, so shards pack independently — embarrassingly parallel
+    across the cluster, no global coordination."""
+    import numpy as np
+
+    def toklen(batch: pd.DataFrame) -> pd.DataFrame:
+        n = (batch["text"].str.strip().str.split().str.len()
+             .fillna(0).astype("int64"))
+        keep = n > 0
+        return pd.DataFrame({
+            "shard": (batch.loc[keep, "doc_id"] % n_shards).astype("int64"),
+            "doc_id": batch.loc[keep, "doc_id"].values,
+            "n_tokens": n[keep].values})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        end = g["n_tokens"].cumsum().values
+        start = end - g["n_tokens"].values
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].values,
+            "shard": g["shard"].values,
+            "start_offset": pd.array(start, dtype="int64"),
+            "n_tokens": g["n_tokens"].values,
+            "first_bin": pd.array(start // budget, dtype="int64"),
+            "last_bin": pd.array((end - 1) // budget, dtype="int64")})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(toklen, batch_format="pandas")
+            .repartition(min(16, n_shards))
+            .groupby("shard").map_groups(pack, batch_format="pandas"))

@@ -459,3 +459,32 @@ def test_lm_quality_rank_is_a_permutation(ray_session):
     assert list(ordered["rank"]) == list(range(1, len(got) + 1))
     keys = list(zip(-ordered["avg_logprob_q"], ordered["doc_id"]))
     assert keys == sorted(keys)
+
+
+def test_pack_sequences_layout_invariants(ray_session):
+    """Within every shard: contiguous non-overlapping token stream in
+    doc_id order; bin spans consistent with the 256 budget; totals match
+    token counts."""
+    from ragflow_core16_ray.pipelines.text_analysis import pack_sequences
+
+    budget = 256
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toklen = {did: len(t.split())
+              for did, t in zip(docs["doc_id"], docs["text"])
+              if t.split()}
+
+    got = pack_sequences(SF, budget=budget).to_pandas()
+    assert set(got["doc_id"]) == set(toklen)
+    assert (got["n_tokens"].values ==
+            [toklen[d] for d in got["doc_id"]]).all()
+    for _, g in got.groupby("shard"):
+        g = g.sort_values("doc_id")
+        # contiguous: each start is the previous end
+        ends = (g["start_offset"] + g["n_tokens"]).values
+        assert g["start_offset"].iloc[0] == 0
+        assert (g["start_offset"].values[1:] == ends[:-1]).all()
+        assert (g["first_bin"] == g["start_offset"] // budget).all()
+        assert (g["last_bin"] ==
+                (g["start_offset"] + g["n_tokens"] - 1) // budget).all()
+        assert (g["doc_id"] % 16 == g["shard"]).all()
