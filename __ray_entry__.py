@@ -316,6 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_ngrams": lambda sf: text_analysis.decontam_ngrams(sf),
         "lm_quality_rank": lambda sf: text_analysis.lm_quality_rank(sf),
         "pack_sequences": lambda sf: text_analysis.pack_sequences(sf),
+        "corpus_shuffle": lambda sf: text_analysis.corpus_shuffle(sf),
+        "source_vocab": text_analysis.source_vocab,
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
@@ -781,6 +783,46 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 5
+        """,
+        "source_vocab": r"""
+            WITH sw AS (
+              SELECT source, w, COUNT(*) AS cnt FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents WHERE trim(text) <> ''
+              ) GROUP BY source, w
+            ), top AS (
+              SELECT source, w AS top_word, cnt AS top_word_cnt,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source ORDER BY cnt DESC, w ASC
+                     ) AS rn
+              FROM sw
+            )
+            SELECT sw.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(sw.cnt) AS BIGINT) AS n_tokens,
+                   ANY_VALUE(top.top_word) AS top_word,
+                   CAST(ANY_VALUE(top.top_word_cnt) AS BIGINT)
+                       AS top_word_cnt
+            FROM sw JOIN top ON sw.source = top.source AND top.rn = 1
+            GROUP BY sw.source
+        """,
+        # shuffle key = md5('epoch0:' || doc_id); first byte picks the
+        # shard, key order gives the within-shard position
+        "corpus_shuffle": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS key,
+                     CAST(('0x' || substr(
+                         md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     )::INT % 16 AS BIGINT) AS shard
+              FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY key, doc_id
+                   ) - 1 AS BIGINT) AS pos
+            FROM k
         """,
         # shard-local greedy packing: cumulative token offsets in doc_id
         # order, bins of 256 tokens, docs may span bins

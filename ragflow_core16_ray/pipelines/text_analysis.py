@@ -621,3 +621,94 @@ def pack_sequences(sf_dir: str, budget: int = 256,
             .map_batches(toklen, batch_format="pandas")
             .repartition(min(16, n_shards))
             .groupby("shard").map_groups(pack, batch_format="pandas"))
+
+
+def corpus_shuffle(sf_dir: str, n_shards: int = 16,
+                   salt: str = "epoch0") -> rd.Dataset:
+    """Deterministic, reproducible global shuffle for training-epoch
+    ordering: every doc gets a shuffle key md5(salt || ':' || doc_id);
+    the key's first byte picks the output shard and the key order gives
+    the position within the shard. Changing ``salt`` re-shuffles (one
+    salt per epoch) while any run with the same salt — including a
+    resumed one — produces byte-identical placement, unlike
+    ``random_shuffle``. Emits (doc_id, shard, pos) placement rows.
+
+    Shape: one groupby(shard) shuffle (16 bounded groups); each group
+    sorts its own keys locally. Positions are shard-local so no global
+    coordination, and the md5 key is uniform so shards are balanced —
+    the exact layout a multi-epoch trainer reads back shard by shard."""
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = [md5_hex(f"{salt}:{d}") for d in batch["doc_id"]]
+        return pd.DataFrame({
+            "shard": pd.array([int(k[:2], 16) % n_shards for k in ks],
+                              dtype="int64"),
+            "k": ks,
+            "doc_id": batch["doc_id"].values})
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].values,
+            "shard": g["shard"].values,
+            "pos": pd.array(range(len(g)), dtype="int64")})
+
+    return (_docs(sf_dir, ["doc_id"])
+            .map_batches(key, batch_format="pandas")
+            .repartition(min(16, n_shards))
+            .groupby("shard").map_groups(order, batch_format="pandas"))
+
+
+def source_vocab(sf_dir: str) -> pd.DataFrame:
+    """Per-source vocabulary profile: distinct word count (types), total
+    word count (tokens) and the most frequent word — the type/token-ratio
+    inputs of corpus lexical-diversity monitoring (Heaps'-law tracking
+    per crawl source).
+
+    Two-level aggregation, both through the combiner tree: per-batch
+    (source, word, cnt) partials collapse duplicate words early, the
+    (source, word) combine finishes exact per-source-word counts, and
+    the per-source rollup is a second tiny combine — the corpus text
+    itself never shuffles, only word partials do."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.strip().str.split().explode().dropna()
+        src = batch["source"].reindex(toks.index)
+        g = pd.DataFrame({"source": src.values, "word": toks.values}) \
+            .groupby(["source", "word"], sort=False).size()
+        out = g.rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    sw = combine_partials(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            partial, batch_format="pandas"),
+        ["source", "word"], {"cnt": "sum"})
+
+    def rollup(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial rollup; (word, cnt) pairs within one source
+        # are already unique after the combine
+        best = batch.sort_values(["cnt", "word"],
+                                 ascending=[False, True]) \
+            .drop_duplicates("source")
+        agg = batch.groupby("source", sort=False).agg(
+            n_types=("word", "size"), n_tokens=("cnt", "sum"))
+        out = agg.reset_index().merge(
+            best[["source", "word", "cnt"]], on="source")
+        return out.rename(columns={"word": "top_word",
+                                   "cnt": "top_word_cnt"})
+
+    df = sw.map_batches(rollup, batch_format="pandas").to_pandas()
+    # a source's words may span combine output blocks: final driver-side
+    # fold over ≤ (#sources × #blocks) partial rows
+    best = (df.sort_values(["top_word_cnt", "top_word"],
+                           ascending=[False, True])
+            .drop_duplicates("source"))
+    agg = df.groupby("source", sort=False).agg(
+        n_types=("n_types", "sum"), n_tokens=("n_tokens", "sum"))
+    out = agg.reset_index().merge(
+        best[["source", "top_word", "top_word_cnt"]], on="source")
+    for c in ("n_types", "n_tokens", "top_word_cnt"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -488,3 +488,40 @@ def test_pack_sequences_layout_invariants(ray_session):
         assert (g["last_bin"] ==
                 (g["start_offset"] + g["n_tokens"] - 1) // budget).all()
         assert (g["doc_id"] % 16 == g["shard"]).all()
+
+
+def test_corpus_shuffle_deterministic_balanced_permutation(ray_session):
+    """Same salt → identical placement; different salt → different order;
+    per-shard positions dense from 0; all docs present exactly once."""
+    from ragflow_core16_ray.pipelines.text_analysis import corpus_shuffle
+
+    a = corpus_shuffle(SF).to_pandas().sort_values("doc_id")
+    b = corpus_shuffle(SF).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    c = corpus_shuffle(SF, salt="epoch1").to_pandas().sort_values("doc_id")
+    assert not a[["shard", "pos"]].reset_index(drop=True).equals(
+        c[["shard", "pos"]].reset_index(drop=True))
+    n = pq.read_metadata(SF + "/documents.parquet").num_rows
+    assert len(a) == n and a["doc_id"].is_unique
+    for _, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_source_vocab_matches_local(ray_session):
+    from collections import Counter
+
+    from ragflow_core16_ray.pipelines.text_analysis import source_vocab
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    per_src = {}
+    for s, t in zip(docs["source"], docs["text"]):
+        per_src.setdefault(s, Counter()).update(t.split())
+    got = source_vocab(SF)
+    assert set(got["source"]) == set(per_src)
+    for _, r in got.iterrows():
+        c = per_src[r["source"]]
+        assert r["n_types"] == len(c)
+        assert r["n_tokens"] == sum(c.values())
+        best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r["top_word"], r["top_word_cnt"]) == best
