@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: text_analysis.pack_sequences(sf),
         "corpus_shuffle": lambda sf: text_analysis.corpus_shuffle(sf),
         "source_vocab": text_analysis.source_vocab,
+        "pii_scrub": text_analysis.pii_scrub,
+        "source_mix_weights": lambda sf: text_analysis.source_mix_weights(sf),
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
@@ -332,12 +334,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_matches": lambda sf: dedup.winnow_matches(sf),
         "dup_passage_stats": lambda sf: dedup.dup_passage_stats(sf),
         "emb_near_dup": lambda sf: dedup.embedding_near_dup(sf),
+        "boilerplate_removal": lambda sf: dedup.boilerplate_removal(sf),
+        "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
         # --- similarity search
         "emb_topk": lambda sf: similarity.brute_topk(sf),
         "emb_lsh_topk": lambda sf: similarity.lsh_topk(sf),
         "emb_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
         "bm25_topk": lambda sf: similarity.bm25_topk(sf),
+        "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
         # --- relational / streaming primitives
         "pricing_summary": relational.pricing_summary,
         "nation_revenue": relational.nation_revenue,
@@ -1053,5 +1058,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(new_s) AS BIGINT) AS n_sessions
             FROM d GROUP BY user_id
+        """,
+        # sequential redaction: emails on the raw text, IPs on the
+        # email-redacted text, phones on the email+IP-redacted text —
+        # nested regexp_replace mirrors the engine's pass order exactly.
+        # Patterns are the RE2∩re ASCII subset (engine compiles re.ASCII).
+        "pii_scrub": r"""
+            WITH r1 AS (
+              SELECT doc_id, text, regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+              FROM documents
+            ), r2 AS (
+              SELECT *, regexp_replace(t1,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                  '<IP>', 'g') AS t2
+              FROM r1
+            ), r3 AS (
+              SELECT *, regexp_replace(t2,
+                  '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b',
+                  '<PHONE>', 'g') AS t3
+              FROM r2
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                       '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b'))
+                       AS BIGINT) AS n_phones,
+                   CAST(length(t3) AS BIGINT) AS clean_len,
+                   md5(t3) AS clean_fp
+            FROM r3
+        """,
+        # line df = count(DISTINCT doc_id) over candidate lines
+        # (trimmed length >= 5); lines with df >= 3 are boilerplate and
+        # dropped; clean_fp = md5 of the kept lines rejoined with \n
+        "boilerplate_removal": r"""
+            WITH split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM documents
+            ), l AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) AS i
+              FROM split
+            ), cand AS (
+              SELECT doc_id, line, i,
+                     length(trim(line, ' ' || chr(9) || chr(13))) >= 5
+                         AS is_cand
+              FROM l
+            ), df AS (
+              SELECT line, COUNT(DISTINCT doc_id) AS df
+              FROM cand WHERE is_cand GROUP BY line
+            ), kept AS (
+              SELECT c.doc_id, c.i, c.line
+              FROM cand c LEFT JOIN df ON c.line = df.line AND c.is_cand
+              WHERE NOT c.is_cand OR df.df IS NULL OR df.df < 3
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY i) AS joined
+              FROM kept GROUP BY doc_id
+            )
+            SELECT sp.doc_id,
+                   CAST(len(sp.ls) AS BIGINT) AS n_lines,
+                   CAST(len(sp.ls) - COALESCE(a.n_kept, 0) AS BIGINT)
+                       AS n_removed,
+                   md5(COALESCE(a.joined, '')) AS clean_fp
+            FROM split sp LEFT JOIN agg a ON sp.doc_id = a.doc_id
+        """,
+        # w_s ∝ n_s^alpha (alpha=0.3), quantized with floor(x*1e6+0.5)
+        # (identical in numpy and DuckDB; round() would diverge half-even
+        # vs half-away)
+        "source_mix_weights": r"""
+            WITH c AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source
+            ), s AS (
+              SELECT SUM(pow(n_docs, 0.3)) AS tot FROM c
+            )
+            SELECT c.source, c.n_docs,
+                   CAST(floor(pow(c.n_docs, 0.3) / s.tot * 1000000 + 0.5)
+                       AS BIGINT) AS weight_q
+            FROM c, s
         """,
     }

@@ -746,3 +746,119 @@ def minhash_verified_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     exact = jaccard_dup_pairs(sf_dir, k, threshold, wanted_ref=wanted_ref)
     return (exact[["id_a", "id_b"]]
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def boilerplate_removal(sf_dir: str, max_df: int = 3,
+                        min_len: int = 5) -> rd.Dataset:
+    """Corpus-level repeated-LINE removal — the CCNet/RefinedWeb
+    boilerplate pass: a line occurring (trimmed, length ≥ ``min_len``) in
+    ``max_df``-or-more DISTINCT documents is navigation/footer chrome and
+    is dropped from every document that carries it.
+
+    Scale shape (two passes, text never shuffles):
+      1. line-df: each batch emits one (line-md5, distinct-doc partial
+         count) row per candidate line — lines are de-duplicated WITHIN a
+         doc first, so partial counts sum to exact distinct-doc df — then
+         the hash-keyed combine finishes the counts. The shuffle moves a
+         32-byte key + int per line, not line text.
+      2. the surviving boilerplate keys (heavy hitters — tiny relative to
+         the corpus by construction) broadcast once via ``ray.put``; a
+         streaming map_batches drops member lines and fingerprints the
+         cleaned text.
+    Output: (doc_id, n_lines, n_removed, clean_fp = md5 of the kept lines
+    re-joined with newlines) — hash-strict vs the DuckDB oracle, which
+    expresses the same df rule with unnest + count(DISTINCT doc_id)."""
+    from ..functions.hashing import md5_hex
+    from ..stages.agg import combine_partials
+
+    _trim = " \t\r"
+
+    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in batch["text"]:
+            seen = {ln for ln in t.split("\n")
+                    if len(ln.strip(_trim)) >= min_len}
+            for ln in seen:
+                k = md5_hex(ln)
+                counts[k] = counts.get(k, 0) + 1
+        return pd.DataFrame({"lkey": list(counts.keys()),
+                             "df": pd.array(list(counts.values()),
+                                            dtype="int64")})
+
+    # mode="shuffle": line-key cardinality is corpus-sized (does not fit
+    # one combine task at 10^12 docs); the groupby moves only (key, int)
+    # rows. The df >= max_df survivors are the broadcastable heavy hitters.
+    dfs = combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(line_partials,
+                                            batch_format="pandas"),
+        ["lkey"], {"df": "sum"}, mode="shuffle")
+    hot = dfs.filter(expr=f"df >= {max_df}").to_pandas()
+    # an empty filter result comes back schemaless from to_pandas
+    hot_ref = ray.put(frozenset(hot["lkey"]) if "lkey" in hot.columns
+                      else frozenset())
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        hotset = ray.get(hot_ref)
+        doc_ids, n_lines, n_removed, fps = [], [], [], []
+        for doc_id, t in zip(batch["doc_id"], batch["text"]):
+            lines = t.split("\n")
+            kept = [ln for ln in lines
+                    if len(ln.strip(_trim)) < min_len
+                    or md5_hex(ln) not in hotset]
+            doc_ids.append(doc_id)
+            n_lines.append(len(lines))
+            n_removed.append(len(lines) - len(kept))
+            fps.append(md5_hex("\n".join(kept)))
+        return pd.DataFrame({
+            "doc_id": doc_ids,
+            "n_lines": pd.array(n_lines, dtype="int64"),
+            "n_removed": pd.array(n_removed, dtype="int64"),
+            "clean_fp": fps,
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pandas")
+
+
+def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
+                   threshold: float = 0.4) -> pd.DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means over the embedding
+    space (similarity.kmeans_clusters), then exact cosine pairs WITHIN
+    each cluster — the Abbas-et-al. trade that makes embedding dedup
+    sub-quadratic: candidate pairs only form inside a cluster, so the
+    per-group self-matmul is bounded by the largest cluster, never n².
+
+    The assignment pass carries the embedding column with it
+    (return_embeddings=True), so no corpus-sized join is needed between
+    clustering and pair generation; one groupby(cluster) shuffle
+    co-locates each cluster. Output: (vec_id_a, vec_id_b) pairs with
+    cosine ≥ threshold, sorted. Recall vs the brute-force all-pairs scan
+    is asserted in tests (pairs split across clusters are the documented
+    approximation, exactly as in SemDeDup)."""
+    from .similarity import kmeans_clusters
+
+    assigned = kmeans_clusters(sf_dir, k=k, iters=iters,
+                               return_embeddings=True)
+
+    _EMPTY = pd.DataFrame({"vec_id_a": pd.array([], dtype="int64"),
+                           "vec_id_b": pd.array([], dtype="int64")})
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _EMPTY
+        g = g.sort_values("vec_id")
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = sims[ia, ib] >= threshold
+        ids = g["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "vec_id_a": ids[ia[keep]].astype("int64"),
+            "vec_id_b": ids[ib[keep]].astype("int64")})
+
+    df = (assigned.groupby("cluster")
+          .map_groups(group_pairs, batch_format="pandas").to_pandas())
+    if df.empty:
+        return _EMPTY
+    return df.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)

@@ -348,3 +348,75 @@ def bm25_topk(sf_dir: str, query: str = "hash table scan",
                         ascending=[False, True]).head(k).reset_index(drop=True)
     df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
     return df[["rank", "doc_id", "score_q"]]
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
+                    return_embeddings: bool = False) -> rd.Dataset:
+    """Distributed Lloyd's k-means over the embeddings table — the
+    clustering pass behind corpus maps, IVF coarse quantizers and
+    SemDeDup-style semantic dedup.
+
+    Deterministic by construction: centroids initialize from the first k
+    rows in file order, each iteration is one streaming map_batches pass
+    emitting per-(cluster, batch) partial sums — k rows × d floats per
+    batch, never the vectors — reduced on the driver in sorted partial
+    order (so float summation order is fixed), and the new k×d centroid
+    matrix broadcasts via ``ray.put``. Driver state is O(k·d) regardless
+    of corpus size; ties in the assignment break to the lowest cluster
+    index (np.argmin). Empty clusters keep their previous centroid.
+
+    Output: (vec_id, cluster); with ``return_embeddings`` also the
+    embedding column (for downstream per-cluster stages, avoiding a
+    corpus-sized join)."""
+
+    def make_assign(cent_ref):
+        def partial_sums(batch: pd.DataFrame) -> pd.DataFrame:
+            cents = ray.get(cent_ref)
+            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 ; |x|^2 constant per row
+            d2 = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
+            assign = np.argmin(d2, axis=1)
+            rows = []
+            bkey = int(batch["vec_id"].min())
+            for c in np.unique(assign):
+                sel = m[assign == c]
+                rows.append({"cluster": int(c), "bkey": bkey,
+                             "n": int(sel.shape[0]),
+                             "vec_sum": sel.sum(axis=0).tolist()})
+            return pd.DataFrame(rows)
+        return partial_sums
+
+    # seeds = first k rows in file order: limit(k) streams only the head
+    # block(s), so driver-side init stays O(k·d) at any corpus size
+    head = _emb(sf_dir).limit(k).to_pandas()
+    cents = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    del head
+
+    for _ in range(iters):
+        cent_ref = ray.put(cents)
+        parts = _emb(sf_dir).map_batches(
+            make_assign(cent_ref), batch_format="pandas").to_pandas()
+        parts = parts.sort_values(["cluster", "bkey"]).reset_index(drop=True)
+        new = cents.copy()
+        for c in range(k):
+            sel = parts[parts["cluster"] == c]
+            if len(sel):
+                tot = np.sum(np.stack(sel["vec_sum"].to_numpy()), axis=0)
+                new[c] = tot / sel["n"].sum()
+        cents = new
+
+    cent_ref = ray.put(cents)
+
+    def assign_final(batch: pd.DataFrame) -> pd.DataFrame:
+        cents_ = ray.get(cent_ref)
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d2 = -2.0 * (m @ cents_.T) + (cents_ * cents_).sum(axis=1)
+        out = pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64"),
+            "cluster": np.argmin(d2, axis=1).astype("int64"),
+        })
+        if return_embeddings:
+            out["embedding"] = batch["embedding"]
+        return out
+
+    return _emb(sf_dir).map_batches(assign_final, batch_format="pandas")

@@ -712,3 +712,85 @@ def source_vocab(sf_dir: str) -> pd.DataFrame:
     for c in ("n_types", "n_tokens", "top_word_cnt"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+# --- PII scrubbing ----------------------------------------------------------
+# Compiled once at module import (worker processes import the module once, so
+# per-batch work is pure matching). re.ASCII pins \b and the digit classes to
+# RE2's ASCII word-char semantics, which is what makes the DuckDB oracle
+# hash-exact: Python's default unicode \b disagrees with RE2 next to CJK.
+# Patterns deliberately use only the regex subset RE2 and `re` share (no
+# lookaround, no backrefs), with explicit ASCII classes.
+import re as _re
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b"
+_PII_EMAIL_RE = _re.compile(_PII_EMAIL, _re.ASCII)
+_PII_IPV4_RE = _re.compile(_PII_IPV4, _re.ASCII)
+_PII_PHONE_RE = _re.compile(_PII_PHONE, _re.ASCII)
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """PII redaction pass (emails, IPv4s, phone-like numbers), the scrub
+    every web-scale training corpus runs before release (role of C4 /
+    RefinedWeb PII filters). Redaction is SEQUENTIAL — emails first, then
+    IPs over the email-redacted text, then phones — so a dotted-quad
+    inside an email local-part is never double-counted; the DuckDB oracle
+    nests regexp_replace in the same order, making counts and the
+    redacted-text fingerprint hash-exact.
+
+    Embarrassingly parallel: one map_batches, no shuffle, module-level
+    compiled patterns. Output: (doc_id, n_emails, n_ips, n_phones,
+    clean_len, clean_fp = md5(redacted text))."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        n_em, n_ip, n_ph, lens, fps = [], [], [], [], []
+        for t in batch["text"]:
+            n_em.append(len(_PII_EMAIL_RE.findall(t)))
+            t = _PII_EMAIL_RE.sub("<EMAIL>", t)
+            n_ip.append(len(_PII_IPV4_RE.findall(t)))
+            t = _PII_IPV4_RE.sub("<IP>", t)
+            n_ph.append(len(_PII_PHONE_RE.findall(t)))
+            t = _PII_PHONE_RE.sub("<PHONE>", t)
+            lens.append(len(t))
+            fps.append(md5_hex(t))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_emails": pd.array(n_em, dtype="int64"),
+            "n_ips": pd.array(n_ip, dtype="int64"),
+            "n_phones": pd.array(n_ph, dtype="int64"),
+            "clean_len": pd.array(lens, dtype="int64"),
+            "clean_fp": fps,
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
+def source_mix_weights(sf_dir: str, alpha: float = 0.3,
+                       scale: int = 1_000_000) -> pd.DataFrame:
+    """Temperature-scaled source sampling weights: w_s ∝ n_s**alpha
+    (the multinomial up/down-sampling rule of multilingual corpus mixing,
+    alpha=0.3 as in XLM-R/mC4-style pipelines). Per-batch source-count
+    partials through the combiner tree; the normalization runs on the
+    tiny per-source table. Weights are quantized with floor(x*scale+0.5)
+    (identical in numpy and DuckDB — avoids the round() half-even vs
+    half-away divergence) so the oracle hash is strict."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["source"].value_counts()
+        return pd.DataFrame({"source": vc.index,
+                             "n_docs": vc.values.astype("int64")})
+
+    df = combine_partials(
+        _docs(sf_dir, ["source"]).map_batches(partial, batch_format="pandas"),
+        ["source"], {"n_docs": "sum"}).to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    w = np.power(df["n_docs"].to_numpy(np.float64), alpha)
+    w = w / w.sum()
+    df["weight_q"] = np.floor(w * scale + 0.5).astype("int64")
+    return df.sort_values("source").reset_index(drop=True)

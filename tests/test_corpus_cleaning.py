@@ -1,0 +1,150 @@
+"""PII scrubbing, corpus-level boilerplate line removal and source mixing
+weights.
+
+The driver's sf corpora are digit-free single-line word soup, so their
+hash-strict oracle runs exercise plumbing but match trivially. The strong
+checks live HERE: a PII-rich / boilerplate-rich fixture corpus (same
+schema as documents.parquet) is written to tmp and BOTH the Ray pipeline
+and the committed DuckDB oracle SQL run over it — asserting the
+engine/oracle hash parity exactly where the regex/df semantics have
+something to disagree about (RE2 vs re.ASCII boundaries, sequential
+redaction order, distinct-doc line df, empty-doc md5)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_corpus(tmp_path, texts, sources=None):
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(len(texts)), dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": sources or [f"src{i % 3}" for i in range(len(texts))],
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _oracle(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    return con.execute(sql).df()
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+PII_TEXTS = [
+    "contact alice.smith+spam@example-mail.org or bob@sub.domain.co today",
+    "server at 10.0.255.3 fell over; backup is 192.168.1.1.",
+    "call 555-123-4567 or 555.9876.5432 now",
+    # email whose local part looks like an IP: sequential order means the
+    # email pass consumes it and the IP pass must NOT count it again
+    "route 1.2.3.4@relay.net then ping 1.2.3.4",
+    # CJK adjacent to digits: re.ASCII \b must agree with RE2's ASCII \b
+    "编号555-123-4567联系",
+    "no pii here at all",
+    "",
+    "overlong octets 1234.5.6.7 should not match as an IP",
+]
+
+
+def test_pii_scrub_counts_and_redaction(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import pii_scrub
+
+    sf = _write_corpus(tmp_path, PII_TEXTS)
+    got = pii_scrub(sf).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "n_emails"] == 2
+    assert got.loc[1, "n_ips"] == 2 and got.loc[1, "n_emails"] == 0
+    assert got.loc[2, "n_phones"] == 2
+    # the email pass already consumed the dotted-quad local part
+    assert got.loc[3, "n_emails"] == 1 and got.loc[3, "n_ips"] == 1
+    # ASCII \b fires between CJK and digits in BOTH engines
+    assert got.loc[4, "n_phones"] == 1
+    assert got.loc[5].tolist()[:3] == [0, 0, 0]
+    assert got.loc[7, "n_ips"] == 0
+
+
+def test_pii_scrub_matches_oracle_on_pii_rich_corpus(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.text_analysis import pii_scrub
+
+    sf = _write_corpus(tmp_path, PII_TEXTS)
+    got = _canon(pii_scrub(sf).to_pandas())
+    want = _canon(_oracle(sf, e.oracle_sql()["pii_scrub"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+BOILER_TEXTS = [
+    "Cookie notice: we use cookies\nreal article one\nAll rights reserved",
+    "Cookie notice: we use cookies\nreal article two\nAll rights reserved",
+    "Cookie notice: we use cookies\nreal article three\nAll rights reserved",
+    # df=2 footer stays (threshold is 3); short separator lines always stay
+    "rare footer here\n--\nbody text alpha",
+    "rare footer here\n--\nbody text beta",
+    # repeated WITHIN one doc counts once toward df
+    "Cookie notice: we use cookies\nCookie notice: we use cookies",
+    "",
+]
+
+
+def test_boilerplate_removal_drops_hot_lines_only(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.dedup import boilerplate_removal
+
+    sf = _write_corpus(tmp_path, BOILER_TEXTS)
+    got = (boilerplate_removal(sf).to_pandas()
+           .set_index("doc_id").sort_index())
+    # docs 0-2: cookie line (df=4) and footer (df=3) both removed
+    assert got.loc[0, "n_removed"] == 2 and got.loc[0, "n_lines"] == 3
+    # df=2 footer and the short '--' separator survive
+    assert got.loc[3, "n_removed"] == 0
+    # doc 5: both copies of the hot line removed
+    assert got.loc[5, "n_removed"] == 2
+    import hashlib
+    assert got.loc[5, "clean_fp"] == hashlib.md5(b"").hexdigest()
+    assert (got.loc[1, "clean_fp"]
+            == hashlib.md5("real article two".encode()).hexdigest())
+
+
+def test_boilerplate_removal_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.dedup import boilerplate_removal
+
+    sf = _write_corpus(tmp_path, BOILER_TEXTS)
+    got = _canon(boilerplate_removal(sf).to_pandas())
+    want = _canon(_oracle(sf, e.oracle_sql()["boilerplate_removal"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_source_mix_weights_temperature(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import source_mix_weights
+
+    # skewed mix: src0 carries 6 of 9 docs
+    sf = _write_corpus(tmp_path, ["doc %d" % i for i in range(9)],
+                       sources=["src0"] * 6 + ["src1"] * 2 + ["src2"])
+    got = source_mix_weights(sf).set_index("source")
+    assert int(got["weight_q"].sum()) == pytest.approx(1_000_000, abs=2)
+    # alpha<1 compresses the mix: the heavy source is UNDER-sampled
+    # relative to its document share
+    w0 = got.loc["src0", "weight_q"] / 1e6
+    share0 = got.loc["src0", "n_docs"] / got["n_docs"].sum()
+    assert w0 < share0
+    # and ordering is still preserved
+    assert got.loc["src0", "weight_q"] > got.loc["src1", "weight_q"]
+
+
+def test_source_mix_weights_uniform_on_balanced(ray_session):
+    from ragflow_core16_ray.pipelines.text_analysis import source_mix_weights
+
+    got = source_mix_weights(SF)
+    assert got["weight_q"].nunique() == 1  # sf0.001 sources are balanced

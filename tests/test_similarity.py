@@ -525,3 +525,74 @@ def test_source_vocab_matches_local(ray_session):
         assert r["n_tokens"] == sum(c.values())
         best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert (r["top_word"], r["top_word_cnt"]) == best
+
+
+def _local_kmeans(k=8, iters=5):
+    """Driver-free replica of kmeans_clusters' exact arithmetic: seeds =
+    first k rows in file order, argmin ties to the lowest cluster."""
+    t = pq.read_table(SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    ids = np.array(t["vec_id"].to_pylist(), dtype="int64")
+    cents = m[:k].copy()
+    for _ in range(iters):
+        d2 = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
+        assign = np.argmin(d2, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            sel = m[assign == c]
+            if len(sel):
+                new[c] = sel.sum(axis=0) / len(sel)
+        cents = new
+    d2 = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
+    return ids, np.argmin(d2, axis=1), m
+
+
+def test_kmeans_matches_local_lloyd(ray_session):
+    from ragflow_core16_ray.pipelines.similarity import kmeans_clusters
+
+    got = (kmeans_clusters(SF, k=8, iters=5).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    ids, want, _ = _local_kmeans(8, 5)
+    order = np.argsort(ids)
+    assert got["vec_id"].tolist() == ids[order].tolist()
+    assert got["cluster"].tolist() == want[order].tolist()
+    # every cluster is used on the clustered synthetic embeddings
+    assert got["cluster"].nunique() > 1
+
+
+def test_kmeans_deterministic_across_runs(ray_session):
+    from ragflow_core16_ray.pipelines.similarity import kmeans_clusters
+
+    a = (kmeans_clusters(SF, k=4, iters=3).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (kmeans_clusters(SF, k=4, iters=3).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert a["cluster"].tolist() == b["cluster"].tolist()
+
+
+def test_semantic_dedup_exact_within_clusters(ray_session):
+    from ragflow_core16_ray.pipelines.dedup import semantic_dedup
+
+    thr = 0.4
+    got = semantic_dedup(SF, k=8, iters=5, threshold=thr)
+    pairs = set(zip(got["vec_id_a"], got["vec_id_b"]))
+
+    ids, assign, m = _local_kmeans(8, 5)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    true_mask = sims[ia, ib] >= thr
+    id_a, id_b = ids[ia], ids[ib]
+    true_pairs = {(min(a, b), max(a, b))
+                  for a, b in zip(id_a[true_mask], id_b[true_mask])}
+    same_cluster = {(min(a, b), max(a, b))
+                    for a, b, t in zip(id_a, id_b,
+                                       assign[ia] == assign[ib])
+                    if t}
+    # precision 1.0: every emitted pair is a true cosine>=thr pair
+    assert pairs <= true_pairs
+    # exact within clusters: every true pair that shares a cluster is found
+    assert (true_pairs & same_cluster) <= pairs
+    # and the pass actually finds dups on the clustered synthetic data
+    assert len(pairs) > 0
