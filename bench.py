@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "exact_dedup", "jaccard_clusters", "minhash_lsh_pairs", "simhash_pairs",
     "emb_near_dup", "emb_topk", "emb_lsh_topk", "bm25_topk",
     "winnow_matches", "dup_passage_stats", "repetition_stats",
+    "pii_scrub", "boilerplate_removal", "semantic_dedup",
     "pricing_summary", "nation_revenue", "top_customers",
     "events_hourly", "events_sessions", "events_asof_orders",
     "media_features", "media_collage", "chunk_docs",

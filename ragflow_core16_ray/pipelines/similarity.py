@@ -386,15 +386,20 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
             return pd.DataFrame(rows)
         return partial_sums
 
+    # materialize the table ONCE into the (spillable) object store: Lloyd's
+    # is inherently multi-pass, and iters+1 re-reads of the source would
+    # multiply the scan cost; blocks are shared zero-copy by every pass
+    emb = _emb(sf_dir).materialize()
+
     # seeds = first k rows in file order: limit(k) streams only the head
     # block(s), so driver-side init stays O(k·d) at any corpus size
-    head = _emb(sf_dir).limit(k).to_pandas()
+    head = emb.limit(k).to_pandas()
     cents = np.stack(head["embedding"].to_numpy()).astype(np.float64)
     del head
 
     for _ in range(iters):
         cent_ref = ray.put(cents)
-        parts = _emb(sf_dir).map_batches(
+        parts = emb.map_batches(
             make_assign(cent_ref), batch_format="pandas").to_pandas()
         parts = parts.sort_values(["cluster", "bkey"]).reset_index(drop=True)
         new = cents.copy()
@@ -405,10 +410,10 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
                 new[c] = tot / sel["n"].sum()
         cents = new
 
-    cent_ref = ray.put(cents)
+    final_ref = ray.put(cents)
 
     def assign_final(batch: pd.DataFrame) -> pd.DataFrame:
-        cents_ = ray.get(cent_ref)
+        cents_ = ray.get(final_ref)
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         d2 = -2.0 * (m @ cents_.T) + (cents_ * cents_).sum(axis=1)
         out = pd.DataFrame({
@@ -419,4 +424,4 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
             out["embedding"] = batch["embedding"]
         return out
 
-    return _emb(sf_dir).map_batches(assign_final, batch_format="pandas")
+    return emb.map_batches(assign_final, batch_format="pandas")
