@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab": text_analysis.source_vocab,
         "pii_scrub": text_analysis.pii_scrub,
         "source_mix_weights": lambda sf: text_analysis.source_mix_weights(sf),
+        "gopher_filter": text_analysis.gopher_filter,
+        "script_stats": text_analysis.script_stats,
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
@@ -1128,6 +1130,81 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed,
                    md5(COALESCE(a.joined, '')) AS clean_fp
             FROM split sp LEFT JOIN agg a ON sp.doc_id = a.doc_id
+        """,
+        # Gopher lexical rules in integer math (3n <= chars <= 10n etc.);
+        # pass flags are 0/1 BIGINT so the value hash is strict
+        "gopher_filter": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS ws
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(ws) AS w FROM t
+            ), a AS (
+              SELECT doc_id,
+                     COUNT(*) AS n_words,
+                     SUM(length(w)) AS n_chars,
+                     SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                              THEN 1 ELSE 0 END) AS n_alpha,
+                     COUNT(DISTINCT CASE WHEN lower(w) IN
+                         ('the','be','to','of','and','that','have','with')
+                         THEN lower(w) END) AS n_stop
+              FROM w GROUP BY doc_id
+            ), c AS (
+              SELECT t.doc_id,
+                     COALESCE(a.n_words, 0) AS nw,
+                     COALESCE(a.n_chars, 0) AS nc,
+                     COALESCE(a.n_alpha, 0) AS na,
+                     COALESCE(a.n_stop, 0) AS ns
+              FROM t LEFT JOIN a USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(nw AS BIGINT) AS n_words,
+                   CAST(nc AS BIGINT) AS n_word_chars,
+                   CAST(na AS BIGINT) AS n_alpha_words,
+                   CAST(ns AS BIGINT) AS n_stopwords,
+                   CAST(CASE WHEN nw BETWEEN 50 AND 100000
+                        THEN 1 ELSE 0 END AS BIGINT) AS pass_len,
+                   CAST(CASE WHEN 3 * nw <= nc AND nc <= 10 * nw
+                        THEN 1 ELSE 0 END AS BIGINT) AS pass_word_len,
+                   CAST(CASE WHEN 5 * na >= 4 * nw
+                        THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
+                   CAST(CASE WHEN ns >= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS pass_stop,
+                   CAST(CASE WHEN nw BETWEEN 50 AND 100000
+                             AND 3 * nw <= nc AND nc <= 10 * nw
+                             AND 5 * na >= 4 * nw AND ns >= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
+            FROM c
+        """,
+        # same code-point classes as the engine; RE2 spells the unicode
+        # ranges \x{....} where Python uses \uXXXX
+        "script_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                       AS BIGINT) AS n_latin,
+                   CAST(len(regexp_extract_all(text, '[0-9]'))
+                       AS BIGINT) AS n_digit,
+                   CAST(len(regexp_extract_all(text,
+                       '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]'))
+                       AS BIGINT) AS n_cjk,
+                   CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]'))
+                       AS BIGINT) AS n_cyrillic,
+                   CAST(len(regexp_extract_all(text, '[ \t\n\r]'))
+                       AS BIGINT) AS n_space,
+                   CAST(length(text) AS BIGINT) AS n_total,
+                   CAST(length(text)
+                        - len(regexp_extract_all(text, '[A-Za-z]'))
+                        - len(regexp_extract_all(text, '[0-9]'))
+                        - len(regexp_extract_all(text,
+                          '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]'))
+                        - len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]'))
+                        - len(regexp_extract_all(text, '[ \t\n\r]'))
+                       AS BIGINT) AS n_other
+            FROM documents
         """,
         # w_s ∝ n_s^alpha (alpha=0.3), quantized with floor(x*1e6+0.5)
         # (identical in numpy and DuckDB; round() would diverge half-even

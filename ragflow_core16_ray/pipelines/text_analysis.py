@@ -794,3 +794,94 @@ def source_mix_weights(sf_dir: str, alpha: float = 0.3,
     w = w / w.sum()
     df["weight_q"] = np.floor(w * scale + 0.5).astype("int64")
     return df.sort_values("source").reset_index(drop=True)
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(sf_dir: str) -> rd.Dataset:
+    """The lexical half of the published Gopher document-quality rules
+    (Rae et al. 2021 App. A1.1): word-count bounds, mean-word-length
+    bounds, alphabetic-word fraction and stop-word presence. (The
+    repetition half of the rule set is ``repetition_stats``; a caller
+    composes the two — same doc_id key, both shuffle-free.)
+
+    All thresholds are evaluated in INTEGER math (3·n ≤ chars ≤ 10·n
+    instead of a float mean, 5·alpha ≥ 4·n instead of 0.8) so the DuckDB
+    oracle hashes bit-exactly; pass flags are int64 0/1 for the same
+    reason. Embarrassingly parallel — one vectorized map_batches, per-doc
+    counters final at birth."""
+
+    stop = set(_GOPHER_STOPWORDS)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        toks = batch["text"].str.strip().str.split().explode().dropna()
+        per = toks.groupby(level=0)
+        n_words = per.size()
+        n_chars = toks.str.len().groupby(level=0).sum()
+        alpha = toks.str.contains("[A-Za-z]", regex=True)
+        n_alpha = alpha.groupby(level=0).sum()
+        lower = toks.str.lower()
+        n_stop = (lower[lower.isin(stop)].groupby(level=0).nunique())
+
+        idx = batch.index
+
+        def col(s):
+            return s.reindex(idx).fillna(0).astype("int64").values
+
+        nw, nc, na, ns = (col(n_words), col(n_chars), col(n_alpha),
+                          col(n_stop))
+        pass_len = ((nw >= 50) & (nw <= 100_000)).astype("int64")
+        pass_word_len = ((3 * nw <= nc) & (nc <= 10 * nw)).astype("int64")
+        pass_alpha = (5 * na >= 4 * nw).astype("int64")
+        pass_stop = (ns >= 2).astype("int64")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].values,
+            "n_words": nw, "n_word_chars": nc, "n_alpha_words": na,
+            "n_stopwords": ns,
+            "pass_len": pass_len, "pass_word_len": pass_word_len,
+            "pass_alpha": pass_alpha, "pass_stop": pass_stop,
+            "pass_gopher": (pass_len & pass_word_len & pass_alpha
+                            & pass_stop),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
+# script classes counted by script_stats; Python uses \uXXXX ranges, the
+# DuckDB oracle writes the same code points as RE2 \x{XXXX} — identical
+# semantics, engine-specific spelling
+_SCRIPT_RES = {
+    "n_latin": _re.compile(r"[A-Za-z]"),
+    "n_digit": _re.compile(r"[0-9]"),
+    "n_cjk": _re.compile("[\u4e00-\u9fff\u3040-\u30ff\uac00-\ud7af]"),
+    "n_cyrillic": _re.compile("[\u0400-\u04ff]"),
+    "n_space": _re.compile(r"[ \t\n\r]"),
+}
+
+
+def script_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document writing-script character profile (Latin / digit /
+    CJK incl. kana+hangul / Cyrillic / whitespace / other) — the
+    script-ratio inputs of language filtering and mixed-script spam
+    detection in web-corpus cleaning. One shuffle-free vectorized
+    map_batches; counts are code-point exact on both engines (Python
+    str ops and DuckDB are both code-point based)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": batch["doc_id"].values}
+        text = batch["text"]
+        total = text.str.len().fillna(0).astype("int64")
+        acc = None
+        for name, rx in _SCRIPT_RES.items():
+            cnt = text.str.count(rx).fillna(0).astype("int64")
+            out[name] = cnt.values
+            acc = cnt if acc is None else acc + cnt
+        out["n_total"] = total.values
+        out["n_other"] = (total - acc).values
+        return pd.DataFrame(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")

@@ -148,3 +148,80 @@ def test_source_mix_weights_uniform_on_balanced(ray_session):
 
     got = source_mix_weights(SF)
     assert got["weight_q"].nunique() == 1  # sf0.001 sources are balanced
+
+
+GOPHER_TEXTS = [
+    # passes everything: 50+ real words with stopwords
+    ("the quick brown fox jumps over that lazy dog and keeps running "
+     * 6).strip(),
+    # too short (8 words) — fails pass_len only
+    "the cat and the hat have a nap",
+    # no stopwords: word soup
+    "alpha beta gamma delta " * 15,
+    # symbol soup: words without any alphabetic character
+    "$$$ %%% 123 !!! ### " * 12,
+    "",
+]
+
+
+def test_gopher_filter_rules(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import gopher_filter
+
+    sf = _write_corpus(tmp_path, GOPHER_TEXTS)
+    got = gopher_filter(sf).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "pass_gopher"] == 1
+    r1 = got.loc[1]
+    assert (r1["pass_len"], r1["pass_stop"]) == (0, 1)
+    assert got.loc[2, "pass_stop"] == 0 and got.loc[2, "pass_len"] == 1
+    # symbol soup: alphabetic-word fraction rule fires
+    assert got.loc[3, "pass_alpha"] == 0 and got.loc[3, "n_alpha_words"] == 0
+    # empty doc: zero counters, mean-length/alpha vacuously true, len fails
+    r4 = got.loc[4]
+    assert r4["n_words"] == 0 and r4["pass_len"] == 0
+    assert r4["pass_gopher"] == 0
+
+
+def test_gopher_filter_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.text_analysis import gopher_filter
+
+    sf = _write_corpus(tmp_path, GOPHER_TEXTS)
+    got = _canon(gopher_filter(sf).to_pandas())
+    want = _canon(_oracle(sf, e.oracle_sql()["gopher_filter"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+SCRIPT_TEXTS = [
+    "plain ascii words 123",
+    "中文和かなと한글 mixed with latin",
+    "Привет мир — Cyrillic plus an em dash",
+    "tabs\tand\nnewlines\r\nhere",
+    "",
+]
+
+
+def test_script_stats_counts(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import script_stats
+
+    sf = _write_corpus(tmp_path, SCRIPT_TEXTS)
+    got = script_stats(sf).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "n_digit"] == 3 and got.loc[0, "n_cjk"] == 0
+    # 中文和 (3 han) かなと (3 kana) 한글 (2 hangul)
+    assert got.loc[1, "n_cjk"] == 8
+    assert got.loc[2, "n_cyrillic"] == len("Приветмир")
+    assert got.loc[2, "n_other"] >= 1  # the em dash
+    assert got.loc[3, "n_space"] == 4
+    # partition property: classes + other == total
+    parts = got[["n_latin", "n_digit", "n_cjk", "n_cyrillic", "n_space",
+                 "n_other"]].sum(axis=1)
+    assert (parts == got["n_total"]).all()
+
+
+def test_script_stats_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.text_analysis import script_stats
+
+    sf = _write_corpus(tmp_path, SCRIPT_TEXTS)
+    got = _canon(script_stats(sf).to_pandas())
+    want = _canon(_oracle(sf, e.oracle_sql()["script_stats"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
