@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passage_stats": lambda sf: dedup.dup_passage_stats(sf),
         "emb_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         "boilerplate_removal": lambda sf: dedup.boilerplate_removal(sf),
+        "dedup_passages": lambda sf: dedup.dedup_passages(sf),
         "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
         # --- similarity search
         "emb_topk": lambda sf: similarity.brute_topk(sf),
@@ -1130,6 +1131,53 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed,
                    md5(COALESCE(a.joined, '')) AS clean_fp
             FROM split sp LEFT JOIN agg a ON sp.doc_id = a.doc_id
+        """,
+        # non-overlapping 10-word passages; the canonical occurrence of a
+        # duplicated passage = ROW_NUMBER() 1 ordered by (doc_id, idx);
+        # cleaned text = surviving passage words + tail, single-spaced
+        "dedup_passages": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS ws
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, ws,
+                     list_transform(range(0, len(ws) // 10), j ->
+                         array_to_string(
+                             list_slice(ws, j * 10 + 1, j * 10 + 10), ' ')
+                     ) AS ps,
+                     COALESCE(array_to_string(
+                         list_slice(ws, (len(ws) // 10) * 10 + 1, len(ws)),
+                         ' '), '') AS tail
+              FROM t
+            ), occ AS (
+              SELECT doc_id, unnest(ps) AS passage,
+                     generate_subscripts(ps, 1) - 1 AS j
+              FROM t2
+            ), marked AS (
+              SELECT doc_id, passage, j,
+                     ROW_NUMBER() OVER (PARTITION BY passage
+                                        ORDER BY doc_id, j) AS rn
+              FROM occ
+            ), kept AS (
+              SELECT doc_id, j, passage FROM marked WHERE rn = 1
+            ), rebuilt AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(passage, ' ' ORDER BY j) AS body
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t2.doc_id,
+                   CAST(len(t2.ps) AS BIGINT) AS n_passages,
+                   CAST(len(t2.ps) - COALESCE(r.n_kept, 0) AS BIGINT)
+                       AS n_removed,
+                   md5(CASE
+                       WHEN COALESCE(r.body, '') = '' THEN t2.tail
+                       WHEN t2.tail = '' THEN r.body
+                       ELSE r.body || ' ' || t2.tail END) AS clean_fp
+            FROM t2 LEFT JOIN rebuilt r USING (doc_id)
         """,
         # Gopher lexical rules in integer math (3n <= chars <= 10n etc.);
         # pass flags are 0/1 BIGINT so the value hash is strict

@@ -862,3 +862,102 @@ def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
     if df.empty:
         return _EMPTY
     return df.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+def dedup_passages(sf_dir: str, passage_words: int = 10,
+                   n_buckets: int = 64,
+                   n_doc_buckets: int = 32) -> rd.Dataset:
+    """Exact duplicated-PASSAGE removal — the rewrite step of Lee et al.
+    2022 sub-document dedup (dup_passage_stats is the profile; this emits
+    the cleaned corpus): every corpus-wide duplicate occurrence of a
+    non-overlapping ``passage_words``-word passage is removed EXCEPT the
+    canonical one (global minimum by (doc_id, passage index)); the
+    sub-passage tail is always kept. Cleaned text = surviving words
+    joined by single spaces.
+
+    Two co-partitioned shuffles, nothing broadcast, nothing driver-side
+    (the drop set at 100 TB is proportional to duplication found — can
+    exceed driver memory, so unlike ``boilerplate_removal``'s bounded
+    hot-line set it must NOT be a ray.put broadcast):
+      1. passage occurrences reduce to (passage-md5-bucket, md5, doc_id,
+         idx) rows; one bounded groupby(bucket) makes the per-passage
+         keep/drop decision bucket-locally (a passage's occurrences all
+         land in its one bucket).
+      2. drop rows and the docs themselves co-partition by a doc_id
+         bucket (union → one groupby); each group rebuilds its docs
+         vectorized. Output: (doc_id, n_passages, n_removed, clean_fp).
+    """
+    from ..functions.hashing import md5_hex
+
+    P = passage_words
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_b, rows_h, rows_d, rows_j = [], [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            ws = text.split()
+            for j in range(len(ws) // P):
+                h = md5_hex(" ".join(ws[j * P:(j + 1) * P]))
+                rows_b.append(hash64(h) % n_buckets)
+                rows_h.append(h)
+                rows_d.append(did)
+                rows_j.append(j)
+        return pd.DataFrame({
+            "bucket": pd.array(rows_b, dtype="int32"),
+            "h": rows_h,
+            "doc_id": pd.array(rows_d, dtype="int64"),
+            "idx": pd.array(rows_j, dtype="int64")})
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id", "idx"])
+        canonical = ~g.duplicated("h", keep="first")
+        out = g[~canonical][["doc_id", "idx"]].copy()
+        out["dbucket"] = (out["doc_id"] % n_doc_buckets).astype("int32")
+        out["text"] = ""
+        out["is_doc"] = False
+        return out[["dbucket", "doc_id", "idx", "text", "is_doc"]]
+
+    drops = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(explode, batch_format="pandas")
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(decide, batch_format="pandas"))
+
+    def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dbucket": (batch["doc_id"] % n_doc_buckets).astype("int32"),
+            "doc_id": batch["doc_id"].astype("int64"),
+            "idx": pd.array([-1] * len(batch), dtype="int64"),
+            "text": batch["text"],
+            "is_doc": True})
+
+    tagged = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tag_docs, batch_format="pandas")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        drop_by_doc: dict[int, set] = {}
+        for did, j in zip(g.loc[~g["is_doc"], "doc_id"],
+                          g.loc[~g["is_doc"], "idx"]):
+            drop_by_doc.setdefault(did, set()).add(j)
+        docs = g[g["is_doc"]]
+        doc_ids, n_p, n_rm, fps = [], [], [], []
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            ws = text.split()
+            n = len(ws) // P
+            dropped = drop_by_doc.get(did, set())
+            words: list[str] = []
+            for j in range(n):
+                if j not in dropped:
+                    words.extend(ws[j * P:(j + 1) * P])
+            words.extend(ws[n * P:])
+            doc_ids.append(did)
+            n_p.append(n)
+            n_rm.append(len(dropped))
+            fps.append(md5_hex(" ".join(words)))
+        return pd.DataFrame({
+            "doc_id": pd.array(doc_ids, dtype="int64"),
+            "n_passages": pd.array(n_p, dtype="int64"),
+            "n_removed": pd.array(n_rm, dtype="int64"),
+            "clean_fp": fps})
+
+    return (tagged.union(drops)
+            .repartition(max(1, n_doc_buckets // 4))
+            .groupby("dbucket").map_groups(rebuild, batch_format="pandas"))

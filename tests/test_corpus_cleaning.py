@@ -225,3 +225,50 @@ def test_script_stats_matches_oracle(ray_session, tmp_path):
     got = _canon(script_stats(sf).to_pandas())
     want = _canon(_oracle(sf, e.oracle_sql()["script_stats"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ten words that form one exact passage, pasted into several docs
+_BP = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+PASSAGE_TEXTS = [
+    _BP + " unique tail zero",                       # canonical (doc 0, j 0)
+    "lead-in words one two three four five six seven " + _BP,
+    _BP + " " + _BP,                                 # twice in one doc
+    "totally unrelated words that repeat nothing at all here",
+    "short",                                         # sub-passage tail only
+]
+
+
+def test_dedup_passages_keeps_canonical_only(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.dedup import dedup_passages
+
+    sf = _write_corpus(tmp_path, PASSAGE_TEXTS)
+    got = (dedup_passages(sf).to_pandas()
+           .set_index("doc_id").sort_index())
+    import hashlib
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 0 holds the canonical occurrence: nothing removed
+    assert got.loc[0, "n_removed"] == 0
+    assert got.loc[0, "clean_fp"] == md5(PASSAGE_TEXTS[0])
+    # doc 1's copy (j=0 but doc_id>0... passage starts at word 9? no: the
+    # lead-in is 9 words, so its only full passage is words 0-9 which
+    # differs from _BP) — compute expectations structurally instead:
+    # doc 2 contains _BP twice; the canonical lives in doc 0, so BOTH
+    # copies are removed
+    assert got.loc[2, "n_passages"] == 2 and got.loc[2, "n_removed"] == 2
+    assert got.loc[2, "clean_fp"] == md5("")
+    # unique docs untouched
+    assert got.loc[3, "n_removed"] == 0
+    assert got.loc[3, "clean_fp"] == md5(PASSAGE_TEXTS[3])
+    # sub-passage doc: no passages, tail survives verbatim
+    assert got.loc[4, "n_passages"] == 0
+    assert got.loc[4, "clean_fp"] == md5("short")
+
+
+def test_dedup_passages_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.dedup import dedup_passages
+
+    sf = _write_corpus(tmp_path, PASSAGE_TEXTS)
+    got = _canon(dedup_passages(sf).to_pandas())
+    want = _canon(_oracle(sf, e.oracle_sql()["dedup_passages"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
