@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_weights": lambda sf: text_analysis.source_mix_weights(sf),
         "gopher_filter": text_analysis.gopher_filter,
         "script_stats": text_analysis.script_stats,
+        "length_quantiles": lambda sf: text_analysis.length_quantiles(sf),
+        "train_bpe": lambda sf: text_analysis.train_bpe(sf),
+        "bpe_token_counts": lambda sf: text_analysis.bpe_token_counts(sf),
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
@@ -1131,6 +1134,24 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed,
                    md5(COALESCE(a.joined, '')) AS clean_fp
             FROM split sp LEFT JOIN agg a ON sp.doc_id = a.doc_id
+        """,
+        # lower-quantile rule: smallest v with cum-count >= ceil(q*N/100)
+        "length_quantiles": r"""
+            WITH h AS (
+              SELECT n_chars AS v, COUNT(*) AS c
+              FROM documents GROUP BY n_chars
+            ), cum AS (
+              SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM h
+            ), t AS (
+              SELECT COUNT(*) AS n FROM documents
+            ), qs AS (
+              SELECT unnest([25, 50, 75, 90, 99]) AS q
+            )
+            SELECT CAST(qs.q AS BIGINT) AS q,
+                   CAST((SELECT MIN(v) FROM cum, t
+                         WHERE cc >= CEIL(qs.q * n / 100.0)) AS BIGINT)
+                       AS value
+            FROM qs
         """,
         # non-overlapping 10-word passages; the canonical occurrence of a
         # duplicated passage = ROW_NUMBER() 1 ordered by (doc_id, idx);

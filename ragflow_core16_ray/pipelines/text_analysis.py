@@ -14,6 +14,7 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions.hashing import md5_hex
@@ -882,6 +883,164 @@ def script_stats(sf_dir: str) -> rd.Dataset:
         out["n_total"] = total.values
         out["n_other"] = (total - acc).values
         return pd.DataFrame(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
+def length_quantiles(sf_dir: str,
+                     qs: tuple = (25, 50, 75, 90, 99)) -> pd.DataFrame:
+    """Exact corpus length quantiles (lower-quantile rule: the smallest
+    value whose cumulative count reaches ⌈q·N/100⌉) computed from a
+    DISTRIBUTED histogram — n_chars is integer-valued, so the per-batch
+    (value, count) partials through the combiner tree are an EXACT
+    sufficient statistic; the quantile scan runs on the tiny histogram,
+    never the corpus. The all-to-all a naive global sort would need
+    (`Dataset.sort` + rank pick) is exactly what this avoids at 100 TB.
+    The oracle states the same rule with a windowed cumulative sum, so
+    the result is hash-strict (int64 in, int64 out)."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["n_chars"].value_counts()
+        return pd.DataFrame({"v": vc.index.astype("int64"),
+                             "n": vc.values.astype("int64")})
+
+    hist = combine_partials(
+        _docs(sf_dir, ["n_chars"]).map_batches(partial,
+                                               batch_format="pandas"),
+        ["v"], {"n": "sum"}).to_pandas().sort_values("v")
+    cum = hist["n"].astype("int64").cumsum()
+    total = int(cum.iloc[-1]) if len(cum) else 0
+    rows = []
+    for q in qs:
+        if total == 0:
+            continue
+        need = -(-q * total // 100)  # ceil(q*N/100) in int math
+        v = int(hist["v"].to_numpy()[(cum >= need).to_numpy().argmax()])
+        rows.append({"q": q, "value": v})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _bpe_merge_loop(types: "list[tuple[tuple[str, ...], int]]",
+                    n_merges: int) -> "list[tuple[str, str, int]]":
+    """Sennrich-style merge loop over a (symbol-tuple, freq) type table.
+    Deterministic: best pair = max count, ties to the lexicographically
+    smallest (left, right). Pure function shared by the distributed
+    trainer and the test replica."""
+    merges: list[tuple[str, str, int]] = []
+    words = [list(w) for w, _ in types]
+    freqs = [f for _, f in types]
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in zip(words, freqs):
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        top = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top)
+        merges.append((best_pair[0], best_pair[1], top))
+        joined = best_pair[0] + best_pair[1]
+        for w in words:
+            i = 0
+            while i < len(w) - 1:
+                if w[i] == best_pair[0] and w[i + 1] == best_pair[1]:
+                    w[i:i + 2] = [joined]
+                else:
+                    i += 1
+    return merges
+
+
+def train_bpe(sf_dir: str, n_merges: int = 40,
+              max_types: int = 20_000) -> pd.DataFrame:
+    """BPE vocabulary induction (Sennrich et al. 2016, ACL — public
+    algorithm) over the corpus: the tokenizer-training pass of every LLM
+    data pipeline. Words carry an end-of-word marker '</w>'.
+
+    Distributed shape = the published algorithm's own split: pair merges
+    operate on the word-frequency TYPE table, not the token stream, so
+    the corpus-sized work is exactly one combiner-tree word count; the
+    type table is then bounded to the ``max_types`` most frequent types
+    (count desc, word asc — the frequency cutoff every production BPE
+    trainer applies) and the merge loop runs on that bounded table.
+    Driver state is O(max_types), independent of corpus size.
+
+    Output: (rank, left, right, pair_count) — deterministic, equality-
+    tested against a single-process replica in pytest."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = (batch["text"].str.strip().str.split().explode()
+                  .value_counts())
+        return pd.DataFrame({"word": counts.index, "cnt": counts.values})
+
+    vocab = combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pandas"),
+        ["word"], {"cnt": "sum"}).to_pandas()
+    vocab["cnt"] = vocab["cnt"].astype("int64")
+    vocab = (vocab.sort_values(["cnt", "word"], ascending=[False, True])
+             .head(max_types))
+
+    types = [(tuple(w) + ("</w>",), int(c))
+             for w, c in zip(vocab["word"], vocab["cnt"])]
+    merges = _bpe_merge_loop(types, n_merges)
+    return pd.DataFrame({
+        "rank": pd.array(range(len(merges)), dtype="int64"),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "pair_count": pd.array([m[2] for m in merges], dtype="int64")})
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list:
+    """Apply merge ranks greedily (lowest rank first) to one word."""
+    w = list(word) + ["</w>"]
+    while len(w) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(w) - 1):
+            r = ranks.get((w[i], w[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        w[best_i:best_i + 2] = [w[best_i] + w[best_i + 1]]
+    return w
+
+
+def bpe_token_counts(sf_dir: str, n_merges: int = 40) -> rd.Dataset:
+    """Two-stage distributed BPE pipeline: train merges (one corpus pass
+    + bounded driver loop), broadcast the rank table via ``ray.put``,
+    then an embarrassingly parallel encode pass emits per-doc BPE token
+    counts — the budget numbers sequence packing and pricing run on.
+    Per-actor-process memoization: distinct words encode once per batch
+    (batch-local cache over the word value_counts)."""
+    merges = train_bpe(sf_dir, n_merges=n_merges)
+    ranks = {(l, r): i for i, (l, r) in
+             enumerate(zip(merges["left"], merges["right"]))}
+    ranks_ref = ray.put(ranks)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rk = ray.get(ranks_ref)
+        cache: dict[str, int] = {}
+
+        def n_toks(text: str) -> int:
+            total = 0
+            for w in text.split():
+                n = cache.get(w)
+                if n is None:
+                    n = len(bpe_encode_word(w, rk))
+                    cache[w] = n
+                total += n
+            return total
+
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pd.array([n_toks(t) for t in batch["text"]],
+                                     dtype="int64")})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas")

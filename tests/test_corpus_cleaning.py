@@ -272,3 +272,66 @@ def test_dedup_passages_matches_oracle(ray_session, tmp_path):
     got = _canon(dedup_passages(sf).to_pandas())
     want = _canon(_oracle(sf, e.oracle_sql()["dedup_passages"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _local_bpe(texts, n_merges, max_types=20_000):
+    """Single-process replica of train_bpe: plain dict word count, same
+    (count desc, word asc) type cutoff, same shared merge loop."""
+    from collections import Counter
+
+    from ragflow_core16_ray.pipelines.text_analysis import _bpe_merge_loop
+
+    wc = Counter()
+    for t in texts:
+        wc.update(t.split())
+    vocab = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_types]
+    types = [(tuple(w) + ("</w>",), c) for w, c in vocab]
+    return _bpe_merge_loop(types, n_merges)
+
+
+def test_train_bpe_matches_local_replica(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import train_bpe
+
+    texts = ["the theme there then " * 5, "other anthem the " * 8,
+             "банан the theme", ""]
+    sf = _write_corpus(tmp_path, texts)
+    got = train_bpe(sf, n_merges=12)
+    want = _local_bpe(texts, 12)
+    assert (list(zip(got["left"], got["right"], got["pair_count"]))
+            == want)
+    # 'the' dominates; (h,e) and (t,h) tie on count and the lexicographic
+    # tie-break picks (h,e) first — pinning the determinism rule
+    assert (got.loc[0, "left"], got.loc[0, "right"]) == ("h", "e")
+
+
+def test_train_bpe_matches_local_on_sf(ray_session):
+    import pyarrow.parquet as pq_
+
+    from ragflow_core16_ray.pipelines.text_analysis import train_bpe
+
+    texts = pq_.read_table(SF + "/documents.parquet",
+                           columns=["text"])["text"].to_pylist()
+    got = train_bpe(SF, n_merges=15)
+    want = _local_bpe(texts, 15)
+    assert (list(zip(got["left"], got["right"], got["pair_count"]))
+            == want)
+
+
+def test_bpe_token_counts_bounds(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import (bpe_encode_word,
+                                                            bpe_token_counts,
+                                                            train_bpe)
+
+    texts = ["aaa aaa aaa bbb", "aaa xyz"]
+    sf = _write_corpus(tmp_path, texts)
+    got = (bpe_token_counts(sf, n_merges=20).to_pandas()
+           .set_index("doc_id").sort_index())
+    # with 20 merges on this tiny vocab, 'aaa' collapses to one token
+    merges = train_bpe(sf, n_merges=20)
+    ranks = {(l, r): i for i, (l, r) in
+             enumerate(zip(merges["left"], merges["right"]))}
+    assert bpe_encode_word("aaa", ranks) == ["aaa</w>"]
+    # per-doc count == sum of per-word encode lengths (replica check)
+    for did, text in enumerate(texts):
+        want = sum(len(bpe_encode_word(w, ranks)) for w in text.split())
+        assert got.loc[did, "n_bpe_tokens"] == want
