@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_stats": text_analysis.script_stats,
         "length_quantiles": lambda sf: text_analysis.length_quantiles(sf),
         "train_bpe": lambda sf: text_analysis.train_bpe(sf),
+        "top_words_cms": lambda sf: text_analysis.top_words_cms(sf),
         "bpe_token_counts": lambda sf: text_analysis.bpe_token_counts(sf),
         # --- dedup
         "exact_dedup": dedup.exact_dedup,

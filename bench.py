@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "emb_near_dup", "emb_topk", "emb_lsh_topk", "bm25_topk",
     "winnow_matches", "dup_passage_stats", "repetition_stats",
     "pii_scrub", "boilerplate_removal", "semantic_dedup",
+    "dedup_passages", "gopher_filter", "bpe_token_counts",
     "pricing_summary", "nation_revenue", "top_customers",
     "events_hourly", "events_sessions", "events_asof_orders",
     "media_features", "media_collage", "chunk_docs",

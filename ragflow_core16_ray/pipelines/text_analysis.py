@@ -1044,3 +1044,76 @@ def bpe_token_counts(sf_dir: str, n_merges: int = 40) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas")
+
+
+def top_words_cms(sf_dir: str, k: int = 20, width: int = 2048,
+                  depth: int = 4) -> pd.DataFrame:
+    """Approximate heavy hitters via a COUNT-MIN SKETCH (Cormode &
+    Muthukrishnan 2005 — public) — the bounded-memory alternative to the
+    exact `top_words` combine when even one row per distinct word per
+    batch is too much shuffle (10^12-doc vocabularies): each batch emits
+    at most depth×width sketch-cell partials plus its local top-2k
+    candidate words, BOTH mergeable (cells by SUM — like the HLL
+    registers — candidates by MAX of local counts). The merged sketch
+    answers est(word) = min over rows of cell[row][h_row(word)], an
+    OVERESTIMATE-only bound (asserted vs exact counts in tests); final
+    top-k = candidates ranked by (estimate desc, word asc).
+
+    Shuffle volume is O(depth·width + k) per batch regardless of corpus
+    or vocabulary size — the defining sketch property."""
+    from ..functions.hashing import hash64
+    from ..stages.agg import combine_partials
+
+    def cell(row: int, word: str) -> int:
+        return hash64(f"{row}:{word}") % width
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = (batch["text"].str.strip().str.split().explode()
+                  .value_counts())
+        rows_r, rows_c, rows_n, rows_w = [], [], [], []
+        cms: dict = {}
+        for w, c in counts.items():
+            for r in range(depth):
+                key = (r, cell(r, w))
+                cms[key] = cms.get(key, 0) + int(c)
+        for (r, col), n in cms.items():
+            rows_r.append(r)
+            rows_c.append(col)
+            rows_n.append(n)
+            rows_w.append("")
+        cand = counts.head(2 * k)
+        for w, c in cand.items():
+            rows_r.append(-1)
+            rows_c.append(0)
+            rows_n.append(int(c))
+            rows_w.append(w)
+        return pd.DataFrame({
+            "row": pd.array(rows_r, dtype="int64"),
+            "col": pd.array(rows_c, dtype="int64"),
+            "n": pd.array(rows_n, dtype="int64"),
+            "word": rows_w})
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pandas").materialize()
+    # sketch cells merge by SUM; candidate words by MAX (both associative,
+    # so the same combiner tree serves both, keyed to keep kinds apart)
+    cells = combine_partials(
+        partials.filter(expr="row >= 0"), ["row", "col"],
+        {"n": "sum"}).to_pandas()
+    cand = combine_partials(
+        partials.filter(expr="row < 0"), ["word"],
+        {"n": "max"}).to_pandas()
+
+    grid = {}
+    for r, c, n in zip(cells["row"], cells["col"], cells["n"]):
+        grid[(int(r), int(c))] = int(n)
+
+    def est(w: str) -> int:
+        return min(grid.get((r, cell(r, w)), 0) for r in range(depth))
+
+    cand = cand[cand["word"] != ""].copy()
+    cand["est_cnt"] = pd.array([est(w) for w in cand["word"]],
+                               dtype="int64")
+    out = (cand.sort_values(["est_cnt", "word"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return out[["word", "est_cnt"]]

@@ -335,3 +335,19 @@ def test_bpe_token_counts_bounds(ray_session, tmp_path):
     for did, text in enumerate(texts):
         want = sum(len(bpe_encode_word(w, ranks)) for w in text.split())
         assert got.loc[did, "n_bpe_tokens"] == want
+
+
+def test_top_words_cms_bounds_vs_exact(ray_session):
+    from ragflow_core16_ray.pipelines.text_analysis import (top_words,
+                                                            top_words_cms)
+
+    exact = top_words(SF, k=10)
+    approx = top_words_cms(SF, k=10)
+    exact_counts = dict(zip(exact["word"], exact["cnt"]))
+    approx_counts = dict(zip(approx["word"], approx["est_cnt"]))
+    # CMS never underestimates
+    for w, c in exact_counts.items():
+        assert w in approx_counts and approx_counts[w] >= c
+    # the heavy head is correctly identified on this corpus
+    assert approx["word"].iloc[0] == exact["word"].iloc[0]
+    assert set(exact["word"]) <= set(approx["word"])
