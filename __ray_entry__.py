@@ -116,6 +116,29 @@ def _chunk_docs(sf_dir: str):
     return chunk_docs(os.path.join(_extract_out(sf_dir), "docs"))
 
 
+def _corpus_clean(sf_dir: str):
+    """The composed four-stage cleaning pipeline (pipelines/clean.py) run
+    end-to-end over the documents table; returns the surviving corpus as
+    (doc_id, clean_fp) so the driver sees stable rows. No SQL oracle for
+    the composition (each constituent stage is oracled individually:
+    pii_scrub, boilerplate_removal, dedup_passages, gopher_filter,
+    exact_dedup); the staged-resume behavior is pinned in pytest."""
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.clean import run_clean
+
+    out_dir = os.path.join("/tmp/graft_clean_" + _src_digest(),
+                           os.path.basename(os.path.normpath(sf_dir)))
+    m = run_clean(sf_dir, out_dir)
+    # one stable metrics row (the sf corpora are word soup, so the Gopher
+    # gate legitimately drops everything — the per-stage counters are the
+    # meaningful, reproducible driver artifact; surviving-text equality is
+    # pinned in pytest on realistic fixtures)
+    return pd.DataFrame([{k: int(m[k]) for k in
+                          ("n_in", "n_pii_redactions", "n_lines_removed",
+                           "n_passages_removed", "n_out")}])
+
+
 def _extract_override(sf_dir: str, template: str):
     """Template-override run: whole corpus through one forced chunking
     template — per-(template,kind) span counts PLUS an order-independent
@@ -294,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "positions_spans": _extract_positions,
         "extraction_metrics": _extraction_metrics,
         "chunk_docs": _chunk_docs,
+        "corpus_clean": _corpus_clean,
         "media_features": _media_features,
         "media_collage": _media_collage,
         "frame_samples": _frame_samples,

@@ -1,0 +1,289 @@
+"""The composed corpus-CLEANING pipeline: the end-to-end pass a
+web-scale training corpus takes before tokenization, built from the same
+semantics as the individual query operators but REWRITING text at each
+stage (the query ops report counters/fingerprints; this emits the
+cleaned corpus):
+
+    stage 1  PII redaction             (embarrassingly parallel rewrite)
+    stage 2  boilerplate line removal  (corpus line-df + broadcast hot set)
+    stage 3  duplicated-passage removal(canonical-occurrence, co-partition)
+    stage 4  Gopher lexical filter + exact dedup (keep min doc_id)
+
+Each stage WRITES partitioned parquet and records a manifest before the
+next stage reads it — so a re-run resumes from the last completed stage
+(same digest contract as state/lineage.py), intermediate data streams
+through the object store but never lives on the driver, and every stage
+boundary is also the natural audit point (counters in the manifest).
+At 100 TB the stage directories are the recovery points a 256-node run
+needs; at test scale they make the composition byte-inspectable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import re
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.hashing import hash64, md5_hex
+from .text_analysis import (_GOPHER_STOPWORDS, _PII_EMAIL_RE, _PII_IPV4_RE,
+                            _PII_PHONE_RE)
+
+_TRIM = " \t\r"
+
+
+def _read(path: str) -> rd.Dataset:
+    return rd.read_parquet(path, columns=["doc_id", "text"])
+
+
+def _stage_done(out_dir: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(out_dir, f"_{stage}.json"))
+
+
+def _publish(ds: rd.Dataset, out_dir: str, stage: str, stats: dict,
+             empty_schema=None) -> dict:
+    """Write a stage atomically: tmp dir → rename, then the manifest.
+    ``empty_schema``: pyarrow schema used to land a typed empty parquet
+    when the stage filtered everything out (write_parquet of an empty
+    dataset creates nothing, but downstream stages must still read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(out_dir, f"_tmp_{stage}")
+    final = os.path.join(out_dir, f"stage_{stage}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    ds.write_parquet(tmp)
+    if not os.path.isdir(tmp) or not os.listdir(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        schema = empty_schema or pa.schema([("doc_id", pa.int64()),
+                                            ("text", pa.string())])
+        pq.write_table(schema.empty_table(),
+                       os.path.join(tmp, "empty.parquet"))
+    os.replace(tmp, final)
+    stats = dict(stats, stage=stage, path=final)
+    json.dump(stats, open(os.path.join(out_dir, f"_{stage}.json"), "w"))
+    return stats
+
+
+def _counter_sum(path: str, col: str) -> int:
+    ds = rd.read_parquet(path, columns=[col])
+    return int(ds.sum(col) or 0)
+
+
+def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
+              boiler_min_len: int = 5, passage_words: int = 10,
+              n_buckets: int = 64) -> dict:
+    """Run (or resume) the four-stage cleaning pipeline. Returns rollup
+    metrics; the cleaned corpus lands in ``out_dir/stage_final``."""
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+
+    # ---- stage 1: PII redaction (same sequential order as pii_scrub)
+    if not _stage_done(out_dir, "pii"):
+        def redact(batch: pd.DataFrame) -> pd.DataFrame:
+            out_t, n_hits = [], []
+            for t in batch["text"]:
+                n = len(_PII_EMAIL_RE.findall(t))
+                t = _PII_EMAIL_RE.sub("<EMAIL>", t)
+                n += len(_PII_IPV4_RE.findall(t))
+                t = _PII_IPV4_RE.sub("<IP>", t)
+                n += len(_PII_PHONE_RE.findall(t))
+                t = _PII_PHONE_RE.sub("<PHONE>", t)
+                out_t.append(t)
+                n_hits.append(n)
+            return pd.DataFrame({"doc_id": batch["doc_id"], "text": out_t,
+                                 "n_pii": pd.array(n_hits, dtype="int64")})
+
+        docs = rd.read_parquet(
+            os.path.join(input_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+        _publish(docs.map_batches(redact, batch_format="pandas"),
+                 out_dir, "pii", {"n_in": docs.count()})
+
+    pii_path = os.path.join(out_dir, "stage_pii")
+
+    # ---- stage 2: boilerplate line removal over the redacted text
+    if not _stage_done(out_dir, "boiler"):
+        from ..stages.agg import combine_partials
+
+        def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+            counts: dict[str, int] = {}
+            for t in batch["text"]:
+                for ln in {l for l in t.split("\n")
+                           if len(l.strip(_TRIM)) >= boiler_min_len}:
+                    k = md5_hex(ln)
+                    counts[k] = counts.get(k, 0) + 1
+            return pd.DataFrame({"lkey": list(counts.keys()),
+                                 "df": pd.array(list(counts.values()),
+                                                dtype="int64")})
+
+        dfs = combine_partials(
+            _read(pii_path).map_batches(line_partials,
+                                        batch_format="pandas"),
+            ["lkey"], {"df": "sum"}, mode="shuffle")
+        hot = dfs.filter(expr=f"df >= {boiler_max_df}").to_pandas()
+        hot_ref = ray.put(frozenset(hot["lkey"])
+                          if "lkey" in hot.columns else frozenset())
+
+        def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+            hotset = ray.get(hot_ref)
+            texts, removed = [], []
+            for t in batch["text"]:
+                lines = t.split("\n")
+                kept = [ln for ln in lines
+                        if len(ln.strip(_TRIM)) < boiler_min_len
+                        or md5_hex(ln) not in hotset]
+                texts.append("\n".join(kept))
+                removed.append(len(lines) - len(kept))
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"], "text": texts,
+                "n_lines_removed": pd.array(removed, dtype="int64")})
+
+        _publish(_read(pii_path).map_batches(scrub, batch_format="pandas"),
+                 out_dir, "boiler", {"n_hot_lines": len(hot)})
+
+    boiler_path = os.path.join(out_dir, "stage_boiler")
+
+    # ---- stage 3: duplicated-passage removal (canonical-occurrence rule,
+    # drop rows co-partitioned with the docs — same shape as
+    # dedup_passages, but emitting the REWRITTEN text)
+    if not _stage_done(out_dir, "passage"):
+        P = passage_words
+        n_doc_buckets = max(1, n_buckets // 2)
+
+        def explode(batch: pd.DataFrame) -> pd.DataFrame:
+            rows = {"bucket": [], "h": [], "doc_id": [], "idx": []}
+            for did, text in zip(batch["doc_id"], batch["text"]):
+                ws = text.split()
+                for j in range(len(ws) // P):
+                    h = md5_hex(" ".join(ws[j * P:(j + 1) * P]))
+                    rows["bucket"].append(hash64(h) % n_buckets)
+                    rows["h"].append(h)
+                    rows["doc_id"].append(did)
+                    rows["idx"].append(j)
+            return pd.DataFrame({
+                "bucket": pd.array(rows["bucket"], dtype="int32"),
+                "h": rows["h"],
+                "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                "idx": pd.array(rows["idx"], dtype="int64")})
+
+        def decide(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["h", "doc_id", "idx"])
+            out = g[g.duplicated("h", keep="first")][["doc_id", "idx"]]
+            out = out.copy()
+            out["dbucket"] = (out["doc_id"] % n_doc_buckets).astype("int32")
+            out["text"] = ""
+            out["is_doc"] = False
+            return out[["dbucket", "doc_id", "idx", "text", "is_doc"]]
+
+        drops = (_read(boiler_path)
+                 .map_batches(explode, batch_format="pandas")
+                 .repartition(max(1, n_buckets // 4))
+                 .groupby("bucket").map_groups(decide,
+                                               batch_format="pandas"))
+
+        def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "dbucket": (batch["doc_id"] % n_doc_buckets)
+                .astype("int32"),
+                "doc_id": batch["doc_id"].astype("int64"),
+                "idx": pd.array([-1] * len(batch), dtype="int64"),
+                "text": batch["text"], "is_doc": True})
+
+        def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+            drop_by_doc: dict[int, set] = {}
+            for did, j in zip(g.loc[~g["is_doc"], "doc_id"],
+                              g.loc[~g["is_doc"], "idx"]):
+                drop_by_doc.setdefault(did, set()).add(j)
+            docs = g[g["is_doc"]]
+            doc_ids, texts, removed = [], [], []
+            for did, text in zip(docs["doc_id"], docs["text"]):
+                ws = text.split()
+                n = len(ws) // P
+                dropped = drop_by_doc.get(did, set())
+                words: list[str] = []
+                for j in range(n):
+                    if j not in dropped:
+                        words.extend(ws[j * P:(j + 1) * P])
+                words.extend(ws[n * P:])
+                doc_ids.append(did)
+                texts.append(" ".join(words))
+                removed.append(len(dropped))
+            return pd.DataFrame({
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "text": texts,
+                "n_passages_removed": pd.array(removed, dtype="int64")})
+
+        tagged = _read(boiler_path).map_batches(tag_docs,
+                                                batch_format="pandas")
+        _publish(tagged.union(drops)
+                 .repartition(max(1, n_doc_buckets // 4))
+                 .groupby("dbucket").map_groups(rebuild,
+                                                batch_format="pandas"),
+                 out_dir, "passage", {})
+
+    passage_path = os.path.join(out_dir, "stage_passage")
+
+    # ---- stage 4: Gopher lexical filter, then exact dedup (keep the
+    # minimum doc_id per surviving text — hash-bucketed, text as payload)
+    if not _stage_done(out_dir, "final"):
+        stop = set(_GOPHER_STOPWORDS)
+        alpha_re = re.compile("[A-Za-z]")
+
+        def gopher_keep(batch: pd.DataFrame) -> pd.DataFrame:
+            keep_rows = []
+            for did, t in zip(batch["doc_id"], batch["text"]):
+                ws = t.split()
+                nw = len(ws)
+                nc = sum(len(w) for w in ws)
+                na = sum(1 for w in ws if alpha_re.search(w))
+                ns = len({w.lower() for w in ws if w.lower() in stop})
+                if (50 <= nw <= 100_000 and 3 * nw <= nc <= 10 * nw
+                        and 5 * na >= 4 * nw and ns >= 2):
+                    keep_rows.append((did, t))
+            return pd.DataFrame({
+                "doc_id": pd.array([d for d, _ in keep_rows],
+                                   dtype="int64"),
+                "text": [t for _, t in keep_rows]})
+
+        def dedup_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            g = batch.groupby("text", sort=False)["doc_id"].min()
+            h = [md5_hex(t) for t in g.index]
+            return pd.DataFrame({
+                "bucket": pd.array([int(x[:8], 16) % n_buckets for x in h],
+                                   dtype="int32"),
+                "h": h, "text": g.index.to_numpy(),
+                "doc_id": g.values})
+
+        def dedup_merge(g: pd.DataFrame) -> pd.DataFrame:
+            m = (g.groupby("h", sort=False)
+                 .agg(text=("text", "first"), doc_id=("doc_id", "min")))
+            return m.reset_index(drop=True)[["doc_id", "text"]]
+
+        cleaned = (_read(passage_path)
+                   .map_batches(gopher_keep, batch_format="pandas")
+                   .map_batches(dedup_partial, batch_format="pandas")
+                   .repartition(max(1, n_buckets // 4))
+                   .groupby("bucket").map_groups(dedup_merge,
+                                                 batch_format="pandas"))
+        _publish(cleaned, out_dir, "final", {})
+
+    final_path = os.path.join(out_dir, "stage_final")
+    metrics = {
+        "n_in": json.load(open(os.path.join(out_dir, "_pii.json")))["n_in"],
+        "n_pii_redactions": _counter_sum(pii_path, "n_pii"),
+        "n_lines_removed": _counter_sum(boiler_path, "n_lines_removed"),
+        "n_passages_removed": _counter_sum(passage_path,
+                                           "n_passages_removed"),
+        "n_out": rd.read_parquet(final_path).count(),
+        "output": final_path,
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    json.dump(metrics, open(os.path.join(out_dir, "_rollup.json"), "w"))
+    return metrics

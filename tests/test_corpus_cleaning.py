@@ -20,6 +20,8 @@ SF = "/root/testdata/sf0.001"
 
 
 def _write_corpus(tmp_path, texts, sources=None):
+    import os
+    os.makedirs(str(tmp_path), exist_ok=True)
     df = pd.DataFrame({
         "doc_id": pd.array(range(len(texts)), dtype="int64"),
         "text": texts,
@@ -351,3 +353,49 @@ def test_top_words_cms_bounds_vs_exact(ray_session):
     # the heavy head is correctly identified on this corpus
     assert approx["word"].iloc[0] == exact["word"].iloc[0]
     assert set(exact["word"]) <= set(approx["word"])
+
+
+CLEAN_TEXTS = [
+    # survives all four stages (50+ words, stopwords, no dup/boiler/pii)
+    ("the quick brown fox jumps over that lazy dog and keeps running "
+     * 6).strip(),
+    # identical copy: exact dedup keeps only min doc_id
+    ("the quick brown fox jumps over that lazy dog and keeps running "
+     * 6).strip(),
+    # PII + boilerplate + enough body to survive the Gopher rules
+    ("Cookie banner we always show here\n"
+     + ("the striped cat sat on that warm mat and would not move today "
+        * 6).strip()
+     + "\nreach me at alice@example.com"),
+    "Cookie banner we always show here\nshort junk",
+    "Cookie banner we always show here\nmore short junk",
+    # word soup: killed by the stop-word rule
+    "alpha beta gamma delta " * 20,
+]
+
+
+def test_run_clean_end_to_end_and_resume(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.clean import run_clean
+
+    sf = _write_corpus(tmp_path / "in", CLEAN_TEXTS)
+    out = str(tmp_path / "out")
+    m = run_clean(sf, out)
+    assert m["n_in"] == 6
+    assert m["n_pii_redactions"] == 1          # the email
+    assert m["n_lines_removed"] == 3           # cookie banner in docs 2-4
+    # survivors: doc 0 (dup 1 dropped by exact dedup) and doc 2
+    assert m["n_out"] == 2
+    final = pq.read_table(m["output"]).to_pandas().set_index("doc_id")
+    assert set(final.index) == {0, 2}
+    assert "<EMAIL>" in final.loc[2, "text"]
+    assert "Cookie banner" not in final.loc[2, "text"]
+    # doc 0's duplicated text: only its first 10-word passage occurrences
+    # survive passage dedup corpus-wide (doc 1 contributed nothing new)
+
+    # resume: a second run skips every stage (manifests present)
+    t_stats = {s: (tmp_path / "out" / f"_{s}.json").stat().st_mtime
+               for s in ("pii", "boiler", "passage", "final")}
+    m2 = run_clean(sf, out)
+    assert m2["n_out"] == m["n_out"]
+    for s, t in t_stats.items():
+        assert (tmp_path / "out" / f"_{s}.json").stat().st_mtime == t
