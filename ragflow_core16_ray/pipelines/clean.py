@@ -136,9 +136,10 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
             texts, removed = [], []
             for t in batch["text"]:
                 lines = t.split("\n")
-                kept = [ln for ln in lines
-                        if len(ln.strip(_TRIM)) < boiler_min_len
-                        or md5_hex(ln) not in hotset]
+                kept = lines if not hotset else [
+                    ln for ln in lines
+                    if len(ln.strip(_TRIM)) < boiler_min_len
+                    or md5_hex(ln) not in hotset]
                 texts.append("\n".join(kept))
                 removed.append(len(lines) - len(kept))
             return pd.DataFrame({

@@ -802,9 +802,12 @@ def boilerplate_removal(sf_dir: str, max_df: int = 3,
         doc_ids, n_lines, n_removed, fps = [], [], [], []
         for doc_id, t in zip(batch["doc_id"], batch["text"]):
             lines = t.split("\n")
-            kept = [ln for ln in lines
-                    if len(ln.strip(_trim)) < min_len
-                    or md5_hex(ln) not in hotset]
+            # no hot lines → skip the per-line md5 entirely (the common
+            # clean-corpus fast path)
+            kept = lines if not hotset else [
+                ln for ln in lines
+                if len(ln.strip(_trim)) < min_len
+                or md5_hex(ln) not in hotset]
             doc_ids.append(doc_id)
             n_lines.append(len(lines))
             n_removed.append(len(lines) - len(kept))
