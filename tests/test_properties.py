@@ -211,3 +211,66 @@ def test_two_distinct_untagged_tables_abutting_the_cut():
             # two pages apart: still four rows but from two separate
             # renders — each table's own grid, no cross-contamination
             assert len(rows) == 4
+
+
+# --- PII regex: Python (re.ASCII) vs DuckDB (RE2) agreement ---------------
+# The pii_scrub oracle hashes the redacted text, so ANY divergence between
+# the two regex engines on any input is a correctness bug. Hypothesis
+# sweeps adversarial text (digits, dots, @, CJK adjacency, long octets)
+# through both engines and demands byte-identical redaction + counts.
+
+_PII_ALPHABET = st.sampled_from(
+    list("ab1.9@-+ \n\t") + ["中", "編", "№", "x", "%", "_"])
+_PII_TEXT = st.lists(_PII_ALPHABET, max_size=60).map("".join)
+
+
+@given(_PII_TEXT)
+@settings(max_examples=120, deadline=None)
+def test_pii_redaction_matches_duckdb_and_is_fixpoint(text):
+    import duckdb
+
+    from ragflow_core16_ray.pipelines.text_analysis import (_PII_EMAIL,
+                                                            _PII_EMAIL_RE,
+                                                            _PII_IPV4,
+                                                            _PII_IPV4_RE,
+                                                            _PII_PHONE,
+                                                            _PII_PHONE_RE)
+
+    t1 = _PII_EMAIL_RE.sub("<EMAIL>", text)
+    t2 = _PII_IPV4_RE.sub("<IP>", t1)
+    t3 = _PII_PHONE_RE.sub("<PHONE>", t2)
+
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT regexp_replace(regexp_replace(regexp_replace(?, ?, "
+        "'<EMAIL>', 'g'), ?, '<IP>', 'g'), ?, '<PHONE>', 'g')",
+        [text, _PII_EMAIL, _PII_IPV4, _PII_PHONE]).fetchone()[0]
+    assert got == t3
+
+    # redaction is a fixpoint: a second pass changes nothing (replacement
+    # tokens cannot re-match any pattern)
+    u1 = _PII_EMAIL_RE.sub("<EMAIL>", t3)
+    u2 = _PII_IPV4_RE.sub("<IP>", u1)
+    assert _PII_PHONE_RE.sub("<PHONE>", u2) == t3
+
+
+@given(_PII_TEXT)
+@settings(max_examples=120, deadline=None)
+def test_pii_counts_match_duckdb(text):
+    import duckdb
+
+    from ragflow_core16_ray.pipelines.text_analysis import (_PII_EMAIL,
+                                                            _PII_EMAIL_RE,
+                                                            _PII_IPV4,
+                                                            _PII_IPV4_RE)
+
+    con = duckdb.connect()
+    n_em_sql, = con.execute(
+        "SELECT len(regexp_extract_all(?, ?))",
+        [text, _PII_EMAIL]).fetchone()
+    assert n_em_sql == len(_PII_EMAIL_RE.findall(text))
+    t1 = _PII_EMAIL_RE.sub("<EMAIL>", text)
+    n_ip_sql, = con.execute(
+        "SELECT len(regexp_extract_all(?, ?))",
+        [t1, _PII_IPV4]).fetchone()
+    assert n_ip_sql == len(_PII_IPV4_RE.findall(t1))
