@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
         "bm25_topk": lambda sf: similarity.bm25_topk(sf),
         "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
+        "hybrid_topk": lambda sf: similarity.hybrid_topk(sf),
         # --- relational / streaming primitives
         "pricing_summary": relational.pricing_summary,
         "nation_revenue": relational.nation_revenue,
@@ -1159,6 +1160,67 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed,
                    md5(COALESCE(a.joined, '')) AS clean_fp
             FROM split sp LEFT JOIN agg a ON sp.doc_id = a.doc_id
+        """,
+        # RRF fusion of the BM25 and cosine rankings (both k_each=20);
+        # integer contributions floor(1e9/(60+rank)+0.5) summed, ties on
+        # doc_id — identical quantization to the engine
+        "hybrid_topk": r"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), stats AS (
+              SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d
+            ), q AS (
+              SELECT unnest(['hash', 'table', 'scan']) AS term
+            ), df AS (
+              SELECT term, COUNT(*) AS df
+              FROM q JOIN d ON list_contains(d.ws, q.term)
+              GROUP BY term
+            ), tf AS (
+              SELECT d.doc_id, q.term, len(d.ws) AS dl,
+                     len(list_filter(d.ws, x -> x = q.term)) AS tf
+              FROM d CROSS JOIN q
+            ), sc AS (
+              SELECT tf.doc_id,
+                     SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * (tf.tf * (1.2 + 1))
+                         / (tf.tf + 1.2 * (1 - 0.75
+                                           + 0.75 * tf.dl / stats.avgdl))
+                     ) AS s
+              FROM tf
+              JOIN df USING (term) CROSS JOIN stats
+              WHERE tf.tf > 0
+              GROUP BY tf.doc_id
+            ), lex AS (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                         ORDER BY round(s * 1000000) DESC, doc_id) AS r
+              FROM sc QUALIFY r <= 20
+            ), vec AS (
+              SELECT vec_id AS doc_id, ROW_NUMBER() OVER (
+                         ORDER BY list_cosine_similarity(
+                             embedding,
+                             (SELECT embedding FROM embeddings
+                              WHERE vec_id = 0)) DESC, vec_id) AS r
+              FROM embeddings QUALIFY r <= 20
+            ), contrib AS (
+              SELECT doc_id,
+                     CAST(floor(1000000000.0 / (60 + r) + 0.5) AS BIGINT)
+                         AS c
+              FROM lex
+              UNION ALL
+              SELECT doc_id,
+                     CAST(floor(1000000000.0 / (60 + r) + 0.5) AS BIGINT)
+                         AS c
+              FROM vec
+            ), fused AS (
+              SELECT doc_id, SUM(c) AS rrf_q FROM contrib GROUP BY doc_id
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, CAST(rrf_q AS BIGINT) AS rrf_q
+            FROM fused
+            ORDER BY rrf_q DESC, doc_id
+            LIMIT 10
         """,
         # lower-quantile rule: smallest v with cum-count >= ceil(q*N/100)
         "length_quantiles": r"""

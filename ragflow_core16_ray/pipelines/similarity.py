@@ -425,3 +425,39 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
         return out
 
     return emb.map_batches(assign_final, batch_format="pandas")
+
+
+def hybrid_topk(sf_dir: str, query: str = "hash table scan",
+                query_vec_id: int = 0, k: int = 10, k_each: int = 20,
+                rrf_k: int = 60) -> pd.DataFrame:
+    """Hybrid lexical+vector retrieval — the fusion the reference's
+    search module performs over ES text scores + embedding similarity
+    (rag/nlp/search.py role), re-expressed with Reciprocal Rank Fusion
+    (Cormack et al. 2009, public): rrf(d) = Σ_lists 1/(rrf_k + rank_d).
+    doc_id and vec_id share the chunk key space.
+
+    Both retrieval arms are the existing distributed operators (BM25
+    scatter-gather, brute cosine with broadcast query); the fusion itself
+    touches only the two ≤k_each rank lists on the driver. Contributions
+    are quantized integer-exactly — floor(1e9/(rrf_k+rank) + 0.5), summed
+    as int64 — so the DuckDB oracle (same two rankings as CTEs, same
+    integer fusion) hashes strictly. Output: (rank, doc_id, rrf_q)."""
+    lex = bm25_topk(sf_dir, query=query, k=k_each)
+    vec = brute_topk(sf_dir, query_vec_id=query_vec_id, k=k_each)
+
+    scores: dict = {}
+    for rank, did in zip(lex["rank"], lex["doc_id"]):
+        scores[int(did)] = scores.get(int(did), 0) + int(
+            1e9 // (rrf_k + int(rank)) + (
+                1 if (1e9 % (rrf_k + int(rank))) * 2 >= (rrf_k + int(rank))
+                else 0))
+    for pos, vid in enumerate(vec["vec_id"], start=1):
+        scores[int(vid)] = scores.get(int(vid), 0) + int(
+            1e9 // (rrf_k + pos) + (
+                1 if (1e9 % (rrf_k + pos)) * 2 >= (rrf_k + pos) else 0))
+
+    rows = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
+        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+        "rrf_q": pd.array([s for _, s in rows], dtype="int64")})

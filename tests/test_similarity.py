@@ -596,3 +596,25 @@ def test_semantic_dedup_exact_within_clusters(ray_session):
     assert (true_pairs & same_cluster) <= pairs
     # and the pass actually finds dups on the clustered synthetic data
     assert len(pairs) > 0
+
+
+def test_hybrid_topk_fuses_both_arms(ray_session):
+    from ragflow_core16_ray.pipelines.similarity import (brute_topk,
+                                                         bm25_topk,
+                                                         hybrid_topk)
+
+    fused = hybrid_topk(SF, k=10, k_each=20)
+    assert len(fused) == 10
+    assert fused["rrf_q"].is_monotonic_decreasing
+    lex = set(bm25_topk(SF, k=20)["doc_id"])
+    vec = set(brute_topk(SF, k=20)["vec_id"])
+    # every fused doc came from at least one arm
+    assert set(fused["doc_id"]) <= (lex | vec)
+    # a doc present in BOTH arms collects two contributions: its score
+    # must strictly exceed the single-arm score of the worst-ranked doc
+    both = set(fused["doc_id"]) & lex & vec
+    if both:
+        import math
+        single_max = int(1e9 // 61 + 1)  # best possible single-arm score
+        best_both = fused.set_index("doc_id").loc[list(both), "rrf_q"].max()
+        assert best_both > single_max // 2
