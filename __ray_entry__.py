@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: similarity.bm25_topk(sf),
         "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
         "hybrid_topk": lambda sf: similarity.hybrid_topk(sf),
+        "emb_pq_topk": lambda sf: similarity.pq_topk(sf),
         # --- relational / streaming primitives
         "pricing_summary": relational.pricing_summary,
         "nation_revenue": relational.nation_revenue,

@@ -461,3 +461,87 @@ def hybrid_topk(sf_dir: str, query: str = "hash table scan",
         "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
         "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
         "rrf_q": pd.array([s for _, s in rows], dtype="int64")})
+
+
+def _pq_train_codebooks(sample: np.ndarray, m_sub: int,
+                        n_codes: int, iters: int = 10) -> np.ndarray:
+    """Per-subspace Lloyd's (plain L2, deterministic: init = first
+    n_codes sample rows). Returns (m_sub, n_codes, subdim)."""
+    n, d = sample.shape
+    subdim = d // m_sub
+    books = np.empty((m_sub, n_codes, subdim))
+    for s in range(m_sub):
+        x = sample[:, s * subdim:(s + 1) * subdim]
+        c = x[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(n_codes):
+                pts = x[assign == j]
+                if len(pts):
+                    c[j] = pts.mean(axis=0)
+        books[s] = c
+    return books
+
+
+def pq_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+            m_sub: int = 8, n_codes: int = 16,
+            train_sample: int = 512) -> pd.DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, public): vectors
+    compress to ``m_sub`` uint8 codes (64 float32 dims → 8 bytes here,
+    32×), and the query scans the COMPRESSED domain with an asymmetric
+    distance table — per subspace a (n_codes,) lookup built once per
+    query, per batch one argmin over codebooks + one table-gather sum.
+    At 100 TB this is the memory-bound scale path: the scan touches
+    m_sub bytes per vector instead of 4·d, and codebooks (m_sub·n_codes
+    ·subdim floats) broadcast once.
+
+    Deterministic: codebooks train on the head sample (limit() streams
+    only the head blocks) with first-rows init; L2 on normalized vectors
+    ⇒ same ranking family as cosine (‖a−b‖² = 2−2cosθ). Each batch takes
+    an ADC shortlist of 4k candidates and exact-reranks ONLY those — the
+    production ADC+rerank composition. Approximation quality is pinned in
+    pytest as recall ≥ bound vs brute_topk."""
+    q = load_query(sf_dir, query_vec_id)
+    q = q / np.linalg.norm(q)
+
+    sample_df = _emb(sf_dir).limit(train_sample).to_pandas()
+    X = _norm(np.stack(sample_df["embedding"].to_numpy())
+              .astype(np.float64))
+    books = _pq_train_codebooks(X, m_sub, n_codes)
+    subdim = X.shape[1] // m_sub
+    # ADC table: exact distance from the query subvector to every code
+    table = np.stack([
+        (((books[s] - q[s * subdim:(s + 1) * subdim][None, :]) ** 2)
+         .sum(axis=1)) for s in range(m_sub)])  # (m_sub, n_codes)
+    state = ray.put((books, table))
+
+    q_ref = ray.put(q)
+    shortlist = 4 * k
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        bks, tbl = ray.get(state)
+        m = _norm(np.stack(batch["embedding"].to_numpy())
+                  .astype(np.float64))
+        adc = np.zeros(len(m))
+        for s in range(m_sub):
+            x = m[:, s * subdim:(s + 1) * subdim]
+            d2 = ((x[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d2, axis=1)
+            adc += tbl[s][codes]
+        ids = batch["vec_id"].to_numpy()
+        # ADC shortlist, then EXACT rerank of only the shortlist — the
+        # production IVFADC+rerank shape: the compressed scan prunes,
+        # full-precision distance touches 4k rows per batch, not all
+        short = np.lexsort((ids, adc))[:shortlist]
+        sims = m[short] @ ray.get(q_ref)
+        order = np.lexsort((ids[short], -sims))[:k]
+        return pd.DataFrame({"vec_id": ids[short][order],
+                             "sim": sims[order]})
+
+    df = _emb(sf_dir).map_batches(scan, batch_format="pandas").to_pandas()
+    df = df.sort_values(["sim", "vec_id"],
+                        ascending=[False, True]).head(k)
+    out = df[["vec_id"]].reset_index(drop=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out

@@ -618,3 +618,16 @@ def test_hybrid_topk_fuses_both_arms(ray_session):
         single_max = int(1e9 // 61 + 1)  # best possible single-arm score
         best_both = fused.set_index("doc_id").loc[list(both), "rrf_q"].max()
         assert best_both > single_max // 2
+
+
+def test_pq_topk_recall_vs_brute(ray_session):
+    from ragflow_core16_ray.pipelines.similarity import brute_topk, pq_topk
+
+    exact = set(brute_topk(SF, query_vec_id=0, k=10)["vec_id"])
+    approx = pq_topk(SF, query_vec_id=0, k=10)
+    assert len(approx) == 10
+    recall = len(set(approx["vec_id"]) & exact) / len(exact)
+    assert recall >= 0.6  # 32x compression trades recall; bound pins it
+    # deterministic across runs
+    again = pq_topk(SF, query_vec_id=0, k=10)
+    assert approx["vec_id"].tolist() == again["vec_id"].tolist()
