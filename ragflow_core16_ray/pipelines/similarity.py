@@ -11,6 +11,13 @@
   cells nearest the query are scanned + exact-reranked. At scale the
   assignment pass writes centroid-partitioned parquet once and queries
   read only their probed partitions; here build+probe fuse into one pass.
+- BM25 top-k: scatter-gather keyword retrieval (the lexical arm).
+- hybrid top-k: integer-exact reciprocal rank fusion of the BM25 and
+  cosine arms (the reference's text+vector fusion, rank-based).
+- PQ top-k: product-quantization compressed-domain scan (32×) with ADC
+  shortlist + exact rerank — the memory-bound scale path.
+- kmeans_clusters: distributed deterministic Lloyd's (O(k·d) driver
+  state), the clustering substrate for IVF and semantic dedup.
 """
 
 from __future__ import annotations
