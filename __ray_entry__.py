@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
             sf, k=4, threshold=0.6, grams="char"),
         "jaccard_clusters": lambda sf: dedup.jaccard_clusters(sf),
+        "jaccard_clusters_dist": lambda sf: dedup.jaccard_clusters_dist(sf),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
         "minhash_verified_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
@@ -392,7 +393,7 @@ _STOPWORDS_SQL = "('the','and','of','to','is','in','that','it','for','with')"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -1379,3 +1380,8 @@ def oracle_sql() -> dict[str, str]:
             FROM c, s
         """,
     }
+    # The distributed label-propagation CC has the identical output
+    # contract (doc_id, cluster_id = min doc_id in the component) as the
+    # driver union-find variant, so it shares that oracle verbatim.
+    out["jaccard_clusters_dist"] = out["jaccard_clusters"]
+    return out

@@ -631,3 +631,37 @@ def test_pq_topk_recall_vs_brute(ray_session):
     # deterministic across runs
     again = pq_topk(SF, query_vec_id=0, k=10)
     assert approx["vec_id"].tolist() == again["vec_id"].tolist()
+
+
+def test_label_propagation_matches_union_find_on_graph(ray_session):
+    """Distributed min-label CC on a hand graph: a 5-node chain fed in
+    the direction that forces the min label to travel the full diameter
+    (multiple propagation rounds), a star, and an isolated pair."""
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.dedup import _cc_label_propagation
+
+    pairs = pd.DataFrame({
+        "id_a": [5, 4, 3, 2, 10, 10, 30],
+        "id_b": [4, 3, 2, 1, 11, 12, 31],
+    })
+    out = _cc_label_propagation(pairs, n_buckets=4)
+    assert list(zip(out["doc_id"], out["cluster_id"])) == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10), (30, 30), (31, 30)]
+
+    empty = _cc_label_propagation(pairs.iloc[:0])
+    assert empty.empty and list(empty.columns) == ["doc_id", "cluster_id"]
+
+
+def test_jaccard_clusters_dist_equals_union_find(ray_session):
+    """The fully distributed label-propagation variant must reproduce
+    the driver union-find clustering exactly on the real corpus."""
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.dedup import (jaccard_clusters,
+                                                    jaccard_clusters_dist)
+
+    a = jaccard_clusters(SF).reset_index(drop=True)
+    b = jaccard_clusters_dist(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
