@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
         "incremental_dedup": lambda sf: dedup.incremental_dedup(sf),
+        "incremental_dedup_bloom":
+            lambda sf: dedup.incremental_dedup_bloom(sf),
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
             sf, k=4, threshold=0.6, grams="char"),
@@ -1384,4 +1386,8 @@ def oracle_sql() -> dict[str, str]:
     # contract (doc_id, cluster_id = min doc_id in the component) as the
     # driver union-find variant, so it shares that oracle verbatim.
     out["jaccard_clusters_dist"] = out["jaccard_clusters"]
+    # Bloom-positive docs are exactly verified and Bloom has no false
+    # negatives, so the scale path's output is identical to the exact
+    # anti-join and shares its oracle.
+    out["incremental_dedup_bloom"] = out["incremental_dedup"]
     return out

@@ -1057,3 +1057,120 @@ def jaccard_clusters_dist(sf_dir: str, k: int = 3, threshold: float = 0.5,
     is additionally asserted in pytest."""
     pairs = jaccard_dup_pairs(sf_dir, k, threshold, n_buckets)
     return _cc_label_propagation(pairs)
+
+
+def _bloom_positions(texts, m: int, k_hashes: int) -> np.ndarray:
+    """Kirsch–Mitzenmacher double hashing: k bit positions per text from
+    one md5 (pos_i = h1 + i·h2 mod m, arithmetic mod 2^64). Returns an
+    (n, k) uint64 array; build and probe use this same function, which is
+    all the no-false-negative guarantee needs."""
+    from ..functions.hashing import md5_hex
+
+    mask = (1 << 64) - 1
+    xs = [int(md5_hex(t), 16) for t in texts]
+    h1 = np.array([x & mask for x in xs], dtype=np.uint64)
+    h2 = np.array([((x >> 64) | 1) & mask for x in xs], dtype=np.uint64)
+    i = np.arange(k_hashes, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def incremental_dedup_bloom(sf_dir: str, n_buckets: int = 64,
+                            bits_per_key: int = 16,
+                            k_hashes: int = 8) -> rd.Dataset:
+    """incremental_dedup's SCALE PATH: a Bloom filter over the prior
+    snapshot's content hashes is broadcast once (``ray.put``), and the
+    new batch streams against it — a doc missing any of its k bits is
+    PROVABLY novel and is admitted with ZERO shuffle. Only the
+    Bloom-positive sliver (true dups + ~0.01% false positives at 16
+    bits/key) enters the exact co-partitioned anti-join, with the prior
+    side pruned to the buckets that actually contain a positive. Bloom
+    filters have no false negatives and every positive is exactly
+    verified, so the output is IDENTICAL to incremental_dedup — it shares
+    that oracle; equality is additionally asserted in pytest, including
+    under a deliberately undersized filter that forces false positives.
+
+    Scale notes: in production the prior-side filter is a persisted index
+    built once per snapshot and OR-merged per partition (partials here
+    are OR-reduced on the driver — m/8 bytes per input block, bounded);
+    at 100 TB the filter shards by the same hash bucket so each task
+    reads only its slice. The prior side is scanned once to build and
+    once (bucket-pruned) to verify — the amortized-index trade."""
+    def _is_prior(sources) -> list[bool]:
+        return [int(s[3:]) % 2 == 0 for s in sources]
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    n_total = docs.count()  # parquet metadata, no scan
+    m = 1 << max(10, int(np.ceil(np.log2(max(bits_per_key * n_total, 2)))))
+
+    def partial_bloom(batch: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(m >> 3, dtype=np.uint8)
+        texts = batch.loc[_is_prior(batch["source"]), "text"]
+        if len(texts):
+            pos = _bloom_positions(list(texts), m, k_hashes).ravel()
+            np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                             (np.uint8(1) << (pos & np.uint64(7))
+                              .astype(np.uint8)))
+        return pd.DataFrame({"bloom": [bm.tobytes()]})
+
+    parts = docs.map_batches(partial_bloom, batch_format="pandas",
+                             batch_size=1024).to_pandas()
+    bloom = np.zeros(m >> 3, dtype=np.uint8)
+    for b in parts["bloom"]:
+        np.bitwise_or(bloom, np.frombuffer(b, dtype=np.uint8), out=bloom)
+    bloom_ref = ray.put(bloom)
+
+    from ..functions.hashing import md5_hex
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bloom_ref)  # zero-copy from the object store
+        new = batch[~np.asarray(_is_prior(batch["source"]))]
+        if new.empty:
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "h": pd.array([], dtype="object"),
+                                 "positive": pd.array([], dtype="bool")})
+        pos = _bloom_positions(list(new["text"]), m, k_hashes)
+        bits = (bm[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        return pd.DataFrame({
+            "doc_id": new["doc_id"].values,
+            "h": [md5_hex(t) for t in new["text"]],
+            "positive": bits.all(axis=1)})
+
+    probed = docs.map_batches(probe, batch_format="pandas").materialize()
+    admitted_fast = probed.filter(
+        expr="positive == False").select_columns(["doc_id"])
+
+    # the positive sliver: exact anti-join, prior side bucket-pruned
+    positives = probed.filter(expr="positive == True").to_pandas()
+    if positives.empty:
+        return admitted_fast
+    positives["bucket"] = pd.array(
+        [hash64(x) & (n_buckets - 1) for x in positives["h"]], dtype="int64")
+    hot_buckets = frozenset(positives["bucket"])
+
+    def tag_prior(batch: pd.DataFrame) -> pd.DataFrame:
+        prior = batch[np.asarray(_is_prior(batch["source"]))]
+        h = [md5_hex(t) for t in prior["text"]]
+        out = pd.DataFrame({
+            "bucket": pd.array([hash64(x) & (n_buckets - 1) for x in h],
+                               dtype="int64"),
+            "h": h,
+            "prior": pd.array([True] * len(h), dtype="bool"),
+            "doc_id": prior["doc_id"].values})
+        return out[out["bucket"].isin(hot_buckets)]
+
+    pos_ds = rd.from_pandas(positives.assign(
+        prior=pd.array([False] * len(positives), dtype="bool"))[
+        ["bucket", "h", "prior", "doc_id"]])
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        prior_set = set(g.loc[g["prior"], "h"])
+        new = g[~g["prior"]]
+        keep = new[~new["h"].isin(prior_set)]
+        return keep[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+    verified = (docs.map_batches(tag_prior, batch_format="pandas")
+                .union(pos_ds)
+                .repartition(max(1, n_buckets // 4))
+                .groupby("bucket").map_groups(anti, batch_format="pandas"))
+    return admitted_fast.union(verified)

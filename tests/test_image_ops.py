@@ -121,3 +121,21 @@ def test_incremental_dedup_anti_join(ray_session):
     want = set(new.loc[~new["text"].isin(set(prior["text"])), "doc_id"])
     assert got == want
     assert 0 < len(got) <= len(new)
+
+
+def test_incremental_dedup_bloom_equals_exact(ray_session):
+    """The Bloom scale path must be output-identical to the exact
+    anti-join — both at a production filter size and at a deliberately
+    undersized filter (1 bit/key, k=2) whose false positives exercise
+    the exact-verification sliver."""
+    from ragflow_core16_ray.pipelines.dedup import (incremental_dedup,
+                                                    incremental_dedup_bloom)
+
+    sf = "/root/testdata/sf0.001"
+    want = sorted(incremental_dedup(sf).to_pandas()["doc_id"])
+    got = sorted(incremental_dedup_bloom(sf).to_pandas()["doc_id"])
+    assert got == want
+
+    tiny = sorted(incremental_dedup_bloom(
+        sf, bits_per_key=1, k_hashes=2).to_pandas()["doc_id"])
+    assert tiny == want
