@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
+        "near_dup_removal_scalable":
+            lambda sf: dedup.near_dup_removal_scalable(sf),
         "incremental_dedup": lambda sf: dedup.incremental_dedup(sf),
         "incremental_dedup_bloom":
             lambda sf: dedup.incremental_dedup_bloom(sf),
@@ -1390,4 +1392,9 @@ def oracle_sql() -> dict[str, str]:
     # negatives, so the scale path's output is identical to the exact
     # anti-join and shares its oracle.
     out["incremental_dedup_bloom"] = out["incremental_dedup"]
+    # LSH candidates are exactly verified (≈1e-4 miss at the banding
+    # used) and the distributed CC emits the same min-label components,
+    # so the all-scale-shape composition shares the exact variant's
+    # oracle.
+    out["near_dup_removal_scalable"] = out["near_dup_removal"]
     return out

@@ -1174,3 +1174,41 @@ def incremental_dedup_bloom(sf_dir: str, n_buckets: int = 64,
                 .repartition(max(1, n_buckets // 4))
                 .groupby("bucket").map_groups(anti, batch_format="pandas"))
     return admitted_fast.union(verified)
+
+
+def near_dup_removal_scalable(sf_dir: str, k: int = 3,
+                              threshold: float = 0.5,
+                              n_buckets: int = 64) -> rd.Dataset:
+    """The end-to-end 100-TB near-dedup recipe with EVERY stage in its
+    scale shape — the composition a production run would use:
+
+      1. sub-quadratic MinHash-LSH candidates + distributed exact
+         Jaccard verification (minhash_verified_pairs: narrow 32×2
+         bands, miss probability ≈1e-4 at the threshold);
+      2. fully distributed connected components over the verified pair
+         graph (min-label propagation — no driver union-find);
+      3. drop-set broadcast via ``ray.put`` (proportional to duplicates
+         found, not corpus size) and one streaming pyarrow filter.
+
+    Versus near_dup_removal this swaps the exact all-shingle pair scan
+    for LSH+verify and the driver union-find for distributed CC. Pairs
+    are exactly verified, so with the banding recall above the output
+    matches the exact variant — it shares that oracle (hash-strict at
+    both driver scales); pytest additionally asserts equality with
+    near_dup_removal."""
+    import pyarrow as pa
+
+    pairs = minhash_verified_pairs(sf_dir, k, threshold)
+    clusters = _cc_label_propagation(pairs)
+    drop = frozenset(d for d, c in zip(clusters["doc_id"],
+                                       clusters["cluster_id"]) if d != c)
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropset = ray.get(drop_ref)
+        mask = pa.array([d not in dropset
+                         for d in batch["doc_id"].to_pylist()])
+        return batch.filter(mask).select(["doc_id"])
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(keep,
+                                                 batch_format="pyarrow")

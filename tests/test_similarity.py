@@ -665,3 +665,15 @@ def test_jaccard_clusters_dist_equals_union_find(ray_session):
     a = jaccard_clusters(SF).reset_index(drop=True)
     b = jaccard_clusters_dist(SF).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_near_dup_removal_scalable_equals_exact(ray_session):
+    """The all-scale-shape composition (LSH+verify pairs, distributed
+    CC, broadcast drop-set) must keep exactly the docs the exact
+    variant keeps."""
+    from ragflow_core16_ray.pipelines.dedup import (near_dup_removal,
+                                                    near_dup_removal_scalable)
+
+    want = sorted(near_dup_removal(SF).to_pandas()["doc_id"])
+    got = sorted(near_dup_removal_scalable(SF).to_pandas()["doc_id"])
+    assert got == want
