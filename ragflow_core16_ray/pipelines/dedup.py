@@ -1025,6 +1025,7 @@ def _cc_label_propagation(pairs: pd.DataFrame, n_buckets: int = 16,
         out["label"] = out["label"].astype("int64")
         return out
 
+    n_changed = -1
     for _ in range(max_iters):
         ldf = labels.copy()
         ldf["bucket"] = (ldf["u"] % n_buckets).astype("int32")
@@ -1042,6 +1043,12 @@ def _cc_label_propagation(pairs: pd.DataFrame, n_buckets: int = 16,
         labels = stage2[["u", "label"]]
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # propagation needs O(component diameter) rounds; wrong labels
+        # must never be returned silently
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            f"({n_changed} labels still changing); raise max_iters")
 
     out = labels.rename(columns={"u": "doc_id", "label": "cluster_id"})
     return (out.sort_values("doc_id").reset_index(drop=True)

@@ -677,3 +677,17 @@ def test_near_dup_removal_scalable_equals_exact(ray_session):
     want = sorted(near_dup_removal(SF).to_pandas()["doc_id"])
     got = sorted(near_dup_removal_scalable(SF).to_pandas()["doc_id"])
     assert got == want
+
+
+def test_label_propagation_nonconvergence_raises(ray_session):
+    """A chain longer than max_iters rounds must raise, never return
+    wrong labels silently."""
+    import pandas as pd
+    import pytest
+
+    from ragflow_core16_ray.pipelines.dedup import _cc_label_propagation
+
+    chain = pd.DataFrame({"id_a": list(range(9, 0, -1)),
+                          "id_b": list(range(8, -1, -1))})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc_label_propagation(chain, n_buckets=2, max_iters=2)
