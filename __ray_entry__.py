@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab": text_analysis.source_vocab,
         "pii_scrub": text_analysis.pii_scrub,
         "source_mix_weights": lambda sf: text_analysis.source_mix_weights(sf),
+        "source_mix_sample": lambda sf: text_analysis.source_mix_sample(sf),
         "gopher_filter": text_analysis.gopher_filter,
         "script_stats": text_analysis.script_stats,
         "length_quantiles": lambda sf: text_analysis.length_quantiles(sf),
@@ -1397,4 +1398,28 @@ def oracle_sql() -> dict[str, str]:
     # so the all-scale-shape composition shares the exact variant's
     # oracle.
     out["near_dup_removal_scalable"] = out["near_dup_removal"]
+    # keep-cutoff is pure integer math over the (already hash-strict)
+    # quantized weights; the md5-prefix draw mirrors stratified_sample's
+    out["source_mix_sample"] = r"""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), s AS (
+          SELECT SUM(pow(n_docs, 0.3)) AS tot, SUM(n_docs) AS n_tot FROM c
+        ), w AS (
+          SELECT c.source, c.n_docs,
+                 CAST(floor(pow(c.n_docs, 0.3) / s.tot * 1000000 + 0.5)
+                     AS BIGINT) AS weight_q,
+                 s.n_tot
+          FROM c, s
+        ), cut AS (
+          SELECT source,
+                 (CAST(weight_q AS HUGEINT) * (n_tot * 1 // 2)
+                  * 4294967296) // (1000000 * n_docs) AS cutoff
+          FROM w
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN cut USING (source)
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) < cutoff
+    """
     return out

@@ -1117,3 +1117,41 @@ def top_words_cms(sf_dir: str, k: int = 20, width: int = 2048,
     out = (cand.sort_values(["est_cnt", "word"], ascending=[False, True])
            .head(k).reset_index(drop=True))
     return out[["word", "est_cnt"]]
+
+
+def source_mix_sample(sf_dir: str, alpha: float = 0.3,
+                      scale: int = 1_000_000,
+                      budget_num: int = 1,
+                      budget_den: int = 2) -> rd.Dataset:
+    """OPERATIONALIZE the temperature mix: draw the epoch sample whose
+    source composition follows source_mix_weights (w_s ∝ n_s**alpha),
+    sized to an epoch budget B = n_tot·budget_num//budget_den docs.
+    Per-source keep probability p_s = w_s·B / n_s (expected picks per
+    source ∝ w_s; a source whose p_s ≥ 1 is kept whole — the up-sampling
+    repetition factor is a caller concern). The draw is the repo's
+    deterministic-hash design: keep iff the first 8 md5 hex chars of
+    doc_id, as an integer, fall under an INTEGER cutoff
+    floor(weight_q·B·16⁸ / (scale·n_s)) — no RNG state, any partitioning
+    and any rerun draws the same sample, and the pure integer cutoff
+    makes the DuckDB oracle hash-strict.
+
+    Shape: the per-source weight table is tiny (one row per source) and
+    rides into the filter as a broadcast dict; the corpus streams through
+    one map_batches — no shuffle. Output: (doc_id, source) kept docs."""
+    from ..functions.hashing import md5_hex
+
+    w = source_mix_weights(sf_dir, alpha, scale)
+    n_tot = int(w["n_docs"].sum())
+    budget = n_tot * budget_num // budget_den
+    cutoff = {s: (int(wq) * budget * 16**8) // (scale * int(n))
+              for s, n, wq in zip(w["source"], w["n_docs"], w["weight_q"])}
+    cut_ref = ray.put(cutoff)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        cut = ray.get(cut_ref)
+        mask = [int(md5_hex(str(d))[:8], 16) < cut[s]
+                for d, s in zip(batch["doc_id"], batch["source"])]
+        return batch[mask].reset_index(drop=True)
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        keep, batch_format="pandas")

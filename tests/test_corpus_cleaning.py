@@ -399,3 +399,44 @@ def test_run_clean_end_to_end_and_resume(ray_session, tmp_path):
     assert m2["n_out"] == m["n_out"]
     for s, t in t_stats.items():
         assert (tmp_path / "out" / f"_{s}.json").stat().st_mtime == t
+
+
+def test_source_mix_sample_matches_local_replica(ray_session):
+    """The deterministic epoch draw equals a local pandas replica of the
+    integer cutoff rule, and the per-source sample composition tracks
+    the temperature weights (expected picks per source = weight_q/1e6 of
+    the sample, modulo hash noise)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.functions.hashing import md5_hex
+    from ragflow_core16_ray.pipelines.text_analysis import (
+        source_mix_sample, source_mix_weights)
+
+    sf = "/root/testdata/sf0.001"
+    got = (source_mix_sample(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    w = source_mix_weights(sf)
+    n_tot = int(w["n_docs"].sum())
+    budget = n_tot * 1 // 2
+    cutoff = {s: (int(wq) * budget * 16**8) // (1_000_000 * int(n))
+              for s, n, wq in zip(w["source"], w["n_docs"], w["weight_q"])}
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    keep = [int(md5_hex(str(d))[:8], 16) < cutoff[s]
+            for d, s in zip(docs["doc_id"], docs["source"])]
+    want = docs[keep].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # composition tracks the weights: every source is represented and a
+    # heavier-weighted source never yields fewer picks than a 3x-lighter one
+    picks = got["source"].value_counts()
+    wq = w.set_index("source")["weight_q"]
+    assert set(picks.index) == set(wq.index)
+    # the half-corpus budget makes this a strict, weight-shaped subset
+    assert 0 < len(got) < n_tot
+    for a in wq.index:
+        for b in wq.index:
+            if wq[a] >= 3 * wq[b]:
+                assert picks[a] > picks[b]
