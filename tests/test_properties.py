@@ -274,3 +274,38 @@ def test_pii_counts_match_duckdb(text):
         "SELECT len(regexp_extract_all(?, ?))",
         [t1, _PII_IPV4]).fetchone()
     assert n_ip_sql == len(_PII_IPV4_RE.findall(t1))
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=60),
+       st.integers(1, 8))
+@settings(max_examples=25, deadline=None)
+def test_label_propagation_equals_union_find_property(ray_session,
+                                                      edges, n_buckets):
+    """Distributed min-label CC == a local union-find on arbitrary
+    graphs (self-loops, duplicate edges, any bucketing)."""
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.dedup import _cc_label_propagation
+
+    pairs = pd.DataFrame({"id_a": [a for a, _ in edges],
+                          "id_b": [b for _, b in edges]})
+    got = _cc_label_propagation(pairs, n_buckets=n_buckets)
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    want = sorted((n, find(n)) for n in parent)
+    assert list(zip(got["doc_id"], got["cluster_id"])) == want
