@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": text_analysis.pii_scrub,
         "source_mix_weights": lambda sf: text_analysis.source_mix_weights(sf),
         "source_mix_sample": lambda sf: text_analysis.source_mix_sample(sf),
+        "source_mix_epochs": lambda sf: text_analysis.source_mix_epochs(sf),
         "gopher_filter": text_analysis.gopher_filter,
         "script_stats": text_analysis.script_stats,
         "length_quantiles": lambda sf: text_analysis.length_quantiles(sf),
@@ -1421,5 +1422,34 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN cut USING (source)
         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) < cutoff
+    """
+    # repetition plan: same integer rule with a 2x budget; whole repeats
+    # = q div 16^8, fractional repeat drawn against q mod 16^8
+    out["source_mix_epochs"] = r"""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), s AS (
+          SELECT SUM(pow(n_docs, 0.3)) AS tot, SUM(n_docs) AS n_tot FROM c
+        ), w AS (
+          SELECT c.source, c.n_docs,
+                 CAST(floor(pow(c.n_docs, 0.3) / s.tot * 1000000 + 0.5)
+                     AS BIGINT) AS weight_q,
+                 s.n_tot
+          FROM c, s
+        ), q AS (
+          SELECT source,
+                 (CAST(weight_q AS HUGEINT) * (n_tot * 2 // 1)
+                  * 4294967296) // (1000000 * n_docs) AS qv
+          FROM w
+        ), plan AS (
+          SELECT d.doc_id, d.source,
+                 CAST(qv // 4294967296 +
+                      CASE WHEN CAST(('0x' ||
+                               substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) < qv % 4294967296
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+          FROM documents d JOIN q USING (source)
+        )
+        SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
     """
     return out

@@ -1155,3 +1155,42 @@ def source_mix_sample(sf_dir: str, alpha: float = 0.3,
 
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(
         keep, batch_format="pandas")
+
+
+def source_mix_epochs(sf_dir: str, alpha: float = 0.3,
+                      scale: int = 1_000_000,
+                      budget_num: int = 2,
+                      budget_den: int = 1) -> rd.Dataset:
+    """The UP-SAMPLING half of temperature mixing: per-doc repetition
+    plan (doc_id, source, n_repeats) for an epoch of B =
+    n_tot·budget_num//budget_den slots, expected repeats per doc
+    p_s = w_s·B/n_s. Fractional parts draw by the same deterministic
+    md5-prefix rule as source_mix_sample: with q = weight_q·B·16⁸ /
+    (scale·n_s), n_repeats = ⌊q/16⁸⌋ plus one iff the doc's 8-hex md5
+    integer falls under q mod 16⁸ — so a low-resource source repeats
+    ~p_s times while a dominant one keeps a p_s<1 subset, and E[total
+    rows] = B exactly. Docs drawn zero times are omitted (they sit out
+    this epoch). Pure integer math both sides ⇒ hash-strict oracle;
+    same no-shuffle broadcast-table shape as source_mix_sample."""
+    from ..functions.hashing import md5_hex
+
+    w = source_mix_weights(sf_dir, alpha, scale)
+    n_tot = int(w["n_docs"].sum())
+    budget = n_tot * budget_num // budget_den
+    q = {s: (int(wq) * budget * 16**8) // (scale * int(n))
+         for s, n, wq in zip(w["source"], w["n_docs"], w["weight_q"])}
+    q_ref = ray.put(q)
+
+    def plan(batch: pd.DataFrame) -> pd.DataFrame:
+        qq = ray.get(q_ref)
+        reps = []
+        for d, s in zip(batch["doc_id"], batch["source"]):
+            base, frac = divmod(qq[s], 16**8)
+            reps.append(base + (int(md5_hex(str(d))[:8], 16) < frac))
+        out = pd.DataFrame({"doc_id": batch["doc_id"].values,
+                            "source": batch["source"].values,
+                            "n_repeats": pd.array(reps, dtype="int64")})
+        return out[out["n_repeats"] > 0].reset_index(drop=True)
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        plan, batch_format="pandas")

@@ -440,3 +440,50 @@ def test_source_mix_sample_matches_local_replica(ray_session):
         for b in wq.index:
             if wq[a] >= 3 * wq[b]:
                 assert picks[a] > picks[b]
+
+
+def test_source_mix_epochs_expected_budget(ray_session):
+    """The repetition plan's expected row total equals the epoch budget
+    (E[sum n_repeats] = B) and matches a local replica of the integer
+    rule exactly."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.functions.hashing import md5_hex
+    from ragflow_core16_ray.pipelines.text_analysis import (
+        source_mix_epochs, source_mix_weights)
+
+    sf = "/root/testdata/sf0.001"
+    got = (source_mix_epochs(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    w = source_mix_weights(sf)
+    n_tot = int(w["n_docs"].sum())
+    budget = n_tot * 2
+    q = {s: (int(wq) * budget * 16**8) // (1_000_000 * int(n))
+         for s, n, wq in zip(w["source"], w["n_docs"], w["weight_q"])}
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    reps = [q[s] // 16**8 + (int(md5_hex(str(d))[:8], 16) < q[s] % 16**8)
+            for d, s in zip(docs["doc_id"], docs["source"])]
+    docs["n_repeats"] = pd.array(reps, dtype="int64")
+    want = (docs[docs["n_repeats"] > 0]
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # hash-draw noise is small at 500 docs: total within 15% of budget
+    total = int(got["n_repeats"].sum())
+    assert abs(total - budget) <= 0.15 * budget
+
+
+def test_source_mix_epochs_skewed_updown(ray_session, tmp_path):
+    """On a skewed mix the plan must UP-sample the light sources (more
+    expected repeats per doc) relative to the heavy one."""
+    from ragflow_core16_ray.pipelines.text_analysis import source_mix_epochs
+
+    sf = _write_corpus(tmp_path, ["doc %d" % i for i in range(24)],
+                       sources=["src0"] * 18 + ["src1"] * 4 + ["src2"] * 2)
+    got = source_mix_epochs(sf).to_pandas()
+    mean = got.groupby("source")["n_repeats"].sum().div(
+        pd.Series({"src0": 18, "src1": 4, "src2": 2}))
+    assert mean["src2"] > mean["src1"] > mean["src0"]
