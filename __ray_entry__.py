@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": text_analysis.gopher_filter,
         "script_stats": text_analysis.script_stats,
         "length_quantiles": lambda sf: text_analysis.length_quantiles(sf),
+        "lang_length_quantiles":
+            lambda sf: text_analysis.lang_length_quantiles(sf),
         "train_bpe": lambda sf: text_analysis.train_bpe(sf),
         "top_words_cms": lambda sf: text_analysis.top_words_cms(sf),
         "bpe_token_counts": lambda sf: text_analysis.bpe_token_counts(sf),
@@ -1451,5 +1453,27 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN q USING (source)
         )
         SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
+    """
+    # grouped lower-rule quantiles: same ceil rule as length_quantiles,
+    # windowed cumsum partitioned by lang
+    out["lang_length_quantiles"] = r"""
+        WITH h AS (
+          SELECT lang, n_chars AS v, COUNT(*) AS c
+          FROM documents GROUP BY lang, n_chars
+        ), cum AS (
+          SELECT lang, v,
+                 SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cc
+          FROM h
+        ), t AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), qs AS (
+          SELECT unnest([25, 50, 75, 90, 99]) AS q
+        )
+        SELECT t.lang, CAST(qs.q AS BIGINT) AS q,
+               CAST((SELECT MIN(v) FROM cum
+                     WHERE cum.lang = t.lang
+                       AND cc >= CEIL(qs.q * t.n / 100.0)) AS BIGINT)
+                   AS value
+        FROM t, qs
     """
     return out

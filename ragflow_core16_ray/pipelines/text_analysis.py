@@ -1194,3 +1194,43 @@ def source_mix_epochs(sf_dir: str, alpha: float = 0.3,
 
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(
         plan, batch_format="pandas")
+
+
+def lang_length_quantiles(sf_dir: str,
+                          qs: tuple = (25, 50, 75, 90, 99)) -> pd.DataFrame:
+    """length_quantiles PER LANGUAGE — the grouped form of the
+    histogram-as-sufficient-statistic trick: per-batch (lang, n_chars,
+    count) partials through the combiner tree, then the lower-rule
+    quantile scan (smallest value whose cumulative count reaches
+    ⌈q·N_lang/100⌉) per language on the tiny merged histogram. The
+    shuffle moves histogram rows (≤ languages × distinct lengths per
+    block), never documents — what a per-stratum length audit costs at
+    100 TB. Hash-strict: int64 in, int64 out, same ceil rule as the
+    windowed-cumsum oracle."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.groupby(["lang", "n_chars"], sort=False)
+             .size().reset_index(name="n"))
+        return pd.DataFrame({"lang": g["lang"],
+                             "v": g["n_chars"].astype("int64"),
+                             "n": g["n"].astype("int64")})
+
+    hist = combine_partials(
+        _docs(sf_dir, ["lang", "n_chars"]).map_batches(
+            partial, batch_format="pandas"),
+        ["lang", "v"], {"n": "sum"}).to_pandas()
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("v")
+        cum = g["n"].astype("int64").cumsum().to_numpy()
+        total = int(cum[-1])
+        vs = g["v"].to_numpy()
+        for q in qs:
+            need = -(-q * total // 100)  # ceil in int math
+            rows.append({"lang": lang, "q": q,
+                         "value": int(vs[(cum >= need).argmax()])})
+    out = pd.DataFrame(rows).sort_values(["lang", "q"]).reset_index(drop=True)
+    out["q"] = out["q"].astype("int64")
+    out["value"] = out["value"].astype("int64")
+    return out

@@ -487,3 +487,21 @@ def test_source_mix_epochs_skewed_updown(ray_session, tmp_path):
     mean = got.groupby("source")["n_repeats"].sum().div(
         pd.Series({"src0": 18, "src1": 4, "src2": 2}))
     assert mean["src2"] > mean["src1"] > mean["src0"]
+
+
+def test_lang_length_quantiles_matches_local(ray_session):
+    """Grouped lower-rule quantiles from the distributed histogram must
+    equal a direct local computation per language."""
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.text_analysis import (
+        lang_length_quantiles)
+
+    got = lang_length_quantiles(SF)
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["lang", "n_chars"]).to_pandas()
+    for _, row in got.iterrows():
+        vals = sorted(docs.loc[docs["lang"] == row["lang"], "n_chars"])
+        need = -(-int(row["q"]) * len(vals) // 100)
+        assert row["value"] == vals[need - 1]
+    assert set(got["lang"]) == set(docs["lang"])
