@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": lambda sf: relational.top_customers(sf),
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
+        "funnel_stages": lambda sf: relational.funnel_stages(sf),
         "events_asof_orders": relational.events_asof_orders,
         "events_window_orders": lambda sf: relational.events_window_orders(sf),
         "event_props_stats": relational.event_props_stats,
@@ -1453,6 +1454,36 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN q USING (source)
         )
         SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
+    """
+    # ordered first-reach funnel: stage k+1 counts at/after stage k's
+    # first-reach; -1 sentinels keep the output pure int64 (epoch micros)
+    out["funnel_stages"] = r"""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST(epoch_us(ts) AS BIGINT) AS t
+          FROM events
+        ), s1 AS (
+          SELECT user_id, MIN(t) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND t >= t1 GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND t >= t2 GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS n_reached,
+               COALESCE(t1, -1) AS t_view,
+               COALESCE(t2, -1) AS t_click,
+               COALESCE(t3, -1) AS t_purchase
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
     """
     # grouped lower-rule quantiles: same ceil rule as length_quantiles,
     # windowed cumsum partitioned by lang

@@ -343,3 +343,55 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30,
             .map_batches(add_bucket, batch_format="pandas")
             .repartition(max(1, n_buckets // 4))
             .groupby("bucket").map_groups(sessions, batch_format="pandas"))
+
+
+def funnel_stages(sf_dir: str,
+                  stages: tuple = ("view", "click", "purchase"),
+                  n_buckets: int = 64) -> rd.Dataset:
+    """Behavioral funnel over the event stream: per user, the FIRST time
+    each stage is reached in order (stage k+1 counts only at/after the
+    user's stage-k first-reach time) plus the depth reached. The product
+    -analytics query every event pipeline grows; all users appear, with
+    -1 sentinel times for unreached stages so the output is pure int64
+    and the DuckDB oracle (chained min-after joins) hashes strictly.
+
+    Shape: same coarse user-bucket co-partition as events_sessions — one
+    shuffle, then each bucket resolves ALL its users with vectorized
+    pandas passes (per-stage filter → clip to the previous stage's reach
+    time → groupby-min); nothing per-user in Python, nothing
+    driver-side."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "bucket": (batch["user_id"] % np.int64(n_buckets)),
+            "user_id": batch["user_id"].values,
+            "event_type": batch["event_type"].values,
+            "t": batch["ts"].astype("int64").values})  # epoch micros
+        return out
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(g["user_id"].unique()).sort_values()
+        reach = []  # per-stage Series of first-reach times (index: user)
+        prev = None
+        for st in stages:
+            ev = g[g["event_type"] == st]
+            if prev is not None:
+                lim = prev.reindex(ev["user_id"])
+                ev = ev[(lim.notna().values
+                         & (ev["t"].values >= lim.fillna(0).values))]
+            cur = ev.groupby("user_id")["t"].min()
+            reach.append(cur)
+            prev = cur
+        out = pd.DataFrame({"user_id": users.astype("int64")})
+        n_reached = np.zeros(len(users), dtype="int64")
+        for st, cur in zip(stages, reach):
+            col = cur.reindex(users)
+            n_reached += col.notna().to_numpy()
+            out[f"t_{st}"] = col.fillna(-1).astype("int64").to_numpy()
+        out.insert(1, "n_reached", n_reached)
+        return out
+
+    return (_t(sf_dir, "events", ["user_id", "ts", "event_type"])
+            .map_batches(add_bucket, batch_format="pandas")
+            .repartition(max(1, n_buckets // 4))
+            .groupby("bucket").map_groups(funnel, batch_format="pandas"))

@@ -98,3 +98,50 @@ def test_minhash_verified_matches_exact(ray_session):
     fast = minhash_verified_pairs(SF)
     assert list(zip(fast["id_a"], fast["id_b"])) == \
         list(zip(exact["id_a"], exact["id_b"]))
+
+
+def test_funnel_stages_ordering_semantics(ray_session, tmp_path):
+    """First-reach funnel: a stage only counts at/after the previous
+    stage's first reach; unreached stages carry -1; users with no
+    funnel events still appear at depth 0."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import funnel_stages
+
+    base = pd.Timestamp("2026-01-01")
+    rows = [
+        # user 1: full funnel in order
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        # user 2: purchase BEFORE click → depth 2, purchase not counted
+        (2, "view", 0), (2, "purchase", 5), (2, "click", 10),
+        # user 3: click before any view → depth 1 (view only)
+        (3, "click", 0), (3, "view", 5),
+        # user 4: no funnel events at all → depth 0
+        (4, "error", 0),
+        # user 5: simultaneous view and click (>= rule counts it)
+        (5, "view", 0), (5, "click", 0),
+    ]
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(rows)), dtype="int64"),
+        "ts": [base + pd.Timedelta(seconds=s) for _, _, s in rows],
+        "user_id": pd.array([u for u, _, _ in rows], dtype="int64"),
+        "event_type": [e for _, e, _ in rows],
+        "value": [0.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = (funnel_stages(str(tmp_path)).to_pandas()
+           .set_index("user_id").sort_index())
+    assert got.loc[1, "n_reached"] == 3 and got.loc[1, "t_purchase"] > 0
+    assert got.loc[2, "n_reached"] == 2 and got.loc[2, "t_purchase"] == -1
+    assert got.loc[3, "n_reached"] == 1 and got.loc[3, "t_click"] == -1
+    assert got.loc[4, "n_reached"] == 0 and got.loc[4, "t_view"] == -1
+    assert got.loc[5, "n_reached"] == 2  # >= admits the simultaneous click
