@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
         "funnel_stages": lambda sf: relational.funnel_stages(sf),
+        "event_transitions": lambda sf: relational.event_transitions(sf),
         "events_asof_orders": relational.events_asof_orders,
         "events_window_orders": lambda sf: relational.events_window_orders(sf),
         "event_props_stats": relational.event_props_stats,
@@ -1454,6 +1455,20 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN q USING (source)
         )
         SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
+    """
+    # Markov bigram table: LAG over the same deterministic
+    # (ts, event_id) per-user order the pipeline sorts by
+    out["event_transitions"] = r"""
+        WITH o AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
     """
     # ordered first-reach funnel: stage k+1 counts at/after stage k's
     # first-reach; -1 sentinels keep the output pure int64 (epoch micros)

@@ -395,3 +395,48 @@ def funnel_stages(sf_dir: str,
             .map_batches(add_bucket, batch_format="pandas")
             .repartition(max(1, n_buckets // 4))
             .groupby("bucket").map_groups(funnel, batch_format="pandas"))
+
+
+def event_transitions(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Global event-type transition counts (the Markov bigram table of
+    the event stream): for each user's events ordered by (ts, event_id),
+    count every consecutive (prev_type, next_type) pair. Feeds
+    next-event models and anomaly baselines; the deterministic
+    (ts, event_id) order makes the count exact and rerun-stable even
+    under equal timestamps.
+
+    Shape: user-bucket co-partition (one shuffle); each bucket sorts
+    once and counts ALL its users' transitions vectorized (shift +
+    user-change mask + value_counts); tiny (prev, next, n) partials then
+    sum through the combiner tree. Output sorted by (prev_type,
+    next_type)."""
+    from ..stages.agg import combine_partials
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["user_id"] % np.int64(n_buckets)),
+            "user_id": batch["user_id"].values,
+            "event_id": batch["event_id"].values,
+            "event_type": batch["event_type"].values,
+            "ts": batch["ts"].values})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        prev = g["event_type"].shift()
+        vc = (pd.DataFrame({"prev_type": prev[same_user],
+                            "next_type": g["event_type"][same_user]})
+              .value_counts())
+        out = vc.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    df = combine_partials(
+        _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(pairs, batch_format="pandas"),
+        ["prev_type", "next_type"], {"n": "sum"}).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return (df.sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))

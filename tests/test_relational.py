@@ -145,3 +145,35 @@ def test_funnel_stages_ordering_semantics(ray_session, tmp_path):
     assert got.loc[3, "n_reached"] == 1 and got.loc[3, "t_click"] == -1
     assert got.loc[4, "n_reached"] == 0 and got.loc[4, "t_view"] == -1
     assert got.loc[5, "n_reached"] == 2  # >= admits the simultaneous click
+
+
+def test_event_transitions_counts(ray_session, tmp_path):
+    """Transition counts on a hand stream: per-user ordering, no pair
+    across users, equal-timestamp ties broken by event_id."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import event_transitions
+
+    base = pd.Timestamp("2026-01-01")
+    # user 1: a->b->a; user 2: b->b; the two equal-ts events of user 1
+    # order by event_id (ids 1 then 2: a before b)
+    rows = [(0, 1, "a", 0), (1, 1, "a", 5), (2, 1, "b", 5),
+            (3, 1, "a", 9), (4, 2, "b", 0), (5, 2, "b", 3)]
+    df = pd.DataFrame({
+        "event_id": pd.array([e for e, _, _, _ in rows], dtype="int64"),
+        "ts": pd.Series([base + pd.Timedelta(seconds=s)
+                         for _, _, _, s in rows]).astype("datetime64[us]"),
+        "user_id": pd.array([u for _, u, _, _ in rows], dtype="int64"),
+        "event_type": [t for _, _, t, _ in rows],
+        "value": [0.0] * len(rows), "props": ["{}"] * len(rows)})
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = event_transitions(str(tmp_path))
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        ("a", "a", 1), ("a", "b", 1), ("b", "a", 1), ("b", "b", 1)]
