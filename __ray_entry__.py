@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": relational.events_sessions,
         "funnel_stages": lambda sf: relational.funnel_stages(sf),
         "event_transitions": lambda sf: relational.event_transitions(sf),
+        "cohort_retention": lambda sf: relational.cohort_retention(sf),
         "events_asof_orders": relational.events_asof_orders,
         "events_window_orders": lambda sf: relational.events_window_orders(sf),
         "event_props_stats": relational.event_props_stats,
@@ -1455,6 +1456,24 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN q USING (source)
         )
         SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
+    """
+    # retention matrix: int64 epoch days via the same floor division
+    out["cohort_retention"] = r"""
+        WITH d AS (
+          SELECT user_id,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM events
+        ), f AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+        ), a AS (
+          SELECT DISTINCT d.user_id, f.cohort_day,
+                 d.day - f.cohort_day AS day_offset
+          FROM d JOIN f USING (user_id)
+        )
+        SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+               CAST(day_offset AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM a GROUP BY cohort_day, day_offset
     """
     # Markov bigram table: LAG over the same deterministic
     # (ts, event_id) per-user order the pipeline sorts by

@@ -440,3 +440,47 @@ def event_transitions(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     df["n"] = df["n"].astype("int64")
     return (df.sort_values(["prev_type", "next_type"])
             .reset_index(drop=True))
+
+
+def cohort_retention(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Cohort retention table: users cohort by the UTC day of their
+    first event; for every (cohort_day, day_offset) cell, the number of
+    distinct users active that many days after joining — the
+    product-analytics retention matrix.
+
+    Shape: the user-bucket co-partition makes distinct-user counting
+    EXACT with no second shuffle — each user's events land in one
+    bucket, so per-bucket (cohort, offset, n) partials are disjoint in
+    users and sum through the combiner tree. Days are int64 epoch days
+    (epoch micros // 86400e6), matching DuckDB's integer division for a
+    hash-strict oracle."""
+    from ..stages.agg import combine_partials
+
+    US_PER_DAY = 86_400_000_000
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["user_id"] % np.int64(n_buckets)),
+            "user_id": batch["user_id"].values,
+            "day": batch["ts"].astype("int64").values // US_PER_DAY})
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        ud = g[["user_id", "day"]].drop_duplicates()
+        first = ud.groupby("user_id")["day"].transform("min")
+        cell = (pd.DataFrame({"cohort_day": first.values,
+                              "day_offset": ud["day"].values - first.values})
+                .value_counts().reset_index(name="n"))
+        cell["n"] = cell["n"].astype("int64")
+        return cell
+
+    df = combine_partials(
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(cells, batch_format="pandas"),
+        ["cohort_day", "day_offset"], {"n": "sum"}).to_pandas()
+    df = df.rename(columns={"n": "n_users"})
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return (df.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))

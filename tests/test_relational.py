@@ -177,3 +177,41 @@ def test_event_transitions_counts(ray_session, tmp_path):
     got = event_transitions(str(tmp_path))
     assert [tuple(r) for r in got.itertuples(index=False)] == [
         ("a", "a", 1), ("a", "b", 1), ("b", "a", 1), ("b", "b", 1)]
+
+
+def test_cohort_retention_distinct_users(ray_session, tmp_path):
+    """Retention cells: day-distinct activity (two events same day count
+    once), cohorts split by first-event day, exact distinct-user counts
+    across buckets."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import cohort_retention
+
+    day = pd.Timedelta(days=1)
+    base = pd.Timestamp("2026-01-01")
+    # users 1,2 join day 0 (user 1 returns day 2 twice; user 2 never
+    # returns); user 3 joins day 1 and returns day 2
+    rows = [(1, base), (1, base + 2 * day), (1, base + 2 * day + pd.Timedelta(hours=3)),
+            (2, base), (3, base + day), (3, base + 2 * day)]
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(rows)), dtype="int64"),
+        "ts": pd.Series([t for _, t in rows]).astype("datetime64[us]"),
+        "user_id": pd.array([u for u, _ in rows], dtype="int64"),
+        "event_type": ["view"] * len(rows),
+        "value": [0.0] * len(rows), "props": ["{}"] * len(rows)})
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = cohort_retention(str(tmp_path))
+    d0 = int(base.value // 1000) // 86_400_000_000
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        (d0, 0, 2),      # users 1,2 on their join day
+        (d0, 2, 1),      # user 1 back two days later (once, not twice)
+        (d0 + 1, 0, 1),  # user 3's cohort
+        (d0 + 1, 1, 1),  # user 3 back next day
+    ]
