@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": lambda sf: relational.funnel_stages(sf),
         "event_transitions": lambda sf: relational.event_transitions(sf),
         "cohort_retention": lambda sf: relational.cohort_retention(sf),
+        "events_hopping": lambda sf: relational.events_hopping(sf),
         "events_asof_orders": relational.events_asof_orders,
         "events_window_orders": lambda sf: relational.events_window_orders(sf),
         "event_props_stats": relational.event_props_stats,
@@ -1456,6 +1457,21 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN q USING (source)
         )
         SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
+    """
+    # hopping windows: W=60min, H=15min ⇒ each event in exactly 4
+    # windows {H*(t//H - j)}, integer epoch seconds
+    out["events_hopping"] = r"""
+        WITH e AS (
+          SELECT epoch_us(ts) AS t, event_type FROM events
+        ), x AS (
+          SELECT ((t // 900000000 - j) * 900000000) // 1000000
+                     AS window_start,
+                 event_type
+          FROM e, LATERAL unnest(range(0, 4)) AS u(j)
+        )
+        SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM x GROUP BY window_start, event_type
     """
     # retention matrix: int64 epoch days via the same floor division
     out["cohort_retention"] = r"""

@@ -484,3 +484,42 @@ def cohort_retention(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
         df[c] = df[c].astype("int64")
     return (df.sort_values(["cohort_day", "day_offset"])
             .reset_index(drop=True))
+
+
+def events_hopping(sf_dir: str, window_min: int = 60,
+                   hop_min: int = 15) -> pd.DataFrame:
+    """HOPPING-window event counts (window size W, hop H, W = k·H):
+    every event lands in exactly W/H overlapping windows, so this is the
+    fan-out shape tumbling windows (events_hourly) never exercise —
+    explode each event to its window starts IN the batch UDF (numpy
+    broadcast, no shuffle growth beyond the k× partial rows), then sum
+    (window_start, event_type) partials through the combiner tree.
+    Window starts are integer epoch seconds; with W = k·H the window
+    set per event is exactly {H·(t//H − j) | j < k} with no edge
+    conditions, which the SQL oracle reproduces with unnest(range(k))."""
+    from ..stages.agg import combine_partials
+
+    if window_min % hop_min:
+        raise ValueError("window must be a multiple of the hop")
+    W = window_min * 60 * 1_000_000
+    H = hop_min * 60 * 1_000_000
+    k = W // H
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["ts"].astype("int64").to_numpy()
+        starts = (t[:, None] // H - np.arange(k)[None, :]) * H
+        cells = (pd.DataFrame({
+            "window_start": (starts // 1_000_000).ravel(),
+            "event_type": np.repeat(batch["event_type"].to_numpy(), k)})
+            .value_counts().reset_index(name="n"))
+        cells["n"] = cells["n"].astype("int64")
+        return cells
+
+    df = combine_partials(
+        _t(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pandas"),
+        ["window_start", "event_type"], {"n": "sum"}).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df["window_start"] = df["window_start"].astype("int64")
+    return (df.sort_values(["window_start", "event_type"])
+            .reset_index(drop=True))

@@ -215,3 +215,38 @@ def test_cohort_retention_distinct_users(ray_session, tmp_path):
         (d0 + 1, 0, 1),  # user 3's cohort
         (d0 + 1, 1, 1),  # user 3 back next day
     ]
+
+
+def test_events_hopping_window_membership(ray_session, tmp_path):
+    """Every event appears in exactly W/H windows and each window's
+    count equals the events inside [start, start+W)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import events_hopping
+
+    base = pd.Timestamp("2026-01-01")  # midnight: hop-aligned
+    # one event exactly on a hop boundary, one mid-hop, one an hour later
+    offs = [pd.Timedelta(0), pd.Timedelta(minutes=20),
+            pd.Timedelta(minutes=61)]
+    df = pd.DataFrame({
+        "event_id": pd.array(range(3), dtype="int64"),
+        "ts": pd.Series([base + o for o in offs]).astype("datetime64[us]"),
+        "user_id": pd.array([1, 1, 2], dtype="int64"),
+        "event_type": ["view"] * 3,
+        "value": [0.0] * 3, "props": ["{}"] * 3})
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = events_hopping(str(tmp_path))
+    assert int(got["n"].sum()) == 3 * 4  # each event in exactly 4 windows
+    # brute membership check
+    t_us = [int(ts.value // 1000) for ts in df["ts"]]
+    W, H = 3600 * 1_000_000, 900 * 1_000_000
+    for _, row in got.iterrows():
+        s = int(row["window_start"]) * 1_000_000
+        assert row["n"] == sum(1 for t in t_us if s <= t < s + W)
