@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": lambda sf: relational.event_transitions(sf),
         "cohort_retention": lambda sf: relational.cohort_retention(sf),
         "events_hopping": lambda sf: relational.events_hopping(sf),
+        "top_users_by_type": lambda sf: relational.top_users_by_type(sf),
         "events_asof_orders": relational.events_asof_orders,
         "events_window_orders": lambda sf: relational.events_window_orders(sf),
         "event_props_stats": relational.event_props_stats,
@@ -1457,6 +1458,19 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN q USING (source)
         )
         SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
+    """
+    # grouped top-k, ties to the smaller user_id
+    out["top_users_by_type"] = r"""
+        WITH c AS (
+          SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type, user_id
+        ), r AS (
+          SELECT event_type, user_id, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, user_id) AS rk
+          FROM c
+        )
+        SELECT event_type, user_id, n FROM r WHERE rk <= 5
     """
     # hopping windows: W=60min, H=15min ⇒ each event in exactly 4
     # windows {H*(t//H - j)}, integer epoch seconds

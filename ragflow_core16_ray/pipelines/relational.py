@@ -523,3 +523,32 @@ def events_hopping(sf_dir: str, window_min: int = 60,
     df["window_start"] = df["window_start"].astype("int64")
     return (df.sort_values(["window_start", "event_type"])
             .reset_index(drop=True))
+
+
+def top_users_by_type(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Grouped top-k: for every event_type, the k most active users by
+    event count (ties to the smaller user_id). The scale shape is
+    partial-count pushdown: per-batch (event_type, user_id, n) partials
+    — the shuffle moves count rows bounded by distinct (type, user)
+    pairs per batch, never events — then one combiner-tree sum and a
+    per-type head on the tiny merged table. The driver-side head is
+    k×types rows; the full ranked table never materializes anywhere."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = (batch[["event_type", "user_id"]]
+              .value_counts().reset_index(name="n"))
+        vc["n"] = vc["n"].astype("int64")
+        return vc
+
+    df = combine_partials(
+        _t(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pandas"),
+        ["event_type", "user_id"], {"n": "sum"}).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    out = (df.sort_values(["event_type", "n", "user_id"],
+                          ascending=[True, False, True], kind="stable")
+           .groupby("event_type", sort=True).head(k)
+           .reset_index(drop=True))
+    return out

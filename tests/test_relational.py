@@ -250,3 +250,33 @@ def test_events_hopping_window_membership(ray_session, tmp_path):
     for _, row in got.iterrows():
         s = int(row["window_start"]) * 1_000_000
         assert row["n"] == sum(1 for t in t_us if s <= t < s + W)
+
+
+def test_top_users_by_type_tiebreak(ray_session, tmp_path):
+    """Grouped top-k with a forced tie: equal counts rank by smaller
+    user_id; each type's list is independent."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import top_users_by_type
+
+    base = pd.Timestamp("2026-01-01")
+    # type a: user 3 twice, users 5 and 1 once each (tie -> 1 before 5)
+    # type b: user 9 once
+    rows = [("a", 3), ("a", 3), ("a", 5), ("a", 1), ("b", 9)]
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(rows)), dtype="int64"),
+        "ts": pd.Series([base] * len(rows)).astype("datetime64[us]"),
+        "user_id": pd.array([u for _, u in rows], dtype="int64"),
+        "event_type": [t for t, _ in rows],
+        "value": [0.0] * len(rows), "props": ["{}"] * len(rows)})
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = top_users_by_type(str(tmp_path), k=2)
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        ("a", 3, 2), ("a", 1, 1), ("b", 9, 1)]
