@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": lambda sf: relational.cohort_retention(sf),
         "events_hopping": lambda sf: relational.events_hopping(sf),
         "top_users_by_type": lambda sf: relational.top_users_by_type(sf),
+        "hourly_active_users":
+            lambda sf: relational.hourly_active_users(sf),
         "events_asof_orders": relational.events_asof_orders,
         "events_window_orders": lambda sf: relational.events_window_orders(sf),
         "event_props_stats": relational.event_props_stats,
@@ -1458,6 +1460,12 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN q USING (source)
         )
         SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
+    """
+    # exact COUNT(DISTINCT) per hour, int64 epoch hours
+    out["hourly_active_users"] = r"""
+        SELECT epoch_us(ts) // 3600000000 AS hour,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        FROM events GROUP BY hour
     """
     # grouped top-k, ties to the smaller user_id
     out["top_users_by_type"] = r"""

@@ -552,3 +552,42 @@ def top_users_by_type(sf_dir: str, k: int = 5) -> pd.DataFrame:
            .groupby("event_type", sort=True).head(k)
            .reset_index(drop=True))
     return out
+
+
+def hourly_active_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct users per hour — the canonical TWO-STAGE
+    COUNT(DISTINCT) shape: stage 1 dedups (hour, user) pairs with a
+    combiner-tree groupby (the shuffle carries distinct pairs, already
+    batch-deduped, never events); stage 2 re-partials the deduped pairs
+    to (hour, 1) counts and runs a second combiner pass — so neither
+    the raw events nor the full distinct-pair table ever lands on one
+    node or the driver. (Contrast cohort_retention, which sidesteps the
+    second stage via user-bucket disjointness; this is the general form
+    when the data is NOT already partitioned by the distinct key.)"""
+    from ..stages.agg import combine_partials
+
+    US_PER_HOUR = 3_600_000_000
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "hour": batch["ts"].astype("int64").values // US_PER_HOUR,
+            "user_id": batch["user_id"].values}).drop_duplicates()
+        out["one"] = pd.array([1] * len(out), dtype="int64")
+        return out
+
+    deduped = combine_partials(
+        _t(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pandas"),
+        ["hour", "user_id"], {"one": "min"}, mode="shuffle")
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("hour", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g[["hour", "n"]]
+
+    df = combine_partials(
+        deduped.map_batches(recount, batch_format="pandas"),
+        ["hour"], {"n": "sum"}).to_pandas()
+    df["hour"] = df["hour"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("hour").reset_index(drop=True)
