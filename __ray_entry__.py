@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_type": lambda sf: relational.top_users_by_type(sf),
         "hourly_active_users":
             lambda sf: relational.hourly_active_users(sf),
+        "shipping_priority": lambda sf: relational.shipping_priority(sf),
         "events_asof_orders": relational.events_asof_orders,
         "events_window_orders": lambda sf: relational.events_window_orders(sf),
         "event_props_stats": relational.event_props_stats,
@@ -1460,6 +1461,29 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN q USING (source)
         )
         SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
+    """
+    # Q3-shaped top-k: the same exact-integer money convention as
+    # pricing_summary; order date as int64 epoch days
+    out["shipping_priority"] = r"""
+        WITH c AS (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), o AS (
+          SELECT o_orderkey,
+                 epoch_us(o_orderdate) // 86400000000 AS o_day
+          FROM orders JOIN c ON o_custkey = c_custkey
+          WHERE o_orderdate < TIMESTAMP '1998-06-01'
+        ), r AS (
+          SELECT l_orderkey,
+                 SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                     AS revenue_u
+          FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+          GROUP BY l_orderkey
+        )
+        SELECT o.o_orderkey, CAST(o.o_day AS BIGINT) AS o_day,
+               CAST(r.revenue_u AS BIGINT) AS revenue_u
+        FROM o JOIN r ON o.o_orderkey = r.l_orderkey
+        ORDER BY revenue_u DESC, o_orderkey LIMIT 10
     """
     # exact COUNT(DISTINCT) per hour, int64 epoch hours
     out["hourly_active_users"] = r"""

@@ -591,3 +591,84 @@ def hourly_active_users(sf_dir: str) -> pd.DataFrame:
     df["hour"] = df["hour"].astype("int64")
     df["n"] = df["n"].astype("int64")
     return df.sort_values("hour").reset_index(drop=True)
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10,
+                      n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-k unshipped orders of one
+    market segment by outstanding discounted revenue. Three joins,
+    each in its scale shape: the SEGMENT customer set broadcasts
+    (dimension, ray.put once); LINEITEM pre-aggregates revenue per
+    orderkey inside each batch (the combiner move — the shuffle carries
+    (orderkey, revenue) partials, never line items); ORDERS filter rows
+    and revenue partials then co-partition by an orderkey bucket for
+    the fact-fact join, with each bucket emitting only its local top-k
+    — the driver merges ≤ k·buckets rows. Money is the repo's exact
+    integer convention (cents × (100 − discount_c), 10⁻⁴ dollars)."""
+    from ..stages.agg import combine_partials  # noqa: F401 (doc pointer)
+
+    cut_us = int(pd.Timestamp(cutoff).value // 1000)
+    US_PER_DAY = 86_400_000_000
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(frozenset(
+        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"]))
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        t = batch["o_orderdate"].astype("int64")
+        m = (t < cut_us) & batch["o_custkey"].isin(seg)
+        b = batch[m]
+        return pd.DataFrame({
+            "bucket": (b["o_orderkey"] % np.int64(n_buckets)),
+            "okey": b["o_orderkey"].astype("int64").values,
+            "o_day": (t[m] // US_PER_DAY).values,
+            "revenue_u": pd.array([0] * len(b), dtype="int64"),
+            "is_order": pd.array([True] * len(b), dtype="bool")})
+
+    def rev_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["l_shipdate"].astype("int64") > cut_us
+        b = batch[m]
+        price_c = np.rint(b["l_extendedprice"].values * 100).astype("int64")
+        disc_c = np.rint(b["l_discount"].values * 100).astype("int64")
+        g = (pd.DataFrame({"okey": b["l_orderkey"].values,
+                           "revenue_u": price_c * (100 - disc_c)})
+             .groupby("okey", sort=False).sum().reset_index())
+        return pd.DataFrame({
+            "bucket": (g["okey"] % n_buckets).astype("int64"),
+            "okey": g["okey"].astype("int64"),
+            "o_day": pd.array([0] * len(g), dtype="int64"),
+            "revenue_u": g["revenue_u"].astype("int64"),
+            "is_order": pd.array([False] * len(g), dtype="bool")})
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        rev = (g[~g["is_order"]].groupby("okey", sort=False)["revenue_u"]
+               .sum())
+        o = g[g["is_order"]]
+        out = pd.DataFrame({
+            "o_orderkey": o["okey"].values,
+            "o_day": o["o_day"].values,
+            "revenue_u": rev.reindex(o["okey"]).fillna(-1).values})
+        out = out[out["revenue_u"] >= 0]
+        out["revenue_u"] = out["revenue_u"].astype("int64")
+        return (out.sort_values(["revenue_u", "o_orderkey"],
+                                ascending=[False, True]).head(k))
+
+    orders = (_t(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(order_rows, batch_format="pandas"))
+    revs = (_t(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+            .map_batches(rev_partials, batch_format="pandas"))
+    merged = (orders.union(revs)
+              .repartition(max(1, n_buckets // 4))
+              .groupby("bucket").map_groups(local_topk,
+                                            batch_format="pandas")
+              ).to_pandas()
+    for c in merged.columns:
+        merged[c] = merged[c].astype("int64")
+    return (merged.sort_values(["revenue_u", "o_orderkey"],
+                               ascending=[False, True])
+            .head(k).reset_index(drop=True))
