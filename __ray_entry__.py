@@ -399,6 +399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users":
             lambda sf: relational.hourly_active_users(sf),
         "shipping_priority": lambda sf: relational.shipping_priority(sf),
+        "region_supplier_revenue":
+            lambda sf: relational.region_supplier_revenue(sf),
+        "promo_revenue": lambda sf: relational.promo_revenue(sf),
         "events_asof_orders": relational.events_asof_orders,
         "events_window_orders": lambda sf: relational.events_window_orders(sf),
         "event_props_stats": relational.event_props_stats,
@@ -1461,6 +1464,38 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d JOIN q USING (source)
         )
         SELECT doc_id, source, n_repeats FROM plan WHERE n_repeats > 0
+    """
+    # Q5-flavored supplier arm; distinct suppliers = rows of the
+    # per-supplier rollup
+    out["region_supplier_revenue"] = r"""
+        WITH per_sup AS (
+          SELECT l_suppkey,
+                 SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                     AS revenue_u
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT r.r_name,
+               CAST(SUM(p.revenue_u) AS BIGINT) AS revenue_u,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM per_sup p
+        JOIN supplier s ON s.s_suppkey = p.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name
+    """
+    # Q14-flavored promo share as two exact integer sums
+    out["promo_revenue"] = r"""
+        SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN rev ELSE 0 END) AS BIGINT)
+                   AS promo_revenue_u,
+               CAST(SUM(rev) AS BIGINT) AS total_revenue_u
+        FROM (
+          SELECT l_partkey,
+                 CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev
+          FROM lineitem
+        ) l JOIN part p ON p.p_partkey = l.l_partkey
     """
     # Q3-shaped top-k: the same exact-integer money convention as
     # pricing_summary; order date as int64 epoch days

@@ -672,3 +672,81 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     return (merged.sort_values(["revenue_u", "o_orderkey"],
                                ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def region_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue and active-supplier count per REGION (Q5-flavored over
+    the supplier arm): lineitem pre-aggregates discounted revenue per
+    suppkey inside each batch; the combiner tree merges the
+    supplier-sized partial table; the supplier→nation→region dimension
+    chain broadcasts once (``ray.put``) and resolves during the
+    partial pass. Distinct-supplier counts are exact because the final
+    rollup runs on the per-supplier table (one row per supplier),
+    which is dimension-sized by construction."""
+    from ..stages.agg import combine_partials
+
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    s2n = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    r2n = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    ref = ray.put((s2n, n2r, r2n))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.rint(batch["l_extendedprice"].values
+                          * 100).astype("int64")
+        disc_c = np.rint(batch["l_discount"].values * 100).astype("int64")
+        g = (pd.DataFrame({"s_suppkey": batch["l_suppkey"].values,
+                           "revenue_u": price_c * (100 - disc_c)})
+             .groupby("s_suppkey", sort=False).sum().reset_index())
+        return g
+
+    per_sup = combine_partials(
+        _t(sf_dir, "lineitem",
+           ["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas"),
+        ["s_suppkey"], {"revenue_u": "sum"}).to_pandas()
+    s2n, n2r, r2n = ray.get(ref)
+    per_sup["r_name"] = (per_sup["s_suppkey"].map(s2n).map(n2r).map(r2n))
+    out = (per_sup.groupby("r_name")
+           .agg(revenue_u=("revenue_u", "sum"),
+                n_suppliers=("s_suppkey", "size")).reset_index())
+    out["revenue_u"] = out["revenue_u"].astype("int64")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q14-flavored promo share: discounted revenue of PROMO-type parts
+    vs all parts, as two exact int64 sums (the float percentage is a
+    caller division — exact integers are what hash-compares). The part
+    type map broadcasts once; lineitem streams through a single partial
+    pass and the two-cell combiner."""
+    from ..stages.agg import combine_partials
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(frozenset(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"]))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        promo = ray.get(promo_ref)
+        price_c = np.rint(batch["l_extendedprice"].values
+                          * 100).astype("int64")
+        disc_c = np.rint(batch["l_discount"].values * 100).astype("int64")
+        rev = price_c * (100 - disc_c)
+        is_promo = batch["l_partkey"].isin(promo).to_numpy()
+        return pd.DataFrame({
+            "k": pd.array([0], dtype="int64"),
+            "promo_revenue_u": pd.array([int(rev[is_promo].sum())],
+                                        dtype="int64"),
+            "total_revenue_u": pd.array([int(rev.sum())], dtype="int64")})
+
+    df = combine_partials(
+        _t(sf_dir, "lineitem",
+           ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas"),
+        ["k"], {"promo_revenue_u": "sum",
+                "total_revenue_u": "sum"}).to_pandas()
+    return (df[["promo_revenue_u", "total_revenue_u"]]
+            .astype("int64").reset_index(drop=True))
