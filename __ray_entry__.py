@@ -398,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_type": lambda sf: relational.top_users_by_type(sf),
         "hourly_active_users":
             lambda sf: relational.hourly_active_users(sf),
+        "rolling_active_users":
+            lambda sf: relational.rolling_active_users(sf),
         "shipping_priority": lambda sf: relational.shipping_priority(sf),
         "region_supplier_revenue":
             lambda sf: relational.region_supplier_revenue(sf),
@@ -1519,6 +1521,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(r.revenue_u AS BIGINT) AS revenue_u
         FROM o JOIN r ON o.o_orderkey = r.l_orderkey
         ORDER BY revenue_u DESC, o_orderkey LIMIT 10
+    """
+    # sliding 24h DAU: hopping fan-out + COUNT(DISTINCT)
+    out["rolling_active_users"] = r"""
+        WITH x AS (
+          SELECT DISTINCT (epoch_us(ts) // 3600000000 - j) AS window_hour,
+                 user_id
+          FROM events, LATERAL unnest(range(0, 24)) AS u(j)
+        )
+        SELECT CAST(window_hour AS BIGINT) AS window_hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM x GROUP BY window_hour
     """
     # exact COUNT(DISTINCT) per hour, int64 epoch hours
     out["hourly_active_users"] = r"""

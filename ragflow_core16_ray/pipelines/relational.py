@@ -750,3 +750,49 @@ def promo_revenue(sf_dir: str) -> pd.DataFrame:
                 "total_revenue_u": "sum"}).to_pandas()
     return (df[["promo_revenue_u", "total_revenue_u"]]
             .astype("int64").reset_index(drop=True))
+
+
+def rolling_active_users(sf_dir: str, window_hours: int = 24,
+                         hop_hours: int = 1) -> pd.DataFrame:
+    """Exact SLIDING-window distinct users (24 h window hopping hourly —
+    the rolling-DAU series): composes the two shapes above — each event
+    fans out in-batch to its W/H window starts (events_hopping), the
+    (window, user) pairs dedup through one distinct groupby, and the
+    deduped pairs re-partial to per-window counts through a second
+    combiner (hourly_active_users) — exact at any scale with no
+    per-window reprocessing of events and nothing driver-side but the
+    final series. Window starts are int64 epoch hours."""
+    from ..stages.agg import combine_partials
+
+    if window_hours % hop_hours:
+        raise ValueError("window must be a multiple of the hop")
+    US_PER_HOP = hop_hours * 3_600_000_000
+    k = window_hours // hop_hours
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["ts"].astype("int64").to_numpy()
+        starts = (t[:, None] // US_PER_HOP - np.arange(k)[None, :])
+        out = pd.DataFrame({
+            "window_hour": (starts * hop_hours).ravel(),
+            "user_id": np.repeat(batch["user_id"].to_numpy(), k),
+        }).drop_duplicates()
+        out["one"] = pd.array([1] * len(out), dtype="int64")
+        return out
+
+    deduped = combine_partials(
+        _t(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pandas"),
+        ["window_hour", "user_id"], {"one": "min"}, mode="shuffle")
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.groupby("window_hour", sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g[["window_hour", "n"]]
+
+    df = combine_partials(
+        deduped.map_batches(recount, batch_format="pandas"),
+        ["window_hour"], {"n": "sum"}).to_pandas()
+    df["window_hour"] = df["window_hour"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("window_hour").reset_index(drop=True)
