@@ -309,3 +309,40 @@ def test_label_propagation_equals_union_find_property(ray_session,
             parent[hi] = lo
     want = sorted((n, find(n)) for n in parent)
     assert list(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+@given(st.lists(st.text(alphabet="abcd ", min_size=0, max_size=12),
+                min_size=1, max_size=24),
+       st.integers(1, 4))
+@settings(max_examples=10, deadline=None)
+def test_incremental_bloom_equals_exact_property(ray_session, tmp_path_factory,
+                                                 texts, bits):
+    """Bloom fast path == exact anti-join on arbitrary corpora (dup-heavy
+    tiny alphabet) at any filter size, including 1-bit/key filters that
+    are mostly false positives."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.dedup import (incremental_dedup,
+                                                    incremental_dedup_bloom)
+
+    tmp = tmp_path_factory.mktemp("bloomprop")
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(len(texts)), dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": [f"src{i % 4}" for i in range(len(texts))],
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp / "documents.parquet"))
+
+    def ids(ds):
+        df = ds.to_pandas()
+        # a fully-filtered Dataset loses its schema in to_pandas
+        return sorted(df["doc_id"]) if "doc_id" in df.columns else []
+
+    want = ids(incremental_dedup(str(tmp)))
+    got = ids(incremental_dedup_bloom(str(tmp), bits_per_key=bits,
+                                      k_hashes=2))
+    assert got == want
