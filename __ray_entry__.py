@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": lambda sf: text_analysis.length_quantiles(sf),
         "lang_length_quantiles":
             lambda sf: text_analysis.lang_length_quantiles(sf),
+        "sliding_chunks": lambda sf: text_analysis.sliding_chunks(sf),
         "train_bpe": lambda sf: text_analysis.train_bpe(sf),
         "top_words_cms": lambda sf: text_analysis.top_words_cms(sf),
         "bpe_token_counts": lambda sf: text_analysis.bpe_token_counts(sf),
@@ -1628,6 +1629,22 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """
+    # sliding windows: size 256, stride 192; ceil(n/stride) windows,
+    # final short window kept
+    out["sliding_chunks"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS n
+          FROM documents
+        )
+        SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+               CAST(j * 192 AS BIGINT) AS start_tok,
+               CAST(LEAST(256, n - j * 192) AS BIGINT) AS n_toks
+        FROM d, LATERAL unnest(range(0, (n + 191) // 192)) AS u(j)
+        WHERE j * 192 < n
     """
     # grouped lower-rule quantiles: same ceil rule as length_quantiles,
     # windowed cumsum partitioned by lang

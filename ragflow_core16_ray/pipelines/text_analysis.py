@@ -1234,3 +1234,37 @@ def lang_length_quantiles(sf_dir: str,
     out["q"] = out["q"].astype("int64")
     out["value"] = out["value"].astype("int64")
     return out
+
+
+def sliding_chunks(sf_dir: str, size: int = 256,
+                   stride: int = 192) -> rd.Dataset:
+    """Pretraining-style sliding-window chunk PLAN: fixed ``size``-token
+    windows every ``stride`` tokens over each doc's whitespace token
+    stream (25% overlap at the defaults — the stride trick that keeps
+    context across window boundaries). Emits (doc_id, chunk_idx,
+    start_tok, n_toks) — the plan a tokenize-and-pack stage consumes;
+    the final short window is kept (n_toks < size), empty docs emit
+    nothing. Pure per-doc integer arithmetic fanned out with numpy in
+    the batch UDF: embarrassingly parallel, no shuffle at all, and the
+    unnest(range(ceil(n/stride))) oracle hashes strictly."""
+
+    def plan(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = (batch["text"].str.strip().str.split().str.len()
+             .fillna(0).astype("int64").to_numpy())
+        ids = batch["doc_id"].to_numpy()
+        k = -(-n // stride)  # ceil(n/stride); 0 for empty docs
+        doc = np.repeat(ids, k)
+        idx = np.concatenate([np.arange(c) for c in k]) if len(k) else \
+            np.array([], dtype="int64")
+        start = idx * stride
+        ntok = np.minimum(size, np.repeat(n, k) - start)
+        return pd.DataFrame({
+            "doc_id": pd.array(doc, dtype="int64"),
+            "chunk_idx": pd.array(idx, dtype="int64"),
+            "start_tok": pd.array(start, dtype="int64"),
+            "n_toks": pd.array(ntok, dtype="int64")})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plan, batch_format="pandas")

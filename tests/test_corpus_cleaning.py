@@ -505,3 +505,23 @@ def test_lang_length_quantiles_matches_local(ray_session):
         need = -(-int(row["q"]) * len(vals) // 100)
         assert row["value"] == vals[need - 1]
     assert set(got["lang"]) == set(docs["lang"])
+
+
+def test_sliding_chunks_overlap_and_tail(ray_session, tmp_path):
+    """Sliding windows: stride overlap, kept short tail, empty-doc
+    omission, exact-multiple boundary."""
+    from ragflow_core16_ray.pipelines.text_analysis import sliding_chunks
+
+    texts = ["w " * 500,        # 500 tokens: windows at 0/192/384
+             "w " * 384,        # exact multiple: windows at 0/192
+             "one two",         # shorter than one window
+             ""]                # no chunks
+    sf = _write_corpus(tmp_path, [t.strip() for t in texts])
+    got = sliding_chunks(sf).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    rows = [tuple(r) for r in got.itertuples(index=False)]
+    assert rows == [
+        (0, 0, 0, 256), (0, 1, 192, 256), (0, 2, 384, 116),
+        (1, 0, 0, 256), (1, 1, 192, 192),
+        (2, 0, 0, 2),
+    ]
