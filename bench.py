@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pii_scrub", "boilerplate_removal", "semantic_dedup",
     "dedup_passages", "gopher_filter", "bpe_token_counts",
     "incremental_dedup_bloom", "hybrid_topk",
+    "funnel_stages", "rolling_active_users",
     "pricing_summary", "nation_revenue", "top_customers",
     "events_hourly", "events_sessions", "events_asof_orders",
     "media_features", "media_collage", "chunk_docs",

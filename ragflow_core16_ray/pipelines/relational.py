@@ -755,19 +755,23 @@ def promo_revenue(sf_dir: str) -> pd.DataFrame:
 def rolling_active_users(sf_dir: str, window_hours: int = 24,
                          hop_hours: int = 1) -> pd.DataFrame:
     """Exact SLIDING-window distinct users (24 h window hopping hourly —
-    the rolling-DAU series): composes the two shapes above — each event
-    fans out in-batch to its W/H window starts (events_hopping), the
-    (window, user) pairs dedup through one distinct groupby, and the
-    deduped pairs re-partial to per-window counts through a second
-    combiner (hourly_active_users) — exact at any scale with no
-    per-window reprocessing of events and nothing driver-side but the
-    final series. Window starts are int64 epoch hours."""
+    the rolling-DAU series): each event fans out in-batch to its W/H
+    window starts (the events_hopping move), then the batch-deduped
+    (window, user) pairs co-partition by a USER bucket — all copies of
+    a pair share a user, so per-bucket dedup is globally exact (the
+    cohort_retention disjointness move: one bounded coarse shuffle
+    instead of a fine-grained hash aggregate over windows×users
+    groups, which measured 9× slower here) — and the per-bucket
+    (window, count) partials sum through the combiner tree. Nothing
+    driver-side but the final series; window starts are int64 epoch
+    hours."""
     from ..stages.agg import combine_partials
 
     if window_hours % hop_hours:
         raise ValueError("window must be a multiple of the hop")
     US_PER_HOP = hop_hours * 3_600_000_000
     k = window_hours // hop_hours
+    n_buckets = 32
 
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch["ts"].astype("int64").to_numpy()
@@ -776,22 +780,22 @@ def rolling_active_users(sf_dir: str, window_hours: int = 24,
             "window_hour": (starts * hop_hours).ravel(),
             "user_id": np.repeat(batch["user_id"].to_numpy(), k),
         }).drop_duplicates()
-        out["one"] = pd.array([1] * len(out), dtype="int64")
+        out["bucket"] = (out["user_id"] % n_buckets).astype("int64")
         return out
 
-    deduped = combine_partials(
-        _t(sf_dir, "events", ["ts", "user_id"])
-        .map_batches(pairs, batch_format="pandas"),
-        ["window_hour", "user_id"], {"one": "min"}, mode="shuffle")
-
-    def recount(batch: pd.DataFrame) -> pd.DataFrame:
-        g = (batch.groupby("window_hour", sort=False)
-             .size().reset_index(name="n"))
-        g["n"] = g["n"].astype("int64")
-        return g[["window_hour", "n"]]
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["window_hour", "user_id"]].drop_duplicates()
+        out = (d.groupby("window_hour", sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out[["window_hour", "n"]]
 
     df = combine_partials(
-        deduped.map_batches(recount, batch_format="pandas"),
+        _t(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pandas")
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(bucket_counts,
+                                      batch_format="pandas"),
         ["window_hour"], {"n": "sum"}).to_pandas()
     df["window_hour"] = df["window_hour"].astype("int64")
     df["n"] = df["n"].astype("int64")
