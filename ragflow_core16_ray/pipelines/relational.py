@@ -561,9 +561,12 @@ def hourly_active_users(sf_dir: str) -> pd.DataFrame:
     batch-deduped, never events); stage 2 re-partials the deduped pairs
     to (hour, 1) counts and runs a second combiner pass — so neither
     the raw events nor the full distinct-pair table ever lands on one
-    node or the driver. (Contrast cohort_retention, which sidesteps the
-    second stage via user-bucket disjointness; this is the general form
-    when the data is NOT already partitioned by the distinct key.)"""
+    node or the driver. (Contrast cohort_retention and
+    rolling_active_users, which sidestep the second stage via
+    user-bucket disjointness — measured ~7× cheaper at toy scale
+    because the fine-grained hash aggregate pays per-group overhead;
+    this form is kept as the GENERAL one for when no component of the
+    distinct key co-partitions the data.)"""
     from ..stages.agg import combine_partials
 
     US_PER_HOUR = 3_600_000_000
