@@ -233,21 +233,28 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
 
     # ---- stage 4: Gopher lexical filter, then exact dedup (keep the
     # minimum doc_id per surviving text — hash-bucketed, text as payload)
+    stop = set(_GOPHER_STOPWORDS)
+    alpha_re = re.compile("[A-Za-z]")
+
+    def _gopher_flags(t: str) -> tuple:
+        """(pass_len, pass_meanlen, pass_alpha, pass_stop) — the same
+        integer rules as text_analysis.gopher_filter; shared by the
+        keep filter and the rollup's per-rule attribution so the two
+        can't drift."""
+        ws = t.split()
+        nw = len(ws)
+        nc = sum(len(w) for w in ws)
+        na = sum(1 for w in ws if alpha_re.search(w))
+        ns = len({w.lower() for w in ws if w.lower() in stop})
+        return (50 <= nw <= 100_000, 3 * nw <= nc <= 10 * nw,
+                5 * na >= 4 * nw, ns >= 2)
+
     if not _stage_done(out_dir, "final"):
-        stop = set(_GOPHER_STOPWORDS)
-        alpha_re = re.compile("[A-Za-z]")
 
         def gopher_keep(batch: pd.DataFrame) -> pd.DataFrame:
-            keep_rows = []
-            for did, t in zip(batch["doc_id"], batch["text"]):
-                ws = t.split()
-                nw = len(ws)
-                nc = sum(len(w) for w in ws)
-                na = sum(1 for w in ws if alpha_re.search(w))
-                ns = len({w.lower() for w in ws if w.lower() in stop})
-                if (50 <= nw <= 100_000 and 3 * nw <= nc <= 10 * nw
-                        and 5 * na >= 4 * nw and ns >= 2):
-                    keep_rows.append((did, t))
+            keep_rows = [(did, t)
+                         for did, t in zip(batch["doc_id"], batch["text"])
+                         if all(_gopher_flags(t))]
             return pd.DataFrame({
                 "doc_id": pd.array([d for d, _ in keep_rows],
                                    dtype="int64"),
@@ -276,12 +283,42 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
         _publish(cleaned, out_dir, "final", {})
 
     final_path = os.path.join(out_dir, "stage_final")
+
+    # per-rule Gopher attribution over the stage-3 text, so an
+    # unexpected n_out (e.g. 0 on a stopword-free synthetic corpus,
+    # where the published ns>=2 rule legitimately drops every doc) is
+    # self-explanatory from the rollup alone
+    from ..stages.agg import combine_partials
+
+    def flag_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        fl = [_gopher_flags(t) for t in batch["text"]]
+        return pd.DataFrame({
+            "k": pd.array([0], dtype="int64"),
+            "pass_len": pd.array([sum(f[0] for f in fl)], dtype="int64"),
+            "pass_meanlen": pd.array([sum(f[1] for f in fl)],
+                                     dtype="int64"),
+            "pass_alpha": pd.array([sum(f[2] for f in fl)],
+                                   dtype="int64"),
+            "pass_stop": pd.array([sum(f[3] for f in fl)],
+                                  dtype="int64")})
+
+    flags = combine_partials(
+        _read(passage_path).map_batches(flag_partials,
+                                        batch_format="pandas"),
+        ["k"], {c: "sum" for c in ("pass_len", "pass_meanlen",
+                                   "pass_alpha", "pass_stop")}
+    ).to_pandas().iloc[0]
+
     metrics = {
         "n_in": json.load(open(os.path.join(out_dir, "_pii.json")))["n_in"],
         "n_pii_redactions": _counter_sum(pii_path, "n_pii"),
         "n_lines_removed": _counter_sum(boiler_path, "n_lines_removed"),
         "n_passages_removed": _counter_sum(passage_path,
                                            "n_passages_removed"),
+        "gopher_pass_len": int(flags["pass_len"]),
+        "gopher_pass_meanlen": int(flags["pass_meanlen"]),
+        "gopher_pass_alpha": int(flags["pass_alpha"]),
+        "gopher_pass_stop": int(flags["pass_stop"]),
         "n_out": rd.read_parquet(final_path).count(),
         "output": final_path,
         "wall_sec": round(time.perf_counter() - t0, 3),
