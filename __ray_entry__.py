@@ -136,7 +136,9 @@ def _corpus_clean(sf_dir: str):
     # pinned in pytest on realistic fixtures)
     return pd.DataFrame([{k: int(m[k]) for k in
                           ("n_in", "n_pii_redactions", "n_lines_removed",
-                           "n_passages_removed", "n_out")}])
+                           "n_passages_removed", "gopher_pass_len",
+                           "gopher_pass_meanlen", "gopher_pass_alpha",
+                           "gopher_pass_stop", "n_out")}])
 
 
 def _extract_override(sf_dir: str, template: str):
