@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
         "winnow_matches": lambda sf: dedup.winnow_matches(sf),
         "dup_passage_stats": lambda sf: dedup.dup_passage_stats(sf),
+        "ngram_novelty": lambda sf: dedup.ngram_novelty(sf),
         "emb_near_dup": lambda sf: dedup.embedding_near_dup(sf),
         "boilerplate_removal": lambda sf: dedup.boilerplate_removal(sf),
         "dedup_passages": lambda sf: dedup.dedup_passages(sf),
@@ -1631,6 +1632,26 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """
+    # per-doc shingle novelty: owner = min doc_id; same gram expression
+    # as the jaccard family
+    out["ngram_novelty"] = r"""
+        WITH words AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ws
+          FROM documents WHERE trim(text) <> ''
+        ), g AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+          FROM words,
+               LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1)))
+                   AS t(i)
+        ), own AS (
+          SELECT g, MIN(doc_id) AS owner FROM g GROUP BY g
+        )
+        SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN o.owner = d.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM g d JOIN own o USING (g) GROUP BY d.doc_id
     """
     # sliding windows: size 256, stride 192; ceil(n/stride) windows,
     # final short window kept

@@ -1219,3 +1219,54 @@ def near_dup_removal_scalable(sf_dir: str, k: int = 3,
 
     return _docs(sf_dir, ["doc_id"]).map_batches(keep,
                                                  batch_format="pyarrow")
+
+
+def ngram_novelty(sf_dir: str, k: int = 3,
+                  n_buckets: int = 64) -> pd.DataFrame:
+    """Per-doc n-gram NOVELTY profile — the redundancy-curriculum
+    signal behind novelty-ordered data pruning: for each doc, how many
+    of its distinct k-word shingles it OWNS (owner = min doc_id
+    corpus-wide, the deterministic first occurrence) vs carries. A doc
+    with n_novel ≪ n_grams is restating the corpus; sort by the ratio
+    and you have a dedup-aware curriculum.
+
+    Shape: each doc's distinct shingles explode to (bucket(g), g,
+    doc_id) rows; a gram's bucket is a stable hash of the gram, so
+    ownership and per-doc counts are bucket-local and exact — one
+    bounded groupby, then per-doc partial sums through the combiner
+    tree. Same shingle definition as the Jaccard family, so the
+    windowed-SQL oracle reuses its proven gram expression."""
+    from ..stages.agg import combine_partials
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_b, rows_g, rows_d = [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            if not text.strip():
+                continue
+            for g in _shingles(text, k):
+                rows_b.append(hash64(g) % n_buckets)
+                rows_g.append(g)
+                rows_d.append(did)
+        return pd.DataFrame({
+            "bucket": pd.array(rows_b, dtype="int32"),
+            "g": rows_g,
+            "doc_id": pd.array(rows_d, dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        owner = g.groupby("g", sort=False)["doc_id"].transform("min")
+        out = (pd.DataFrame({"doc_id": g["doc_id"].values,
+                             "n_grams": 1,
+                             "n_novel": (g["doc_id"].values
+                                         == owner.values).astype("int64")})
+               .groupby("doc_id", sort=False).sum().reset_index())
+        return out
+
+    df = combine_partials(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode, batch_format="pandas")
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas"),
+        ["doc_id"], {"n_grams": "sum", "n_novel": "sum"}).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)

@@ -691,3 +691,45 @@ def test_label_propagation_nonconvergence_raises(ray_session):
                           "id_b": list(range(8, -1, -1))})
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc_label_propagation(chain, n_buckets=2, max_iters=2)
+
+
+def test_ngram_novelty_exact_dup_owns_nothing(ray_session):
+    """Exact duplicate docs: only the min doc_id owns their shared
+    grams; totals are consistent with the shingle sets."""
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.dedup import _shingles, ngram_novelty
+
+    got = ngram_novelty(SF).set_index("doc_id")
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    # local replica on a sample of docs
+    sh = {d: _shingles(t) for d, t in zip(docs["doc_id"], docs["text"])
+          if t.strip()}
+    owner = {}
+    for d in sorted(sh):
+        for g in sh[d]:
+            owner.setdefault(g, d)
+    for d in list(sorted(sh))[:50]:
+        assert got.loc[d, "n_grams"] == len(sh[d])
+        assert got.loc[d, "n_novel"] == sum(owner[g] == d for g in sh[d])
+    # and on a hand corpus: a verbatim restatement owns nothing
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    tmp = "/tmp/novelty_fixture"
+    os.makedirs(tmp, exist_ok=True)
+    df = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2], dtype="int64"),
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta",
+                 "epsilon zeta eta theta"],
+        "lang": ["en"] * 3, "source": ["src0"] * 3,
+        "n_chars": pd.array([22, 22, 22], dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp, "documents.parquet"))
+    h = ngram_novelty(tmp).set_index("doc_id")
+    assert h.loc[0, "n_novel"] == h.loc[0, "n_grams"] == 2
+    assert h.loc[1, "n_novel"] == 0 and h.loc[1, "n_grams"] == 2
+    assert h.loc[2, "n_novel"] == 2
