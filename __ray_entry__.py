@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_words": lambda sf: text_analysis.approx_distinct_words(sf),
         "lang_confusion": text_analysis.lang_confusion,
         "top_bigrams": lambda sf: text_analysis.top_bigrams(sf),
+        "collocations": lambda sf: text_analysis.collocations(sf),
         "term_weights": lambda sf: text_analysis.term_weights(sf),
         "repetition_stats": text_analysis.repetition_stats,
         "decontam_ngrams": lambda sf: text_analysis.decontam_ngrams(sf),
@@ -1632,6 +1633,37 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """
+    # integer PMI surrogate: pair_n*W*1e6 // (a_n*b_n) preserves the
+    # PMI ordering with no float log in the hash
+    out["collocations"] = r"""
+        WITH toks AS (
+          SELECT string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE trim(text) <> ''
+        ), pairs AS (
+          SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        ), bc AS (
+          SELECT bigram, CAST(COUNT(*) AS BIGINT) AS pair_n
+          FROM pairs GROUP BY bigram
+        ), cand AS (
+          SELECT bigram, pair_n FROM bc WHERE pair_n >= 5
+          ORDER BY pair_n DESC, bigram LIMIT 1000
+        ), words AS (
+          SELECT unnest(ts) AS w FROM toks
+        ), wc AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY w
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS tw FROM words
+        )
+        SELECT c.bigram, c.pair_n,
+               CAST((CAST(c.pair_n AS HUGEINT) * t.tw * 1000000)
+                    // (a.n * b.n) AS BIGINT) AS score_q
+        FROM cand c
+        CROSS JOIN tot t
+        JOIN wc a ON a.w = string_split(c.bigram, ' ')[1]
+        JOIN wc b ON b.w = string_split(c.bigram, ' ')[2]
+        ORDER BY score_q DESC, c.bigram LIMIT 20
     """
     # per-doc shingle novelty: owner = min doc_id; same gram expression
     # as the jaccard family

@@ -1268,3 +1268,68 @@ def sliding_chunks(sf_dir: str, size: int = 256,
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         plan, batch_format="pandas")
+
+
+def collocations(sf_dir: str, k: int = 20, min_pair: int = 5,
+                 n_candidates: int = 1000) -> pd.DataFrame:
+    """PMI-ranked collocations with a PURE-INTEGER score: among the
+    ``n_candidates`` most frequent bigrams (count ≥ ``min_pair``), rank
+    by score_q = ⌊pair_n·W·10⁶ / (a_n·b_n)⌋ (W = total corpus tokens) —
+    an order-preserving integer transform of the PMI argument
+    pair_n·W/(a_n·b_n), so no float log ever enters the hash. The
+    bounded candidate set is the scale lever: the full bigram table
+    rides the combiner tree once, only candidate WORDS get a unigram
+    count pass (wanted set broadcast via ray.put), and scoring runs on
+    ≤ n_candidates rows. Ties break (score desc, bigram asc)."""
+    from ..stages.agg import combine_partials
+
+    def bigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.strip().str.split().explode()
+        nxt = toks.groupby(level=0).shift(-1)
+        counts = (toks + " " + nxt).dropna().value_counts()
+        return pd.DataFrame({"bigram": counts.index, "cnt": counts.values})
+
+    bi = combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(bigram_partial,
+                                            batch_format="pandas"),
+        ["bigram"], {"cnt": "sum"}).to_pandas()
+    bi["cnt"] = bi["cnt"].astype("int64")
+    cand = (bi[bi["cnt"] >= min_pair]
+            .sort_values(["cnt", "bigram"], ascending=[False, True])
+            .head(n_candidates))
+    if cand.empty:
+        return pd.DataFrame({"bigram": [], "pair_n": pd.array(
+            [], dtype="int64"), "score_q": pd.array([], dtype="int64")})
+    wanted = frozenset(w for b in cand["bigram"] for w in b.split(" "))
+    wanted_ref = ray.put(wanted)
+
+    def unigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(wanted_ref)
+        toks = batch["text"].str.strip().str.split().explode().dropna()
+        total = int(len(toks))
+        counts = toks[toks.isin(want)].value_counts()
+        out = pd.DataFrame({"word": counts.index,
+                            "n": counts.values.astype("int64")})
+        out.loc[len(out)] = ["\x00total", total]  # in-band scalar partial
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    uni = combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(unigram_partial,
+                                            batch_format="pandas"),
+        ["word"], {"n": "sum"}).to_pandas()
+    uni["n"] = uni["n"].astype("int64")
+    total_w = int(uni.loc[uni["word"] == "\x00total", "n"].iloc[0])
+    wc = dict(zip(uni["word"], uni["n"]))
+
+    rows = []
+    for b, pn in zip(cand["bigram"], cand["cnt"]):
+        w1, w2 = b.split(" ")
+        score = (int(pn) * total_w * 1_000_000) // (wc[w1] * wc[w2])
+        rows.append({"bigram": b, "pair_n": int(pn), "score_q": score})
+    out = (pd.DataFrame(rows)
+           .sort_values(["score_q", "bigram"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["pair_n"] = out["pair_n"].astype("int64")
+    out["score_q"] = out["score_q"].astype("int64")
+    return out

@@ -525,3 +525,20 @@ def test_sliding_chunks_overlap_and_tail(ray_session, tmp_path):
         (1, 0, 0, 256), (1, 1, 192, 192),
         (2, 0, 0, 2),
     ]
+
+
+def test_collocations_integer_pmi_ordering(ray_session, tmp_path):
+    """The integer score must rank a strongly-bound pair above a
+    frequent-but-independent pair."""
+    from ragflow_core16_ray.pipelines.text_analysis import collocations
+
+    # "hong kong" always together; "the cat"/"the dog" split 'the'
+    texts = (["hong kong"] * 6
+             + ["the cat runs fast"] * 6 + ["the dog runs far"] * 6)
+    sf = _write_corpus(tmp_path, texts)
+    got = collocations(sf, k=5, min_pair=5)
+    assert got.iloc[0]["bigram"] == "hong kong"
+    the_cat = got[got["bigram"] == "the cat"]
+    assert the_cat.empty or (
+        int(the_cat.iloc[0]["score_q"])
+        < int(got.iloc[0]["score_q"]))
