@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.hourly_active_users(sf),
         "rolling_active_users":
             lambda sf: relational.rolling_active_users(sf),
+        "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "shipping_priority": lambda sf: relational.shipping_priority(sf),
         "region_supplier_revenue":
             lambda sf: relational.region_supplier_revenue(sf),
@@ -1526,6 +1527,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(r.revenue_u AS BIGINT) AS revenue_u
         FROM o JOIN r ON o.o_orderkey = r.l_orderkey
         ORDER BY revenue_u DESC, o_orderkey LIMIT 10
+    """
+    # per-type lower-rule quantiles over cent-rounded values — the same
+    # windowed-cumsum rule as lang_length_quantiles
+    out["value_quantiles"] = r"""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+          FROM events
+        ), h AS (
+          SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY event_type, v
+        ), cum AS (
+          SELECT event_type, v,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cc
+          FROM h
+        ), t AS (
+          SELECT event_type, COUNT(*) AS n FROM e GROUP BY event_type
+        ), qs AS (
+          SELECT unnest([25, 50, 75, 90, 99]) AS q
+        )
+        SELECT t.event_type, CAST(qs.q AS BIGINT) AS q,
+               CAST((SELECT MIN(v) FROM cum
+                     WHERE cum.event_type = t.event_type
+                       AND cc >= CEIL(qs.q * t.n / 100.0)) AS BIGINT)
+                   AS value_c
+        FROM t, qs
     """
     # sliding 24h DAU: hopping fan-out + COUNT(DISTINCT)
     out["rolling_active_users"] = r"""

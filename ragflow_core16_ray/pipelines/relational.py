@@ -803,3 +803,44 @@ def rolling_active_users(sf_dir: str, window_hours: int = 24,
     df["window_hour"] = df["window_hour"].astype("int64")
     df["n"] = df["n"].astype("int64")
     return df.sort_values("window_hour").reset_index(drop=True)
+
+
+def value_quantiles(sf_dir: str,
+                    qs: tuple = (25, 50, 75, 90, 99)) -> pd.DataFrame:
+    """Exact per-event-type VALUE quantiles in integer cents — the
+    per-type distribution audit (pricing anomalies, fee drift). Same
+    lower-rule histogram trick as lang_length_quantiles: cent-rounded
+    values are integers, so per-batch (type, cents, count) partials
+    through the combiner tree are an exact sufficient statistic and the
+    per-type quantile scan runs on the tiny merged histogram — no sort,
+    nothing driver-side but histograms."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(batch["value"].values * 100).astype("int64")
+        g = (pd.DataFrame({"event_type": batch["event_type"].values,
+                           "v": cents})
+             .groupby(["event_type", "v"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    hist = combine_partials(
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pandas"),
+        ["event_type", "v"], {"n": "sum"}).to_pandas()
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("v")
+        cum = g["n"].astype("int64").cumsum().to_numpy()
+        total = int(cum[-1])
+        vs = g["v"].to_numpy()
+        for q in qs:
+            need = -(-q * total // 100)
+            rows.append({"event_type": et, "q": q,
+                         "value_c": int(vs[(cum >= need).argmax()])})
+    out = (pd.DataFrame(rows).sort_values(["event_type", "q"])
+           .reset_index(drop=True))
+    out["q"] = out["q"].astype("int64")
+    out["value_c"] = out["value_c"].astype("int64")
+    return out
