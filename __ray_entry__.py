@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": lambda sf: dedup.incremental_dedup(sf),
         "incremental_dedup_bloom":
             lambda sf: dedup.incremental_dedup_bloom(sf),
+        "corpus_diff": lambda sf: dedup.corpus_diff(sf),
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
             sf, k=4, threshold=0.6, grams="char"),
@@ -1659,6 +1660,24 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """
+    # snapshot diff over distinct text hashes, A = even sources
+    out["corpus_diff"] = r"""
+        WITH h AS (
+          SELECT DISTINCT md5(text) AS h,
+                 CAST(source[4:] AS BIGINT) % 2 = 0 AS in_a
+          FROM documents
+        ), s AS (
+          SELECT h, BOOL_OR(in_a) AS a, BOOL_OR(NOT in_a) AS b FROM h
+          GROUP BY h
+        )
+        SELECT CAST(SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM s
     """
     # integer PMI surrogate: pair_n*W*1e6 // (a_n*b_n) preserves the
     # PMI ordering with no float log in the hash

@@ -1270,3 +1270,48 @@ def ngram_novelty(sf_dir: str, k: int = 3,
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_diff(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Snapshot audit: treating even-numbered sources as snapshot A and
+    odd ones as snapshot B (the incremental_dedup convention), report
+    how many distinct document TEXTS were added (B only), removed
+    (A only) and kept (both) — the corpus-level change summary every
+    rolling ingest logs. Both sides reduce to (bucket, content-md5,
+    side-bit) rows co-partitioned by a hash bucket; each bucket
+    classifies its hashes locally and emits three counters that sum
+    through the combiner tree — the bidirectional generalization of the
+    incremental anti-join, nothing broadcast, nothing driver-side but
+    the 3-row summary."""
+    from ..functions.hashing import md5_hex
+    from ..stages.agg import combine_partials
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        is_a = [int(s[3:]) % 2 == 0 for s in batch["source"]]
+        h = [md5_hex(t) for t in batch["text"]]
+        return pd.DataFrame({
+            "bucket": pd.array([hash64(x) & (n_buckets - 1) for x in h],
+                               dtype="int64"),
+            "h": h,
+            "in_a": pd.array(is_a, dtype="bool")}).drop_duplicates()
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        # a hash is in A iff any A row; in B iff any non-A row
+        has_a = g[g["in_a"]]["h"].unique()
+        has_b = g[~g["in_a"]]["h"].unique()
+        sa, sb = set(has_a), set(has_b)
+        return pd.DataFrame({
+            "k": pd.array([0], dtype="int64"),
+            "n_added": pd.array([len(sb - sa)], dtype="int64"),
+            "n_removed": pd.array([len(sa - sb)], dtype="int64"),
+            "n_kept": pd.array([len(sa & sb)], dtype="int64")})
+
+    df = combine_partials(
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(tag, batch_format="pandas")
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(classify, batch_format="pandas"),
+        ["k"], {"n_added": "sum", "n_removed": "sum", "n_kept": "sum"}
+    ).to_pandas()
+    return (df[["n_added", "n_removed", "n_kept"]]
+            .astype("int64").reset_index(drop=True))
