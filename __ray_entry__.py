@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles":
             lambda sf: text_analysis.lang_length_quantiles(sf),
         "sliding_chunks": lambda sf: text_analysis.sliding_chunks(sf),
+        "dataset_split": lambda sf: text_analysis.dataset_split(sf),
         "train_bpe": lambda sf: text_analysis.train_bpe(sf),
         "top_words_cms": lambda sf: text_analysis.top_words_cms(sf),
         "bpe_token_counts": lambda sf: text_analysis.bpe_token_counts(sf),
@@ -1660,6 +1661,20 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """
+    # deterministic split: same md5-prefix integer draw as the
+    # sampling family; thresholds are integer fractions of 16^8
+    out["dataset_split"] = r"""
+        SELECT doc_id,
+               CASE WHEN u < 80 * 4294967296 // 100 THEN 'train'
+                    WHEN u < 90 * 4294967296 // 100 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS u
+          FROM documents
+        )
     """
     # snapshot diff over distinct text hashes, A = even sources
     out["corpus_diff"] = r"""

@@ -1333,3 +1333,30 @@ def collocations(sf_dir: str, k: int = 20, min_pair: int = 5,
     out["pair_n"] = out["pair_n"].astype("int64")
     out["score_q"] = out["score_q"].astype("int64")
     return out
+
+
+def dataset_split(sf_dir: str, train_pct: int = 80,
+                  val_pct: int = 10) -> rd.Dataset:
+    """Deterministic train/val/test assignment — the canonical ML
+    data-prep step, in the repo's hash-draw design: the first 8 md5 hex
+    chars of doc_id, as an integer u, place the doc in train
+    (u < train_pct% of 16⁸), val (next val_pct%), else test. No RNG
+    state, reproducible under any partitioning or rerun, proportional
+    within every source/language stratum by the uniformity of the hash;
+    integer thresholds make the DuckDB CASE oracle hash-strict.
+    Embarrassingly parallel: one streaming map_batches, no shuffle."""
+    from ..functions.hashing import md5_hex
+
+    t_train = train_pct * 16**8 // 100
+    t_val = (train_pct + val_pct) * 16**8 // 100
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        us = [int(md5_hex(str(d))[:8], 16) for d in batch["doc_id"]]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].values,
+            "split": ["train" if u < t_train
+                      else ("val" if u < t_val else "test")
+                      for u in us]})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pandas")
