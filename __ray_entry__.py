@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: text_analysis.lang_length_quantiles(sf),
         "sliding_chunks": lambda sf: text_analysis.sliding_chunks(sf),
         "dataset_split": lambda sf: text_analysis.dataset_split(sf),
+        "dsir_select": lambda sf: text_analysis.dsir_select(sf),
         "train_bpe": lambda sf: text_analysis.train_bpe(sf),
         "top_words_cms": lambda sf: text_analysis.top_words_cms(sf),
         "bpe_token_counts": lambda sf: text_analysis.bpe_token_counts(sf),
@@ -1661,6 +1662,39 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """
+    # DSIR importance selection: same round(avg·1e6) ln-parity
+    # convention as lm_quality_rank; top nd//4 by (score desc, doc_id)
+    out["dsir_select"] = r"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 string_split_regex(trim(text), '\s+') AS ws
+          FROM documents WHERE trim(text) <> ''
+        ), w AS (
+          SELECT doc_id, lang, unnest(ws) AS word FROM d
+        ), cnt AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cr,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ct
+          FROM w GROUP BY word
+        ), tot AS (
+          SELECT SUM(cr) AS tr, SUM(ct) AS tt, COUNT(*) AS v FROM cnt
+        ), sc AS (
+          SELECT w.doc_id,
+                 CAST(round(SUM(ln((cnt.ct + 1.0) / (tot.tt + tot.v))
+                                - ln((cnt.cr + 1.0) / (tot.tr + tot.v)))
+                            / COUNT(*) * 1000000) AS BIGINT) AS score_q
+          FROM w JOIN cnt USING (word) CROSS JOIN tot
+          GROUP BY w.doc_id
+        ), n AS (
+          SELECT COUNT(*) AS nd FROM d
+        )
+        SELECT doc_id, score_q
+        FROM (SELECT doc_id, score_q,
+                     ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id)
+                         AS rk
+              FROM sc), n
+        WHERE rk <= nd * 1 // 4
     """
     # deterministic split: same md5-prefix integer draw as the
     # sampling family; thresholds are integer fractions of 16^8

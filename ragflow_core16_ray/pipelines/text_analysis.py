@@ -1360,3 +1360,79 @@ def dataset_split(sf_dir: str, train_pct: int = 80,
 
     return _docs(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pandas")
+
+
+def dsir_select(sf_dir: str, target_lang: str = "en",
+                frac_num: int = 1, frac_den: int = 4) -> pd.DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): score
+    every doc by its average per-word log importance ratio
+    ln(p_target(w)/p_raw(w)) between a unigram LM of the TARGET domain
+    (here the ``target_lang`` stratum) and one of the whole corpus, both
+    add-one smoothed over the shared vocabulary; keep the top
+    ``frac_num/frac_den`` fraction. The quantization (round(·1e6))
+    follows lm_quality_rank's proven numpy↔DuckDB ln parity, so the
+    selected set hashes strictly.
+
+    Scale shape: ONE combiner pass produces both LMs ((word, raw count,
+    target count) partials); the ratio table broadcasts via ``ray.put``
+    (hash-bucketed in a 100 TB deployment, as in lm_quality_rank); the
+    score pass emits per-batch TOP-N partials so the driver merges
+    ≤ N·batches rows, never the corpus. Output (doc_id, score_q) of the
+    selected docs, score desc / doc_id asc."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["text"].str.strip() != ""]
+        toks = b["text"].str.strip().str.split().explode()
+        tgt = toks[b["lang"].reindex(toks.index) == target_lang]
+        cr = toks.value_counts()
+        ct = tgt.value_counts()
+        out = pd.DataFrame({"word": cr.index,
+                            "cr": cr.values.astype("int64")})
+        out["ct"] = out["word"].map(ct).fillna(0).astype("int64")
+        out.loc[len(out)] = ["\x00docs", int((batch["text"].str.strip()
+                                              != "").sum()), 0]
+        return out
+
+    cnt = combine_partials(
+        _docs(sf_dir, ["text", "lang"]).map_batches(
+            count_partial, batch_format="pandas"),
+        ["word"], {"cr": "sum", "ct": "sum"}).to_pandas()
+    n_docs = int(cnt.loc[cnt["word"] == "\x00docs", "cr"].iloc[0])
+    cnt = cnt[cnt["word"] != "\x00docs"]
+    v = len(cnt)
+    tr = int(cnt["cr"].sum())
+    tt = int(cnt["ct"].sum())
+    n_keep = n_docs * frac_num // frac_den
+    ratio = {w: (np.log((c_t + 1.0) / (tt + v))
+                 - np.log((c_r + 1.0) / (tr + v)))
+             for w, c_r, c_t in zip(cnt["word"], cnt["cr"], cnt["ct"])}
+    ratio_ref = ray.put(ratio)
+
+    def score_topn(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        r = ray.get(ratio_ref)
+        b = batch[batch["text"].str.strip() != ""].reset_index(drop=True)
+        if b.empty:
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "score_q": pd.array([], dtype="int64")})
+        toks = b["text"].str.strip().str.split().explode()
+        lr = toks.map(r).values
+        g = pd.Series(lr, index=toks.index).groupby(level=0)
+        score_q = np.round(g.sum() / g.size() * 1e6).astype("int64")
+        out = pd.DataFrame({"doc_id": b["doc_id"].values,
+                            "score_q": score_q.reindex(b.index).values})
+        return (out.sort_values(["score_q", "doc_id"],
+                                ascending=[False, True]).head(n_keep))
+
+    parts = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(score_topn, batch_format="pandas").to_pandas())
+    out = (parts.sort_values(["score_q", "doc_id"],
+                             ascending=[False, True])
+           .head(n_keep).reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score_q"] = out["score_q"].astype("int64")
+    return out

@@ -542,3 +542,35 @@ def test_collocations_integer_pmi_ordering(ray_session, tmp_path):
     assert the_cat.empty or (
         int(the_cat.iloc[0]["score_q"])
         < int(got.iloc[0]["score_q"]))
+
+
+def test_dsir_select_prefers_target_distribution(ray_session, tmp_path):
+    """Importance selection must prefer docs whose vocabulary matches
+    the target stratum's LM over out-of-distribution docs."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.text_analysis import dsir_select
+
+    # target (en) talks about cats; fr talks about chiens; two
+    # unlabeled-style docs: one cat-like, one chien-like
+    texts = (["cat sat mat cat purr"] * 4
+             + ["chien os parc chien aboie"] * 4
+             + ["cat purr mat", "chien parc os"])
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(10), dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * 4 + ["fr"] * 4 + ["fr", "fr"],
+        "source": ["src0"] * 10,
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64")})
+    import os
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    got = dsir_select(str(tmp_path), target_lang="en",
+                      frac_num=1, frac_den=2)  # keep top 5 of 10
+    kept = set(got["doc_id"])
+    assert {0, 1, 2, 3}.issubset(kept)   # the target docs themselves
+    assert 8 in kept and 9 not in kept   # cat-like in, chien-like out
