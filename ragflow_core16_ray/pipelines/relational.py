@@ -694,7 +694,6 @@ def region_supplier_revenue(sf_dir: str) -> pd.DataFrame:
     s2n = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
     n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
     r2n = dict(zip(reg["r_regionkey"], reg["r_name"]))
-    ref = ray.put((s2n, n2r, r2n))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         price_c = np.rint(batch["l_extendedprice"].values
@@ -710,7 +709,7 @@ def region_supplier_revenue(sf_dir: str) -> pd.DataFrame:
            ["l_suppkey", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pandas"),
         ["s_suppkey"], {"revenue_u": "sum"}).to_pandas()
-    s2n, n2r, r2n = ray.get(ref)
+
     per_sup["r_name"] = (per_sup["s_suppkey"].map(s2n).map(n2r).map(r2n))
     out = (per_sup.groupby("r_name")
            .agg(revenue_u=("revenue_u", "sum"),
