@@ -682,10 +682,11 @@ def region_supplier_revenue(sf_dir: str) -> pd.DataFrame:
     the supplier arm): lineitem pre-aggregates discounted revenue per
     suppkey inside each batch; the combiner tree merges the
     supplier-sized partial table; the supplier→nation→region dimension
-    chain broadcasts once (``ray.put``) and resolves during the
-    partial pass. Distinct-supplier counts are exact because the final
-    rollup runs on the per-supplier table (one row per supplier),
-    which is dimension-sized by construction."""
+    chain resolves on that dimension-sized rollup DRIVER-side (no
+    broadcast needed — the workers only ever see suppkeys).
+    Distinct-supplier counts are exact because the final rollup runs on
+    the per-supplier table (one row per supplier), which is
+    dimension-sized by construction."""
     from ..stages.agg import combine_partials
 
     sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
