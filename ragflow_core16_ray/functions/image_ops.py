@@ -72,3 +72,21 @@ def vertical_concat(images: list[np.ndarray],
             im = np.pad(im, pad_shape, constant_values=fill)
         rows.append(im)
     return np.concatenate(rows, axis=0)
+
+
+def resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize to (out_h, out_w) — the vision-model
+    input-normalization step (the reference resizes via PIL/cv2 before
+    the ONNX detectors, e.g. deepdoc/vision/operators.py resize ops;
+    nearest-neighbor is the deterministic pure-numpy substitution).
+    Index map uses the standard floor((i+0.5)·scale) pixel-center rule,
+    so the result is identical for any chunking of the batch."""
+    if out_h <= 0 or out_w <= 0 or img.size == 0:
+        shape = (max(out_h, 0), max(out_w, 0)) + img.shape[2:]
+        return np.zeros(shape, dtype=img.dtype)
+    h, w = img.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h)
+                      .astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w)
+                      .astype(np.int64), w - 1)
+    return img[rows[:, None], cols[None, :]]

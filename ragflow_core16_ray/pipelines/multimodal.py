@@ -107,7 +107,7 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     import pyarrow.compute as pc
 
     from ..functions.hashing import hash64
-    from ..functions.image_ops import maybe_rotate, vertical_concat
+    from ..functions.image_ops import maybe_rotate, resize, vertical_concat
     from ..schemas import explode_spans
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -129,7 +129,12 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
                 h = hash64(ref)
                 arr = np.full(((h >> 8) % 96 + 16, (h >> 16) % 96 + 16, 3),
                               h % 251, dtype=np.uint8)  # fake decode
-                frames.append(maybe_rotate(arr))
+                arr = maybe_rotate(arr)
+                # model-input normalization: every frame to a common
+                # width, aspect preserved (integer math — deterministic
+                # under any batching)
+                hh, ww = arr.shape[:2]
+                frames.append(resize(arr, max(1, hh * 64 // ww), 64))
             out = vertical_concat(frames)
             doc_ids.append(doc_id)
             n_figs.append(len(frames))

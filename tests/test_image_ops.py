@@ -139,3 +139,24 @@ def test_incremental_dedup_bloom_equals_exact(ray_session):
     tiny = sorted(incremental_dedup_bloom(
         sf, bits_per_key=1, k_hashes=2).to_pandas()["doc_id"])
     assert tiny == want
+
+
+def test_resize_semantics():
+    """Nearest-neighbor resize: exact block structure on integer
+    scaling, clamped edges, aspect handling, degenerate sizes."""
+    import numpy as np
+
+    from ragflow_core16_ray.functions.image_ops import resize
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    up = resize(img, 4, 4)
+    assert up.shape == (4, 4, 3)
+    # 2x upscale of a 2x2: each source pixel becomes a 2x2 block
+    assert (up[:2, :2] == img[0, 0]).all() and (up[2:, 2:] == img[1, 1]).all()
+    down = resize(up, 2, 2)
+    assert (down == img).all()
+    # degenerate targets yield typed empties
+    assert resize(img, 0, 5).shape == (0, 5, 3)
+    # grayscale passes through with rank preserved
+    g = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    assert resize(g, 3, 5).shape == (3, 5)
