@@ -574,3 +574,30 @@ def test_dsir_select_prefers_target_distribution(ray_session, tmp_path):
     kept = set(got["doc_id"])
     assert {0, 1, 2, 3}.issubset(kept)   # the target docs themselves
     assert 8 in kept and 9 not in kept   # cat-like in, chien-like out
+
+
+def test_dataset_split_proportions_and_determinism(ray_session):
+    """Split sizes near 80/10/10, assignment deterministic across runs,
+    and every (lang) stratum receives all three splits."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.text_analysis import dataset_split
+
+    a = (dataset_split(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dataset_split(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    n = len(a)
+    frac = a["split"].value_counts() / n
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.05 < frac["val"] < 0.16
+    assert 0.05 < frac["test"] < 0.16
+
+    langs = pq.read_table(SF + "/documents.parquet",
+                          columns=["doc_id", "lang"]).to_pandas()
+    j = a.merge(langs, on="doc_id")
+    for _, g in j.groupby("lang"):
+        assert set(g["split"]) == {"train", "val", "test"}
