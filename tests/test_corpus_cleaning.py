@@ -601,3 +601,20 @@ def test_dataset_split_proportions_and_determinism(ray_session):
     j = a.merge(langs, on="doc_id")
     for _, g in j.groupby("lang"):
         assert set(g["split"]) == {"train", "val", "test"}
+
+
+def test_corpus_diff_known_snapshot_change(ray_session, tmp_path):
+    """Known A/B snapshots: kept, removed, added and within-side dup
+    texts counted once each (distinct-hash semantics)."""
+    from ragflow_core16_ray.pipelines.dedup import corpus_diff
+
+    # src0/src2 = snapshot A (even), src1 = snapshot B (odd)
+    texts = ["shared text", "a only", "a dup", "a dup",
+             "shared text", "b only one", "b only two"]
+    sources = ["src0", "src0", "src2", "src2",
+               "src1", "src1", "src1"]
+    sf = _write_corpus(tmp_path, texts, sources=sources)
+    got = corpus_diff(sf).iloc[0]
+    assert got["n_kept"] == 1      # "shared text"
+    assert got["n_removed"] == 2   # "a only", "a dup" (dups once)
+    assert got["n_added"] == 2     # the two b-only texts
