@@ -280,3 +280,105 @@ def test_top_users_by_type_tiebreak(ray_session, tmp_path):
     got = top_users_by_type(str(tmp_path), k=2)
     assert [tuple(r) for r in got.itertuples(index=False)] == [
         ("a", 3, 2), ("a", 1, 1), ("b", 9, 1)]
+
+
+def test_active_user_counts_fixture(ray_session, tmp_path):
+    """Hourly and rolling-24h distinct users on a hand stream: same-hour
+    repeats count once; a user spans consecutive sliding windows."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import (
+        hourly_active_users, rolling_active_users)
+
+    base = pd.Timestamp("2026-01-01")  # midnight
+    rows = [(1, 0), (1, 10), (2, 0),          # hour 0: users 1,2
+            (1, 90),                          # hour 1: user 1
+            (3, 60 * 30)]                     # hour 30: user 3
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(rows)), dtype="int64"),
+        "ts": pd.Series([base + pd.Timedelta(minutes=m)
+                         for _, m in rows]).astype("datetime64[us]"),
+        "user_id": pd.array([u for u, _ in rows], dtype="int64"),
+        "event_type": ["view"] * len(rows),
+        "value": [0.0] * len(rows), "props": ["{}"] * len(rows)})
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    h0 = int(base.value // 1000) // 3_600_000_000
+    hourly = hourly_active_users(str(tmp_path)).set_index("hour")
+    assert hourly.loc[h0, "n"] == 2          # same-hour repeat counts once
+    assert hourly.loc[h0 + 1, "n"] == 1
+    assert hourly.loc[h0 + 30, "n"] == 1
+
+    rolling = rolling_active_users(str(tmp_path)).set_index("window_hour")
+    # the window STARTING at hour 0 covers hours 0-23: users 1,2
+    assert rolling.loc[h0, "n"] == 2
+    # window starting at hour 7 covers 7-30: users 1? no (events at 0,1)
+    # -> only user 3 (hour 30)
+    assert rolling.loc[h0 + 7, "n"] == 1
+    # window starting hour -22 covers hours -22..1: users 1,2 again
+    assert rolling.loc[h0 - 22, "n"] == 2
+
+
+def test_tpch_shaped_queries_match_local_replicas(ray_session):
+    """shipping_priority / region_supplier_revenue / promo_revenue equal
+    direct pandas replicas over the raw tables (exact integer money)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import (
+        promo_revenue, region_supplier_revenue, shipping_priority)
+
+    SF = "/root/testdata/sf0.001"
+    li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+    price_c = np.rint(li["l_extendedprice"].values * 100).astype("int64")
+    disc_c = np.rint(li["l_discount"].values * 100).astype("int64")
+    li["rev_u"] = price_c * (100 - disc_c)
+
+    # promo share
+    part = pq.read_table(SF + "/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+    got = promo_revenue(SF).iloc[0]
+    assert got["total_revenue_u"] == int(li["rev_u"].sum())
+    assert got["promo_revenue_u"] == int(
+        li.loc[li["l_partkey"].isin(promo), "rev_u"].sum())
+
+    # region rollup
+    sup = pq.read_table(SF + "/supplier.parquet").to_pandas()
+    nat = pq.read_table(SF + "/nation.parquet").to_pandas()
+    reg = pq.read_table(SF + "/region.parquet").to_pandas()
+    m = (li.groupby("l_suppkey")["rev_u"].sum().reset_index()
+         .merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+         .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    want = (m.groupby("r_name")
+            .agg(revenue_u=("rev_u", "sum"), n_suppliers=("rev_u", "size"))
+            .reset_index().sort_values("r_name").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        region_supplier_revenue(SF), want, check_dtype=False)
+
+    # Q3 top-k
+    cust = pq.read_table(SF + "/customer.parquet").to_pandas()
+    orders = pq.read_table(SF + "/orders.parquet").to_pandas()
+    cut = pd.Timestamp("1998-06-01")
+    seg = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    o = orders[(orders["o_orderdate"] < cut)
+               & orders["o_custkey"].isin(seg)].copy()
+    o["o_day"] = o["o_orderdate"].astype("int64") // 86_400_000_000
+    r = (li[li["l_shipdate"] > cut].groupby("l_orderkey")["rev_u"]
+         .sum().reset_index())
+    j = o.merge(r, left_on="o_orderkey", right_on="l_orderkey")
+    want = (j.sort_values(["rev_u", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+            [["o_orderkey", "o_day", "rev_u"]]
+            .rename(columns={"rev_u": "revenue_u"})
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        shipping_priority(SF), want, check_dtype=False)
