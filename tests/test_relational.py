@@ -382,3 +382,22 @@ def test_tpch_shaped_queries_match_local_replicas(ray_session):
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(
         shipping_priority(SF), want, check_dtype=False)
+
+
+def test_value_quantiles_matches_local(ray_session):
+    """Per-type cent quantiles equal a direct local lower-rule
+    computation."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import value_quantiles
+
+    SF = "/root/testdata/sf0.001"
+    got = value_quantiles(SF)
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["v"] = np.rint(ev["value"].values * 100).astype("int64")
+    for _, row in got.iterrows():
+        vals = sorted(ev.loc[ev["event_type"] == row["event_type"], "v"])
+        need = -(-int(row["q"]) * len(vals) // 100)
+        assert row["value_c"] == vals[need - 1]
