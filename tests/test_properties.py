@@ -346,3 +346,48 @@ def test_incremental_bloom_equals_exact_property(ray_session, tmp_path_factory,
     got = ids(incremental_dedup_bloom(str(tmp), bits_per_key=bits,
                                       k_hashes=2))
     assert got == want
+
+
+@given(st.lists(st.text(alphabet="ab \n\t", min_size=0, max_size=80),
+                min_size=1, max_size=12),
+       st.integers(2, 9), st.integers(1, 9))
+@settings(max_examples=10, deadline=None)
+def test_sliding_chunks_cover_property(ray_session, tmp_path_factory,
+                                       texts, size, stride):
+    """For any corpus and window geometry: windows tile every token
+    stream with the declared stride, cover all tokens, never exceed
+    ``size``, and the union of [start, start+n) intervals is exactly
+    [0, n_tokens)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.text_analysis import sliding_chunks
+
+    stride = min(stride, size)
+    tmp = tmp_path_factory.mktemp("slidep")
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(len(texts)), dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["src0"] * len(texts),
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp / "documents.parquet"))
+
+    out = sliding_chunks(str(tmp), size=size, stride=stride).to_pandas()
+    plans = (out.groupby("doc_id") if len(out) else [])
+    seen = set(out["doc_id"]) if len(out) else set()
+    for did, t in zip(df["doc_id"], df["text"]):
+        n = len(t.split())
+        if n == 0:
+            assert did not in seen
+            continue
+        g = out[out["doc_id"] == did].sort_values("chunk_idx")
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        assert list(g["start_tok"]) == [i * stride for i in range(len(g))]
+        assert (g["n_toks"] <= size).all() and (g["n_toks"] > 0).all()
+        covered = set()
+        for s, k in zip(g["start_tok"], g["n_toks"]):
+            covered |= set(range(s, s + k))
+        assert covered == set(range(n))
