@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
         # --- similarity search
         "emb_topk": lambda sf: similarity.brute_topk(sf),
+        "emb_topk_batch": lambda sf: similarity.brute_topk_batch(sf),
         "emb_lsh_topk": lambda sf: similarity.lsh_topk(sf),
         "emb_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
@@ -1662,6 +1663,23 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """
+    # batched query matrix: per-query ROW_NUMBER, same float-cosine
+    # ordering convention as emb_topk
+    out["emb_topk_batch"] = r"""
+        WITH q AS (
+          SELECT vec_id AS query_vec_id, embedding AS qe
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+        ), s AS (
+          SELECT q.query_vec_id, e.vec_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY q.query_vec_id
+                     ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                         DESC, e.vec_id) AS rank
+          FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_vec_id, CAST(rank AS BIGINT) AS rank, vec_id
+        FROM s WHERE rank <= 10
     """
     # DSIR importance selection: same round(avg·1e6) ln-parity
     # convention as lm_quality_rank; top nd//4 by (score desc, doc_id)

@@ -552,3 +552,46 @@ def pq_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     out = df[["vec_id"]].reset_index(drop=True)
     out["vec_id"] = out["vec_id"].astype("int64")
     return out
+
+
+def brute_topk_batch(sf_dir: str, query_vec_ids: tuple = (0, 1, 2, 3),
+                     k: int = 10) -> pd.DataFrame:
+    """Batched exact cosine top-k for a QUERY MATRIX — the serving shape
+    when queries arrive in batches: all queries broadcast once as one
+    normalized matrix, each data batch does a single matmul
+    (m × Q^T — one pass over the corpus for every query simultaneously,
+    instead of |Q| scans), and per-(query, batch) top-k partials merge
+    on the driver (≤ |Q|·k·batches rows). Output
+    (query_vec_id, rank, vec_id), rank 1-based per query — ints only,
+    so the per-query ROW_NUMBER oracle hashes strictly."""
+    Q = np.stack([load_query(sf_dir, q) for q in query_vec_ids])
+    Q = _norm(Q.astype(np.float64))
+    q_ref = ray.put((np.asarray(query_vec_ids, dtype=np.int64), Q))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, qm = ray.get(q_ref)
+        m = _norm(np.stack(batch["embedding"].to_numpy())
+                  .astype(np.float64))
+        sims = m @ qm.T                      # (batch, |Q|) in one matmul
+        ids = batch["vec_id"].to_numpy()
+        rows = {"query_vec_id": [], "vec_id": [], "sim": []}
+        for j, qid in enumerate(qids):
+            order = np.lexsort((ids, -sims[:, j]))[:k]
+            rows["query_vec_id"].extend([int(qid)] * len(order))
+            rows["vec_id"].extend(ids[order])
+            rows["sim"].extend(sims[order, j])
+        return pd.DataFrame(rows)
+
+    df = _emb(sf_dir).map_batches(partial, batch_format="pandas").to_pandas()
+    outs = []
+    for qid in query_vec_ids:
+        g = (df[df["query_vec_id"] == qid]
+             .sort_values(["sim", "vec_id"], ascending=[False, True])
+             .head(k))
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
+        outs.append(g[["query_vec_id", "rank", "vec_id"]])
+    out = pd.concat(outs).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -733,3 +733,17 @@ def test_ngram_novelty_exact_dup_owns_nothing(ray_session):
     assert h.loc[0, "n_novel"] == h.loc[0, "n_grams"] == 2
     assert h.loc[1, "n_novel"] == 0 and h.loc[1, "n_grams"] == 2
     assert h.loc[2, "n_novel"] == 2
+
+
+def test_brute_topk_batch_matches_single(ray_session):
+    """Each query's slice of the batched result equals the single-query
+    brute top-k."""
+    from ragflow_core16_ray.pipelines.similarity import (brute_topk,
+                                                         brute_topk_batch)
+
+    batch = brute_topk_batch(SF, query_vec_ids=(0, 3, 7))
+    for q in (0, 3, 7):
+        single = brute_topk(SF, query_vec_id=q)["vec_id"].tolist()
+        sliced = (batch[batch["query_vec_id"] == q]
+                  .sort_values("rank")["vec_id"].tolist())
+        assert sliced == single
