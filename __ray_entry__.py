@@ -555,8 +555,8 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 'en' THEN '33333333'
                        WHEN 'fr' THEN '80000000'
                        WHEN 'es' THEN '80000000'
-                       WHEN 'de' THEN 'ffffffff'
-                       WHEN 'zh' THEN 'ffffffff'
+                       WHEN 'de' THEN 'g'
+                       WHEN 'zh' THEN 'g'
                        ELSE '00000000' END
         """,
         "near_dup_removal": r"""
@@ -937,9 +937,10 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY w.doc_id
             )
             SELECT doc_id,
-                   CAST(round(lp / n * 1000000) AS BIGINT) AS avg_logprob_q,
+                   CAST(floor(lp / n * 1000000 + 0.5) AS BIGINT)
+                       AS avg_logprob_q,
                    CAST(ROW_NUMBER() OVER (
-                       ORDER BY round(lp / n * 1000000) DESC, doc_id
+                       ORDER BY floor(lp / n * 1000000 + 0.5) DESC, doc_id
                    ) AS BIGINT) AS rank
             FROM d
         """,
@@ -1681,7 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_vec_id, CAST(rank AS BIGINT) AS rank, vec_id
         FROM s WHERE rank <= 10
     """
-    # DSIR importance selection: same round(avg·1e6) ln-parity
+    # DSIR importance selection: same floor(avg·1e6+0.5) ln-parity
     # convention as lm_quality_rank; top nd//4 by (score desc, doc_id)
     out["dsir_select"] = r"""
         WITH d AS (
@@ -1699,9 +1700,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT SUM(cr) AS tr, SUM(ct) AS tt, COUNT(*) AS v FROM cnt
         ), sc AS (
           SELECT w.doc_id,
-                 CAST(round(SUM(ln((cnt.ct + 1.0) / (tot.tt + tot.v))
+                 CAST(floor(SUM(ln((cnt.ct + 1.0) / (tot.tt + tot.v))
                                 - ln((cnt.cr + 1.0) / (tot.tr + tot.v)))
-                            / COUNT(*) * 1000000) AS BIGINT) AS score_q
+                            / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+                     AS score_q
           FROM w JOIN cnt USING (word) CROSS JOIN tot
           GROUP BY w.doc_id
         ), n AS (

@@ -67,7 +67,14 @@ def _publish(ds: rd.Dataset, out_dir: str, stage: str, stats: dict,
                        os.path.join(tmp, "empty.parquet"))
     os.replace(tmp, final)
     stats = dict(stats, stage=stage, path=final)
-    json.dump(stats, open(os.path.join(out_dir, f"_{stage}.json"), "w"))
+    # atomic publish: a crash mid-dump must not leave a truncated manifest
+    # that _stage_done would treat as stage-complete on resume
+    mpath = os.path.join(out_dir, f"_{stage}.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(stats, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mpath + ".tmp", mpath)
     return stats
 
 

@@ -35,6 +35,26 @@ def _emb(sf_dir: str) -> rd.Dataset:
                            columns=["vec_id", "embedding"])
 
 
+def _corpus_digest(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings table (abs path + size +
+    mtime of every parquet file under it), so a cached on-disk index is
+    NEVER reused when the corpus changes under the same path or two
+    corpora share a basename — a stale index would silently return wrong
+    neighbors."""
+    import glob
+    import hashlib
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"),
+                             recursive=True)) if os.path.isdir(p) else [p]
+    h = hashlib.md5()
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{os.path.abspath(f)}|{st.st_size}|{st.st_mtime_ns}\n"
+                 .encode())
+    return h.hexdigest()[:12]
+
+
 def _norm(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
@@ -221,8 +241,10 @@ def ivf_topk_indexed(sf_dir: str, index_dir: str | None = None,
     ivf_topk, so both return identical results (asserted in tests).
     Returns (vec_id, scanned) where scanned = rows actually read."""
     if index_dir is None:
+        # keyed by corpus CONTENT digest, not just the path basename —
+        # a changed/renamed corpus must never hit another corpus's index
         index_dir = os.path.join(
-            "/tmp", f"graft_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+            "/tmp", f"graft_ivf_index_{_corpus_digest(sf_dir)}"
             f"_c{n_centroids}s{train_sample}")
     ivf_build_index(sf_dir, index_dir, n_centroids, train_sample)
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
@@ -236,6 +258,11 @@ def ivf_topk_indexed(sf_dir: str, index_dir: str | None = None,
     paths = [f for c in probe_cells
              for f in sorted(_glob.glob(
                  os.path.join(index_dir, f"cell={int(c)}", "*.parquet")))]
+    if not paths:
+        # every probed cell empty (tiny/skewed corpus): typed empty result,
+        # not a read_parquet([]) crash
+        return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
+                             "scanned": pd.array([], dtype="int64")})
     q_ref = ray.put(q)
 
     def rerank(batch: pd.DataFrame) -> pd.DataFrame:

@@ -184,7 +184,15 @@ STRATA_RATES = {"en": 0.2, "fr": 0.5, "es": 0.5, "de": 1.0, "zh": 1.0}
 
 
 def sample_cutoff_hex(rate: float) -> str:
-    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+    # rate >= 1.0 means KEEP ALL: 'g' sorts above every lowercase hex
+    # string, so the strict `prefix < cutoff` test passes for every doc
+    # (clamping to 'ffffffff' would drop a doc hashing exactly to it,
+    # 2^-32 per doc). Strata absent from the rates dict fall back to
+    # '00000000' — i.e. unknown languages are dropped ENTIRELY; this is
+    # deliberate (only listed strata participate in the mixture).
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
 
 
 def stratified_sample(sf_dir: str,
@@ -536,7 +544,10 @@ def lm_quality_rank(sf_dir: str, bucket_shift: int = 12) -> rd.Dataset:
         toks = batch["text"].str.strip().str.split().explode()
         lp = np.log((toks.map(cnts).fillna(0).values + 1.0) / denom)
         g = pd.Series(lp, index=toks.index).groupby(level=0)
-        avg_q = np.round(g.sum() / g.size() * 1e6).astype("int64")
+        # floor(x*1e6+0.5), NOT np.round: half-even would diverge from the
+        # oracle's floor convention on exact half-boundaries (same contract
+        # as source_mix_weights)
+        avg_q = np.floor(g.sum() / g.size() * 1e6 + 0.5).astype("int64")
         avg_q = avg_q.reindex(batch.index).values
         return pd.DataFrame({
             "bucket": pd.array(avg_q >> bucket_shift, dtype="int64"),
@@ -1422,7 +1433,8 @@ def dsir_select(sf_dir: str, target_lang: str = "en",
         toks = b["text"].str.strip().str.split().explode()
         lr = toks.map(r).values
         g = pd.Series(lr, index=toks.index).groupby(level=0)
-        score_q = np.round(g.sum() / g.size() * 1e6).astype("int64")
+        # same floor(x*1e6+0.5) quantization contract as lm_quality_rank
+        score_q = np.floor(g.sum() / g.size() * 1e6 + 0.5).astype("int64")
         out = pd.DataFrame({"doc_id": b["doc_id"].values,
                             "score_q": score_q.reindex(b.index).values})
         return (out.sort_values(["score_q", "doc_id"],
