@@ -308,8 +308,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ragflow_core16_ray.pipelines import (dedup, relational, similarity,
                                               text_analysis)
 
+    # ORDERING CONTRACT: the driver's correctness gate covers the FIRST 50
+    # entries per round. Queries that have never received a driver row sit
+    # first; round-4 additions next; r2-verified rotations after; queries
+    # hash-verified by the r3 driver are rotated to the back (each retains
+    # its local tools/check_oracle.py + pytest evidence).
     return {
-        # --- extraction engine (rows-only; golden equality lives in pytest)
+        # --- never driver-verified through r3 (dedup / retrieval at the
+        # 100-TB shapes, event analytics, TPC-H joins)
+        "near_dup_removal_scalable":
+            lambda sf: dedup.near_dup_removal_scalable(sf),
+        "incremental_dedup": lambda sf: dedup.incremental_dedup(sf),
+        "incremental_dedup_bloom":
+            lambda sf: dedup.incremental_dedup_bloom(sf),
+        "corpus_diff": lambda sf: dedup.corpus_diff(sf),
+        # the default-named clusters query runs the DISTRIBUTED
+        # label-propagation CC (the 100-TB shape); the driver union-find
+        # variant survives as a pytest equality oracle
+        "jaccard_clusters_dist": lambda sf: dedup.jaccard_clusters_dist(sf),
+        "winnow_matches": lambda sf: dedup.winnow_matches(sf),
+        "dup_passage_stats": lambda sf: dedup.dup_passage_stats(sf),
+        "ngram_novelty": lambda sf: dedup.ngram_novelty(sf),
+        "boilerplate_removal": lambda sf: dedup.boilerplate_removal(sf),
+        "dedup_passages": lambda sf: dedup.dedup_passages(sf),
+        "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
+        "emb_topk_batch": lambda sf: similarity.brute_topk_batch(sf),
+        "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
+        "bm25_topk": lambda sf: similarity.bm25_topk(sf),
+        "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
+        "hybrid_topk": lambda sf: similarity.hybrid_topk(sf),
+        "emb_pq_topk": lambda sf: similarity.pq_topk(sf),
+        "funnel_stages": lambda sf: relational.funnel_stages(sf),
+        "event_transitions": lambda sf: relational.event_transitions(sf),
+        "cohort_retention": lambda sf: relational.cohort_retention(sf),
+        "events_hopping": lambda sf: relational.events_hopping(sf),
+        "top_users_by_type": lambda sf: relational.top_users_by_type(sf),
+        "hourly_active_users":
+            lambda sf: relational.hourly_active_users(sf),
+        "rolling_active_users":
+            lambda sf: relational.rolling_active_users(sf),
+        "value_quantiles": lambda sf: relational.value_quantiles(sf),
+        "shipping_priority": lambda sf: relational.shipping_priority(sf),
+        "region_supplier_revenue":
+            lambda sf: relational.region_supplier_revenue(sf),
+        "promo_revenue": lambda sf: relational.promo_revenue(sf),
+        "event_props_stats": relational.event_props_stats,
+        # --- round-4 additions slot here (inside the 50-entry window)
+        # --- r2-verified rotations (no r3 driver row)
+        "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
+        "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
+            sf, k=4, threshold=0.6, grams="char"),
+        "jaccard_clusters": lambda sf: dedup.jaccard_clusters_dist(sf),
+        "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "minhash_verified_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
+        "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
+        "emb_near_dup": lambda sf: dedup.embedding_near_dup(sf),
+        "emb_topk": lambda sf: similarity.brute_topk(sf),
+        "emb_lsh_topk": lambda sf: similarity.lsh_topk(sf),
+        "emb_ivf_topk": lambda sf: similarity.ivf_topk(sf),
+        "pricing_summary": relational.pricing_summary,
+        "nation_revenue": relational.nation_revenue,
+        "top_customers": lambda sf: relational.top_customers(sf),
+        "events_hourly": relational.events_hourly,
+        "events_sessions": relational.events_sessions,
+        "events_asof_orders": relational.events_asof_orders,
+        "events_window_orders": lambda sf: relational.events_window_orders(sf),
+        # --- r3-hash-verified, rotated behind the window
+        # extraction engine (rows-only; golden equality lives in pytest)
         "extract_spans": _extract_flat,
         "extract_paper": lambda sf: _extract_override(sf, "paper"),
         "extract_laws": lambda sf: _extract_override(sf, "laws"),
@@ -324,7 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_collage": _media_collage,
         "frame_samples": _frame_samples,
         "audio_segments": _audio_segments,
-        # --- text analysis over documents
+        # text analysis over documents
         "token_counts": text_analysis.token_counts,
         "quality_stats": text_analysis.quality_stats,
         "fingerprints": text_analysis.fingerprints,
@@ -360,63 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_bpe": lambda sf: text_analysis.train_bpe(sf),
         "top_words_cms": lambda sf: text_analysis.top_words_cms(sf),
         "bpe_token_counts": lambda sf: text_analysis.bpe_token_counts(sf),
-        # --- dedup
+        # dedup (r1–r3 verified)
         "exact_dedup": dedup.exact_dedup,
         "near_dup_removal": lambda sf: dedup.near_dup_removal(sf),
-        "near_dup_removal_scalable":
-            lambda sf: dedup.near_dup_removal_scalable(sf),
-        "incremental_dedup": lambda sf: dedup.incremental_dedup(sf),
-        "incremental_dedup_bloom":
-            lambda sf: dedup.incremental_dedup_bloom(sf),
-        "corpus_diff": lambda sf: dedup.corpus_diff(sf),
-        "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
-        "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
-            sf, k=4, threshold=0.6, grams="char"),
-        "jaccard_clusters": lambda sf: dedup.jaccard_clusters(sf),
-        "jaccard_clusters_dist": lambda sf: dedup.jaccard_clusters_dist(sf),
-        "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
-        "minhash_verified_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
-        "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
-        "winnow_matches": lambda sf: dedup.winnow_matches(sf),
-        "dup_passage_stats": lambda sf: dedup.dup_passage_stats(sf),
-        "ngram_novelty": lambda sf: dedup.ngram_novelty(sf),
-        "emb_near_dup": lambda sf: dedup.embedding_near_dup(sf),
-        "boilerplate_removal": lambda sf: dedup.boilerplate_removal(sf),
-        "dedup_passages": lambda sf: dedup.dedup_passages(sf),
-        "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
-        # --- similarity search
-        "emb_topk": lambda sf: similarity.brute_topk(sf),
-        "emb_topk_batch": lambda sf: similarity.brute_topk_batch(sf),
-        "emb_lsh_topk": lambda sf: similarity.lsh_topk(sf),
-        "emb_ivf_topk": lambda sf: similarity.ivf_topk(sf),
-        "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
-        "bm25_topk": lambda sf: similarity.bm25_topk(sf),
-        "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
-        "hybrid_topk": lambda sf: similarity.hybrid_topk(sf),
-        "emb_pq_topk": lambda sf: similarity.pq_topk(sf),
-        # --- relational / streaming primitives
-        "pricing_summary": relational.pricing_summary,
-        "nation_revenue": relational.nation_revenue,
-        "top_customers": lambda sf: relational.top_customers(sf),
-        "events_hourly": relational.events_hourly,
-        "events_sessions": relational.events_sessions,
-        "funnel_stages": lambda sf: relational.funnel_stages(sf),
-        "event_transitions": lambda sf: relational.event_transitions(sf),
-        "cohort_retention": lambda sf: relational.cohort_retention(sf),
-        "events_hopping": lambda sf: relational.events_hopping(sf),
-        "top_users_by_type": lambda sf: relational.top_users_by_type(sf),
-        "hourly_active_users":
-            lambda sf: relational.hourly_active_users(sf),
-        "rolling_active_users":
-            lambda sf: relational.rolling_active_users(sf),
-        "value_quantiles": lambda sf: relational.value_quantiles(sf),
-        "shipping_priority": lambda sf: relational.shipping_priority(sf),
-        "region_supplier_revenue":
-            lambda sf: relational.region_supplier_revenue(sf),
-        "promo_revenue": lambda sf: relational.promo_revenue(sf),
-        "events_asof_orders": relational.events_asof_orders,
-        "events_window_orders": lambda sf: relational.events_window_orders(sf),
-        "event_props_stats": relational.event_props_stats,
     }
 
 

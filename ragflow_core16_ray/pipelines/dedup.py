@@ -107,6 +107,52 @@ def _char_grams(text: str, n: int = 4) -> set[str]:
     return {t[i:i + n] for i in range(len(t) - n + 1)}
 
 
+def _attach_sizes(pairs: rd.Dataset, sizes: rd.Dataset, id_col: str,
+                  out_col: str, pair_cols: list[str],
+                  n_buckets: int) -> rd.Dataset:
+    """Distributed pair←size lookup WITHOUT a broadcast: co-partition the
+    pair rows (by ``id_col``) and the (doc_id, n) size rows into the same
+    id-hash buckets, one shuffle, then each bucket task maps its local
+    size dict onto its local pairs. All columns int64; size rows carry -1
+    in the pair columns (union needs one schema)."""
+    import numpy as np
+
+    all_cols = ["bucket"] + pair_cols + ["size_id", "sz"]
+
+    def tag_p(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["bucket"] = (out[id_col].astype("int64") % n_buckets)
+        out["size_id"] = np.int64(-1)
+        out["sz"] = np.int64(-1)
+        return out[all_cols]
+
+    def tag_s(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"bucket": (b["doc_id"].astype("int64") % n_buckets)})
+        for c in pair_cols:
+            out[c] = np.int64(-1)
+        out["size_id"] = b["doc_id"].astype("int64").values
+        out["sz"] = b["n"].astype("int64").values
+        return out[all_cols]
+
+    u = pairs.map_batches(tag_p, batch_format="pandas").union(
+        sizes.map_batches(tag_s, batch_format="pandas"))
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        szmap = dict(zip(g.loc[g["sz"] >= 0, "size_id"],
+                         g.loc[g["sz"] >= 0, "sz"]))
+        p = g[g["sz"] < 0]
+        if p.empty:  # size-only bucket: typed empty frame keeps the schema
+            return pd.DataFrame({c: pd.array([], dtype="int64")
+                                 for c in pair_cols + [out_col]})
+        p = p[pair_cols].copy()
+        p[out_col] = p[id_col].map(szmap).astype("int64")
+        return p.reset_index(drop=True)
+
+    return (u.repartition(min(16, n_buckets))
+            .groupby("bucket").map_groups(join, batch_format="pandas"))
+
+
 def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                       n_buckets: int = 64, wanted_ref=None,
                       grams: str = "word",
@@ -126,8 +172,12 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     groupby(bucket) — a bounded-width shuffle of n_buckets groups, not one
     pandas call per distinct shingle — → vectorized self-merge per bucket
     emits complete per-bucket pair-intersection counts → combiner tree sums
-    them → Jaccard against a broadcast {doc_id: |shingles|} map (the small
-    side never shuffles). Skew note: a pathological hot shingle (present in
+    them → Jaccard against per-doc shingle sizes. Sizes arrive via an
+    id-bucket CO-PARTITIONED join in the standalone full-corpus path (an
+    O(n_docs) {doc_id: size} broadcast would not survive 100 TB); the
+    LSH-verify path (``wanted_ref``) keeps the broadcast since there the
+    map is bounded by the candidate set. Skew note: a pathological hot
+    shingle (present in
     g docs) costs g² merge rows inside one bucket; ``max_doc_freq`` is the
     production mitigation — shingles seen in more than that many docs are
     dropped BEFORE the self-merge (exact per shingle: a shingle lives in
@@ -159,15 +209,14 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     sh = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pandas").materialize()
 
-    # per-doc shingle counts: tiny (one int per doc) → combine + broadcast
+    # per-doc shingle counts (one int per doc)
     def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("doc_id", sort=False).size()
         return pd.DataFrame({"doc_id": g.index, "n": g.values})
 
-    sizes_df = combine_partials(
+    sizes_ds = combine_partials(
         sh.map_batches(size_partial, batch_format="pandas"),
-        ["doc_id"], {"n": "sum"}).to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
+        ["doc_id"], {"n": "sum"})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized: self-merge on shingle → co-occurring (a<b) doc pairs,
@@ -196,15 +245,41 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     inter = combine_partials(inter_partials, ["id_a", "id_b"],
                              {"inter": "sum"})
 
-    def jacc(batch: pd.DataFrame) -> pd.DataFrame:
-        sz = ray.get(sizes_ref)
-        a = batch["id_a"].map(sz).values
-        b = batch["id_b"].map(sz).values
-        inter_v = batch["inter"].values
-        keep = inter_v / (a + b - inter_v) >= threshold
-        return batch.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+    if wanted_ref is not None:
+        # LSH-verify path: the size map is candidate-filtered by
+        # construction (explode drops non-wanted docs), so a single
+        # ray.put broadcast is bounded by the candidate set — fine.
+        sizes_df = sizes_ds.to_pandas()
+        sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
-    out = inter.map_batches(jacc, batch_format="pandas").to_pandas()
+        def jacc(batch: pd.DataFrame) -> pd.DataFrame:
+            sz = ray.get(sizes_ref)
+            a = batch["id_a"].map(sz).values
+            b = batch["id_b"].map(sz).values
+            inter_v = batch["inter"].values
+            keep = inter_v / (a + b - inter_v) >= threshold
+            return batch.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+
+        out = inter.map_batches(jacc, batch_format="pandas").to_pandas()
+    else:
+        # standalone full-corpus path: a {doc_id: size} broadcast would be
+        # an O(n_docs) object-store blob — a scale-killer at 100 TB. Join
+        # the sizes in via the id-bucket co-partition instead: two extra
+        # shuffles of the CANDIDATE-PAIR table (tiny vs the shingle
+        # table), no driver- or broadcast-side state.
+        sizes_ds = sizes_ds.materialize()  # consumed by both attaches
+        pairs = _attach_sizes(inter, sizes_ds, "id_a", "n_a",
+                              ["id_a", "id_b", "inter"], n_buckets)
+        pairs = _attach_sizes(pairs, sizes_ds, "id_b", "n_b",
+                              ["id_a", "id_b", "inter", "n_a"], n_buckets)
+
+        def jacc_dist(batch: pd.DataFrame) -> pd.DataFrame:
+            inter_v = batch["inter"].values
+            keep = inter_v / (batch["n_a"].values + batch["n_b"].values
+                              - inter_v) >= threshold
+            return batch.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+
+        out = pairs.map_batches(jacc_dist, batch_format="pandas").to_pandas()
     if out.empty:
         # an all-empty result can come back schema-less from Ray; keep the
         # typed contract (a df-capped run may legitimately drop every pair)

@@ -70,10 +70,23 @@ class MediaFeatures:
         })
 
 
-def media_features(extracted: rd.Dataset, concurrency=(1, 4),
+def _default_pool() -> tuple[int, int]:
+    """Actor-pool bounds sized from the cluster, not a hard-coded cap: a
+    CPU decode stage starves at (1,4) on a 32-CPU node. Production GPU
+    models would instead pass an explicit concurrency + num_gpus."""
+    import ray
+
+    n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() \
+        else 4
+    return (1, max(4, n))
+
+
+def media_features(extracted: rd.Dataset, concurrency=None,
                    batch_size: int = 64) -> rd.Dataset:
     """Extracted-docs dataset → one row per figure span with decoded
     metadata + features. flat-map explode happens vectorized in Arrow."""
+    if concurrency is None:
+        concurrency = _default_pool()
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -242,7 +255,7 @@ class AudioSegmenter:
 
 
 def audio_segments(extracted: rd.Dataset, window_ms: int = 30_000,
-                   overlap_ms: int = 5_000, concurrency=(1, 4),
+                   overlap_ms: int = 5_000, concurrency=None,
                    batch_size: int = 16) -> rd.Dataset:
     """Extracted docs → overlapping audio segment rows for every
     media-bearing figure span (same Arrow explode as media_features; the
@@ -262,11 +275,11 @@ def audio_segments(extracted: rd.Dataset, window_ms: int = 30_000,
     return refs.map_batches(AudioSegmenter,
                             fn_constructor_args=(window_ms, overlap_ms),
                             batch_format="pandas", batch_size=batch_size,
-                            concurrency=concurrency)
+                            concurrency=concurrency or _default_pool())
 
 
 def frame_samples(extracted: rd.Dataset, n_frames: int = 4,
-                  concurrency=(1, 4), batch_size: int = 16) -> rd.Dataset:
+                  concurrency=None, batch_size: int = 16) -> rd.Dataset:
     """Extracted docs → sampled frame rows for every media-bearing figure
     span. Same explode as media_features; the sampler fans each ref out to
     ``n_frames`` rows inside the actor (no driver loop, no shuffle)."""
@@ -284,4 +297,4 @@ def frame_samples(extracted: rd.Dataset, n_frames: int = 4,
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(FrameSampler, fn_constructor_args=(n_frames,),
                             batch_format="pandas", batch_size=batch_size,
-                            concurrency=concurrency)
+                            concurrency=concurrency or _default_pool())
