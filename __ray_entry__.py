@@ -167,16 +167,34 @@ def _extract_override(sf_dir: str, template: str):
 
     _M63 = (1 << 63) - 1
 
+    import numpy as np
+
     def counts(batch) -> pd.DataFrame:
         flat = explode_spans(batch, extra_cols=("template",))
         df = flat.select(["template", "kind", "text"]).to_pandas()
-        df["text_hash"] = [hash64(t) & _M63 for t in df["text"]]
+        # explicit int64: an empty batch (every doc in it produced zero
+        # spans — common under sparse overrides like `tag`) would otherwise
+        # default the column to float64 and break the bitwise mask below
+        df["text_hash"] = np.fromiter(
+            (hash64(t) & _M63 for t in df["text"]), dtype=np.int64,
+            count=len(df))
         g = (df.groupby(["template", "kind"], sort=False)
              .agg(n=("text", "size"), text_hash=("text_hash", "sum")))
         # modular sum keeps the partial in int64 range and stays
         # order-independent under distributed combination
         g["text_hash"] &= _M63
-        return g.reset_index()
+        # explicit Arrow schema: an empty partial (sparse overrides) as a
+        # pandas frame has object-dtype key columns that trip Ray's block
+        # size estimator
+        import pyarrow as _pa
+
+        return _pa.Table.from_pandas(
+            g.reset_index(),
+            schema=_pa.schema([("template", _pa.string()),
+                               ("kind", _pa.string()),
+                               ("n", _pa.int64()),
+                               ("text_hash", _pa.int64())]),
+            preserve_index=False)
 
     from ragflow_core16_ray.stages.agg import combine_partials
 
@@ -354,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": lambda sf: relational.promo_revenue(sf),
         "event_props_stats": relational.event_props_stats,
         # --- round-4 additions slot here (inside the 50-entry window)
+        "extract_tag": lambda sf: _extract_override(sf, "tag"),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(

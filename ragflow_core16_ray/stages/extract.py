@@ -42,7 +42,7 @@ from ..functions.table import parse_tsv_rows
 TEMPLATES = ("html", "pdfish", "book", "md", "table", "naive",
              "presentation", "email", "docx",
              # template_override-selected:
-             "one", "qa", "paper", "laws", "manual")
+             "one", "qa", "paper", "laws", "manual", "tag", "picture")
 
 
 def route_template(spans: list[dict]) -> str:
@@ -202,6 +202,53 @@ def _qa_from_pdf(spans: list[dict]) -> list[dict]:
     return out
 
 
+def _norm_tags(raw: str) -> str:
+    """Tag normalization of rag/app/tag.py:31 (beAdoc): comma-split,
+    strip, '.' -> '_', empties dropped; kept comma-joined in one span."""
+    return ",".join(t.strip().replace(".", "_")
+                    for t in raw.split(",") if t.strip())
+
+
+def _tag_from_rows(rows: list[str]) -> list[dict]:
+    """Tag-KB excel mode (rag/app/tag.py:55-60, via qa.py:36-77 Excel
+    cell semantics): per row the first non-empty cell is the content, the
+    second the comma-separated tag list; rows without both are failures
+    and are skipped. Each pair emits a (tag, tag_kwd) span pair — the
+    span-IR encoding of the reference's content_with_weight + tag_kwd
+    chunk fields."""
+    out: list[dict] = []
+    for row in rows:
+        cells = [c.strip() for c in row.split("\t") if c.strip()]
+        if len(cells) >= 2:
+            out.append(make_span("tag", cells[0]))
+            out.append(make_span("tag_kwd", _norm_tags(cells[1])))
+    return out
+
+
+def _tag_from_txt(lines: list[str]) -> list[dict]:
+    """Tag-KB txt/csv mode (rag/app/tag.py:61-92): vote ONE delimiter for
+    the doc (TAB iff at least as many 2-field TAB lines as comma lines),
+    then a state machine over the lines — a non-2-field line extends the
+    pending content; a 2-field line closes a pair whose content is the
+    accumulated prefix plus its first field and whose tags are the second.
+    Content left pending at EOF is dropped (reference behavior)."""
+    comma = sum(1 for ln in lines if len(ln.split(",")) == 2)
+    tab = sum(1 for ln in lines if len(ln.split("\t")) == 2)
+    delim = "\t" if tab >= comma else ","
+    out: list[dict] = []
+    content = ""
+    for ln in lines:
+        arr = ln.split(delim)
+        if len(arr) != 2:
+            content += "\n" + ln
+        else:
+            content += "\n" + arr[0]
+            out.append(make_span("tag", content.strip()))
+            out.append(make_span("tag_kwd", _norm_tags(arr[1])))
+            content = ""
+    return out
+
+
 def _qa_from_rows(rows: list[str]) -> list[dict]:
     """Two-column QA mode (rag/app/qa.py:36-77 Excel semantics): per row,
     the first non-empty cell is the question, the second the answer; rows
@@ -226,6 +273,11 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
                 [s["text"] for s in spans if s["kind"] == "row"])
         if template == "docx":
             return _qa_from_docx(spans)
+    if cfg.template_override == "tag" and template == "table":
+        # tag-KB excel mode has no header convention (rag/app/tag.py:55-60:
+        # "2 column content and tags without header")
+        return _tag_from_rows(
+            [s["text"] for s in spans if s["kind"] == "row"])
     if template == "pdfish":
         if cfg.layout_recognize == "plain":
             # "Plain Text" mode (rag/app/naive.py:282-299 PlainParser via
@@ -616,6 +668,20 @@ def phase_b(template: str, spans: list[dict], cfg: ExtractConfig,
         merged = [make_span("qa", f"{q}\n{a}" if a else q)
                   for q, a in _qa_pairs(texts)]
         return finalize_offsets(merged + others)
+    if template == "tag":
+        # excel mode already produced (tag, tag_kwd) pairs in phase A;
+        # every other archetype runs the txt/csv line state machine
+        # (rag/app/tag.py:61-92) over its textual content in reading order.
+        # Only the pair spans survive — the reference's tag chunker emits
+        # nothing else ("All the deformed lines will be ignored").
+        pairs = [s for s in spans if s["kind"] in ("tag", "tag_kwd")]
+        if not pairs:
+            lines = [ln
+                     for s in spans
+                     if s["kind"] in ("section", "title", "table_row")
+                     for ln in s["text"].split("\n")]
+            pairs = _tag_from_txt(lines)
+        return finalize_offsets(pairs)
     if template == "book":
         texts = [s["text"] for s in spans if s["kind"] == "section"]
         others = [s for s in spans if s["kind"] != "section"]

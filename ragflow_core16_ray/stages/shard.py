@@ -61,10 +61,11 @@ def split_shards(spans: list[dict], template: str,
         return shards
     if template == "table":
         step = cfg.table_shard_rows
-        if cfg.template_override == "qa":
-            # qa excel mode has NO header convention (qa.py:36-77): every
-            # row is a q/a pair, so sharding is a plain row partition —
-            # copying the header would emit its pair once per shard
+        if cfg.template_override in ("qa", "tag"):
+            # qa/tag excel modes have NO header convention (qa.py:36-77,
+            # tag.py:55-60 "without header"): every row is a pair, so
+            # sharding is a plain row partition — copying the header would
+            # emit its pair once per shard
             return [spans[i:i + step] for i in range(0, n, step)]
         header, data = spans[0], spans[1:]
         return [[header] + data[i:i + step] for i in range(0, len(data), step)] \

@@ -298,3 +298,58 @@ def test_untagged_table_across_shard_cut():
     rows = [t for k, t in ((s["kind"], s["text"]) for s in sharded)
             if k == "table_row"]
     assert rows == ["h1：1; h2：2", "h1：3; h2：4"]
+
+
+# ------------------------------------------------------------ tag ---------
+
+def test_tag_excel_mode_pairs():
+    # excel mode (rag/app/tag.py:55-60): first cell = content, second =
+    # comma-separated tags; deformed rows skipped; '.' -> '_' in tags
+    spans = [make_span("row", "alpha doc\tml,nlp.v2", offset=0),
+             make_span("row", "only one cell", offset=1),
+             make_span("row", "beta doc\t solo ", offset=2)]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="tag"))
+    assert tmpl == "tag"
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("tag", "alpha doc"), ("tag_kwd", "ml,nlp_v2"),
+        ("tag", "beta doc"), ("tag_kwd", "solo"),
+    ]
+
+
+def test_tag_txt_mode_delimiter_vote_and_accumulation():
+    # txt mode (rag/app/tag.py:61-92): one delimiter voted per doc; a
+    # non-2-field line extends the pending content; pending-at-EOF dropped
+    spans = [make_span("text", "intro line with no delimiter", offset=0),
+             make_span("text", "first doc\ttopic.a,topic.b", offset=1),
+             make_span("text", "second doc\tx", offset=2),
+             make_span("text", "dangling content never closed", offset=3)]
+    tmpl, out, _ = extract_doc(spans, ExtractConfig(template_override="tag"))
+    assert tmpl == "tag"
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("tag", "intro line with no delimiter\nfirst doc"),
+        ("tag_kwd", "topic_a,topic_b"),
+        ("tag", "second doc"), ("tag_kwd", "x"),
+    ]
+
+
+def test_tag_txt_comma_delimiter_wins():
+    spans = [make_span("text", "a,t1"), make_span("text", "b,t2"),
+             make_span("text", "c,t3")]
+    _, out, _ = extract_doc(spans, ExtractConfig(template_override="tag"))
+    assert [s["text"] for s in out if s["kind"] == "tag"] == ["a", "b", "c"]
+    assert [s["text"] for s in out if s["kind"] == "tag_kwd"] == \
+        ["t1", "t2", "t3"]
+
+
+def test_tag_table_sharding_no_header_duplication():
+    # same no-header contract as qa excel mode (tag.py: "without header")
+    spans = [make_span("row", f"content {i}\ttag{i}", offset=i)
+             for i in range(40)]
+    sharded = ExtractConfig(template_override="tag",
+                            shard_span_threshold=8, table_shard_rows=10)
+    tmpl, out, n_shards = extract_doc(spans, sharded)
+    assert tmpl == "tag" and n_shards > 1
+    tags = [s["text"] for s in out if s["kind"] == "tag"]
+    assert len(tags) == 40 and tags[0] == "content 0"
+    _, unsharded, _ = extract_doc(spans, ExtractConfig(template_override="tag"))
+    assert [s["text"] for s in unsharded if s["kind"] == "tag"] == tags
