@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": relational.event_props_stats,
         # --- round-4 additions slot here (inside the 50-entry window)
         "extract_tag": lambda sf: _extract_override(sf, "tag"),
+        "extract_picture": lambda sf: _extract_override(sf, "picture"),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(

@@ -36,11 +36,23 @@ class MediaFeatures:
         self.feature_dim = feature_dim
         # real impl: self.model = load_onnx_session(...)  (once per actor)
 
-    @staticmethod
-    def decode_real(payload: bytes):
-        raise NotImplementedError(
-            "image/audio decoders are not available in this sandbox; "
-            "production swaps this for PIL/ffmpeg + an ONNX session")
+    def decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """REAL decode for PNG payloads (functions/png.py, pure
+        zlib+numpy): dimensions from IHDR, feature = L2-normalized
+        ``feature_dim``-bin intensity histogram of the decoded pixels.
+        Non-PNG payloads (JPEG/audio/video) still need PIL/ffmpeg —
+        unavailable in this sandbox."""
+        from ..functions.png import decode_png
+
+        arr = decode_png(payload)
+        if arr.ndim == 3:
+            arr = arr.mean(axis=2).astype(np.uint8)
+        hist, _ = np.histogram(arr, bins=self.feature_dim, range=(0, 256))
+        feat = hist.astype(np.float32)
+        norm = float(np.linalg.norm(feat))
+        if norm > 0:
+            feat /= norm
+        return arr.shape[1], arr.shape[0], feat
 
     def _fake_decode(self, media_ref: str) -> tuple[int, int, np.ndarray]:
         """Deterministic fake: dimensions + feature vector derived from the
@@ -55,9 +67,19 @@ class MediaFeatures:
         return int(width), int(height), feat
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import base64
+
+        payloads = (batch["payload"] if "payload" in batch.columns
+                    else [""] * len(batch))
         widths, heights, feats = [], [], []
-        for ref in batch["media_ref"]:
-            w, h, f = self._fake_decode(ref)
+        for ref, payload in zip(batch["media_ref"], payloads):
+            if payload:
+                # in-band PNG payload (picture docs): REAL decode
+                w, h, f = self.decode_real(base64.b64decode(payload))
+            else:
+                # ref-only figure (html/pdf/docx): the blob store holding
+                # these bytes doesn't exist in the sandbox → documented fake
+                w, h, f = self._fake_decode(ref)
             widths.append(w)
             heights.append(h)
             feats.append(f)
@@ -94,9 +116,16 @@ def media_features(extracted: rd.Dataset, concurrency=None,
 
     def explode(batch: pa.Table) -> pa.Table:
         flat = explode_spans(batch)
-        keep = pc.and_(pc.equal(flat["kind"], "figure"),
-                       pc.not_equal(flat["media_ref"], ""))
-        return flat.filter(keep).select(["doc_id", "media_ref"])
+        # figure spans carry a ref only; image spans (picture docs) carry
+        # their PNG payload in-band in `text` — kept for the real decode
+        keep = pc.and_(pc.is_in(flat["kind"],
+                                value_set=pa.array(["figure", "image"])),
+                       pc.not_equal(flat["media_ref"], "")).combine_chunks()
+        flat = flat.filter(keep)
+        payload = pc.if_else(pc.equal(flat["kind"], "image"),
+                             flat["text"], pa.scalar(""))
+        return (flat.select(["doc_id", "media_ref"])
+                .append_column("payload", payload))
 
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(MediaFeatures, batch_format="pandas",

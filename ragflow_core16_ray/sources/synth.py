@@ -24,14 +24,14 @@ import pyarrow as pa
 from ..schemas import DOCUMENTS_SCHEMA, finalize_offsets, make_span
 
 ARCHETYPES = ("html", "pdfish", "book", "md", "table", "docx", "txt", "ppt",
-              "eml", "json")
+              "eml", "json", "picture")
 # cumulative proportions for the seed-stable assignment
 _CUM = ((0.28, "html"), (0.50, "pdfish"), (0.60, "book"), (0.70, "md"),
         (0.80, "table"), (0.86, "docx"), (0.90, "txt"), (0.94, "ppt"),
-        (0.97, "eml"), (1.0, "json"))
+        (0.97, "eml"), (0.99, "json"), (1.0, "picture"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -502,6 +502,28 @@ def _gen_json(r: random.Random, doc_id: str) -> list[dict]:
                                          sort_keys=True))]
 
 
+# ------------------------------------------------------------- picture ----
+
+def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
+    """Image-only doc: the document IS a real PNG (rag/app/picture.py
+    receives the raw file bytes). Rendered from the 5x7 glyph font so the
+    extraction side's rule-OCR can recover the text; ~1 in 4 renders a
+    short caption (≤32 chars) to exercise the reference's too-short-for-
+    text branch (picture.py:42 → CV-LLM path, out of scope → no chunk)."""
+    import base64
+
+    from ..functions.glyphs import normalize_text, render_text
+    from ..functions.png import encode_png
+
+    if r.random() < 0.25:
+        lines = [normalize_text(_words(r, r.randint(1, 4)))]
+    else:
+        lines = [normalize_text(_words(r, r.randint(3, 9)))
+                 for _ in range(r.randint(2, 12))]
+    payload = base64.b64encode(encode_png(render_text(lines))).decode("ascii")
+    return [make_span("image", payload, f"media://{doc_id}/pic")]
+
+
 # ---------------------------------------------------------------- mega ----
 
 def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
@@ -518,7 +540,7 @@ def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
 _GEN = {"html": _gen_html, "pdfish": _gen_pdfish, "book": _gen_book,
         "md": _gen_md, "table": _gen_table, "docx": _gen_docx,
         "txt": _gen_txt, "ppt": _gen_ppt, "eml": _gen_eml,
-        "json": _gen_json, "mega": _gen_mega}
+        "json": _gen_json, "picture": _gen_picture, "mega": _gen_mega}
 
 
 def gen_doc(seed: int, idx: int, mega_every: int = 2500) -> dict:

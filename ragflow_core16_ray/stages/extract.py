@@ -61,6 +61,9 @@ def route_template(spans: list[dict]) -> str:
         return "html"
     if "md" in kinds:
         return "md"
+    if kinds and kinds <= {"image"}:
+        # the document IS an image (rag/app/picture.py chunker input)
+        return "picture"
     texts = [s["text"] for s in spans if s["kind"] == "text"]
     if texts and bullets_category(texts) >= 0:
         return "book"
@@ -412,6 +415,29 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
             elif s["kind"] == "image" and s.get("media_ref"):
                 out.append(make_span("figure", "", s["media_ref"]))
         return out
+    if template == "picture":
+        # rule-OCR (binarize → segment → classify, functions/glyphs.py)
+        # stands in for the det/rec models the reference runs here
+        # (rag/app/picture.py:38 ocr(np.array(img)), deepdoc/vision/ocr.py);
+        # the payload travels WITH the doc like the reference keeps
+        # doc["image"] alongside its chunk (picture.py:34-36)
+        import base64
+
+        from ..functions.glyphs import ocr_glyphs
+        from ..functions.png import decode_png
+
+        out = []
+        for s in spans:
+            if s["kind"] != "image":
+                continue
+            out.append(make_span("image", s["text"], s.get("media_ref", "")))
+            try:
+                txt = ocr_glyphs(decode_png(base64.b64decode(s["text"])))
+            except Exception:  # noqa: BLE001 — undecodable payload: ref only
+                continue
+            if txt:
+                out.append(make_span("ocr_text", txt))
+        return out
     # naive / book: raw sections pass through; merges happen in phase B
     out = []
     for s in spans:
@@ -668,6 +694,22 @@ def phase_b(template: str, spans: list[dict], cfg: ExtractConfig,
         merged = [make_span("qa", f"{q}\n{a}" if a else q)
                   for q, a in _qa_pairs(texts)]
         return finalize_offsets(merged + others)
+    if template == "picture":
+        # the whole OCR text is ONE chunk iff it clears the length gate
+        # ((eng and words > 32) or chars > 32, rag/app/picture.py:42);
+        # shorter text goes to the CV-LLM in the reference (out of scope
+        # per the north rule) → no text chunk. Non-image inputs under the
+        # override yield media refs only (the reference raises
+        # NotImplementedError for them, picture.py accepts images alone).
+        from ..functions.tokenizer import is_english
+
+        texts = [s["text"] for s in spans if s["kind"] == "ocr_text"]
+        media = [s for s in spans if s["kind"] in ("image", "figure")]
+        txt = "\n".join(texts)
+        long_enough = ((is_english(txt.split()) and len(txt.split()) > 32)
+                       or len(txt) > 32)
+        merged = [make_span("section", txt)] if txt and long_enough else []
+        return finalize_offsets(merged + media)
     if template == "tag":
         # excel mode already produced (tag, tag_kwd) pairs in phase A;
         # every other archetype runs the txt/csv line state machine
