@@ -107,6 +107,60 @@ def _extract_flat(sf_dir: str):
     ).map_batches(flatten, batch_format="pyarrow")
 
 
+def _extract_pdf_bytes(sf_dir: str):
+    """Raw-PDF entry point: the spans of every `pdf`-archetype doc (whose
+    corpus row is base64 PDF BYTES parsed by functions/pdf_bytes.py, not
+    pre-tokenized box IR) after full extraction — per-kind counts + an
+    order-independent span-text hash, same evidence shape as
+    _extract_override. Rows-only: the content-stream parse isn't
+    SQL-expressible."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragflow_core16_ray.functions.hashing import hash64
+    from ragflow_core16_ray.schemas import explode_spans
+
+    out_dir = _extract_out(sf_dir)
+    _M63 = (1 << 63) - 1
+
+    def counts(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        mask = pc.starts_with(batch["doc_id"], "doc-pdf-")
+        flat = explode_spans(batch.filter(mask), extra_cols=("template",))
+        df = flat.select(["template", "kind", "text"]).to_pandas()
+        df["text_hash"] = np.fromiter(
+            (hash64(t) & _M63 for t in df["text"]), dtype=np.int64,
+            count=len(df))
+        g = (df.groupby(["template", "kind"], sort=False)
+             .agg(n=("text", "size"), text_hash=("text_hash", "sum")))
+        g["text_hash"] &= _M63
+        return pa.Table.from_pandas(
+            g.reset_index(),
+            schema=pa.schema([("template", pa.string()),
+                              ("kind", pa.string()),
+                              ("n", pa.int64()),
+                              ("text_hash", pa.int64())]),
+            preserve_index=False)
+
+    from ragflow_core16_ray.stages.agg import combine_partials
+
+    ds = rd.read_parquet(
+        os.path.join(out_dir, "docs"),
+        columns=["doc_id", "template", "spans"]
+    ).map_batches(counts, batch_format="pyarrow")
+    out = combine_partials(ds, ["template", "kind"],
+                           {"n": "sum", "text_hash": "sum"})
+
+    def mask_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["text_hash"] &= _M63
+        return batch
+
+    return out.map_batches(mask_hash, batch_format="pandas")
+
+
 def _chunk_docs(sf_dir: str):
     """Index-ready chunk docs with content_ltks / content_sm_ltks (role of
     rag/nlp/__init__.py:251-279 tokenize_chunks before the doc-store sink).
@@ -374,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 additions slot here (inside the 50-entry window)
         "extract_tag": lambda sf: _extract_override(sf, "tag"),
         "extract_picture": lambda sf: _extract_override(sf, "picture"),
+        "extract_pdf_bytes": _extract_pdf_bytes,
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(

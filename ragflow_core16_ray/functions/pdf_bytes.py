@@ -1,0 +1,451 @@
+"""PDF-from-bytes ingestion: a pure-Python text-layer extractor.
+
+Role of the reference's pdfplumber char extraction + page assembly
+(deepdoc/parser/pdf_parser.py:994-1113) for the unencrypted,
+text-layer case: parse the PDF object graph, inflate the page content
+streams, interpret the text-positioning/showing operators (Tf Td TD Tm
+T* TL Tj TJ ' ") under q/Q//cm graphics state, and emit one UNTAGGED box
+span per text-showing op in the existing box IR — downstream
+``_infer_layout`` (functions/pdfish.py) classifies them exactly like any
+other untagged box. Rasterization + OCR of scanned pages (zoom-9 retry,
+pdf_parser.py:1052-1068) needs the vision models and stays out of scope.
+
+Also ships :func:`build_pdf`, a deterministic minimal PDF writer
+(FlateDecode streams, direct /Length, xref table) used by the synthetic
+corpus so the parser is exercised on REAL PDF bytes.
+
+Coordinates: PDF is bottom-up; the box IR is top-down scaled to a
+1000-unit page height (the synth/pdfish convention), so y maps through
+``top = (H - y - size) * 1000/H``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import zlib
+
+# average Helvetica advance as a fraction of font size — only used for
+# x1 estimates (column detection); exact metrics need the font program
+_AVG_ADVANCE = 0.5
+_TARGET_H = 1000.0
+
+
+# ------------------------------------------------------------ builder ----
+
+def build_pdf(pages: list[list[tuple[float, float, float, str]]],
+              media_box: tuple[float, float] = (612.0, 792.0)) -> bytes:
+    """pages = per page a list of (x, top, size, text) in TOP-DOWN page
+    coords (same convention as the box IR, unscaled). Deterministic
+    output bytes for given input."""
+    w, h = media_box
+    objs: list[bytes] = []  # 1-indexed object bodies (without obj/endobj)
+    n_pages = len(pages)
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] "
+                f">>".encode())
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, lines in enumerate(pages):
+        content_id = page_ids[i] + 1
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w:g} {h:g}] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {content_id} 0 R >>".encode())
+        parts = [b"BT"]
+        for x, top, size, text in lines:
+            y = h - top - size  # top-down → bottom-up baseline
+            esc = (text.replace("\\", r"\\")
+                   .replace("(", r"\(").replace(")", r"\)"))
+            parts.append(f"/F1 {size:g} Tf {x:g} {y:g} Td".encode())
+            parts.append(b"(" + esc.encode("latin-1", "replace") + b") Tj")
+            # reset to absolute positioning for the next line
+            parts.append(f"{-x:g} {-y:g} Td".encode())
+        parts.append(b"ET")
+        stream = zlib.compress(b"\n".join(parts), 6)
+        objs.append(b"<< /Length " + str(len(stream)).encode()
+                    + b" /Filter /FlateDecode >>\nstream\n" + stream
+                    + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+# ------------------------------------------------------------- parser ----
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_LEN_RE = re.compile(rb"/Length\s+(\d+)\b")
+_MBOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)")
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """num → object body. Stream payloads are skipped via direct /Length
+    when present (our writer always emits it), else the first
+    ``endstream`` after the ``stream`` keyword."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if not m:
+            break
+        start = m.end()
+        sm = re.compile(rb"\bstream\r?\n").search(data, start)
+        em = data.find(b"endobj", start)
+        if sm is not None and (em == -1 or sm.start() < em):
+            lm = _LEN_RE.search(data, start, sm.start())
+            if lm:
+                body_end = data.find(b"endobj", sm.end() + int(lm.group(1)))
+            else:
+                es = data.find(b"endstream", sm.end())
+                body_end = data.find(b"endobj", es if es != -1 else sm.end())
+        else:
+            body_end = em
+        if body_end == -1:
+            body_end = len(data)
+        objs[int(m.group(1))] = data[start:body_end]
+        pos = body_end + 6
+    return objs
+
+
+def _dict_of(body: bytes) -> bytes:
+    i = body.find(b"<<")
+    if i == -1:
+        return b""
+    depth, j = 0, i
+    while j < len(body) - 1:
+        if body[j:j + 2] == b"<<":
+            depth += 1
+            j += 2
+        elif body[j:j + 2] == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return body[i:j]
+        else:
+            j += 1
+    return body[i:]
+
+
+def _value_of(d: bytes, key: bytes) -> bytes:
+    """Raw bytes of a dictionary entry up to the next key at depth 0."""
+    m = re.search(re.escape(key) + rb"\b", d)
+    if not m:
+        return b""
+    rest = d[m.end():]
+    out, depth, i = [], 0, 0
+    while i < len(rest):
+        c = rest[i:i + 1]
+        if c == b"[" or rest[i:i + 2] == b"<<":
+            depth += 1
+            i += 2 if rest[i:i + 2] == b"<<" else 1
+            out.append(c if c == b"[" else b"<<")
+            continue
+        if c == b"]" or rest[i:i + 2] == b">>":
+            depth -= 1
+            i += 2 if rest[i:i + 2] == b">>" else 1
+            out.append(c if c == b"]" else b">>")
+            if depth <= 0 and c == b"]":
+                break
+            continue
+        if depth == 0 and c == b"/" and out and not b"".join(out).strip() \
+                .startswith(b"/"):
+            break
+        out.append(c)
+        i += 1
+    return b"".join(out).strip()
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Logical page order from the /Pages tree; falls back to numeric
+    order of /Type /Page objects for damaged trees."""
+    catalog = next((n for n, b in objs.items()
+                    if re.search(rb"/Type\s*/Catalog\b", b)), None)
+    order: list[int] = []
+
+    def walk(num: int, seen: set[int]) -> None:
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        body = objs[num]
+        if re.search(rb"/Type\s*/Page\b(?!s)", body):
+            order.append(num)
+            return
+        kids = _value_of(_dict_of(body), b"/Kids")
+        for r in _REF_RE.finditer(kids):
+            walk(int(r.group(1)), seen)
+
+    if catalog is not None:
+        root = _REF_RE.search(_value_of(_dict_of(objs[catalog]), b"/Pages"))
+        if root:
+            walk(int(root.group(1)), set())
+    if not order:
+        order = sorted(n for n, b in objs.items()
+                       if re.search(rb"/Type\s*/Page\b(?!s)", b))
+    return order
+
+
+def _content_of(objs: dict[int, bytes], page_body: bytes) -> bytes:
+    streams: list[bytes] = []
+    cv = _value_of(_dict_of(page_body), b"/Contents")
+    for r in _REF_RE.finditer(cv):
+        body = objs.get(int(r.group(1)), b"")
+        sm = re.compile(rb"\bstream\r?\n").search(body)
+        if not sm:
+            continue
+        end = body.rfind(b"endstream")
+        raw = body[sm.end():end if end != -1 else len(body)]
+        raw = raw.rstrip(b"\r\n")
+        if re.search(rb"/FlateDecode\b", body[:sm.start()]):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        streams.append(raw)
+    return b"\n".join(streams)
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _lex(stream: bytes):
+    """Content-stream tokens: ('num', f) ('str', s) ('name', s) ('op', s)
+    ('[',) (']',)."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i:i + 1]
+        if c in _WS:
+            i += 1
+        elif c == b"%":
+            j = stream.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        elif c == b"(":
+            out, depth, j = bytearray(), 1, i + 1
+            while j < n and depth:
+                ch = stream[j]
+                if ch == 0x5C and j + 1 < n:  # backslash escape
+                    nxt = stream[j + 1:j + 2]
+                    esc = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12,
+                           b"(": 40, b")": 41, b"\\": 92}
+                    if nxt in esc:
+                        out.append(esc[nxt])
+                        j += 2
+                    elif nxt.isdigit():  # octal \ddd
+                        k = j + 1
+                        oct_s = b""
+                        while k < n and len(oct_s) < 3 \
+                                and stream[k:k + 1].isdigit():
+                            oct_s += stream[k:k + 1]
+                            k += 1
+                        out.append(int(oct_s, 8) & 0xFF)
+                        j = k
+                    else:  # line continuation / unknown escape
+                        j += 2
+                elif ch == 0x28:
+                    depth += 1
+                    out.append(ch)
+                    j += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth:
+                        out.append(ch)
+                    j += 1
+                else:
+                    out.append(ch)
+                    j += 1
+            yield ("str", out.decode("latin-1"))
+            i = j
+        elif c == b"<" and stream[i + 1:i + 2] != b"<":
+            j = stream.find(b">", i)
+            hexs = re.sub(rb"\s", b"", stream[i + 1:j if j != -1 else n])
+            if len(hexs) % 2:
+                hexs += b"0"
+            yield ("str", bytes.fromhex(hexs.decode("ascii", "ignore"))
+                   .decode("latin-1"))
+            i = (j + 1) if j != -1 else n
+        elif c == b"[":
+            yield ("[",)
+            i += 1
+        elif c == b"]":
+            yield ("]",)
+            i += 1
+        elif c == b"/":
+            j = i + 1
+            while j < n and stream[j:j + 1] not in _WS \
+                    and stream[j:j + 1] not in _DELIM:
+                j += 1
+            yield ("name", stream[i + 1:j].decode("latin-1"))
+            i = j
+        elif c == b"<":  # << inline dict (BDC property lists etc.) — skip
+            i += 2
+        elif c == b">":
+            i += 2
+        else:
+            j = i
+            while j < n and stream[j:j + 1] not in _WS \
+                    and stream[j:j + 1] not in _DELIM:
+                j += 1
+            tok = stream[i:j]
+            try:
+                yield ("num", float(tok))
+            except ValueError:
+                yield ("op", tok.decode("latin-1", "replace"))
+            i = j
+
+
+def _mat_mul(a, b):  # 2x3 affine as (a,b,c,d,e,f)
+    return (a[0] * b[0] + a[1] * b[2],
+            a[0] * b[1] + a[1] * b[3],
+            a[2] * b[0] + a[3] * b[2],
+            a[2] * b[1] + a[3] * b[3],
+            a[4] * b[0] + a[5] * b[2] + b[4],
+            a[4] * b[1] + a[5] * b[3] + b[5])
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _interpret(stream: bytes) -> list[tuple[float, float, float, str]]:
+    """Text-showing ops → (x, baseline_y, effective_size, text) in PDF
+    (bottom-up) device space."""
+    shows: list[tuple[float, float, float, str]] = []
+    ctm, stack = _ID, []
+    tm = tlm = _ID
+    size, leading = 0.0, 0.0
+    operands: list = []
+    arr: list | None = None
+
+    def show(txt: str) -> None:
+        nonlocal tm
+        if not txt:
+            return
+        trm = _mat_mul(tm, ctm)
+        eff = abs(size * trm[3]) or size
+        shows.append((trm[4], trm[5], eff, txt))
+        adv = _AVG_ADVANCE * size * len(txt)
+        tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+
+    def next_line(tx: float, ty: float) -> None:
+        nonlocal tm, tlm
+        tlm = _mat_mul((1, 0, 0, 1, tx, ty), tlm)
+        tm = tlm
+
+    for tok in _lex(stream):
+        kind = tok[0]
+        if kind == "[":
+            arr = []
+            continue
+        if kind == "]":
+            operands.append(arr or [])
+            arr = None
+            continue
+        if kind in ("num", "str", "name"):
+            (arr if arr is not None else operands).append(tok[1])
+            continue
+        op = tok[1]
+        try:
+            if op == "q":
+                stack.append(ctm)
+            elif op == "Q":
+                ctm = stack.pop() if stack else _ID
+            elif op == "cm" and len(operands) >= 6:
+                ctm = _mat_mul(tuple(operands[-6:]), ctm)
+            elif op == "BT":
+                tm = tlm = _ID
+            elif op == "Tf" and operands:
+                size = float(operands[-1])
+            elif op == "TL" and operands:
+                leading = float(operands[-1])
+            elif op == "Td" and len(operands) >= 2:
+                next_line(float(operands[-2]), float(operands[-1]))
+            elif op == "TD" and len(operands) >= 2:
+                leading = -float(operands[-1])
+                next_line(float(operands[-2]), float(operands[-1]))
+            elif op == "Tm" and len(operands) >= 6:
+                tm = tlm = tuple(float(v) for v in operands[-6:])
+            elif op == "T*":
+                next_line(0.0, -leading)
+            elif op == "Tj" and operands:
+                show(str(operands[-1]))
+            elif op == "'" and operands:
+                next_line(0.0, -leading)
+                show(str(operands[-1]))
+            elif op == '"' and len(operands) >= 3:
+                next_line(0.0, -leading)
+                show(str(operands[-1]))
+            elif op == "TJ" and operands and isinstance(operands[-1], list):
+                parts = [v for v in operands[-1] if isinstance(v, str)]
+                show("".join(parts))
+        except (TypeError, ValueError):
+            pass  # malformed operand run: skip the op, keep scanning
+        operands = []
+    return shows
+
+
+def pdf_to_boxes(data: bytes) -> list[dict]:
+    """PDF bytes → untagged box spans (the pdfish input IR), top-down
+    coords scaled to the 1000-unit page height. Raises ValueError on
+    non-PDF input; a PDF with no recoverable text layer (scanned pages)
+    yields [] — the reference's OCR fallback territory."""
+    from ..schemas import make_span
+
+    if not data.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    objs = _scan_objects(data)
+    spans: list[dict] = []
+    for page_no, num in enumerate(_page_order(objs)):
+        body = objs[num]
+        mb = _MBOX_RE.search(body)
+        pw, ph = (612.0, 792.0)
+        if mb:
+            pw = float(mb.group(3)) - float(mb.group(1))
+            ph = float(mb.group(4)) - float(mb.group(2))
+        scale = _TARGET_H / (ph or 792.0)
+        for x, y, eff, txt in _interpret(_content_of(objs, body)):
+            txt = txt.strip()
+            if not txt:
+                continue
+            top = (ph - y - eff) * scale
+            d = {"t": txt,
+                 "x0": round(x * scale, 2),
+                 "x1": round((x + _AVG_ADVANCE * eff * len(txt)) * scale, 2),
+                 "top": round(top, 2),
+                 "bot": round(top + eff * scale, 2),
+                 "page": page_no}
+            spans.append(make_span(
+                "box", json.dumps(d, ensure_ascii=False, sort_keys=True)))
+    return spans
+
+
+def expand_pdf_spans(spans: list[dict]) -> list[dict]:
+    """Replace `pdf` payload spans (base64 PDF bytes in `text`) with the
+    parsed box spans; all other spans pass through. Idempotent — a span
+    list with no `pdf` kind is returned as-is (same object)."""
+    if not any(s["kind"] == "pdf" for s in spans):
+        return spans
+    import base64
+
+    from ..schemas import finalize_offsets
+
+    out: list[dict] = []
+    for s in spans:
+        if s["kind"] != "pdf":
+            out.append(s)
+            continue
+        try:
+            out.extend(pdf_to_boxes(base64.b64decode(s["text"])))
+        except Exception:  # noqa: BLE001 — undecodable payload: keep a ref
+            pass
+    return finalize_offsets(out)

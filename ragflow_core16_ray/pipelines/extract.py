@@ -66,9 +66,14 @@ class ExtractRouter:
 
         rows = []
         staged_rows = []
+        from ..functions.pdf_bytes import expand_pdf_spans
+
         for doc_id, spans in zip(batch["doc_id"].to_pylist(),
                                  spans_column_to_pylists(batch["spans"])):
             try:
+                # PDF payloads expand to boxes BEFORE the shard decision so
+                # a many-page PDF page-range-shards like any pdfish doc
+                spans = expand_pdf_spans(spans)
                 template = route_template(spans)
                 shards = split_shards(spans, template, self.cfg)
                 if len(shards) == 1:

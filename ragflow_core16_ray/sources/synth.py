@@ -23,15 +23,15 @@ import pyarrow as pa
 
 from ..schemas import DOCUMENTS_SCHEMA, finalize_offsets, make_span
 
-ARCHETYPES = ("html", "pdfish", "book", "md", "table", "docx", "txt", "ppt",
-              "eml", "json", "picture")
+ARCHETYPES = ("html", "pdfish", "pdf", "book", "md", "table", "docx", "txt",
+              "ppt", "eml", "json", "picture")
 # cumulative proportions for the seed-stable assignment
-_CUM = ((0.28, "html"), (0.50, "pdfish"), (0.60, "book"), (0.70, "md"),
-        (0.80, "table"), (0.86, "docx"), (0.90, "txt"), (0.94, "ppt"),
-        (0.97, "eml"), (0.99, "json"), (1.0, "picture"))
+_CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
+        (0.70, "md"), (0.80, "table"), (0.86, "docx"), (0.90, "txt"),
+        (0.94, "ppt"), (0.97, "eml"), (0.99, "json"), (1.0, "picture"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -502,6 +502,47 @@ def _gen_json(r: random.Random, doc_id: str) -> list[dict]:
                                          sort_keys=True))]
 
 
+# ----------------------------------------------------------------- pdf ----
+
+def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
+    """Real PDF bytes (functions/pdf_bytes.build_pdf): the document enters
+    the pipeline as a base64 `pdf` payload span and the content-stream
+    parser recovers the boxes — the raw-binary entry point the reference
+    gets from pdfplumber (pdf_parser.py:994-1113). A 600x1000 media box
+    keeps coordinates in the box-IR convention. ASCII-only text: the
+    builder writes latin-1 literal strings (no CID/ToUnicode machinery)."""
+    import base64
+
+    from ..functions.pdf_bytes import build_pdf
+
+    n_pages = r.randint(1, 6)
+    header = ("Jrnl of " + _words(r, 2).title())[:40]
+    pages: list[list[tuple[float, float, float, str]]] = []
+    for page in range(n_pages):
+        lines: list[tuple[float, float, float, str]] = [
+            (50, 12, 9, header)]
+        if page == 0:
+            # below the 8% header band (functions/pdfish._infer_layout)
+            lines.append((100, 82, 18, _words(r, 5).title()))
+        two_col = n_pages >= 2 and r.random() < 0.3
+        n_lines = r.randint(4, 12)
+        if two_col:
+            half = max(1, n_lines // 2)
+            for i in range(n_lines):
+                colx = 50 if i < half else 320
+                y = 120 + 55 * (i if i < half else i - half)
+                lines.append((colx, y, 10, _words(r, r.randint(4, 8))))
+        else:
+            for i in range(n_lines):
+                lines.append((60, 120 + 55 * i, 10,
+                              _words(r, r.randint(5, 10)) + "."))
+        lines.append((270, 965, 8, f"page {page + 1}/{n_pages}"))
+        pages.append(lines)
+    payload = base64.b64encode(
+        build_pdf(pages, media_box=(600.0, 1000.0))).decode("ascii")
+    return [make_span("pdf", payload)]
+
+
 # ------------------------------------------------------------- picture ----
 
 def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
@@ -540,7 +581,8 @@ def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
 _GEN = {"html": _gen_html, "pdfish": _gen_pdfish, "book": _gen_book,
         "md": _gen_md, "table": _gen_table, "docx": _gen_docx,
         "txt": _gen_txt, "ppt": _gen_ppt, "eml": _gen_eml,
-        "json": _gen_json, "picture": _gen_picture, "mega": _gen_mega}
+        "json": _gen_json, "picture": _gen_picture, "pdf": _gen_pdf,
+        "mega": _gen_mega}
 
 
 def gen_doc(seed: int, idx: int, mega_every: int = 2500) -> dict:

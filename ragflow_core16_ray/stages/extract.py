@@ -749,8 +749,13 @@ def extract_doc(spans: list[dict], cfg: ExtractConfig = DEFAULT_CONFIG,
     the concatenation — so pipeline output equals this per-doc function
     exactly (the golden-equality contract in tests/).
     Returns (template, output spans, n_shards)."""
+    from ..functions.pdf_bytes import expand_pdf_spans
     from .shard import split_shards
 
+    # raw-binary entry point: `pdf` payload spans become box spans before
+    # routing/sharding (no-op when none present — the distributed router
+    # already expanded them so page-range sharding sees the boxes)
+    spans = expand_pdf_spans(spans)
     base = route_template(spans)
     template = template or cfg.template_override or base
     # parsing (phase A) always follows the CONTENT (base) template; the

@@ -1,0 +1,139 @@
+"""PDF-from-bytes ingestion (functions/pdf_bytes.py): the pure-Python
+text-layer extractor standing in for pdfplumber char extraction
+(deepdoc/parser/pdf_parser.py:994-1113), plus its integration with the
+extraction engine (pdf payload span → boxes → pdfish)."""
+
+import base64
+import json
+import zlib
+
+import pytest
+
+from ragflow_core16_ray.config import ExtractConfig
+from ragflow_core16_ray.functions.pdf_bytes import (build_pdf,
+                                                    expand_pdf_spans,
+                                                    pdf_to_boxes)
+from ragflow_core16_ray.schemas import finalize_offsets, make_span
+from ragflow_core16_ray.stages.extract import extract_doc
+
+
+def _texts(boxes):
+    return [json.loads(b["text"])["t"] for b in boxes]
+
+
+def test_roundtrip_text_and_geometry():
+    pages = [[(100, 82, 18, "The Title Line"),
+              (60, 150, 10, "Body with (parens) and \\ backslash.")],
+             [(320, 200, 10, "Second page, right column.")]]
+    boxes = pdf_to_boxes(build_pdf(pages, media_box=(600.0, 1000.0)))
+    assert _texts(boxes) == ["The Title Line",
+                             "Body with (parens) and \\ backslash.",
+                             "Second page, right column."]
+    ds = [json.loads(b["text"]) for b in boxes]
+    assert [d["page"] for d in ds] == [0, 0, 1]
+    # 600x1000 media box carries box-IR coords through unscaled
+    assert ds[0]["top"] == pytest.approx(82, abs=0.5)
+    assert ds[0]["bot"] - ds[0]["top"] == pytest.approx(18, abs=0.5)
+    assert ds[2]["x0"] == pytest.approx(320, abs=0.5)
+
+
+def test_mediabox_scaling_to_1000():
+    # US-Letter page: y scales by 1000/792
+    boxes = pdf_to_boxes(build_pdf([[(61.6, 79.2, 15.84, "Scaled")]],
+                                   media_box=(612.0, 792.0)))
+    d = json.loads(boxes[0]["text"])
+    assert d["top"] == pytest.approx(100, abs=0.5)
+    assert d["bot"] - d["top"] == pytest.approx(20, abs=0.5)
+    assert d["x0"] == pytest.approx(77.8, abs=0.5)
+
+
+def test_content_stream_operators():
+    # hand-written content stream exercising TL/T*/Tm/TJ/'/" and escapes
+    content = b"""BT
+/F1 12 Tf 14 TL 50 700 Td
+(first line) Tj
+(second via quote) '
+[(kerned ) -120 (array)] TJ
+1 0 0 1 50 600 Tm
+(via Tm) Tj
+T* (after Tstar) Tj
+<68657821> Tj
+(octal \\101\\102) Tj
+ET"""
+    stream = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+           b"/MediaBox [0 0 600 1000] /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + stream
+           + b"\nendstream\nendobj\n")
+    texts = _texts(pdf_to_boxes(pdf))
+    assert texts == ["first line", "second via quote", "kerned array",
+                     "via Tm", "after Tstar", "hex!", "octal AB"]
+
+
+def test_quote_advances_line():
+    boxes = pdf_to_boxes(build_pdf([[(50, 100, 10, "a")]]))
+    base = json.loads(boxes[0]["text"])
+    content = b"BT /F1 10 Tf 12 TL 50 900 Td (a) Tj (b) ' ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /MediaBox [0 0 600 1000] "
+           b"/Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    a, b = (json.loads(x["text"]) for x in pdf_to_boxes(pdf))
+    assert b["top"] - a["top"] == pytest.approx(12, abs=0.1)
+    assert base  # silence unused warning
+
+
+def test_rejects_non_pdf_and_empty_text_layer():
+    with pytest.raises(ValueError):
+        pdf_to_boxes(b"GIF89a not a pdf")
+    # a structurally valid PDF with no text ops (scanned page) yields []
+    assert pdf_to_boxes(build_pdf([[]])) == []
+
+
+def test_expand_pdf_spans_idempotent_and_poison_safe():
+    payload = base64.b64encode(
+        build_pdf([[(60, 200, 10, "hello pdf")]],
+                  media_box=(600.0, 1000.0))).decode()
+    spans = finalize_offsets([make_span("pdf", payload)])
+    out = expand_pdf_spans(spans)
+    assert [s["kind"] for s in out] == ["box"]
+    assert expand_pdf_spans(out) is out  # no-op without pdf kinds
+    junk = finalize_offsets([make_span("pdf", "bm90IGEgcGRm")])
+    assert expand_pdf_spans(junk) == []
+
+
+def test_extract_doc_from_pdf_bytes_end_to_end():
+    from ragflow_core16_ray.sources.synth import _gen_pdf, _rng
+
+    spans = finalize_offsets(_gen_pdf(_rng(43, 1), "doc-pdf-00000001"))
+    tmpl, out, _ = extract_doc(spans)
+    assert tmpl == "pdfish"
+    joined = "\n".join(s["text"] for s in out)
+    assert joined
+    assert "Jrnl of" not in joined     # repeated header stripped
+    assert "page 1/" not in joined     # footer stripped
+    assert any(s["kind"] == "title" for s in out)
+
+
+def test_pdf_shard_path_equals_fused():
+    pages = [[(50, 12, 9, "HDR repeated")]
+             + [(60, 120 + 55 * i, 10,
+                 f"line {p}-{i} alpha beta gamma delta.") for i in range(12)]
+             + [(270, 965, 8, f"page {p + 1}/30")]
+             for p in range(30)]
+    payload = base64.b64encode(
+        build_pdf(pages, media_box=(600.0, 1000.0))).decode()
+    spans = finalize_offsets([make_span("pdf", payload)])
+    t1, out1, n1 = extract_doc(
+        spans, ExtractConfig(shard_span_threshold=50, task_page_size=8))
+    t2, out2, n2 = extract_doc(spans, ExtractConfig())
+    assert n1 > 1 and n2 == 1 and t1 == t2 == "pdfish"
+    assert [(s["kind"], s["text"]) for s in out1] \
+        == [(s["kind"], s["text"]) for s in out2]
