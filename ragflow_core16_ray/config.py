@@ -53,6 +53,12 @@ class ExtractConfig:
     # routing; "one" = whole-doc single chunk (rag/app/one.py); "qa" =
     # question/answer pairing (rag/app/qa.py)
     template_override: str | None = None
+    # token currency for chunk budgets: "maxmatch" = the BiMM max-match
+    # counter (functions.tokenizer.num_tokens); "bpe" = the frozen-vocab
+    # BPE counter (functions/bpe_counter.py + data/bpe_merges.tsv), the
+    # reproducible substitute for the reference's tiktoken budgets
+    # (rag/utils/__init__.py:81-90)
+    token_counter: str = "maxmatch"
 
     def digest_payload(self) -> str:
         """Stable string for lineage digests (mirrors the reference's

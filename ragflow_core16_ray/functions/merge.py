@@ -43,12 +43,18 @@ def split_on_delimiters(text: str, delimiter: str) -> list[str]:
 
 
 def naive_merge(sections: list[str], chunk_token_num: int = 128,
-                delimiter: str = "\n!?。；！？") -> list[str]:
+                delimiter: str = "\n!?。；！？",
+                counter=None) -> list[str]:
+    """``counter`` picks the token currency: None → the max-match counter
+    (functions.tokenizer.num_tokens); pass functions.bpe_counter.
+    bpe_num_tokens for frozen-vocab budgets (ExtractConfig.token_counter
+    routes this)."""
+    count = counter or num_tokens
     chunks: list[str] = [""]
     counts: list[int] = [0]
 
     def add(piece: str, new_section: bool):
-        tnum = num_tokens(strip_tags(piece))
+        tnum = count(strip_tags(piece))
         if counts[-1] > chunk_token_num:
             chunks.append(piece)
             counts.append(tnum)

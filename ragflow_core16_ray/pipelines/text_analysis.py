@@ -1007,19 +1007,9 @@ def train_bpe(sf_dir: str, n_merges: int = 40,
         "pair_count": pd.array([m[2] for m in merges], dtype="int64")})
 
 
-def bpe_encode_word(word: str, ranks: dict) -> list:
-    """Apply merge ranks greedily (lowest rank first) to one word."""
-    w = list(word) + ["</w>"]
-    while len(w) > 1:
-        best_i, best_r = -1, None
-        for i in range(len(w) - 1):
-            r = ranks.get((w[i], w[i + 1]))
-            if r is not None and (best_r is None or r < best_r):
-                best_i, best_r = i, r
-        if best_r is None:
-            break
-        w[best_i:best_i + 2] = [w[best_i] + w[best_i + 1]]
-    return w
+# canonical encode loop lives with the frozen-vocab counter; re-imported
+# here because bpe_token_counts and the pytest replicas run it directly
+from ..functions.bpe_counter import bpe_encode_word  # noqa: E402
 
 
 def bpe_token_counts(sf_dir: str, n_merges: int = 40) -> rd.Dataset:

@@ -468,6 +468,19 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
 
 # ------------------------------------------------------------- phase B ----
 
+def _counter_for(cfg: ExtractConfig):
+    """Token currency for chunk budgets (ExtractConfig.token_counter):
+    None → naive_merge's default max-match counter; the frozen-vocab BPE
+    counter gives tiktoken-style reproducible budgets."""
+    if cfg.token_counter == "bpe":
+        from ..functions.bpe_counter import bpe_num_tokens
+
+        return bpe_num_tokens
+    from ..functions.tokenizer import num_tokens
+
+    return num_tokens
+
+
 def _pack_sections(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     """Merge runs of consecutive `section` spans with the token-budget
     packer; non-section spans (title/table_row/figure/...) break runs and
@@ -478,7 +491,8 @@ def _pack_sections(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     def flush():
         nonlocal buf
         if buf:
-            for chunk in naive_merge(buf, cfg.chunk_token_num, cfg.delimiter):
+            for chunk in naive_merge(buf, cfg.chunk_token_num, cfg.delimiter,
+                                      counter=_counter_for(cfg)):
                 out.append(make_span("section", chunk))
             buf = []
 
@@ -572,7 +586,8 @@ def _paper_merge(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
             out.append(make_span("abstract",
                                  cur_title + ("\n" + body if body else "")))
         else:
-            chunks = naive_merge(buf, cfg.chunk_token_num, cfg.delimiter)
+            chunks = naive_merge(buf, cfg.chunk_token_num, cfg.delimiter,
+                                      counter=_counter_for(cfg))
             for c in chunks:
                 out.append(make_span(
                     "section", (cur_title + "\n" + c) if cur_title else c))
@@ -604,7 +619,7 @@ def _manual_merge(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     at every pivot-level heading, then greedily pack consecutive sections —
     always glue while a chunk holds <32 tokens, keep gluing to 1024 tokens
     while the section id is unchanged."""
-    from ..functions.tokenizer import num_tokens
+    num_tokens = _counter_for(cfg)
 
     texts = [s["text"] for s in spans if s["kind"] in ("section", "title")]
     others = [s for s in spans if s["kind"] not in ("section", "title")]
@@ -733,7 +748,8 @@ def phase_b(template: str, spans: list[dict], cfg: ExtractConfig,
         if fam >= 0:
             chunks = hierarchical_merge(texts, fam, cfg.max_hierarchy_depth)
         else:
-            chunks = naive_merge(texts, cfg.chunk_token_num, cfg.delimiter)
+            chunks = naive_merge(texts, cfg.chunk_token_num, cfg.delimiter,
+                                 counter=_counter_for(cfg))
         merged = [make_span("section", c) for c in chunks]
         # non-text spans (figures) follow the merged text
         return finalize_offsets(merged + others)

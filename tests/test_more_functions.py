@@ -333,3 +333,40 @@ def test_ascii_tokenizer_specialization_equivalence():
         s = "".join(rng.choice(chars)
                     for _ in range(rng.randint(0, 60))).lower()
         assert _TOKEN_RE.findall(s) == _TOKEN_RE_ASCII.findall(s), repr(s)
+
+
+def test_bpe_counter_frozen_vocab():
+    """Frozen-vocab BPE counting (functions/bpe_counter.py), the
+    reproducible substitute for tiktoken budgets (rag/utils/
+    __init__.py:81-90): in-vocab words fully merge to 1 token; unknown
+    words degrade toward characters (budget upper bound, not under)."""
+    from ragflow_core16_ray.functions.bpe_counter import (bpe_encode_word,
+                                                          bpe_num_tokens,
+                                                          load_ranks)
+
+    ranks = load_ranks()
+    assert ranks  # the packaged data/bpe_merges.tsv loaded
+    assert bpe_num_tokens("") == 0
+    # 12 common corpus words -> 12 tokens (each fully merged)
+    assert bpe_num_tokens("stream batch table scan merge sort join filter "
+                          "window group key value") == 12
+    # out-of-closure word: near-character-level
+    assert bpe_num_tokens("zzqx") == len(bpe_encode_word("zzqx", ranks)) >= 4
+    # counting is additive over whitespace words
+    assert bpe_num_tokens("stream stream") == 2
+
+
+def test_chunk_boundaries_pinned_under_both_counters():
+    """The same doc packs differently under the two token currencies
+    (unknown words cost more BPE tokens, flushing chunks earlier) — both
+    boundary sets are pinned so a counter change shows up here."""
+    sents = [f"stream batch zzqx{i} table merge." for i in range(8)]
+    spans = [make_span("text", s, offset=i) for i, s in enumerate(sents)]
+
+    def zz_per_chunk(tc):
+        _, out, _ = extract_doc(
+            spans, ExtractConfig(chunk_token_num=20, token_counter=tc))
+        return [s["text"].count("zzqx") for s in out]
+
+    assert zz_per_chunk("maxmatch") == [3, 3, 2]
+    assert zz_per_chunk("bpe") == [2, 2, 2, 2]
