@@ -24,6 +24,8 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ..stages.agg import combine_partials
@@ -43,31 +45,38 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
     boundaries, so sums are done in exact integer cents (quantity ×100,
     price ×100, discounted price in 10^-4 dollar units). Integer sums are
     associative — bit-equal to the oracle regardless of partitioning."""
-    cutoff = pd.Timestamp("1998-09-03")
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["l_shipdate"] < cutoff]
-        if b.empty:
-            return pd.DataFrame(columns=["l_returnflag", "l_linestatus",
-                                         "sum_qty_c", "sum_base_price_c",
-                                         "sum_disc_price_u", "n_rows"])
-        qty_c = np.rint(b["l_quantity"].values * 100).astype("int64")
-        price_c = np.rint(b["l_extendedprice"].values * 100).astype("int64")
-        disc_c = np.rint(b["l_discount"].values * 100).astype("int64")
-        g = pd.DataFrame({
-            "l_returnflag": b["l_returnflag"].values,
-            "l_linestatus": b["l_linestatus"].values,
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native partial: zero-copy from the object store, pyarrow
+        # compute kernels end-to-end (pc.round is half-to-even, same as
+        # the np.rint the oracle contract was written against)
+        b = batch.filter(
+            pc.less(batch["l_shipdate"],
+                    pa.scalar(pd.Timestamp("1998-09-03"))))
+        i64 = pa.int64()
+        qty_c = pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)), i64)
+        price_c = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), i64)
+        disc_c = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), i64)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
             "sum_qty_c": qty_c,
             "sum_base_price_c": price_c,
-            "sum_disc_price_u": price_c * (100 - disc_c),
-            "n_rows": 1,
-        }).groupby(["l_returnflag", "l_linestatus"], sort=False).sum()
-        return g.reset_index()
+            "sum_disc_price_u": pc.multiply(
+                price_c, pc.subtract(pa.scalar(100, type=i64), disc_c)),
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"],
+                       use_threads=False).aggregate(
+            [("sum_qty_c", "sum"), ("sum_base_price_c", "sum"),
+             ("sum_disc_price_u", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "sum_qty_c", "sum_base_price_c",
+                                 "sum_disc_price_u", "n_rows"])
 
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
              "l_discount", "l_shipdate"]).map_batches(
-        partial, batch_format="pandas")
+        partial, batch_format="pyarrow")
     df = combine_partials(ds, ["l_returnflag", "l_linestatus"],
                           {"sum_qty_c": "sum", "sum_base_price_c": "sum",
                            "sum_disc_price_u": "sum", "n_rows": "sum"}
@@ -82,20 +91,29 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     both dims broadcast (ray.put once, dict lookup per batch)."""
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    nat_map = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    ref = ray.put((cust_map, nat_map))
+    # broadcast as SORTED numpy arrays: the per-batch lookup is one
+    # vectorized searchsorted + two fancy-index gathers, no Python dict
+    order = np.argsort(cust["c_custkey"].values)
+    ck_sorted = cust["c_custkey"].values[order]
+    cust_nk = cust["c_nationkey"].values[order]
+    nat_names = np.empty(int(nat["n_nationkey"].max()) + 1, dtype=object)
+    nat_names[nat["n_nationkey"].values] = nat["n_name"].values
+    ref = ray.put((ck_sorted, cust_nk, nat_names))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cmap, nmap = ray.get(ref)
-        name = batch["o_custkey"].map(cmap).map(nmap)
-        cents = np.rint(batch["o_totalprice"].values * 100).astype("int64")
-        g = pd.DataFrame({"n_name": name.values, "revenue_c": cents,
-                          "n_orders": 1}).groupby("n_name", sort=False).sum()
-        return g.reset_index()
+    def partial(batch: pa.Table) -> pa.Table:
+        cks, cnk, names = ray.get(ref)
+        custkey = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        name = names[cnk[np.searchsorted(cks, custkey)]]
+        cents = pc.cast(pc.round(
+            pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table({"n_name": pa.array(name, type=pa.string()),
+                      "revenue_c": cents})
+        g = t.group_by(["n_name"], use_threads=False).aggregate(
+            [("revenue_c", "sum"), ([], "count_all")])
+        return g.rename_columns(["n_name", "revenue_c", "n_orders"])
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        partial, batch_format="pandas")
+        partial, batch_format="pyarrow")
     df = combine_partials(ds, ["n_name"], {"revenue_c": "sum",
                                            "n_orders": "sum"}).to_pandas()
     df["revenue_c"] = df["revenue_c"].astype("int64")
@@ -107,15 +125,16 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Top-k customers by total order value (partial combiner → groupby →
     sort/limit; ties broken by custkey)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cents = np.rint(batch["o_totalprice"].values * 100).astype("int64")
-        g = pd.DataFrame({"o_custkey": batch["o_custkey"].values,
-                          "total_c": cents}).groupby(
-            "o_custkey", sort=False).sum()
-        return g.reset_index()
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(
+            pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table({"o_custkey": batch["o_custkey"], "total_c": cents})
+        g = t.group_by(["o_custkey"], use_threads=False).aggregate(
+            [("total_c", "sum")])
+        return g.rename_columns(["o_custkey", "total_c"])
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        partial, batch_format="pandas")
+        partial, batch_format="pyarrow")
     df = combine_partials(ds, ["o_custkey"], {"total_c": "sum"}).to_pandas()
     top = (df.sort_values(["total_c", "o_custkey"], ascending=[False, True])
            .head(k).reset_index(drop=True))
@@ -127,23 +146,26 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour windows per user: event count + rounded value sum.
     Window key = integer epoch hour (timezone-free, hash-stable)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         # µs-resolution timestamps → epoch seconds → hour index (must match
-        # the oracle's floor(epoch(ts)/3600) exactly)
-        hour = (batch["ts"].astype("datetime64[s]").astype("int64")
-                // 3600).astype("int64")
+        # the oracle's floor(epoch(ts)/3600) exactly; epochs are positive
+        # so Arrow's truncating int division == floor)
+        micros = pc.cast(batch["ts"], pa.int64())  # timestamp[us] → µs
+        hour = pc.divide(micros, pa.scalar(3_600_000_000, type=pa.int64()))
         # value summed in cent-rounded integer units: associative, so the
         # distributed sum hashes identically to the oracle's
-        val_c = np.rint(batch["value"].values * 100).astype("int64")
-        g = pd.DataFrame({"user_id": batch["user_id"].values,
-                          "hour_epoch": hour.values,
-                          "sum_value_c": val_c,
-                          "n_events": 1}).groupby(
-            ["user_id", "hour_epoch"], sort=False).sum()
-        return g.reset_index()
+        val_c = pc.cast(pc.round(
+            pc.multiply(batch["value"], 100.0)), pa.int64())
+        t = pa.table({"user_id": batch["user_id"], "hour_epoch": hour,
+                      "sum_value_c": val_c})
+        g = t.group_by(["user_id", "hour_epoch"],
+                       use_threads=False).aggregate(
+            [("sum_value_c", "sum"), ([], "count_all")])
+        return g.rename_columns(["user_id", "hour_epoch",
+                                 "sum_value_c", "n_events"])
 
     ds = _t(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
-        partial, batch_format="pandas")
+        partial, batch_format="pyarrow")
     return combine_partials(ds, ["user_id", "hour_epoch"],
                             {"sum_value_c": "sum", "n_events": "sum"})
 
