@@ -34,10 +34,14 @@ _TARGET_H = 1000.0
 # ------------------------------------------------------------ builder ----
 
 def build_pdf(pages: list[list[tuple[float, float, float, str]]],
-              media_box: tuple[float, float] = (612.0, 792.0)) -> bytes:
+              media_box: tuple[float, float] = (612.0, 792.0),
+              use_objstm: bool = False) -> bytes:
     """pages = per page a list of (x, top, size, text) in TOP-DOWN page
     coords (same convention as the box IR, unscaled). Deterministic
-    output bytes for given input."""
+    output bytes for given input. ``use_objstm`` packs every non-stream
+    object (catalog/pages/font/page dicts) into one /Type /ObjStm
+    compressed object stream — the PDF 1.5+ layout most real-world
+    writers emit — exercising the parser's ObjStm unpack path."""
     w, h = media_box
     objs: list[bytes] = []  # 1-indexed object bodies (without obj/endobj)
     n_pages = len(pages)
@@ -67,6 +71,34 @@ def build_pdf(pages: list[list[tuple[float, float, float, str]]],
         objs.append(b"<< /Length " + str(len(stream)).encode()
                     + b" /Filter /FlateDecode >>\nstream\n" + stream
                     + b"\nendstream")
+    if use_objstm:
+        # pack the non-stream objects into one compressed object stream;
+        # content streams stay direct (streams cannot nest in an ObjStm)
+        packed = [(n, body) for n, body in enumerate(objs, start=1)
+                  if b"stream" not in body]
+        direct = [(n, body) for n, body in enumerate(objs, start=1)
+                  if b"stream" in body]
+        payload = bytearray()
+        offs = []
+        for _, body in packed:
+            offs.append(len(payload))
+            payload += body + b"\n"
+        header = " ".join(f"{n} {o}" for (n, _), o in zip(packed, offs))
+        inner = header.encode() + b"\n" + payload
+        first = len(header) + 1
+        z = zlib.compress(bytes(inner), 6)
+        stm_num = len(objs) + 1
+        direct.append((stm_num,
+                       f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+                       f"/Length {len(z)} /Filter /FlateDecode "
+                       f">>\nstream\n".encode() + z + b"\nendstream"))
+        out = bytearray(b"%PDF-1.5\n")
+        for n, body in direct:
+            out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+        # xref stream omitted: the parser is scan-based by design
+        out += (f"trailer\n<< /Size {stm_num + 1} /Root 1 0 R >>\n"
+                f"%%EOF\n").encode()
+        return bytes(out)
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for n, body in enumerate(objs, start=1):
@@ -94,7 +126,10 @@ _MBOX_RE = re.compile(
 def _scan_objects(data: bytes) -> dict[int, bytes]:
     """num → object body. Stream payloads are skipped via direct /Length
     when present (our writer always emits it), else the first
-    ``endstream`` after the ``stream`` keyword."""
+    ``endstream`` after the ``stream`` keyword. Objects stored inside
+    /Type /ObjStm compressed object streams (PDF 1.5+, where most
+    real-world catalogs/page dicts live) are unpacked in a second pass;
+    a direct object wins over an ObjStm copy of the same number."""
     objs: dict[int, bytes] = {}
     pos = 0
     while True:
@@ -117,7 +152,54 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
             body_end = len(data)
         objs[int(m.group(1))] = data[start:body_end]
         pos = body_end + 6
+    for num in list(objs):
+        if re.search(rb"/Type\s*/ObjStm\b", objs[num][:400]):
+            for inner_num, body in _unpack_objstm(objs[num]):
+                objs.setdefault(inner_num, body)
     return objs
+
+
+_INT_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
+
+
+def _unpack_objstm(body: bytes) -> list[tuple[int, bytes]]:
+    """/Type /ObjStm → [(objnum, object body)] (PDF 32000-1 §7.5.7): the
+    inflated stream opens with /N (objnum, byte-offset) integer pairs;
+    object data starts at /First. Contained objects are dict/array/scalar
+    only (no nested streams), so slicing offset-to-next-offset is exact."""
+    sm = re.compile(rb"\bstream\r?\n").search(body)
+    if not sm:
+        return []
+    head = body[:sm.start()]
+    n_m = re.search(rb"/N\s+(\d+)\b", head)
+    first_m = re.search(rb"/First\s+(\d+)\b", head)
+    if not n_m or not first_m:
+        return []
+    raw = body[sm.end():]
+    end = raw.rfind(b"endstream")
+    if end != -1:
+        raw = raw[:end]
+    raw = raw.rstrip(b"\r\n")
+    if re.search(rb"/FlateDecode\b", head):
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return []
+    n, first = int(n_m.group(1)), int(first_m.group(1))
+    pairs: list[tuple[int, int]] = []
+    pos = 0
+    for _ in range(n):
+        m = _INT_PAIR_RE.match(raw, pos) or _INT_PAIR_RE.search(raw, pos)
+        if not m:
+            return []
+        pairs.append((int(m.group(1)), int(m.group(2))))
+        pos = m.end()
+    out: list[tuple[int, bytes]] = []
+    for i, (num, off) in enumerate(pairs):
+        start = first + off
+        stop = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(raw)
+        out.append((num, raw[start:stop]))
+    return out
 
 
 def _dict_of(body: bytes) -> bytes:

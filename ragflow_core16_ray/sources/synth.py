@@ -31,7 +31,7 @@ _CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
         (0.94, "ppt"), (0.97, "eml"), (0.99, "json"), (1.0, "picture"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -539,7 +539,8 @@ def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
         lines.append((270, 965, 8, f"page {page + 1}/{n_pages}"))
         pages.append(lines)
     payload = base64.b64encode(
-        build_pdf(pages, media_box=(600.0, 1000.0))).decode("ascii")
+        build_pdf(pages, media_box=(600.0, 1000.0),
+                  use_objstm=r.random() < 0.3)).decode("ascii")
     return [make_span("pdf", payload)]
 
 

@@ -137,3 +137,20 @@ def test_pdf_shard_path_equals_fused():
     assert n1 > 1 and n2 == 1 and t1 == t2 == "pdfish"
     assert [(s["kind"], s["text"]) for s in out1] \
         == [(s["kind"], s["text"]) for s in out2]
+
+
+def test_objstm_layout_parses_identically():
+    """PDF 1.5+ compressed object streams (/Type /ObjStm) hold the
+    catalog/pages/page dicts in most real-world PDFs; the scanner's
+    second-pass unpack must recover them (PDF 32000-1 §7.5.7)."""
+    pages = [[(100, 82, 18, "Title Here"), (60, 150, 10, "Body line one.")],
+             [(60, 120, 10, "Page two body.")]]
+    classic = pdf_to_boxes(build_pdf(pages, media_box=(600.0, 1000.0)))
+    objstm = pdf_to_boxes(build_pdf(pages, media_box=(600.0, 1000.0),
+                                    use_objstm=True))
+    key = [(json.loads(b["text"])["t"], json.loads(b["text"])["page"])
+           for b in classic]
+    assert key == [("Title Here", 0), ("Body line one.", 0),
+                   ("Page two body.", 1)]
+    assert [(json.loads(b["text"])["t"], json.loads(b["text"])["page"])
+            for b in objstm] == key
