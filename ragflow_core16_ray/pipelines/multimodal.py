@@ -154,23 +154,40 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
 
     def explode(batch: pa.Table) -> pa.Table:
         flat = explode_spans(batch)
-        keep = pc.and_(pc.equal(flat["kind"], "figure"),
+        # figures are ref-only; image spans (picture docs) carry their
+        # PNG payload in-band — kept so the collage REAL-decodes them
+        keep = pc.and_(pc.is_in(flat["kind"],
+                                value_set=pa.array(["figure", "image"])),
                        pc.not_equal(flat["media_ref"], ""))
-        flat = flat.filter(keep).select(["doc_id", "media_ref"])
+        flat = flat.filter(keep)
+        payload = pc.if_else(pc.equal(flat["kind"], "image"),
+                             flat["text"], pa.scalar(""))
+        flat = (flat.select(["doc_id", "media_ref"])
+                .append_column("payload", payload))
         bucket = pa.array([hash64(d) & (n_buckets - 1)
                            for d in flat["doc_id"].to_pylist()],
                           type=pa.int64())
         return flat.append_column("bucket", bucket)
 
     def collage_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import base64
+
+        from ..functions.png import decode_png
+
         g = g.sort_values(["doc_id", "media_ref"], kind="stable")
         doc_ids, n_figs, heights, widths = [], [], [], []
-        for doc_id, refs in g.groupby("doc_id", sort=False)["media_ref"]:
+        for doc_id, grp in g.groupby("doc_id", sort=False):
             frames = []
-            for ref in refs:
-                h = hash64(ref)
-                arr = np.full(((h >> 8) % 96 + 16, (h >> 16) % 96 + 16, 3),
-                              h % 251, dtype=np.uint8)  # fake decode
+            for ref, payload in zip(grp["media_ref"], grp["payload"]):
+                if payload:
+                    arr = decode_png(base64.b64decode(payload))
+                    if arr.ndim == 2:  # collage frames are 3-channel
+                        arr = np.repeat(arr[:, :, None], 3, axis=2)
+                else:
+                    h = hash64(ref)
+                    arr = np.full(((h >> 8) % 96 + 16,
+                                   (h >> 16) % 96 + 16, 3),
+                                  h % 251, dtype=np.uint8)  # fake decode
                 arr = maybe_rotate(arr)
                 # model-input normalization: every frame to a common
                 # width, aspect preserved (integer math — deterministic
