@@ -162,6 +162,27 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
 _INT_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
 
 
+def _stream_payload(body: bytes) -> bytes | None:
+    """Raw stream bytes of an object body. A direct /Length is
+    authoritative (PDF 32000-1 §7.3.8.2 — the only way to slice exactly,
+    since deflate bytes can themselves look like EOLs or ``endstream``);
+    without one, fall back to the last ``endstream`` with a single-EOL
+    strip (§7.3.8.1 allows at most one EOL before the keyword)."""
+    sm = re.compile(rb"\bstream\r?\n").search(body)
+    if not sm:
+        return None
+    lm = _LEN_RE.search(body, 0, sm.start())
+    if lm:
+        return body[sm.end():sm.end() + int(lm.group(1))]
+    end = body.rfind(b"endstream")
+    raw = body[sm.end():end if end != -1 else len(body)]
+    if raw.endswith(b"\r\n"):
+        return raw[:-2]
+    if raw.endswith((b"\n", b"\r")):
+        return raw[:-1]
+    return raw
+
+
 def _unpack_objstm(body: bytes) -> list[tuple[int, bytes]]:
     """/Type /ObjStm → [(objnum, object body)] (PDF 32000-1 §7.5.7): the
     inflated stream opens with /N (objnum, byte-offset) integer pairs;
@@ -175,11 +196,9 @@ def _unpack_objstm(body: bytes) -> list[tuple[int, bytes]]:
     first_m = re.search(rb"/First\s+(\d+)\b", head)
     if not n_m or not first_m:
         return []
-    raw = body[sm.end():]
-    end = raw.rfind(b"endstream")
-    if end != -1:
-        raw = raw[:end]
-    raw = raw.rstrip(b"\r\n")
+    raw = _stream_payload(body)
+    if raw is None:
+        return []
     if re.search(rb"/FlateDecode\b", head):
         try:
             raw = zlib.decompress(raw)
@@ -284,13 +303,10 @@ def _content_of(objs: dict[int, bytes], page_body: bytes) -> bytes:
     cv = _value_of(_dict_of(page_body), b"/Contents")
     for r in _REF_RE.finditer(cv):
         body = objs.get(int(r.group(1)), b"")
-        sm = re.compile(rb"\bstream\r?\n").search(body)
-        if not sm:
+        raw = _stream_payload(body)
+        if raw is None:
             continue
-        end = body.rfind(b"endstream")
-        raw = body[sm.end():end if end != -1 else len(body)]
-        raw = raw.rstrip(b"\r\n")
-        if re.search(rb"/FlateDecode\b", body[:sm.start()]):
+        if re.search(rb"/FlateDecode\b", body[:body.find(b"stream")]):
             try:
                 raw = zlib.decompress(raw)
             except zlib.error:

@@ -391,3 +391,55 @@ def test_sliding_chunks_cover_property(ray_session, tmp_path_factory,
         for s, k in zip(g["start_tok"], g["n_toks"]):
             covered |= set(range(s, s + k))
         assert covered == set(range(n))
+
+
+# ------------------------------------------------- round-4 codec fuzz ----
+
+@given(st.integers(1, 40), st.integers(1, 40),
+       st.sampled_from([None, 3, 4]), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, channels, seed):
+    import numpy as np
+
+    from ragflow_core16_ray.functions.png import decode_png, encode_png
+
+    shape = (h, w) if channels is None else (h, w, channels)
+    arr = np.random.RandomState(seed).randint(0, 256, shape).astype("uint8")
+    out = decode_png(encode_png(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@given(st.lists(st.text(alphabet="ABCXYZ 0123", min_size=0, max_size=20),
+                min_size=1, max_size=6))
+@settings(max_examples=40, deadline=None)
+def test_glyph_ocr_roundtrip_property(lines):
+    from ragflow_core16_ray.functions.glyphs import (normalize_text,
+                                                     ocr_glyphs, render_text)
+
+    want = [normalize_text(ln).rstrip() for ln in lines]
+    while want and not want[-1]:
+        want.pop()
+    assert ocr_glyphs(render_text(lines)) == "\n".join(want)
+
+
+@given(st.lists(st.lists(
+    st.tuples(st.integers(20, 500),        # x
+              st.integers(40, 900),        # top
+              st.sampled_from([8, 10, 14]),  # size
+              st.text(alphabet=st.characters(codec="ascii",
+                                             categories=("L", "N", "Zs")),
+                      min_size=1, max_size=40)),
+    max_size=5), min_size=1, max_size=3))
+@settings(max_examples=30, deadline=None)
+def test_pdf_build_parse_recovers_text(pages):
+    import json
+
+    from ragflow_core16_ray.functions.pdf_bytes import build_pdf, pdf_to_boxes
+
+    want = [(pno, t.strip()) for pno, lines in enumerate(pages)
+            for (_, _, _, t) in lines if t.strip()]
+    boxes = pdf_to_boxes(build_pdf(
+        [list(lines) for lines in pages], media_box=(600.0, 1000.0)))
+    got = [(json.loads(b["text"])["page"], json.loads(b["text"])["t"])
+           for b in boxes]
+    assert got == want
