@@ -255,16 +255,20 @@ class AudioSegmenter:
     """Actor-pool stage: audio refs → fixed-length overlapping segment
     rows, the framing step in front of any ASR/embedding model.
 
-    Real decoder (ffmpeg/soundfile) is absent in this sandbox, so the
-    probe (duration, sample rate) is a deterministic fake of the ref hash
-    — the Ray-side contract is real: one input row fans out to one row
-    per ``window_ms`` segment with ``overlap_ms`` overlap (a trailing
-    partial window is kept iff ≥ half a window), constructor is the
-    once-per-actor decoder-handle site, small batches because real
-    decoded audio is MBs/minute. Role of an ASR ingest framing stage (the
-    reference's audio template transcribes via a remote LLM,
-    rag/app/audio.py:25-44 — external-service path; the framing plumbing
-    is what a self-hosted pipeline needs)."""
+    In-band WAV payloads (audio docs) get a REAL probe: RIFF/PCM16
+    decode (functions/wav.py), duration from the sample count, and an
+    integer RMS energy per window — the voice-activity feature an ASR
+    batcher keys on. Ref-only figures keep a deterministic fake probe
+    (ffmpeg/soundfile for compressed formats are absent in this
+    sandbox; rms = -1 marks those rows). The Ray-side contract is the
+    same either way: one input row fans out to one row per ``window_ms``
+    segment with ``overlap_ms`` overlap (a trailing partial window is
+    kept iff ≥ half a window), constructor is the once-per-actor
+    decoder-handle site, small batches because real decoded audio is
+    MBs/minute. Role of an ASR ingest framing stage (the reference's
+    audio template transcribes via a remote LLM, rag/app/audio.py:25-44
+    — external-service path; the framing plumbing is what a self-hosted
+    pipeline needs)."""
 
     def __init__(self, window_ms: int = 30_000, overlap_ms: int = 5_000):
         assert overlap_ms < window_ms
@@ -273,11 +277,25 @@ class AudioSegmenter:
         # real impl: self.decoder = soundfile/ffmpeg handle (once per actor)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, refs, idxs, starts, ends, rates = [], [], [], [], [], []
-        for did, ref in zip(batch["doc_id"], batch["media_ref"]):
-            h = hash64(ref)
-            duration_ms = 2_000 + h % 900_000        # fake probe: 2s–15min
-            rate = (8_000, 16_000, 44_100)[h % 3]
+        import base64
+
+        from ..functions.wav import decode_wav, rms_of
+
+        payloads = (batch["payload"] if "payload" in batch.columns
+                    else [""] * len(batch))
+        doc_ids, refs, idxs = [], [], []
+        starts, ends, rates, rmss = [], [], [], []
+        for did, ref, payload in zip(batch["doc_id"], batch["media_ref"],
+                                     payloads):
+            samples = None
+            if payload:
+                # in-band WAV payload (audio docs): REAL probe + energy
+                rate, samples = decode_wav(base64.b64decode(payload))
+                duration_ms = len(samples) * 1000 // rate
+            else:
+                h = hash64(ref)
+                duration_ms = 2_000 + h % 900_000    # fake probe: 2s–15min
+                rate = (8_000, 16_000, 44_100)[h % 3]
             start = 0
             i = 0
             while start < duration_ms:
@@ -290,6 +308,9 @@ class AudioSegmenter:
                 starts.append(start)
                 ends.append(end)
                 rates.append(rate)
+                rmss.append(rms_of(samples[start * rate // 1000:
+                                           end * rate // 1000])
+                            if samples is not None else -1)
                 start += self.step_ms
                 i += 1
         return pd.DataFrame({
@@ -297,7 +318,10 @@ class AudioSegmenter:
             "segment_index": pd.array(idxs, dtype="int32"),
             "start_ms": pd.array(starts, dtype="int64"),
             "end_ms": pd.array(ends, dtype="int64"),
-            "sample_rate": pd.array(rates, dtype="int32")})
+            "sample_rate": pd.array(rates, dtype="int32"),
+            # integer RMS of the REAL window samples; -1 = ref-only media
+            # (no payload in the sandbox's blob store)
+            "rms": pd.array(rmss, dtype="int64")})
 
 
 def audio_segments(extracted: rd.Dataset, window_ms: int = 30_000,
@@ -313,9 +337,16 @@ def audio_segments(extracted: rd.Dataset, window_ms: int = 30_000,
 
     def explode(batch: pa.Table) -> pa.Table:
         flat = explode_spans(batch)
-        keep = pc.and_(pc.equal(flat["kind"], "figure"),
+        # figures are ref-only; audio spans carry their WAV payload
+        # in-band — kept so the segmenter real-decodes them
+        keep = pc.and_(pc.is_in(flat["kind"],
+                                value_set=pa.array(["figure", "audio"])),
                        pc.not_equal(flat["media_ref"], ""))
-        return flat.filter(keep).select(["doc_id", "media_ref"])
+        flat = flat.filter(keep)
+        payload = pc.if_else(pc.equal(flat["kind"], "audio"),
+                             flat["text"], pa.scalar(""))
+        return (flat.select(["doc_id", "media_ref"])
+                .append_column("payload", payload))
 
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(AudioSegmenter,

@@ -24,14 +24,15 @@ import pyarrow as pa
 from ..schemas import DOCUMENTS_SCHEMA, finalize_offsets, make_span
 
 ARCHETYPES = ("html", "pdfish", "pdf", "book", "md", "table", "docx", "txt",
-              "ppt", "eml", "json", "picture")
+              "ppt", "eml", "json", "picture", "audio")
 # cumulative proportions for the seed-stable assignment
 _CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
         (0.70, "md"), (0.80, "table"), (0.86, "docx"), (0.90, "txt"),
-        (0.94, "ppt"), (0.97, "eml"), (0.99, "json"), (1.0, "picture"))
+        (0.94, "ppt"), (0.97, "eml"), (0.985, "json"), (0.991, "picture"),
+        (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 8
+CORPUS_VERSION = 10
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -566,6 +567,38 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
     return [make_span("image", payload, f"media://{doc_id}/pic")]
 
 
+# --------------------------------------------------------------- audio ----
+
+def _gen_audio(r: random.Random, doc_id: str) -> list[dict]:
+    """Audio-only doc: the document IS a real PCM16 WAV (sine bursts with
+    silence gaps — gives the segmenter real energy/silence structure).
+    The reference's audio template sends these bytes to a remote ASR LLM
+    (rag/app/audio.py, out of scope); here the real part is the probe +
+    framing over real samples."""
+    import base64
+
+    import numpy as np
+
+    from ..functions.wav import encode_wav
+
+    rate = r.choice([8_000, 16_000])
+    dur_s = r.uniform(0.5, 5.0)
+    n = int(rate * dur_s)
+    t = np.arange(n, dtype=np.float64) / rate
+    sig = np.zeros(n)
+    pos = 0.0
+    while pos < dur_s:
+        burst = r.uniform(0.2, 0.8)
+        freq = r.uniform(120.0, 1200.0)
+        amp = r.uniform(0.2, 0.9)
+        i0, i1 = int(pos * rate), min(int((pos + burst) * rate), n)
+        sig[i0:i1] = amp * np.sin(2 * np.pi * freq * t[i0:i1])
+        pos += burst + r.uniform(0.1, 0.6)  # silence gap
+    samples = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+    payload = base64.b64encode(encode_wav(samples, rate)).decode("ascii")
+    return [make_span("audio", payload, f"media://{doc_id}/wav")]
+
+
 # ---------------------------------------------------------------- mega ----
 
 def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
@@ -583,7 +616,7 @@ _GEN = {"html": _gen_html, "pdfish": _gen_pdfish, "book": _gen_book,
         "md": _gen_md, "table": _gen_table, "docx": _gen_docx,
         "txt": _gen_txt, "ppt": _gen_ppt, "eml": _gen_eml,
         "json": _gen_json, "picture": _gen_picture, "pdf": _gen_pdf,
-        "mega": _gen_mega}
+        "audio": _gen_audio, "mega": _gen_mega}
 
 
 def gen_doc(seed: int, idx: int, mega_every: int = 2500) -> dict:

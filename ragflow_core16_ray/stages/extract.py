@@ -461,6 +461,11 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
                                            max_size=cfg.chunk_token_num * 4))
         elif s["kind"] == "image" and s.get("media_ref"):
             out.append(make_span("figure", "", s["media_ref"]))
+        elif s["kind"] == "audio":
+            # audio payloads pass through WITH the doc (their text side is
+            # the reference's remote-ASR call, rag/app/audio.py — out of
+            # scope); the framing stage decodes them downstream
+            out.append(s)
         elif s["kind"] == "caption":
             out.append(make_span("section", s["text"]))
     return out

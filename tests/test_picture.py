@@ -143,3 +143,63 @@ def test_media_features_real_png_decode():
     assert feat.shape == (16,) and abs(float(np.linalg.norm(feat)) - 1) < 1e-6
     # histogram of a binary glyph image loads only the first and last bins
     assert feat[0] > 0 and feat[-1] > 0 and float(feat[1:-1].sum()) == 0.0
+
+
+# ---------------------------------------------------------- audio/WAV ----
+
+def test_wav_roundtrip_and_unknown_chunks():
+    import struct
+
+    from ragflow_core16_ray.functions.wav import (decode_wav, encode_wav,
+                                                  rms_of)
+
+    s = (np.sin(np.arange(8000) / 8000 * 2 * np.pi * 440) * 20000) \
+        .astype(np.int16)
+    rate, out = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (out == s).all()
+    # LIST metadata chunk between fmt and data must be skipped by size
+    raw = encode_wav(s, 8000)
+    fmt_end = 12 + 8 + 16
+    meta = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:fmt_end] + meta + raw[fmt_end:]
+    patched = bytearray(patched)
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    rate2, out2 = decode_wav(bytes(patched))
+    assert rate2 == 8000 and (out2 == s).all()
+    assert rms_of(np.zeros(10, np.int16)) == 0
+    assert rms_of(np.full(10, 1000, np.int16)) == 1000
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_audio_doc_passthrough_and_segmenter_real_decode():
+    from ragflow_core16_ray.pipelines.multimodal import AudioSegmenter
+    from ragflow_core16_ray.sources.synth import _gen_audio, _rng
+
+    spans = finalize_offsets(_gen_audio(_rng(42, 7), "doc-audio-7"))
+    tmpl, out, _ = extract_doc(spans)
+    assert [s["kind"] for s in out] == ["audio"]  # payload kept with doc
+
+    import pandas as pd
+
+    seg = AudioSegmenter(window_ms=1000, overlap_ms=200)
+    rows = seg(pd.DataFrame({
+        "doc_id": ["doc-audio-7"],
+        "media_ref": [out[0]["media_ref"]],
+        "payload": [out[0]["text"]]}))
+    assert len(rows) >= 1
+    assert (rows["rms"] >= 0).all()           # real energy, not the fake
+    assert rows["sample_rate"].iloc[0] in (8000, 16000)
+    # windows tile the real duration with the configured step
+    assert rows["start_ms"].tolist() == [i * 800 for i in range(len(rows))]
+
+
+def test_audio_segmenter_ref_only_keeps_fake_probe():
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.multimodal import AudioSegmenter
+
+    seg = AudioSegmenter(window_ms=30_000, overlap_ms=5_000)
+    rows = seg(pd.DataFrame({"doc_id": ["d"], "media_ref": ["media://d/f"],
+                             "payload": [""]}))
+    assert (rows["rms"] == -1).all()
