@@ -47,6 +47,100 @@ def encode_png(arr: np.ndarray) -> bytes:
         + _chunk(b"IEND", b"")
 
 
+def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """Animated PNG (APNG, the public PNG extension): acTL + per-frame
+    fcTL, frame 0 in IDAT, later frames in fdAT. All frames full-canvas,
+    same shape/dtype rules as :func:`encode_png`. Deterministic."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    first = np.ascontiguousarray(frames[0], dtype=np.uint8)
+    if any(f.shape != first.shape for f in frames):
+        raise ValueError("all APNG frames must share the canvas shape")
+    base = encode_png(first)
+    # split the single-frame PNG: [sig+IHDR][IDAT][IEND]
+    ihdr_end = 8 + 12 + 13
+    idat = base[ihdr_end:-12]
+    h, w = first.shape[:2]
+
+    def fctl(seq: int, frame_idx: int) -> bytes:
+        return _chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_ms, 1000, 0, 0))
+
+    out = bytearray(base[:ihdr_end])
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    out += fctl(seq, 0)
+    seq += 1
+    out += idat
+    for f in frames[1:]:
+        out += fctl(seq, 0)
+        seq += 1
+        raw = encode_png(np.ascontiguousarray(f, dtype=np.uint8))
+        payload = raw[ihdr_end + 8:-12 - 4]  # IDAT chunk data only
+        out += _chunk(b"fdAT", struct.pack(">I", seq) + payload)
+        seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(data: bytes) -> tuple[list[int], list[np.ndarray]]:
+    """APNG bytes → (per-frame delay_ms list, frames). A plain PNG
+    (no acTL) decodes as one frame with delay 0. Only full-canvas frames
+    decode (x=y=0, frame dims == IHDR dims — what our encoder emits);
+    sub-region frames raise ValueError."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr = 8, None
+    frames_raw: list[tuple[int, list[bytes]]] = []  # (delay_ms, payloads)
+    animated = False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"acTL":
+            animated = True
+        elif tag == b"fcTL":
+            _, fw, fh, x, y, d_num, d_den, _, _ = struct.unpack(
+                ">IIIIIHHBB", payload)
+            if ihdr and (fw != ihdr[0] or fh != ihdr[1] or x or y):
+                raise ValueError("sub-region APNG frames unsupported")
+            delay = (d_num * 1000 // d_den) if d_den else d_num * 10
+            frames_raw.append((delay, []))
+        elif tag == b"IDAT":
+            if not frames_raw:
+                frames_raw.append((0, []))
+            frames_raw[0][1].append(payload)
+        elif tag == b"fdAT":
+            if frames_raw:
+                frames_raw[-1][1].append(payload[4:])  # strip seq number
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("truncated PNG (missing IHDR)")
+    if not animated:
+        return [0], [decode_png(data)]
+    w, h, depth, color_type = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+    if depth != 8 or color_type not in _CHANNELS:
+        raise ValueError("unsupported APNG variant")
+    ch = _CHANNELS[color_type]
+    stride = w * ch
+    delays, frames = [], []
+    for delay, payloads in frames_raw:
+        if not payloads:
+            continue
+        raw = np.frombuffer(zlib.decompress(b"".join(payloads)),
+                            dtype=np.uint8)
+        if raw.size != h * (stride + 1):
+            raise ValueError("APNG frame size mismatch")
+        out = _unfilter(raw, h, stride, ch)
+        frames.append(out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch))
+        delays.append(delay)
+    return delays, frames
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

@@ -212,43 +212,75 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
 
 
 class FrameSampler:
-    """Actor-pool stage: video refs → uniformly sampled frame rows.
+    """Actor-pool stage: video/animation refs → uniformly sampled frame
+    rows (timestamp_ms, frame_index, width, height, mean_intensity).
 
-    Real decoder (ffmpeg/pyav) is absent in this sandbox, so duration and
-    frame payloads are a deterministic fake of the ref hash — the Ray-side
-    contract is real: one input row fans out to ``n_frames`` output rows
-    (timestamp_ms, frame_index, width, height), the constructor is the
-    once-per-actor decoder-handle site, and batches stay small because a
-    real decoded frame is MBs. Role of a frame-sampling ingest stage in a
-    video training-data pipeline (the reference has no video path; this is
-    a north-rule training-data addition)."""
+    In-band APNG payloads (animated picture docs) get a REAL decode
+    (functions/png.py decode_apng): timestamps from the frame delay
+    table, dimensions from IHDR, and the sampled frame's integer mean
+    intensity — proof the pixels were actually decoded. Ref-only media
+    keeps a deterministic fake probe (ffmpeg/pyav for real video
+    containers are absent in this sandbox; mean_intensity = -1 marks
+    those rows). Either way one input row fans out to ``n_frames``
+    output rows, the constructor is the once-per-actor decoder-handle
+    site, and batches stay small because real decoded frames are MBs.
+    Role of a frame-sampling ingest stage in a video training-data
+    pipeline (the reference has no video path; this is a north-rule
+    training-data addition)."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
         # real impl: self.decoder = open_codec_context(...) (once per actor)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, refs, idxs, ts, ws, hs = [], [], [], [], [], []
-        for did, ref in zip(batch["doc_id"], batch["media_ref"]):
-            h = hash64(ref)
-            duration_ms = 1_000 + h % 600_000       # fake probe: 1s–10min
-            width = 320 + (h >> 8) % 1600
-            height = 240 + (h >> 20) % 900
-            for i in range(self.n_frames):
+        import base64
+
+        from ..functions.png import decode_apng
+
+        payloads = (batch["payload"] if "payload" in batch.columns
+                    else [""] * len(batch))
+        doc_ids, refs, idxs, ts, ws, hs, means = [], [], [], [], [], [], []
+        for did, ref, payload in zip(batch["doc_id"], batch["media_ref"],
+                                     payloads):
+            frames = None
+            if payload:
+                # in-band APNG payload: REAL frame table + pixels
+                delays, frames = decode_apng(base64.b64decode(payload))
+                duration_ms = max(1, sum(delays))
+                starts = np.cumsum([0] + delays[:-1])
+                height, width = frames[0].shape[:2]
+                n = min(self.n_frames, len(frames))
+            else:
+                h = hash64(ref)
+                duration_ms = 1_000 + h % 600_000   # fake probe: 1s–10min
+                width = 320 + (h >> 8) % 1600
+                height = 240 + (h >> 20) % 900
+                n = self.n_frames
+            for i in range(n):
                 # uniform sampling: frame i at (i + 0.5)/n of the duration
                 doc_ids.append(did)
                 refs.append(ref)
                 idxs.append(i)
-                ts.append(int(duration_ms * (2 * i + 1)
-                              // (2 * self.n_frames)))
                 ws.append(width)
                 hs.append(height)
+                if frames is not None:
+                    # nearest real frame at the uniform timestamp
+                    want = duration_ms * (2 * i + 1) // (2 * n)
+                    j = int(np.searchsorted(starts, want, side="right") - 1)
+                    ts.append(int(starts[j]))
+                    means.append(int(frames[j].mean()))
+                else:
+                    ts.append(int(duration_ms * (2 * i + 1) // (2 * n)))
+                    means.append(-1)
         return pd.DataFrame({
             "doc_id": doc_ids, "media_ref": refs,
             "frame_index": pd.array(idxs, dtype="int32"),
             "timestamp_ms": pd.array(ts, dtype="int64"),
             "width": pd.array(ws, dtype="int32"),
-            "height": pd.array(hs, dtype="int32")})
+            "height": pd.array(hs, dtype="int32"),
+            # integer mean intensity of the REAL sampled frame; -1 =
+            # ref-only media (no payload in the sandbox's blob store)
+            "mean_intensity": pd.array(means, dtype="int64")})
 
 
 class AudioSegmenter:
@@ -367,9 +399,17 @@ def frame_samples(extracted: rd.Dataset, n_frames: int = 4,
 
     def explode(batch: pa.Table) -> pa.Table:
         flat = explode_spans(batch)
-        keep = pc.and_(pc.equal(flat["kind"], "figure"),
+        # figures are ref-only; image spans (picture docs, possibly
+        # animated) carry their PNG/APNG payload in-band — kept so the
+        # sampler real-decodes them
+        keep = pc.and_(pc.is_in(flat["kind"],
+                                value_set=pa.array(["figure", "image"])),
                        pc.not_equal(flat["media_ref"], ""))
-        return flat.filter(keep).select(["doc_id", "media_ref"])
+        flat = flat.filter(keep)
+        payload = pc.if_else(pc.equal(flat["kind"], "image"),
+                             flat["text"], pa.scalar(""))
+        return (flat.select(["doc_id", "media_ref"])
+                .append_column("payload", payload))
 
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(FrameSampler, fn_constructor_args=(n_frames,),

@@ -203,3 +203,68 @@ def test_audio_segmenter_ref_only_keeps_fake_probe():
     rows = seg(pd.DataFrame({"doc_id": ["d"], "media_ref": ["media://d/f"],
                              "payload": [""]}))
     assert (rows["rms"] == -1).all()
+
+
+# ------------------------------------------------------- APNG / frames ----
+
+def test_apng_roundtrip_and_static_fallback():
+    from ragflow_core16_ray.functions.png import decode_apng, encode_apng
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (9, 13)).astype(np.uint8)
+              for _ in range(4)]
+    data = encode_apng(frames, delay_ms=80)
+    delays, out = decode_apng(data)
+    assert delays == [80] * 4
+    assert all((a == b).all() for a, b in zip(frames, out))
+    # frame 0 is still a valid plain PNG (the glyph-OCR path)
+    assert (decode_png(data) == frames[0]).all()
+    # a static PNG decodes as one zero-delay frame
+    d2, o2 = decode_apng(encode_png(frames[1]))
+    assert d2 == [0] and (o2[0] == frames[1]).all()
+
+
+def test_frame_sampler_real_apng_decode():
+    import pandas as pd
+
+    from ragflow_core16_ray.functions.png import encode_apng
+    from ragflow_core16_ray.pipelines.multimodal import FrameSampler
+
+    img = render_text(["FRAME ZERO TEXT"])
+    fades = [(img // 2), (img // 4)]
+    payload = base64.b64encode(encode_apng([img] + fades, 100)).decode()
+    rows = FrameSampler(n_frames=3)(pd.DataFrame({
+        "doc_id": ["d"], "media_ref": ["media://d/pic"],
+        "payload": [payload]}))
+    assert len(rows) == 3
+    # timestamps come from the real delay table (frames at 0/100/200 ms)
+    assert rows["timestamp_ms"].tolist() == [0, 100, 200]
+    assert (rows["width"] == img.shape[1]).all()
+    # real pixels: fades strictly darken
+    m = rows["mean_intensity"].tolist()
+    assert m[0] > m[1] > m[2] >= 0
+
+
+def test_frame_sampler_ref_only_keeps_fake_probe():
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.multimodal import FrameSampler
+
+    rows = FrameSampler(n_frames=2)(pd.DataFrame({
+        "doc_id": ["d"], "media_ref": ["media://d/f"], "payload": [""]}))
+    assert len(rows) == 2 and (rows["mean_intensity"] == -1).all()
+
+
+def test_animated_picture_doc_ocr_unchanged():
+    from ragflow_core16_ray.functions.png import encode_apng
+
+    lines = ["STREAM BATCH TABLE SCAN MERGE SORT JOIN",
+             "FILTER WINDOW GROUP KEY VALUE COLUMN ROW"]
+    img = render_text(lines)
+    payload = base64.b64encode(encode_apng([img, img // 2], 40)).decode()
+    spans = finalize_offsets(
+        [make_span("image", payload, "media://doc-anim/pic")])
+    tmpl, out, _ = extract_doc(spans)
+    assert tmpl == "picture"
+    secs = [s["text"] for s in out if s["kind"] == "section"]
+    assert secs == ["\n".join(lines)]  # OCR reads frame 0
