@@ -107,52 +107,6 @@ def _char_grams(text: str, n: int = 4) -> set[str]:
     return {t[i:i + n] for i in range(len(t) - n + 1)}
 
 
-def _attach_sizes(pairs: rd.Dataset, sizes: rd.Dataset, id_col: str,
-                  out_col: str, pair_cols: list[str],
-                  n_buckets: int) -> rd.Dataset:
-    """Distributed pair←size lookup WITHOUT a broadcast: co-partition the
-    pair rows (by ``id_col``) and the (doc_id, n) size rows into the same
-    id-hash buckets, one shuffle, then each bucket task maps its local
-    size dict onto its local pairs. All columns int64; size rows carry -1
-    in the pair columns (union needs one schema)."""
-    import numpy as np
-
-    all_cols = ["bucket"] + pair_cols + ["size_id", "sz"]
-
-    def tag_p(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["bucket"] = (out[id_col].astype("int64") % n_buckets)
-        out["size_id"] = np.int64(-1)
-        out["sz"] = np.int64(-1)
-        return out[all_cols]
-
-    def tag_s(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {"bucket": (b["doc_id"].astype("int64") % n_buckets)})
-        for c in pair_cols:
-            out[c] = np.int64(-1)
-        out["size_id"] = b["doc_id"].astype("int64").values
-        out["sz"] = b["n"].astype("int64").values
-        return out[all_cols]
-
-    u = pairs.map_batches(tag_p, batch_format="pandas").union(
-        sizes.map_batches(tag_s, batch_format="pandas"))
-
-    def join(g: pd.DataFrame) -> pd.DataFrame:
-        szmap = dict(zip(g.loc[g["sz"] >= 0, "size_id"],
-                         g.loc[g["sz"] >= 0, "sz"]))
-        p = g[g["sz"] < 0]
-        if p.empty:  # size-only bucket: typed empty frame keeps the schema
-            return pd.DataFrame({c: pd.array([], dtype="int64")
-                                 for c in pair_cols + [out_col]})
-        p = p[pair_cols].copy()
-        p[out_col] = p[id_col].map(szmap).astype("int64")
-        return p.reset_index(drop=True)
-
-    return (u.repartition(min(16, n_buckets))
-            .groupby("bucket").map_groups(join, batch_format="pandas"))
-
-
 def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                       n_buckets: int = 64, wanted_ref=None,
                       grams: str = "word",
@@ -172,11 +126,15 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
     groupby(bucket) — a bounded-width shuffle of n_buckets groups, not one
     pandas call per distinct shingle — → vectorized self-merge per bucket
     emits complete per-bucket pair-intersection counts → combiner tree sums
-    them → Jaccard against per-doc shingle sizes. Sizes arrive via an
-    id-bucket CO-PARTITIONED join in the standalone full-corpus path (an
-    O(n_docs) {doc_id: size} broadcast would not survive 100 TB); the
-    LSH-verify path (``wanted_ref``) keeps the broadcast since there the
-    map is bounded by the candidate set. Skew note: a pathological hot
+    them → Jaccard against per-doc shingle sizes. Sizes arrive candidate-
+    bounded in the standalone full-corpus path: the summed pair table
+    (output-sized — this function returns it to the driver anyway) gives
+    the distinct candidate id set, which is broadcast back to stream-
+    filter the distributed size table; an O(n_docs) {doc_id: size}
+    broadcast would not survive 100 TB, but an O(candidate-pairs) one is
+    the same footprint as the return value itself. The LSH-verify path
+    (``wanted_ref``) keeps the full-map broadcast since there explode
+    already candidate-filters the corpus. Skew note: a pathological hot
     shingle (present in
     g docs) costs g² merge rows inside one bucket; ``max_doc_freq`` is the
     production mitigation — shingles seen in more than that many docs are
@@ -262,24 +220,36 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
         out = inter.map_batches(jacc, batch_format="pandas").to_pandas()
     else:
-        # standalone full-corpus path: a {doc_id: size} broadcast would be
-        # an O(n_docs) object-store blob — a scale-killer at 100 TB. Join
-        # the sizes in via the id-bucket co-partition instead: two extra
-        # shuffles of the CANDIDATE-PAIR table (tiny vs the shingle
-        # table), no driver- or broadcast-side state.
-        sizes_ds = sizes_ds.materialize()  # consumed by both attaches
-        pairs = _attach_sizes(inter, sizes_ds, "id_a", "n_a",
-                              ["id_a", "id_b", "inter"], n_buckets)
-        pairs = _attach_sizes(pairs, sizes_ds, "id_b", "n_b",
-                              ["id_a", "id_b", "inter", "n_a"], n_buckets)
+        # standalone full-corpus path: a full {doc_id: size} broadcast
+        # would be an O(n_docs) object-store blob — a scale-killer at
+        # 100 TB. But this function's own contract already returns the
+        # candidate-pair list to the driver, so any artifact bounded by
+        # that list is free: pull the summed intersections (output-
+        # sized), broadcast the DISTINCT CANDIDATE ID SET back, stream-
+        # filter the distributed size table down to those ids (one
+        # narrow map over doc-count rows, nothing corpus-sized moves),
+        # and finish the Jaccard in one vectorized driver pass.
+        ipd = inter.to_pandas()
+        if not ipd.empty:
+            cand = np.unique(np.concatenate(
+                [ipd["id_a"].to_numpy(np.int64),
+                 ipd["id_b"].to_numpy(np.int64)]))
+            cand_ref = ray.put(frozenset(cand.tolist()))
 
-        def jacc_dist(batch: pd.DataFrame) -> pd.DataFrame:
-            inter_v = batch["inter"].values
-            keep = inter_v / (batch["n_a"].values + batch["n_b"].values
-                              - inter_v) >= threshold
-            return batch.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+            def keep_cand(b: pd.DataFrame) -> pd.DataFrame:
+                w = ray.get(cand_ref)
+                return b[b["doc_id"].isin(w)]
 
-        out = pairs.map_batches(jacc_dist, batch_format="pandas").to_pandas()
+            szd = sizes_ds.map_batches(
+                keep_cand, batch_format="pandas").to_pandas()
+            sz = pd.Series(szd["n"].values, index=szd["doc_id"].values)
+            a = sz.reindex(ipd["id_a"]).to_numpy(np.int64)
+            b = sz.reindex(ipd["id_b"]).to_numpy(np.int64)
+            inter_v = ipd["inter"].to_numpy(np.int64)
+            keep = inter_v / (a + b - inter_v) >= threshold
+            out = ipd.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+        else:
+            out = ipd
     if out.empty:
         # an all-empty result can come back schema-less from Ray; keep the
         # typed contract (a df-capped run may legitimately drop every pair)
@@ -1041,93 +1011,92 @@ def dedup_passages(sf_dir: str, passage_words: int = 10,
             .groupby("dbucket").map_groups(rebuild, batch_format="pandas"))
 
 
+def _cc_relax_bucket(block, labels: np.ndarray):
+    """One edge-bucket relax step of min-label propagation: for every
+    edge (u, v) in this bucket, propose label[u] to v; return only the
+    targets this bucket actually improves (compacted per-target mins via
+    sorted ``np.minimum.reduceat``). Pure numpy — the O(E) work of CC,
+    which is what must distribute at 10^12-doc scale."""
+    bui, bvi = block
+    cand = labels[bui]
+    order = np.argsort(bvi, kind="stable")
+    tv = bvi[order]
+    cv = cand[order]
+    starts = np.flatnonzero(np.r_[True, tv[1:] != tv[:-1]])
+    mins = np.minimum.reduceat(cv, starts)
+    tgts = tv[starts]
+    keep = mins < labels[tgts]
+    return tgts[keep], mins[keep]
+
+
 def _cc_label_propagation(pairs: pd.DataFrame, n_buckets: int = 16,
                           max_iters: int = 64) -> pd.DataFrame:
     """DISTRIBUTED connected components by min-label propagation — the
     alternative to jaccard_clusters' driver union-find when even the
-    sparse dup-pair graph exceeds driver memory (10^12-doc corpora).
-    Every step is a bounded co-partitioned groupby over (node, int) rows;
-    the driver sees only the per-iteration changed-count scalar.
+    O(E) dup-pair edge set exceeds a single worker (10^12-doc corpora).
 
-    Per iteration: labels and (symmetric) edges co-partition by a bucket
-    of the SOURCE node; each bucket joins locally and emits one candidate
-    label per edge endpoint plus each node's own label (tagged, so the
-    second groupby both takes the min and detects change). Converges in
-    O(component diameter) iterations; stops at fixpoint. Deterministic:
-    min over int labels."""
+    Shape (the Pregel/GraphX layout, see also Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): the symmetric edge
+    list is densified to node indices and hash-partitioned by source
+    node into object-store blocks ONCE — the static edge set never moves
+    again. Each round ships only the O(V) label array to one relax task
+    per bucket (`ray.put` once, zero-copy numpy reads in every task);
+    tasks return compacted per-target improvements; the driver merges
+    them (``np.minimum.at``) and pointer-jumps the label table
+    (``label = label[label]`` to a fixpoint — path compression, turning
+    O(diameter) rounds into O(log diameter)). Driver state is O(V) —
+    the same footprint as the label table any CC must output; at scale
+    the per-round return is only the IMPROVED labels, not all V.
+    Deterministic: min over int64 node ids. Raises if not converged
+    within ``max_iters`` rounds rather than returning wrong labels."""
     empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                           "cluster_id": pd.array([], dtype="int64")})
     if pairs.empty:
         return empty
 
-    sym = pd.concat([
-        pairs.rename(columns={"id_a": "u", "id_b": "v"})[["u", "v"]],
-        pairs.rename(columns={"id_a": "v", "id_b": "u"})[["u", "v"]],
-    ])
-    sym["bucket"] = (sym["u"] % n_buckets).astype("int32")
-    sym["label"] = -1
-    sym["is_edge"] = True
-    edges = rd.from_pandas(
-        sym[["bucket", "u", "v", "label", "is_edge"]]).materialize()
+    ua = pairs["id_a"].to_numpy(np.int64)
+    vb = pairs["id_b"].to_numpy(np.int64)
+    # sorted dense ids: min over dense indices == min over doc ids
+    nodes = np.unique(np.concatenate([ua, vb]))
+    ui = np.searchsorted(nodes, ua)
+    vi = np.searchsorted(nodes, vb)
+    su = np.concatenate([ui, vi])  # symmetric edge list
+    sv = np.concatenate([vi, ui])
 
-    nodes = pd.unique(pd.concat([pairs["id_a"], pairs["id_b"]]))
-    labels = pd.DataFrame({"u": nodes, "label": nodes})
+    # one-time edge partitioning by source-node bucket
+    bkt = su % n_buckets
+    relax = ray.remote(num_returns=1)(_cc_relax_bucket)
+    blocks = [ray.put((su[m], sv[m]))
+              for b in range(n_buckets)
+              if (m := bkt == b).any()]
 
-    def send(g: pd.DataFrame) -> pd.DataFrame:
-        lbl = dict(zip(g.loc[~g["is_edge"], "u"],
-                       g.loc[~g["is_edge"], "label"]))
-        e = g[g["is_edge"]]
-        # candidate for each edge target + the node's own (tagged) label
-        out = pd.DataFrame({
-            "node": pd.concat([e["v"],
-                               g.loc[~g["is_edge"], "u"]]).astype("int64"),
-            "cand": pd.array([lbl[u] for u in e["u"]]
-                             + list(g.loc[~g["is_edge"], "label"]),
-                             dtype="int64"),
-            "is_self": [False] * len(e) + [True] * (len(g) - len(e)),
-        })
-        out["bucket"] = (out["node"] % n_buckets).astype("int32")
-        return out
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("node", sort=False).agg(
-            label=("cand", "min"))
-        old = g[g["is_self"]].set_index("node")["cand"]
-        agg["changed"] = (agg["label"]
-                          != old.reindex(agg.index)).astype("int64")
-        out = agg.reset_index().rename(columns={"node": "u"})
-        out["u"] = out["u"].astype("int64")
-        out["label"] = out["label"].astype("int64")
-        return out
-
+    labels = np.arange(len(nodes), dtype=np.int64)
     n_changed = -1
     for _ in range(max_iters):
-        ldf = labels.copy()
-        ldf["bucket"] = (ldf["u"] % n_buckets).astype("int32")
-        ldf["v"] = -1
-        ldf["is_edge"] = False
-        labels_ds = rd.from_pandas(
-            ldf[["bucket", "u", "v", "label", "is_edge"]])
-        stage2 = (edges.union(labels_ds)
-                  .groupby("bucket").map_groups(send,
-                                                batch_format="pandas")
-                  .groupby("bucket").map_groups(combine,
-                                                batch_format="pandas")
-                  ).to_pandas()
-        n_changed = int(stage2["changed"].sum())
-        labels = stage2[["u", "label"]]
+        lref = ray.put(labels)
+        outs = ray.get([relax.remote(blk, lref) for blk in blocks])
+        new = labels.copy()
+        for tgts, mins in outs:
+            np.minimum.at(new, tgts, mins)
+        while True:  # pointer jumping to the round's fixpoint
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        n_changed = int((new != labels).sum())
+        labels = new
         if n_changed == 0:
             break
     if n_changed != 0:
-        # propagation needs O(component diameter) rounds; wrong labels
-        # must never be returned silently
+        # components with many interleaved local minima need multiple
+        # relax rounds; wrong labels must never be returned silently
         raise RuntimeError(
             f"label propagation did not converge in {max_iters} rounds "
             f"({n_changed} labels still changing); raise max_iters")
 
-    out = labels.rename(columns={"u": "doc_id", "label": "cluster_id"})
-    return (out.sort_values("doc_id").reset_index(drop=True)
-            .astype({"doc_id": "int64", "cluster_id": "int64"}))
+    return pd.DataFrame({"doc_id": nodes,
+                         "cluster_id": nodes[labels]}).astype(
+        {"doc_id": "int64", "cluster_id": "int64"})
 
 
 def jaccard_clusters_dist(sf_dir: str, k: int = 3, threshold: float = 0.5,

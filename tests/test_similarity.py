@@ -680,17 +680,20 @@ def test_near_dup_removal_scalable_equals_exact(ray_session):
 
 
 def test_label_propagation_nonconvergence_raises(ray_session):
-    """A chain longer than max_iters rounds must raise, never return
-    wrong labels silently."""
+    """A graph needing more relax rounds than max_iters must raise,
+    never return wrong labels silently. With pointer jumping a monotone
+    chain collapses in one round, so use a two-valley graph (0-5, 5-1):
+    round 1 pulls 0 onto node 5 but node 1 keeps its own smaller label
+    (1 < 5), so a second relax is required to reach 1 — and a third to
+    observe the fixpoint."""
     import pandas as pd
     import pytest
 
     from ragflow_core16_ray.pipelines.dedup import _cc_label_propagation
 
-    chain = pd.DataFrame({"id_a": list(range(9, 0, -1)),
-                          "id_b": list(range(8, -1, -1))})
+    valleys = pd.DataFrame({"id_a": [0, 5], "id_b": [5, 1]})
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc_label_propagation(chain, n_buckets=2, max_iters=2)
+        _cc_label_propagation(valleys, n_buckets=2, max_iters=2)
 
 
 def test_ngram_novelty_exact_dup_owns_nothing(ray_session):
