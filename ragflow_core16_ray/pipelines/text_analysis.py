@@ -1007,6 +1007,8 @@ def train_bpe(sf_dir: str, n_merges: int = 40,
         "pair_count": pd.array([m[2] for m in merges], dtype="int64")})
 
 
+_BPE_WORD_CACHE: dict = {}  # ranks-digest -> {word: n_tokens}, per worker
+
 # canonical encode loop lives with the frozen-vocab counter; re-imported
 # here because bpe_token_counts and the pytest replicas run it directly
 from ..functions.bpe_counter import bpe_encode_word  # noqa: E402
@@ -1017,8 +1019,10 @@ def bpe_token_counts(sf_dir: str, n_merges: int = 40) -> rd.Dataset:
     + bounded driver loop), broadcast the rank table via ``ray.put``,
     then an embarrassingly parallel encode pass emits per-doc BPE token
     counts — the budget numbers sequence packing and pricing run on.
-    Per-actor-process memoization: distinct words encode once per batch
-    (batch-local cache over the word value_counts)."""
+    Worker-process memoization: distinct words encode ONCE per worker
+    process (Zipf makes the distinct-word set tiny vs the token stream),
+    keyed by a digest of the merge table so different rank tables never
+    share entries; bounded like functions.bpe_counter's cache."""
     merges = train_bpe(sf_dir, n_merges=n_merges)
     ranks = {(l, r): i for i, (l, r) in
              enumerate(zip(merges["left"], merges["right"]))}
@@ -1026,7 +1030,8 @@ def bpe_token_counts(sf_dir: str, n_merges: int = 40) -> rd.Dataset:
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         rk = ray.get(ranks_ref)
-        cache: dict[str, int] = {}
+        key = hash(tuple(sorted(rk.items())))  # n_merges items — cheap
+        cache = _BPE_WORD_CACHE.setdefault(key, {})
 
         def n_toks(text: str) -> int:
             total = 0
@@ -1034,7 +1039,8 @@ def bpe_token_counts(sf_dir: str, n_merges: int = 40) -> rd.Dataset:
                 n = cache.get(w)
                 if n is None:
                     n = len(bpe_encode_word(w, rk))
-                    cache[w] = n
+                    if len(cache) < 262_144:
+                        cache[w] = n
                 total += n
             return total
 
