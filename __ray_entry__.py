@@ -429,6 +429,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_tag": lambda sf: _extract_override(sf, "tag"),
         "extract_picture": lambda sf: _extract_override(sf, "picture"),
         "extract_pdf_bytes": _extract_pdf_bytes,
+        "order_priority_check":
+            lambda sf: relational.order_priority_check(sf),
+        "idle_customers": lambda sf: relational.idle_customers(sf),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
@@ -1595,6 +1598,32 @@ def oracle_sql() -> dict[str, str]:
                  * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev
           FROM lineitem
         ) l JOIN part p ON p.p_partkey = l.l_partkey
+    """
+    # Q4-shaped semijoin: EXISTS is monotone in l_shipdate, so the Ray
+    # side ships per-orderkey MAX-shipdate partials (see
+    # relational.order_priority_check)
+    out["order_priority_check"] = r"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate >= o.o_orderdate
+                                            + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    # Q22-shaped anti-join: fixed recency cutoff + fixed 0.00 balance
+    # floor keep the predicate float-hazard-free (see
+    # relational.idle_customers)
+    out["idle_customers"] = r"""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_idle,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+                    AS BIGINT) AS acctbal_c
+        FROM customer c
+        WHERE c_acctbal > 0.0
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-05-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
     """
     # Q3-shaped top-k: the same exact-integer money convention as
     # pricing_summary; order date as int64 epoch days

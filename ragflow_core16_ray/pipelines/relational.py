@@ -866,3 +866,132 @@ def value_quantiles(sf_dir: str,
     out["q"] = out["q"].astype("int64")
     out["value_c"] = out["value_c"].astype("int64")
     return out
+
+
+def order_priority_check(sf_dir: str, late_days: int = 30,
+                         n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q4-shaped SEMIJOIN: per order priority, how many orders
+    have at least one LATE line item (l_shipdate ≥ o_orderdate +
+    ``late_days``; this corpus carries no commit/receipt dates, so
+    lateness is measured against the order date — same EXISTS shape as
+    rag-era Q4). The semijoin never materializes matches: the EXISTS
+    predicate is monotone in l_shipdate, so lineitem pre-reduces to a
+    per-orderkey MAX-shipdate partial inside each batch (the combiner
+    move — the shuffle carries one int64 per orderkey, never line
+    items), orders and partials co-partition by an orderkey bucket, and
+    each bucket emits per-priority partial counts; the driver sums a
+    ≤ priorities×buckets frame."""
+    US_PER_DAY = 86_400_000_000
+    late_us = np.int64(late_days * US_PER_DAY)
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["o_orderkey"] % np.int64(n_buckets)),
+            "okey": batch["o_orderkey"].astype("int64").values,
+            "t": batch["o_orderdate"].astype("int64").values,
+            "priority": batch["o_orderpriority"].values,
+            "is_order": pd.array([True] * len(batch), dtype="bool")})
+
+    def ship_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"okey": batch["l_orderkey"].values,
+                           "t": batch["l_shipdate"].astype("int64").values})
+             .groupby("okey", sort=False)["t"].max().reset_index())
+        return pd.DataFrame({
+            "bucket": (g["okey"] % n_buckets).astype("int64"),
+            "okey": g["okey"].astype("int64"),
+            "t": g["t"].astype("int64"),
+            "priority": pd.array([""] * len(g), dtype="object"),
+            "is_order": pd.array([False] * len(g), dtype="bool")})
+
+    def count_late(g: pd.DataFrame) -> pd.DataFrame:
+        maxship = (g.loc[~g["is_order"]].groupby("okey", sort=False)["t"]
+                   .max())
+        o = g[g["is_order"]]
+        thresh = o["t"].values + late_us
+        late = maxship.reindex(o["okey"]).fillna(np.iinfo(np.int64).min)
+        m = late.values >= thresh
+        out = (pd.DataFrame({"o_orderpriority": o.loc[m, "priority"]})
+               .groupby("o_orderpriority", sort=False)
+               .size().reset_index(name="n_late_orders"))
+        return out
+
+    orders = (_t(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
+              .map_batches(order_rows, batch_format="pandas"))
+    ships = (_t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+             .map_batches(ship_partials, batch_format="pandas"))
+    parts = (orders.union(ships)
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(count_late,
+                                           batch_format="pandas")
+             ).to_pandas()
+    out = (parts.groupby("o_orderpriority")["n_late_orders"].sum()
+           .reset_index())
+    out["n_late_orders"] = out["n_late_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def idle_customers(sf_dir: str, cutoff: str = "2001-05-01",
+                   n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q22-shaped ANTI-JOIN: positive-balance customers with NO
+    order on/after ``cutoff`` (every customer in this corpus has some
+    order, so recency is the non-degenerate anti predicate), rolled up
+    per market segment (count + exact integer-cent balance sum).
+    Neither side broadcasts: orders filter to the window and pre-reduce
+    to DISTINCT custkeys inside each batch (the combiner move),
+    customers and those key partials co-partition by a custkey bucket,
+    and each bucket anti-joins locally (isin on its bucket-local key
+    set) emitting per-segment partials; the driver sums a
+    ≤ segments×buckets frame. The Q22 balance floor is fixed at 0.00
+    (not the corpus average) so the predicate is exactly reproducible
+    against the SQL oracle — no float summation-order hazard."""
+    cut_us = int(pd.Timestamp(cutoff).value // 1000)
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["c_acctbal"].values > 0.0]
+        return pd.DataFrame({
+            "bucket": (b["c_custkey"] % np.int64(n_buckets)),
+            "key": b["c_custkey"].astype("int64").values,
+            "segment": b["c_mktsegment"].values,
+            "bal_c": np.rint(b["c_acctbal"].values * 100).astype("int64"),
+            "is_cust": pd.array([True] * len(b), dtype="bool")})
+
+    def order_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_orderdate"].astype("int64").values >= cut_us]
+        keys = np.unique(b["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "bucket": keys % np.int64(n_buckets),
+            "key": keys,
+            "segment": pd.array([""] * len(keys), dtype="object"),
+            "bal_c": pd.array([0] * len(keys), dtype="int64"),
+            "is_cust": pd.array([False] * len(keys), dtype="bool")})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[~g["is_cust"], "key"]
+        c = g[g["is_cust"]]
+        idle = c[~c["key"].isin(have)]
+        out = (idle.groupby("segment", sort=False)
+               .agg(n_idle=("key", "size"), acctbal_c=("bal_c", "sum"))
+               .reset_index().rename(columns={"segment": "c_mktsegment"}))
+        if out.empty:  # typed empty: an all-active bucket must not
+            return pd.DataFrame({   # poison the union's schema
+                "c_mktsegment": pd.array([], dtype="object"),
+                "n_idle": pd.array([], dtype="int64"),
+                "acctbal_c": pd.array([], dtype="int64")})
+        return out
+
+    cust = (_t(sf_dir, "customer",
+               ["c_custkey", "c_mktsegment", "c_acctbal"])
+            .map_batches(cust_rows, batch_format="pandas"))
+    okeys = (_t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+             .map_batches(order_keys, batch_format="pandas"))
+    parts = (cust.union(okeys)
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(anti, batch_format="pandas")
+             ).to_pandas()
+    out = (parts.groupby("c_mktsegment")
+           .agg(n_idle=("n_idle", "sum"), acctbal_c=("acctbal_c", "sum"))
+           .reset_index())
+    out["n_idle"] = out["n_idle"].astype("int64")
+    out["acctbal_c"] = out["acctbal_c"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)

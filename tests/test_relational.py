@@ -401,3 +401,47 @@ def test_value_quantiles_matches_local(ray_session):
         vals = sorted(ev.loc[ev["event_type"] == row["event_type"], "v"])
         need = -(-int(row["q"]) * len(vals) // 100)
         assert row["value_c"] == vals[need - 1]
+
+
+def test_order_priority_check_matches_oracle(ray_session):
+    """Q4-shaped semijoin (EXISTS via per-orderkey max-shipdate
+    partials) == the literal EXISTS in DuckDB."""
+    from ragflow_core16_ray.pipelines.relational import order_priority_check
+
+    c = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    got = order_priority_check(SF)
+    want = c.sql("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_idle_customers_matches_oracle(ray_session):
+    """Q22-shaped anti-join (bucket-local NOT-IN over distinct-custkey
+    partials) == the literal NOT EXISTS in DuckDB; non-degenerate (every
+    customer in this corpus has SOME order, so the predicate is
+    recency)."""
+    from ragflow_core16_ray.pipelines.relational import idle_customers
+
+    c = duckdb.connect()
+    for t in ("orders", "customer"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    got = idle_customers(SF)
+    want = c.sql("""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_idle,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+                    AS BIGINT) AS acctbal_c
+        FROM customer c
+        WHERE c_acctbal > 0.0
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-05-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""").df()
+    assert got["n_idle"].sum() > 0  # predicate must not be degenerate
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
