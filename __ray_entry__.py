@@ -432,6 +432,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_check":
             lambda sf: relational.order_priority_check(sf),
         "idle_customers": lambda sf: relational.idle_customers(sf),
+        "customer_order_dist":
+            lambda sf: relational.customer_order_dist(sf),
+        "small_qty_revenue": lambda sf: relational.small_qty_revenue(sf),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
@@ -1624,6 +1627,38 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '2001-05-01')
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+    # Q13-shaped outer-join distribution: per-customer order counts
+    # histogrammed (zero-order customers included by the LEFT JOIN; see
+    # relational.customer_order_dist)
+    out["customer_order_dist"] = r"""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+          SELECT c.c_custkey,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey)
+        GROUP BY c_count ORDER BY c_count
+    """
+    # Q17-shaped join-against-group-aggregate: qty*5*cnt < sum_qty is
+    # the exact-integer form of qty < 0.2*avg(qty) — no float average
+    # on either side (see relational.small_qty_revenue)
+    out["small_qty_revenue"] = r"""
+        SELECT p_brand,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_small
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN (SELECT l_partkey,
+                     CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
+                          AS BIGINT) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY l_partkey) a
+          ON a.l_partkey = l.l_partkey
+        WHERE CAST(ROUND(l.l_quantity, 0) AS BIGINT) * 5 * a.cnt
+              < a.sum_qty
+        GROUP BY p_brand ORDER BY p_brand
     """
     # Q3-shaped top-k: the same exact-integer money convention as
     # pricing_summary; order date as int64 epoch days

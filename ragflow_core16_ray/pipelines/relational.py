@@ -995,3 +995,134 @@ def idle_customers(sf_dir: str, cutoff: str = "2001-05-01",
     out["n_idle"] = out["n_idle"].astype("int64")
     out["acctbal_c"] = out["acctbal_c"].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def customer_order_dist(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q13-shaped OUTER-JOIN DISTRIBUTION: histogram of
+    per-customer order counts, zero-order customers included (the LEFT
+    JOIN semantics — this corpus happens to give every customer an
+    order, but the fill-0 path is the operator's contract and is
+    exercised in tests). Orders pre-reduce to per-custkey count
+    partials inside each batch (the combiner move — the shuffle carries
+    one int64 count per custkey per batch, never order rows), customer
+    keys and partials co-partition by a custkey bucket, each bucket
+    sums partials, reindexes over ITS customers with fill 0 (the outer
+    side), and histograms locally; the driver sums a
+    ≤ distinct-counts×buckets frame."""
+    def cust_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": k % np.int64(n_buckets), "key": k,
+            "n": pd.array([0] * len(k), dtype="int64"),
+            "is_cust": pd.array([True] * len(k), dtype="bool")})
+
+    def order_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.Series(1, index=batch["o_custkey"].to_numpy(np.int64))
+             .groupby(level=0).size())
+        k = g.index.to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": k % np.int64(n_buckets), "key": k,
+            "n": g.to_numpy(np.int64),
+            "is_cust": pd.array([False] * len(k), dtype="bool")})
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_key = (g.loc[~g["is_cust"]].groupby("key", sort=False)["n"]
+                   .sum())
+        counts = (per_key.reindex(g.loc[g["is_cust"], "key"])
+                  .fillna(0).astype("int64"))
+        out = counts.value_counts().rename_axis("c_count").reset_index(
+            name="custdist")
+        out["c_count"] = out["c_count"].astype("int64")
+        out["custdist"] = out["custdist"].astype("int64")
+        return out
+
+    cust = (_t(sf_dir, "customer", ["c_custkey"])
+            .map_batches(cust_keys, batch_format="pandas"))
+    orders = (_t(sf_dir, "orders", ["o_custkey"])
+              .map_batches(order_counts, batch_format="pandas"))
+    parts = (cust.union(orders)
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(hist, batch_format="pandas")
+             ).to_pandas()
+    out = parts.groupby("c_count")["custdist"].sum().reset_index()
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+def small_qty_revenue(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q17-shaped JOIN-AGAINST-GROUP-AGGREGATE: per brand, the
+    revenue and row count of line items whose quantity is below 20% of
+    that part's average quantity. The threshold test is exact-integer
+    cross-multiplication (qty*5*cnt < sum_qty ⇔ qty < 0.2·avg — no
+    float average anywhere), so the result is bit-reproducible against
+    the SQL oracle. The scale trick: quantity lives in a tiny integer
+    domain, so lineitem pre-reduces to per-(partkey, qty) partials
+    (n rows, exact-cent price sum) inside each batch — ONE bounded
+    shuffle carries both the per-part aggregate (Σn, Σqty·n) and the
+    candidate rows; part rows co-partition by partkey bucket to map
+    partkey→brand. Neither lineitem rows nor the part table broadcast;
+    the driver sums a ≤ brands×buckets frame."""
+    def li_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(batch["l_quantity"].to_numpy(np.float64)).astype(
+            np.int64)
+        price_c = np.rint(
+            batch["l_extendedprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        g = (pd.DataFrame({"pkey": batch["l_partkey"].to_numpy(np.int64),
+                           "qty": q, "price_c": price_c})
+             .groupby(["pkey", "qty"], sort=False)
+             .agg(n=("price_c", "size"), price_c=("price_c", "sum"))
+             .reset_index())
+        return pd.DataFrame({
+            "bucket": (g["pkey"] % n_buckets).astype("int64"),
+            "pkey": g["pkey"], "qty": g["qty"],
+            "n": g["n"].astype("int64"), "price_c": g["price_c"],
+            "brand": pd.array([""] * len(g), dtype="object")})
+
+    def part_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": k % np.int64(n_buckets), "pkey": k,
+            "qty": pd.array([-1] * len(k), dtype="int64"),
+            "n": pd.array([0] * len(k), dtype="int64"),
+            "price_c": pd.array([0] * len(k), dtype="int64"),
+            "brand": batch["p_brand"].values})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["qty"] >= 0]
+        cnt_map = li.groupby("pkey", sort=False)["n"].sum()
+        sq_map = (li["qty"] * li["n"]).groupby(li["pkey"]).sum()
+        cnt = cnt_map.reindex(li["pkey"]).to_numpy(np.int64)
+        sq = sq_map.reindex(li["pkey"]).to_numpy(np.int64)
+        m = li["qty"].to_numpy(np.int64) * 5 * cnt < sq
+        sel = li[m]
+        brand = (g.loc[g["qty"] < 0].set_index("pkey")["brand"])
+        out = (pd.DataFrame({
+            "p_brand": brand.reindex(sel["pkey"]).to_numpy(object),
+            "revenue_c": sel["price_c"].to_numpy(np.int64),
+            "n_small": sel["n"].to_numpy(np.int64)})
+            .groupby("p_brand", sort=False).sum().reset_index())
+        if out.empty:  # typed empty keeps the union schema stable
+            return pd.DataFrame({
+                "p_brand": pd.array([], dtype="object"),
+                "revenue_c": pd.array([], dtype="int64"),
+                "n_small": pd.array([], dtype="int64")})
+        return out
+
+    li = (_t(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice"])
+          .map_batches(li_partials, batch_format="pandas"))
+    parts = (_t(sf_dir, "part", ["p_partkey", "p_brand"])
+             .map_batches(part_rows, batch_format="pandas"))
+    res = (li.union(parts)
+           .repartition(max(1, n_buckets // 4))
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           ).to_pandas()
+    out = (res.groupby("p_brand")
+           .agg(revenue_c=("revenue_c", "sum"), n_small=("n_small", "sum"))
+           .reset_index())
+    out["revenue_c"] = out["revenue_c"].astype("int64")
+    out["n_small"] = out["n_small"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)

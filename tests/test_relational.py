@@ -445,3 +445,76 @@ def test_idle_customers_matches_oracle(ray_session):
         GROUP BY c_mktsegment ORDER BY c_mktsegment""").df()
     assert got["n_idle"].sum() > 0  # predicate must not be degenerate
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_customer_order_dist_matches_oracle(ray_session):
+    """Q13-shaped outer-join distribution (per-custkey count partials →
+    bucket-local reindex-fill-0 → histogram) == LEFT JOIN + COUNT in
+    DuckDB."""
+    from ragflow_core16_ray.pipelines.relational import customer_order_dist
+
+    c = duckdb.connect()
+    for t in ("orders", "customer"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    got = customer_order_dist(SF)
+    want = c.sql("""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+          SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey)
+        GROUP BY c_count ORDER BY c_count""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # conservation: the histogram must account for every customer
+    n_cust = c.sql("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert got["custdist"].sum() == n_cust
+
+
+def test_customer_order_dist_fill_zero_path(ray_session, tmp_path):
+    """The LEFT-JOIN fill-0 path: customers with no orders land in the
+    c_count=0 bin (the testdata corpus never exercises this, so build a
+    two-table micro-corpus where half the customers are orderless)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ragflow_core16_ray.pipelines.relational import customer_order_dist
+
+    pq.write_table(pa.table({"c_custkey": pa.array(range(10), pa.int64())}),
+                   str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([0, 0, 2, 4, 4, 4, 6, 8], pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+    got = customer_order_dist(str(tmp_path))
+    # orders/cust: {0:2, 2:1, 4:3, 6:1, 8:1}; odd custkeys orderless
+    want = pd.DataFrame({"c_count": [0, 1, 2, 3],
+                         "custdist": [5, 3, 1, 1]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_small_qty_revenue_matches_oracle(ray_session):
+    """Q17-shaped join-against-group-aggregate ((partkey,qty) partials
+    carry both the aggregate and the candidates through one shuffle) ==
+    the literal subquery join in DuckDB, bit-exact via integer
+    cross-multiplication."""
+    from ragflow_core16_ray.pipelines.relational import small_qty_revenue
+
+    c = duckdb.connect()
+    for t in ("lineitem", "part"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    got = small_qty_revenue(SF)
+    want = c.sql("""
+        SELECT p_brand,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_small
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN (SELECT l_partkey,
+                     CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
+                          AS BIGINT) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY l_partkey) a
+          ON a.l_partkey = l.l_partkey
+        WHERE CAST(ROUND(l.l_quantity, 0) AS BIGINT) * 5 * a.cnt < a.sum_qty
+        GROUP BY p_brand ORDER BY p_brand""").df()
+    assert want["n_small"].sum() > 0  # predicate must not be degenerate
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
