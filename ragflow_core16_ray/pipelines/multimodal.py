@@ -37,14 +37,14 @@ class MediaFeatures:
         # real impl: self.model = load_onnx_session(...)  (once per actor)
 
     def decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        """REAL decode for PNG payloads (functions/png.py, pure
-        zlib+numpy): dimensions from IHDR, feature = L2-normalized
-        ``feature_dim``-bin intensity histogram of the decoded pixels.
-        Non-PNG payloads (JPEG/audio/video) still need PIL/ffmpeg —
-        unavailable in this sandbox."""
-        from ..functions.png import decode_png
+        """REAL decode for PNG and GIF payloads (functions/png.py /
+        functions/gif.py, pure zlib+numpy / pure-Python LZW): dimensions
+        from the header, feature = L2-normalized ``feature_dim``-bin
+        intensity histogram of the decoded pixels. JPEG/video payloads
+        still need PIL/ffmpeg — unavailable in this sandbox."""
+        from ..functions.image_ops import decode_image
 
-        arr = decode_png(payload)
+        arr = decode_image(payload)
         if arr.ndim == 3:
             arr = arr.mean(axis=2).astype(np.uint8)
         hist, _ = np.histogram(arr, bins=self.feature_dim, range=(0, 256))
@@ -172,7 +172,7 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     def collage_bucket(g: pd.DataFrame) -> pd.DataFrame:
         import base64
 
-        from ..functions.png import decode_png
+        from ..functions.image_ops import decode_image
 
         g = g.sort_values(["doc_id", "media_ref"], kind="stable")
         doc_ids, n_figs, heights, widths = [], [], [], []
@@ -180,7 +180,7 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             frames = []
             for ref, payload in zip(grp["media_ref"], grp["payload"]):
                 if payload:
-                    arr = decode_png(base64.b64decode(payload))
+                    arr = decode_image(base64.b64decode(payload))
                     if arr.ndim == 2:  # collage frames are 3-channel
                         arr = np.repeat(arr[:, :, None], 3, axis=2)
                 else:
@@ -235,7 +235,7 @@ class FrameSampler:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         import base64
 
-        from ..functions.png import decode_apng
+        from ..functions.image_ops import decode_image_frames
 
         payloads = (batch["payload"] if "payload" in batch.columns
                     else [""] * len(batch))
@@ -244,8 +244,10 @@ class FrameSampler:
                                      payloads):
             frames = None
             if payload:
-                # in-band APNG payload: REAL frame table + pixels
-                delays, frames = decode_apng(base64.b64decode(payload))
+                # in-band APNG / animated-GIF payload: REAL frame table
+                # + pixels (magic-sniffed)
+                delays, frames = decode_image_frames(
+                    base64.b64decode(payload))
                 duration_ms = max(1, sum(delays))
                 starts = np.cumsum([0] + delays[:-1])
                 height, width = frames[0].shape[:2]

@@ -32,7 +32,7 @@ _CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 11
+CORPUS_VERSION = 12
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -564,20 +564,31 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
         lines = [normalize_text(_words(r, r.randint(3, 9)))
                  for _ in range(r.randint(2, 12))]
     img = render_text(lines)
+    use_gif = r.random() < 0.35  # GIF87a/89a share — exercises the
+    # magic-sniffing decode dispatch on a second real public format
     if r.random() < 0.3:
-        # animated picture (real APNG): frame 0 carries the glyph text —
-        # decode_png reads frame 0, so the OCR path is unchanged — later
-        # frames are deterministic brightness fades the frame sampler
-        # real-decodes (pipelines/multimodal.FrameSampler)
-        from ..functions.png import encode_apng
-
+        # animated picture (real APNG or animated GIF): frame 0 carries
+        # the glyph text — decode_image reads frame 0, so the OCR path
+        # is unchanged — later frames are deterministic brightness fades
+        # the frame sampler real-decodes (multimodal.FrameSampler)
         import numpy as np
 
         fades = [((img.astype(np.int32) * (4 - k)) // 4).astype(np.uint8)
                  for k in range(1, r.randint(2, 5))]
-        payload = base64.b64encode(
-            encode_apng([img] + fades,
-                        delay_ms=r.choice([40, 80, 120]))).decode("ascii")
+        delay = r.choice([40, 80, 120])
+        if use_gif:
+            from ..functions.gif import encode_gif_animated
+
+            raw = encode_gif_animated([img] + fades, delay_ms=delay)
+        else:
+            from ..functions.png import encode_apng
+
+            raw = encode_apng([img] + fades, delay_ms=delay)
+        payload = base64.b64encode(raw).decode("ascii")
+    elif use_gif:
+        from ..functions.gif import encode_gif
+
+        payload = base64.b64encode(encode_gif(img)).decode("ascii")
     else:
         payload = base64.b64encode(encode_png(img)).decode("ascii")
     return [make_span("image", payload, f"media://{doc_id}/pic")]

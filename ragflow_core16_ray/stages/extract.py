@@ -424,7 +424,7 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
         import base64
 
         from ..functions.glyphs import ocr_glyphs
-        from ..functions.png import decode_png
+        from ..functions.image_ops import decode_image
 
         out = []
         for s in spans:
@@ -432,7 +432,7 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
                 continue
             out.append(make_span("image", s["text"], s.get("media_ref", "")))
             try:
-                txt = ocr_glyphs(decode_png(base64.b64decode(s["text"])))
+                txt = ocr_glyphs(decode_image(base64.b64decode(s["text"])))
             except Exception:  # noqa: BLE001 — undecodable payload: ref only
                 continue
             if txt:
