@@ -93,28 +93,36 @@ def resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-sniffing still-image decode: PNG (functions/png.py) or GIF
-    (functions/gif.py) → grayscale/array uint8. The decode stages accept
-    any in-band format the corpus carries; callers never hardcode one."""
+    """Magic-sniffing still-image decode: PNG (functions/png.py), GIF
+    (functions/gif.py) or baseline JPEG (functions/jpeg.py) →
+    grayscale/array uint8. The decode stages accept any in-band format
+    the corpus carries; callers never hardcode one."""
     from .gif import decode_gif, is_gif
+    from .jpeg import decode_jpeg, is_jpeg
     from .png import _SIG, decode_png
 
     if data[:8] == _SIG:
         return decode_png(data)
     if is_gif(data):
         return decode_gif(data)
+    if is_jpeg(data):
+        return decode_jpeg(data)
     raise ValueError("unrecognized image magic")
 
 
 def decode_image_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
     """Magic-sniffing animation decode: APNG (acTL/fcTL/fdAT) or animated
-    GIF → (per-frame delay ms, frames). Static images of either format
-    come back as ([0], [frame])."""
+    GIF → (per-frame delay ms, frames). Static images of any supported
+    format (incl. JPEG, which has no animation) come back as
+    ([0], [frame])."""
     from .gif import decode_gif_frames, is_gif
+    from .jpeg import decode_jpeg, is_jpeg
     from .png import _SIG, decode_apng
 
     if data[:8] == _SIG:
         return decode_apng(data)
     if is_gif(data):
         return decode_gif_frames(data)
+    if is_jpeg(data):
+        return [0], [decode_jpeg(data)]
     raise ValueError("unrecognized image magic")

@@ -37,11 +37,12 @@ class MediaFeatures:
         # real impl: self.model = load_onnx_session(...)  (once per actor)
 
     def decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        """REAL decode for PNG and GIF payloads (functions/png.py /
-        functions/gif.py, pure zlib+numpy / pure-Python LZW): dimensions
-        from the header, feature = L2-normalized ``feature_dim``-bin
-        intensity histogram of the decoded pixels. JPEG/video payloads
-        still need PIL/ffmpeg — unavailable in this sandbox."""
+        """REAL decode for PNG, GIF and baseline-JPEG payloads
+        (functions/{png,gif,jpeg}.py — pure zlib/LZW/Huffman+numpy):
+        dimensions from the header, feature = L2-normalized
+        ``feature_dim``-bin intensity histogram of the decoded pixels.
+        Video payloads still need ffmpeg — unavailable in this
+        sandbox."""
         from ..functions.image_ops import decode_image
 
         arr = decode_image(payload)

@@ -32,7 +32,7 @@ _CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 12
+CORPUS_VERSION = 13
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -548,8 +548,9 @@ def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
 # ------------------------------------------------------------- picture ----
 
 def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
-    """Image-only doc: the document IS a real PNG (rag/app/picture.py
-    receives the raw file bytes). Rendered from the 5x7 glyph font so the
+    """Image-only doc: the document IS a real image — PNG, GIF or
+    baseline JPEG (rag/app/picture.py receives the raw file bytes).
+    Rendered from the 5x7 glyph font so the
     extraction side's rule-OCR can recover the text; ~1 in 4 renders a
     short caption (≤32 chars) to exercise the reference's too-short-for-
     text branch (picture.py:42 → CV-LLM path, out of scope → no chunk)."""
@@ -564,8 +565,10 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
         lines = [normalize_text(_words(r, r.randint(3, 9)))
                  for _ in range(r.randint(2, 12))]
     img = render_text(lines)
-    use_gif = r.random() < 0.35  # GIF87a/89a share — exercises the
-    # magic-sniffing decode dispatch on a second real public format
+    fmt = r.random()  # format share — exercises the magic-sniffing
+    # decode dispatch on three real public formats (PNG / GIF / JPEG;
+    # animated pictures stay APNG/GIF, JPEG has no animation)
+    use_gif = fmt < 0.35
     if r.random() < 0.3:
         # animated picture (real APNG or animated GIF): frame 0 carries
         # the glyph text — decode_image reads frame 0, so the OCR path
@@ -589,6 +592,12 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
         from ..functions.gif import encode_gif
 
         payload = base64.b64encode(encode_gif(img)).decode("ascii")
+    elif fmt < 0.60:
+        # lossy but deterministic: the rule-OCR's min-Hamming glyph
+        # matching survives quality-88 ringing (tests/test_jpeg.py)
+        from ..functions.jpeg import encode_jpeg
+
+        payload = base64.b64encode(encode_jpeg(img)).decode("ascii")
     else:
         payload = base64.b64encode(encode_png(img)).decode("ascii")
     return [make_span("image", payload, f"media://{doc_id}/pic")]

@@ -1,0 +1,114 @@
+"""Baseline JPEG codec (functions/jpeg.py) — lossy, so the bounds are
+PSNR + OCR survival rather than the exact roundtrips png/gif get."""
+
+import numpy as np
+import pytest
+
+from ragflow_core16_ray.functions.glyphs import (normalize_text, ocr_glyphs,
+                                                 render_text)
+from ragflow_core16_ray.functions.image_ops import (decode_image,
+                                                    decode_image_frames)
+from ragflow_core16_ray.functions.jpeg import (_extend, _magnitude,
+                                               decode_jpeg, encode_jpeg,
+                                               is_jpeg)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((np.sin(yy / 9.0) + np.cos(xx / 13.0) + 2) / 4 * 255) \
+        .astype(np.uint8)
+
+
+def test_gray_roundtrip_psnr():
+    img = _gradient(120, 200)
+    dec = decode_jpeg(encode_jpeg(img, quality=88))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert _psnr(img, dec) > 40
+
+
+def test_odd_dimensions_crop_back():
+    img = _gradient(13, 21)  # not multiples of 8
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == (13, 21)
+    assert _psnr(img, dec) > 35
+
+
+def test_quality_orders_fidelity_and_size():
+    img = _gradient(64, 64)
+    lo, hi = encode_jpeg(img, quality=30), encode_jpeg(img, quality=95)
+    assert len(lo) < len(hi)
+    assert _psnr(img, decode_jpeg(lo)) < _psnr(img, decode_jpeg(hi))
+
+
+def test_glyph_ocr_survives_lossy_roundtrip():
+    lines = ["HELLO WORLD 123", "RAY DATA ENGINE", "QUICK BROWN FOX"]
+    img = render_text(lines)
+    dec = decode_jpeg(encode_jpeg(img, quality=88))
+    assert ocr_glyphs(dec) == "\n".join(normalize_text(ln) for ln in lines)
+
+
+def test_color_444_and_420():
+    g = _gradient(48, 72)
+    rgb = np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=2)
+    full = decode_jpeg(encode_jpeg(rgb, quality=90))
+    assert full.shape == rgb.shape
+    assert _psnr(rgb, full) > 40
+    sub = decode_jpeg(encode_jpeg(rgb, quality=90, subsample=True))
+    assert sub.shape == rgb.shape
+    assert _psnr(rgb, sub) > 28  # chroma halved: looser bound
+
+
+def test_restart_intervals_decode_identically():
+    img = _gradient(80, 80)
+    plain = decode_jpeg(encode_jpeg(img, quality=85))
+    rst = encode_jpeg(img, quality=85, restart_interval=3)
+    assert rst.count(b"\xff\xdd") == 1  # DRI present
+    assert np.array_equal(decode_jpeg(rst), plain)
+
+
+def test_extreme_blocks_at_quality_100():
+    # q=1 tables: DC diffs near the ±2040 categorical ceiling and dense
+    # AC energy — the largest magnitude categories the tables carry
+    img = np.zeros((32, 32), dtype=np.uint8)
+    img[8:16, :] = 255
+    img[:, 8:16] ^= 255
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert _psnr(img, dec) > 30
+
+
+def test_magnitude_extend_roundtrip():
+    for v in list(range(-260, 261)) + [-2040, -1023, 1023, 2040]:
+        size, bits = _magnitude(v)
+        assert _extend(bits, size) == v
+
+
+def test_magic_and_rejections():
+    img = _gradient(16, 16)
+    enc = encode_jpeg(img)
+    assert is_jpeg(enc)
+    from ragflow_core16_ray.functions.gif import encode_gif
+    from ragflow_core16_ray.functions.png import encode_png
+    assert not is_jpeg(encode_png(img))
+    assert not is_jpeg(encode_gif(img))
+    # progressive (SOF2) is rejected, not mis-decoded
+    bad = bytearray(enc)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # no scan
+
+
+def test_dispatch_sniffs_jpeg():
+    img = _gradient(24, 40)
+    enc = encode_jpeg(img, quality=92)
+    assert _psnr(img, decode_image(enc)) > 35
+    delays, frames = decode_image_frames(enc)
+    assert delays == [0] and len(frames) == 1
+    assert frames[0].shape == img.shape
