@@ -97,6 +97,7 @@ def decode_image(data: bytes) -> np.ndarray:
     (functions/gif.py) or baseline JPEG (functions/jpeg.py) →
     grayscale/array uint8. The decode stages accept any in-band format
     the corpus carries; callers never hardcode one."""
+    from .avi import decode_avi, is_avi
     from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import _SIG, decode_png
@@ -107,14 +108,17 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_gif(data)
     if is_jpeg(data):
         return decode_jpeg(data)
+    if is_avi(data):  # video: still-image contract = first frame
+        return decode_avi(data)[1][0]
     raise ValueError("unrecognized image magic")
 
 
 def decode_image_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
-    """Magic-sniffing animation decode: APNG (acTL/fcTL/fdAT) or animated
-    GIF → (per-frame delay ms, frames). Static images of any supported
-    format (incl. JPEG, which has no animation) come back as
-    ([0], [frame])."""
+    """Magic-sniffing animation/video decode: APNG (acTL/fcTL/fdAT),
+    animated GIF or MJPEG-AVI → (per-frame delay ms, frames). Static
+    images of any supported format (incl. JPEG, which has no animation)
+    come back as ([0], [frame])."""
+    from .avi import decode_avi_frames, is_avi
     from .gif import decode_gif_frames, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import _SIG, decode_apng
@@ -125,4 +129,6 @@ def decode_image_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
         return decode_gif_frames(data)
     if is_jpeg(data):
         return [0], [decode_jpeg(data)]
+    if is_avi(data):
+        return decode_avi_frames(data)
     raise ValueError("unrecognized image magic")

@@ -216,13 +216,14 @@ class FrameSampler:
     """Actor-pool stage: video/animation refs → uniformly sampled frame
     rows (timestamp_ms, frame_index, width, height, mean_intensity).
 
-    In-band APNG payloads (animated picture docs) get a REAL decode
-    (functions/png.py decode_apng): timestamps from the frame delay
-    table, dimensions from IHDR, and the sampled frame's integer mean
-    intensity — proof the pixels were actually decoded. Ref-only media
-    keeps a deterministic fake probe (ffmpeg/pyav for real video
-    containers are absent in this sandbox; mean_intensity = -1 marks
-    those rows). Either way one input row fans out to ``n_frames``
+    In-band APNG, animated-GIF and MJPEG-AVI payloads (animated picture
+    docs) get a REAL decode (functions/{png,gif,avi}.py via the
+    magic-sniffing decode_image_frames): timestamps from the frame delay
+    table (or the AVI stream's dwRate/dwScale), dimensions from the
+    header, and the sampled frame's integer mean intensity — proof the
+    pixels were actually decoded. Ref-only media keeps a deterministic
+    fake probe (compressed codecs — H.264 etc. — still need ffmpeg,
+    absent in this sandbox; mean_intensity = -1 marks those rows). Either way one input row fans out to ``n_frames``
     output rows, the constructor is the once-per-actor decoder-handle
     site, and batches stay small because real decoded frames are MBs.
     Role of a frame-sampling ingest stage in a video training-data
@@ -245,8 +246,8 @@ class FrameSampler:
                                      payloads):
             frames = None
             if payload:
-                # in-band APNG / animated-GIF payload: REAL frame table
-                # + pixels (magic-sniffed)
+                # in-band APNG / animated-GIF / MJPEG-AVI payload: REAL
+                # frame table + pixels (magic-sniffed)
                 delays, frames = decode_image_frames(
                     base64.b64decode(payload))
                 duration_ms = max(1, sum(delays))

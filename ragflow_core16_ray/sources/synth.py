@@ -32,7 +32,7 @@ _CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 13
+CORPUS_VERSION = 15
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -569,11 +569,14 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
     # decode dispatch on three real public formats (PNG / GIF / JPEG;
     # animated pictures stay APNG/GIF, JPEG has no animation)
     use_gif = fmt < 0.35
-    if r.random() < 0.3:
-        # animated picture (real APNG or animated GIF): frame 0 carries
-        # the glyph text — decode_image reads frame 0, so the OCR path
-        # is unchanged — later frames are deterministic brightness fades
-        # the frame sampler real-decodes (multimodal.FrameSampler)
+    if r.random() < 0.45:  # animated share — high enough that sf0.01's
+        # handful of picture docs still exercises the real frame-decode
+        # path (APNG / GIF / MJPEG-AVI) at driver scale
+        # animated picture (real APNG, animated GIF or MJPEG-AVI video):
+        # frame 0 carries the glyph text — decode_image reads frame 0,
+        # so the OCR path is unchanged — later frames are deterministic
+        # brightness fades the frame sampler real-decodes
+        # (multimodal.FrameSampler)
         import numpy as np
 
         fades = [((img.astype(np.int32) * (4 - k)) // 4).astype(np.uint8)
@@ -583,6 +586,12 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
             from ..functions.gif import encode_gif_animated
 
             raw = encode_gif_animated([img] + fades, delay_ms=delay)
+        elif fmt < 0.60:
+            # real VIDEO container: Motion-JPEG in AVI, fps from the
+            # drawn frame delay (frame 0 still OCRs via decode_image)
+            from ..functions.avi import encode_avi_mjpeg
+
+            raw = encode_avi_mjpeg([img] + fades, fps=1000 // delay)
         else:
             from ..functions.png import encode_apng
 
