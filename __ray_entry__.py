@@ -435,6 +435,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_dist":
             lambda sf: relational.customer_order_dist(sf),
         "small_qty_revenue": lambda sf: relational.small_qty_revenue(sf),
+        "nation_trade_volume":
+            lambda sf: relational.nation_trade_volume(sf),
+        "returned_revenue": lambda sf: relational.returned_revenue(sf),
+        "late_shipment_priority":
+            lambda sf: relational.late_shipment_priority(sf),
+        "big_orders": lambda sf: relational.big_orders(sf),
+        "bracket_revenue": lambda sf: relational.bracket_revenue(sf),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
@@ -1659,6 +1666,89 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(ROUND(l.l_quantity, 0) AS BIGINT) * 5 * a.cnt
               < a.sum_qty
         GROUP BY p_brand ORDER BY p_brand
+    """
+    # Q7-shaped two-dimension trade matrix: supplier nation resolves via
+    # a true-dimension broadcast, customer nation via a custkey-bucket
+    # co-partition (see relational.nation_trade_volume)
+    out["nation_trade_volume"] = r"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                      AS BIGINT))) AS BIGINT) AS revenue_u
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # Q10-shaped returned-item top-k: per-bucket local top-k, the k
+    # winners' names resolve driver-side (see relational.returned_revenue)
+    out["returned_revenue"] = r"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                      AS BIGINT))) AS BIGINT) AS revenue_u
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3 ORDER BY revenue_u DESC, c_custkey LIMIT 20
+    """
+    # Q12-shaped conditional-count join: delay buckets compare raw
+    # timestamps against interval edges — no day division on either side
+    # (see relational.late_shipment_priority)
+    out["late_shipment_priority"] = r"""
+        SELECT CASE WHEN l.l_shipdate < o.o_orderdate THEN '0-early'
+                    WHEN l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+                         THEN '1-within-30d'
+                    WHEN l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+                         THEN '2-within-90d'
+                    ELSE '3-over-90d' END AS delay_bucket,
+               CAST(SUM(CASE WHEN o.o_orderpriority
+                                  IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(SUM(CASE WHEN o.o_orderpriority
+                                  IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1 ORDER BY 1
+    """
+    # Q18-shaped having-semijoin top-k over integer quantity sums
+    # (see relational.big_orders)
+    out["big_orders"] = r"""
+        SELECT o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                   AS o_totalprice_c,
+               CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_qty
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        HAVING SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) > 300
+        ORDER BY sum_qty DESC, o_orderkey LIMIT 100
+    """
+    # Q19-shaped disjunctive bracket join: the (brand, size) arms select
+    # a tiny part subset that broadcasts; quantity brackets evaluate
+    # vectorized per batch (see relational.bracket_revenue)
+    out["bracket_revenue"] = r"""
+        SELECT CAST(COALESCE(
+                   SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                     AS BIGINT))), 0) AS BIGINT)
+                   AS revenue_u,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND CAST(ROUND(l.l_quantity, 0) AS BIGINT)
+                   BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+               AND CAST(ROUND(l.l_quantity, 0) AS BIGINT)
+                   BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+               AND CAST(ROUND(l.l_quantity, 0) AS BIGINT)
+                   BETWEEN 20 AND 40)
     """
     # Q3-shaped top-k: the same exact-integer money convention as
     # pricing_summary; order date as int64 epoch days

@@ -1126,3 +1126,378 @@ def small_qty_revenue(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     out["revenue_c"] = out["revenue_c"].astype("int64")
     out["n_small"] = out["n_small"].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def nation_trade_volume(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q7-shaped TWO-DIMENSION TRADE MATRIX: discounted lineitem
+    revenue per (supplier nation, customer nation) pair. Two fact-fact
+    joins, neither broadcasting a fact table: ORDERS co-partitions with
+    CUSTOMER by a custkey bucket to resolve the customer nation (stage
+    1 — the shuffle carries (custkey|okey, int) rows, never names until
+    the dimension lookup inside the bucket); LINEITEM pre-reduces to
+    per-(orderkey, supplier-nation) revenue partials inside each batch
+    (supplier→nation is a true dimension: 100× smaller than customer,
+    broadcast via ray.put like nation_revenue); stage 2 co-partitions
+    those partials with stage 1's (orderkey, cust_nation) rows by an
+    orderkey bucket and emits ≤ 25×25 matrix partials per bucket, which
+    the driver sums. Scale: both shuffles carry key-sized rows; the
+    625-cell matrix is the only driver materialization."""
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_names = np.empty(int(nat["n_nationkey"].max()) + 1, dtype=object)
+    nat_names[nat["n_nationkey"].values] = nat["n_name"].values
+    order_s = np.argsort(sup["s_suppkey"].values)
+    sup_ref = ray.put((sup["s_suppkey"].values[order_s],
+                       sup["s_nationkey"].values[order_s], nat_names))
+    nat_ref = ray.put(nat_names)
+
+    # ---- stage 1: orders ⋈ customer by custkey bucket → (okey, cnat)
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["c_custkey"] % np.int64(n_buckets)),
+            "key": batch["c_custkey"].astype("int64").values,
+            "okey": pd.array([0] * len(batch), dtype="int64"),
+            "nkey": batch["c_nationkey"].astype("int64").values,
+            "is_dim": pd.array([True] * len(batch), dtype="bool")})
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["o_custkey"] % np.int64(n_buckets)),
+            "key": batch["o_custkey"].astype("int64").values,
+            "okey": batch["o_orderkey"].astype("int64").values,
+            "nkey": pd.array([0] * len(batch), dtype="int64"),
+            "is_dim": pd.array([False] * len(batch), dtype="bool")})
+
+    def resolve_cnat(g: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(nat_ref)
+        dim = g[g["is_dim"]]
+        k2n = pd.Series(dim["nkey"].values, index=dim["key"].values)
+        o = g[~g["is_dim"]]
+        cnat = names[k2n.reindex(o["key"]).fillna(0).astype(np.intp)]
+        return pd.DataFrame({
+            "bucket": (o["okey"] % np.int64(n_buckets)).values,
+            "okey": o["okey"].values,
+            "cust_nation": pd.array(cnat, dtype="object"),
+            "supp_nation": pd.array([""] * len(o), dtype="object"),
+            "revenue_u": pd.array([0] * len(o), dtype="int64"),
+            "is_ord": pd.array([True] * len(o), dtype="bool")})
+
+    orders_cnat = (
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(cust_rows, batch_format="pandas")
+        .union(_t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+               .map_batches(order_rows, batch_format="pandas"))
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(resolve_cnat, batch_format="pandas"))
+
+    # ---- lineitem: per-(okey, supp_nation) revenue partials (combiner)
+    def li_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        sks, snk, names = ray.get(sup_ref)
+        snat = names[snk[np.searchsorted(
+            sks, batch["l_suppkey"].to_numpy(np.int64))]]
+        price_c = np.rint(batch["l_extendedprice"].values
+                          * 100).astype("int64")
+        disc_c = np.rint(batch["l_discount"].values * 100).astype("int64")
+        g = (pd.DataFrame({"okey": batch["l_orderkey"].values,
+                           "supp_nation": snat,
+                           "revenue_u": price_c * (100 - disc_c)})
+             .groupby(["okey", "supp_nation"], sort=False)["revenue_u"]
+             .sum().reset_index())
+        return pd.DataFrame({
+            "bucket": (g["okey"] % n_buckets).astype("int64"),
+            "okey": g["okey"].astype("int64"),
+            "cust_nation": pd.array([""] * len(g), dtype="object"),
+            "supp_nation": g["supp_nation"].values,
+            "revenue_u": g["revenue_u"].astype("int64"),
+            "is_ord": pd.array([False] * len(g), dtype="bool")})
+
+    # ---- stage 2: co-partition by okey bucket → matrix partials
+    def matrix_partial(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["is_ord"]]
+        o2c = pd.Series(o["cust_nation"].values, index=o["okey"].values)
+        li = g[~g["is_ord"]]
+        out = pd.DataFrame({
+            "supp_nation": li["supp_nation"].values,
+            "cust_nation": o2c.reindex(li["okey"]).values,
+            "revenue_u": li["revenue_u"].values})
+        return (out.groupby(["supp_nation", "cust_nation"], sort=False)
+                ["revenue_u"].sum().reset_index())
+
+    li = (_t(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+          .map_batches(li_partials, batch_format="pandas"))
+    parts = (orders_cnat.union(li)
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(matrix_partial,
+                                           batch_format="pandas")
+             ).to_pandas()
+    out = (parts.groupby(["supp_nation", "cust_nation"])["revenue_u"]
+           .sum().reset_index())
+    out["revenue_u"] = out["revenue_u"].astype("int64")
+    return (out.sort_values(["supp_nation", "cust_nation"])
+            .reset_index(drop=True))
+
+
+def returned_revenue(sf_dir: str, k: int = 20,
+                     n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q10-shaped RETURNED-ITEM top-k: customers ranked by revenue
+    of lineitems flagged 'R'. Lineitem pre-reduces to per-orderkey
+    revenue partials inside each batch; orders co-partition with those
+    partials by an orderkey bucket and re-emit (custkey, revenue) rows;
+    a second custkey-bucket groupby aggregates per customer and keeps
+    its bucket-local top-k, so the driver merges ≤ k·buckets rows. The
+    k winners' names/nations resolve driver-side by a filtered read of
+    the customer table (k keys — never a full-table materialization)."""
+    def rev_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_returnflag"].values == "R"]
+        price_c = np.rint(b["l_extendedprice"].values * 100).astype("int64")
+        disc_c = np.rint(b["l_discount"].values * 100).astype("int64")
+        g = (pd.DataFrame({"okey": b["l_orderkey"].values,
+                           "revenue_u": price_c * (100 - disc_c)})
+             .groupby("okey", sort=False).sum().reset_index())
+        return pd.DataFrame({
+            "bucket": (g["okey"] % n_buckets).astype("int64"),
+            "okey": g["okey"].astype("int64"),
+            "ckey": pd.array([0] * len(g), dtype="int64"),
+            "revenue_u": g["revenue_u"].astype("int64"),
+            "is_ord": pd.array([False] * len(g), dtype="bool")})
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["o_orderkey"] % np.int64(n_buckets)),
+            "okey": batch["o_orderkey"].astype("int64").values,
+            "ckey": batch["o_custkey"].astype("int64").values,
+            "revenue_u": pd.array([0] * len(batch), dtype="int64"),
+            "is_ord": pd.array([True] * len(batch), dtype="bool")})
+
+    def to_cust(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["is_ord"]]
+        o2c = pd.Series(o["ckey"].values, index=o["okey"].values)
+        li = g[~g["is_ord"]]
+        ck = o2c.reindex(li["okey"])
+        out = pd.DataFrame({"c_custkey": ck.values.astype("int64"),
+                            "revenue_u": li["revenue_u"].values})
+        out["bucket"] = out["c_custkey"] % np.int64(n_buckets)
+        return (out.groupby(["bucket", "c_custkey"], sort=False)
+                ["revenue_u"].sum().reset_index())
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("c_custkey", sort=False)["revenue_u"].sum()
+               .reset_index())
+        return (agg.sort_values(["revenue_u", "c_custkey"],
+                                ascending=[False, True]).head(k))
+
+    li = (_t(sf_dir, "lineitem",
+             ["l_orderkey", "l_returnflag", "l_extendedprice",
+              "l_discount"])
+          .map_batches(rev_partials, batch_format="pandas"))
+    orders = (_t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+              .map_batches(order_rows, batch_format="pandas"))
+    per_cust = (li.union(orders)
+                .repartition(max(1, n_buckets // 4))
+                .groupby("bucket").map_groups(to_cust,
+                                              batch_format="pandas")
+                .groupby("bucket").map_groups(local_topk,
+                                              batch_format="pandas")
+                ).to_pandas()
+    top = (per_cust.sort_values(["revenue_u", "c_custkey"],
+                                ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    # k-row dimension resolve (driver-side, bounded by k)
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = cust[cust["c_custkey"].isin(top["c_custkey"])]
+    merged = (top.merge(cust, on="c_custkey")
+              .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    out = merged[["c_custkey", "c_name", "n_name", "revenue_u"]].copy()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["revenue_u"] = out["revenue_u"].astype("int64")
+    return (out.sort_values(["revenue_u", "c_custkey"],
+                            ascending=[False, True]).reset_index(drop=True))
+
+
+def late_shipment_priority(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q12-shaped CONDITIONAL-COUNT JOIN: lineitems bucketed by
+    shipping delay (l_shipdate − o_orderdate; this corpus carries no
+    ship modes or commit/receipt dates), counting high-priority
+    (1-URGENT/2-HIGH) vs lower-priority order lines per delay bucket.
+    Every line must meet its order's priority, so the orderkey-bucket
+    shuffle carries one (okey, shipdate) int pair per line — no
+    pre-reduction is possible before the join, which is exactly Q12's
+    cost shape — and each bucket emits ≤ 4 partial rows. Delay buckets
+    compare raw int64 timestamps against fixed interval edges (no
+    day-division, so floor-vs-truncate never diverges from the SQL)."""
+    US_PER_DAY = 86_400_000_000
+    HIGH = ("1-URGENT", "2-HIGH")
+    EDGES = np.array([0, 30 * US_PER_DAY, 90 * US_PER_DAY], dtype="int64")
+    LABELS = np.array(["0-early", "1-within-30d", "2-within-90d",
+                       "3-over-90d"], dtype=object)
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["o_orderkey"] % np.int64(n_buckets)),
+            "okey": batch["o_orderkey"].astype("int64").values,
+            "t": batch["o_orderdate"].astype("int64").values,
+            "high": pd.array(
+                np.isin(batch["o_orderpriority"].values, HIGH),
+                dtype="bool"),
+            "is_ord": pd.array([True] * len(batch), dtype="bool")})
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["l_orderkey"] % np.int64(n_buckets)),
+            "okey": batch["l_orderkey"].astype("int64").values,
+            "t": batch["l_shipdate"].astype("int64").values,
+            "high": pd.array([False] * len(batch), dtype="bool"),
+            "is_ord": pd.array([False] * len(batch), dtype="bool")})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["is_ord"]]
+        odate = pd.Series(o["t"].values, index=o["okey"].values)
+        ohigh = pd.Series(o["high"].values, index=o["okey"].values)
+        li = g[~g["is_ord"]]
+        delay = li["t"].values - odate.reindex(li["okey"]).values
+        label = LABELS[np.searchsorted(EDGES, delay, side="right")]
+        high = ohigh.reindex(li["okey"]).values
+        out = pd.DataFrame({"delay_bucket": label, "high": high})
+        agg = (out.groupby("delay_bucket", sort=False)["high"]
+               .agg(n_high="sum", n_low=lambda s: int((~s).sum()))
+               .reset_index())
+        agg["n_high"] = agg["n_high"].astype("int64")
+        agg["n_low"] = agg["n_low"].astype("int64")
+        return agg
+
+    orders = (_t(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
+              .map_batches(order_rows, batch_format="pandas"))
+    lines = (_t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+             .map_batches(line_rows, batch_format="pandas"))
+    parts = (orders.union(lines)
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(count_bucket,
+                                           batch_format="pandas")
+             ).to_pandas()
+    out = (parts.groupby("delay_bucket")
+           .agg(n_high=("n_high", "sum"), n_low=("n_low", "sum"))
+           .reset_index())
+    out["n_high"] = out["n_high"].astype("int64")
+    out["n_low"] = out["n_low"].astype("int64")
+    return out.sort_values("delay_bucket").reset_index(drop=True)
+
+
+def big_orders(sf_dir: str, min_qty: int = 300, k: int = 100,
+               n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q18-shaped HAVING-SEMIJOIN top-k: orders whose total line
+    quantity exceeds ``min_qty``, with their total price. Lineitem
+    pre-reduces to per-orderkey integer quantity partials inside each
+    batch (the combiner move); orders co-partition with the partials by
+    an orderkey bucket; each bucket finishes the per-order sum, applies
+    the HAVING filter and keeps a bucket-local top-k by quantity — the
+    driver merges ≤ k·buckets qualifying rows, never the join."""
+    def qty_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        qty = np.rint(batch["l_quantity"].values).astype("int64")
+        g = (pd.DataFrame({"okey": batch["l_orderkey"].values,
+                           "sum_qty": qty})
+             .groupby("okey", sort=False).sum().reset_index())
+        return pd.DataFrame({
+            "bucket": (g["okey"] % n_buckets).astype("int64"),
+            "okey": g["okey"].astype("int64"),
+            "sum_qty": g["sum_qty"].astype("int64"),
+            "price_c": pd.array([0] * len(g), dtype="int64"),
+            "is_ord": pd.array([False] * len(g), dtype="bool")})
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["o_orderkey"] % np.int64(n_buckets)),
+            "okey": batch["o_orderkey"].astype("int64").values,
+            "sum_qty": pd.array([0] * len(batch), dtype="int64"),
+            "price_c": np.rint(batch["o_totalprice"].values
+                               * 100).astype("int64"),
+            "is_ord": pd.array([True] * len(batch), dtype="bool")})
+
+    def having_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qty = (g[~g["is_ord"]].groupby("okey", sort=False)["sum_qty"]
+               .sum())
+        o = g[g["is_ord"]]
+        total = qty.reindex(o["okey"]).fillna(0).astype("int64")
+        m = total.values > min_qty
+        out = pd.DataFrame({
+            "o_orderkey": o.loc[m, "okey"].values,
+            "o_totalprice_c": o.loc[m, "price_c"].values,
+            "sum_qty": total.values[m]})
+        return (out.sort_values(["sum_qty", "o_orderkey"],
+                                ascending=[False, True]).head(k))
+
+    li = (_t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+          .map_batches(qty_partials, batch_format="pandas"))
+    orders = (_t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+              .map_batches(order_rows, batch_format="pandas"))
+    merged = (li.union(orders)
+              .repartition(max(1, n_buckets // 4))
+              .groupby("bucket").map_groups(having_topk,
+                                            batch_format="pandas")
+              ).to_pandas()
+    for c in merged.columns:
+        merged[c] = merged[c].astype("int64")
+    return (merged.sort_values(["sum_qty", "o_orderkey"],
+                               ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def bracket_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19-shaped DISJUNCTIVE BRACKET JOIN: revenue from lineitems
+    matching any of three (brand, size-range, quantity-range) branches.
+    The part rows satisfying ANY branch's (brand, size) arm are a tiny
+    dimension subset, broadcast once as a partkey→quantity-bracket map
+    (ray.put); lineitem then evaluates the whole disjunction in one
+    vectorized pass per batch — no shuffle at all, partials are a
+    single (revenue, count) pair per batch."""
+    BRANCHES = (("Brand#12", 1, 15, 1, 20),
+                ("Brand#23", 1, 20, 10, 30),
+                ("Brand#3", 1, 25, 20, 40))
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    lo = {}
+    hi = {}
+    for brand, slo, shi, qlo, qhi in BRANCHES:
+        m = ((part["p_brand"].values == brand)
+             & (part["p_size"].values >= slo)
+             & (part["p_size"].values <= shi))
+        for pk in part.loc[m, "p_partkey"]:
+            lo[int(pk)] = qlo
+            hi[int(pk)] = qhi
+    keys = np.array(sorted(lo), dtype="int64")
+    ref = ray.put((keys,
+                   np.array([lo[k] for k in keys], dtype="int64"),
+                   np.array([hi[k] for k in keys], dtype="int64")))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, qlo, qhi = ray.get(ref)
+        zero = pd.DataFrame({"revenue_u": pd.array([0], dtype="int64"),
+                             "n_lines": pd.array([0], dtype="int64")})
+        if not len(keys):  # no part matches any branch's (brand, size)
+            return zero
+        pk = batch["l_partkey"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+        inset = keys[pos] == pk
+        qty = np.rint(batch["l_quantity"].values).astype("int64")
+        m = inset & (qty >= qlo[pos]) & (qty <= qhi[pos])
+        if not m.any():
+            return zero
+        price_c = np.rint(batch["l_extendedprice"].values[m]
+                          * 100).astype("int64")
+        disc_c = np.rint(batch["l_discount"].values[m]
+                         * 100).astype("int64")
+        rev = price_c * (100 - disc_c)
+        return pd.DataFrame({
+            "revenue_u": pd.array([int(rev.sum())], dtype="int64"),
+            "n_lines": pd.array([int(m.sum())], dtype="int64")})
+
+    parts = (_t(sf_dir, "lineitem",
+                ["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+             .map_batches(partial, batch_format="pandas")).to_pandas()
+    return pd.DataFrame({
+        "revenue_u": pd.array([int(parts["revenue_u"].sum())],
+                              dtype="int64"),
+        "n_lines": pd.array([int(parts["n_lines"].sum())], dtype="int64")})

@@ -518,3 +518,73 @@ def test_small_qty_revenue_matches_oracle(ray_session):
         GROUP BY p_brand ORDER BY p_brand""").df()
     assert want["n_small"].sum() > 0  # predicate must not be degenerate
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_round4_join_shapes_match_oracles(ray_session):
+    """Q7/Q10/Q12/Q18/Q19-shaped queries == their registered SQL oracles
+    (the same strings the driver runs): two-dimension trade matrix,
+    returned-item top-k, delay-bucket conditional counts, having-semijoin
+    top-k, disjunctive bracket join."""
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "supplier", "part",
+              "nation", "region"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    queries, oracles = e.queries(), e.oracle_sql()
+    for name in ("nation_trade_volume", "returned_revenue",
+                 "late_shipment_priority", "big_orders",
+                 "bracket_revenue"):
+        got = queries[name](SF).reset_index(drop=True)
+        want = c.sql(oracles[name]).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
+
+
+def test_big_orders_having_boundary(ray_session, tmp_path):
+    """HAVING is strict (> min_qty): an order summing exactly to the
+    threshold is excluded; bucket-local top-k never drops a qualifier
+    when qualifiers are fewer than k."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import big_orders
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0])}),
+        d / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_quantity": pa.array([3.0, 2.0, 5.0, 6.0])}),
+        d / "lineitem.parquet")
+    got = big_orders(str(d), min_qty=5, k=10)
+    # order 2 sums to exactly 5 → excluded; 1 sums 5 → excluded; 3 → 6
+    assert got["o_orderkey"].tolist() == [3]
+    assert got["sum_qty"].tolist() == [6]
+
+
+def test_bracket_revenue_empty_branch(ray_session, tmp_path):
+    """A corpus where no part matches any branch returns the typed zero
+    row (COALESCE semantics), not an empty frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import bracket_revenue
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], type=pa.int64()),
+        "p_brand": pa.array(["Brand#99"]),
+        "p_size": pa.array([60], type=pa.int32())}), d / "part.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1], type=pa.int64()),
+        "l_quantity": pa.array([5.0]),
+        "l_extendedprice": pa.array([100.0]),
+        "l_discount": pa.array([0.1])}), d / "lineitem.parquet")
+    got = bracket_revenue(str(d))
+    assert got["revenue_u"].tolist() == [0]
+    assert got["n_lines"].tolist() == [0]
