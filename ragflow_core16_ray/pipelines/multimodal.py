@@ -75,8 +75,16 @@ class MediaFeatures:
         widths, heights, feats = [], [], []
         for ref, payload in zip(batch["media_ref"], payloads):
             if payload:
-                # in-band PNG payload (picture docs): REAL decode
-                w, h, f = self.decode_real(base64.b64decode(payload))
+                try:
+                    # in-band payload (picture docs): REAL decode
+                    w, h, f = self.decode_real(base64.b64decode(payload))
+                except Exception:  # noqa: BLE001 — poison containment:
+                    # at corpus scale corrupt media is guaranteed; one bad
+                    # payload must cost one sentinel row, never the task.
+                    # width/height = -1 marks it (distinct from ref-only
+                    # fakes, which carry plausible dims).
+                    w, h = -1, -1
+                    f = np.zeros(self.feature_dim, dtype=np.float32)
             else:
                 # ref-only figure (html/pdf/docx): the blob store holding
                 # these bytes doesn't exist in the sandbox → documented fake
@@ -181,7 +189,13 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             frames = []
             for ref, payload in zip(grp["media_ref"], grp["payload"]):
                 if payload:
-                    arr = decode_image(base64.b64decode(payload))
+                    try:
+                        arr = decode_image(base64.b64decode(payload))
+                    except Exception:  # noqa: BLE001 — poison
+                        # containment: a corrupt frame becomes a 16×16
+                        # black tombstone (still counted in n_figures),
+                        # never a failed task
+                        arr = np.zeros((16, 16, 3), dtype=np.uint8)
                     if arr.ndim == 2:  # collage frames are 3-channel
                         arr = np.repeat(arr[:, :, None], 3, axis=2)
                 else:
@@ -246,10 +260,22 @@ class FrameSampler:
                                      payloads):
             frames = None
             if payload:
-                # in-band APNG / animated-GIF / MJPEG-AVI payload: REAL
-                # frame table + pixels (magic-sniffed)
-                delays, frames = decode_image_frames(
-                    base64.b64decode(payload))
+                try:
+                    # in-band APNG / animated-GIF / MJPEG-AVI payload:
+                    # REAL frame table + pixels (magic-sniffed)
+                    delays, frames = decode_image_frames(
+                        base64.b64decode(payload))
+                except Exception:  # noqa: BLE001 — poison containment:
+                    # one sentinel row (frame_index −1, mean −2; −1 means
+                    # ref-only), never a failed task
+                    doc_ids.append(did)
+                    refs.append(ref)
+                    idxs.append(-1)
+                    ts.append(-1)
+                    ws.append(-1)
+                    hs.append(-1)
+                    means.append(-2)
+                    continue
                 duration_ms = max(1, sum(delays))
                 starts = np.cumsum([0] + delays[:-1])
                 height, width = frames[0].shape[:2]
@@ -325,8 +351,20 @@ class AudioSegmenter:
                                      payloads):
             samples = None
             if payload:
-                # in-band WAV payload (audio docs): REAL probe + energy
-                rate, samples = decode_wav(base64.b64decode(payload))
+                try:
+                    # in-band WAV payload (audio docs): REAL probe + energy
+                    rate, samples = decode_wav(base64.b64decode(payload))
+                except Exception:  # noqa: BLE001 — poison containment:
+                    # one sentinel row (segment_index −1, rms −2; −1
+                    # means ref-only), never a failed task
+                    doc_ids.append(did)
+                    refs.append(ref)
+                    idxs.append(-1)
+                    starts.append(-1)
+                    ends.append(-1)
+                    rates.append(-1)
+                    rmss.append(-2)
+                    continue
                 duration_ms = len(samples) * 1000 // rate
             else:
                 h = hash64(ref)

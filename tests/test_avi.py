@@ -69,3 +69,35 @@ def test_glyph_ocr_survives_mjpeg():
     raw = encode_avi_mjpeg([img] + fades, fps=25)
     assert ocr_glyphs(decode_image(raw)) == \
         "\n".join(normalize_text(ln) for ln in lines)
+
+
+# ------------------------------------------------------- fuzz bounds ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 6),
+       st.sampled_from([8, 10, 20, 25]))
+@settings(max_examples=25, deadline=None)
+def test_fuzz_container_fields_exact(seed, n, fps):
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, (16, 16)).astype(np.uint8)
+              for _ in range(n)]
+    got_fps, got = decode_avi(encode_avi_mjpeg(frames, fps=fps))
+    assert got_fps == float(fps)
+    assert len(got) == n
+    assert all(f.shape == (16, 16) for f in got)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(12, 300))
+@settings(max_examples=40, deadline=None)
+def test_fuzz_truncation_never_hangs(seed, cut):
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, (8, 8)).astype(np.uint8)
+              for _ in range(2)]
+    enc = encode_avi_mjpeg(frames, fps=25)
+    try:
+        decode_avi(enc[:min(cut, len(enc) - 1)])
+    except Exception:
+        pass

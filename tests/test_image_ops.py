@@ -160,3 +160,55 @@ def test_resize_semantics():
     # grayscale passes through with rank preserved
     g = np.arange(4, dtype=np.uint8).reshape(2, 2)
     assert resize(g, 3, 5).shape == (3, 5)
+
+
+def test_poison_payloads_contained_per_row(ray_session):
+    """A corrupt in-band payload costs one SENTINEL row in every media
+    stage — never a failed Ray task (at corpus scale corrupt media is
+    guaranteed). Sentinels are distinct from the ref-only fake markers:
+    features dims −1×−1, frame rows mean −2 / index −1, audio rows
+    rms −2 / index −1, collage frames become 16×16 tombstones."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ragflow_core16_ray.functions.png import encode_png
+    from ragflow_core16_ray.pipelines.multimodal import (AudioSegmenter,
+                                                         FrameSampler,
+                                                         MediaFeatures,
+                                                         media_collage)
+
+    good = base64.b64encode(
+        encode_png(np.full((8, 8), 7, dtype=np.uint8))).decode()
+    bad = base64.b64encode(b"\x89PNG\r\n\x1a\nGARBAGE-NOT-A-PNG").decode()
+    batch = pd.DataFrame({
+        "doc_id": ["d1", "d1", "d2"],
+        "media_ref": ["m://d1/good", "m://d1/bad", "m://d2/ref"],
+        "payload": [good, bad, ""]})
+
+    feats = MediaFeatures()(batch)
+    assert feats.width.tolist()[0] == 8
+    assert feats.width.tolist()[1] == -1 and feats.height.tolist()[1] == -1
+    assert feats.width.tolist()[2] > 0  # ref-only fake keeps real-ish dims
+
+    frames = FrameSampler(n_frames=3)(batch)
+    badrows = frames[frames.media_ref == "m://d1/bad"]
+    assert badrows.frame_index.tolist() == [-1]
+    assert badrows.mean_intensity.tolist() == [-2]
+    assert (frames[frames.media_ref == "m://d1/good"]
+            .mean_intensity >= 0).all()
+
+    segs = AudioSegmenter()(pd.DataFrame({
+        "doc_id": ["d1"], "media_ref": ["m://d1/bad"], "payload": [bad]}))
+    assert segs.segment_index.tolist() == [-1]
+    assert segs.rms.tolist() == [-2]
+
+    rows = [{"doc_id": "d1", "spans": [
+        {"kind": "image", "text": good, "media_ref": "m://d1/g",
+         "offset": 0},
+        {"kind": "image", "text": bad, "media_ref": "m://d1/b",
+         "offset": 1}]}]
+    out = media_collage(rd.from_items(rows)).to_pandas()
+    assert out.n_figures.tolist() == [2]  # tombstone still counted

@@ -112,3 +112,55 @@ def test_dispatch_sniffs_jpeg():
     delays, frames = decode_image_frames(enc)
     assert delays == [0] and len(frames) == 1
     assert frames[0].shape == img.shape
+
+
+# ------------------------------------------------------- fuzz bounds ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(9, 40), st.integers(9, 40),
+       st.sampled_from([60, 75, 88, 95]))
+@settings(max_examples=40, deadline=None)
+def test_fuzz_roundtrip_psnr(seed, h, w, quality):
+    rng = np.random.RandomState(seed)
+    # smooth random field (JPEG's design domain — white noise would
+    # legitimately crush PSNR at low quality)
+    img = rng.randint(0, 256, (4, 4)).astype(np.float64)
+    img = np.clip(np.kron(img, np.ones((h // 4 + 1, w // 4 + 1)))[:h, :w],
+                  0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert dec.shape == img.shape
+    assert _psnr(img, dec) > 25
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(2, 400))
+@settings(max_examples=60, deadline=None)
+def test_fuzz_truncation_never_hangs(seed, cut):
+    """A truncated/garbled stream must raise or return — bounded either
+    way (the bit reader zero-pads at EOF and the MCU loop is counted, so
+    no input can spin)."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (16, 24)).astype(np.uint8)
+    enc = bytearray(encode_jpeg(img, quality=80))
+    cut = min(cut, len(enc) - 1)
+    try:
+        decode_jpeg(bytes(enc[:cut]))
+    except Exception:
+        pass  # any exception is fine; hanging or exiting is not
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_fuzz_bitflip_never_hangs(seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (16, 24)).astype(np.uint8)
+    enc = bytearray(encode_jpeg(img, quality=80))
+    for _ in range(3):
+        enc[rng.randint(2, len(enc))] ^= 1 << rng.randint(8)
+    try:
+        out = decode_jpeg(bytes(enc))
+        assert out.dtype == np.uint8
+    except Exception:
+        pass
