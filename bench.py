@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "funnel_stages", "rolling_active_users",
     "pricing_summary", "nation_revenue", "top_customers",
     "events_hourly", "events_sessions", "events_asof_orders",
+    "nation_trade_volume", "returned_revenue", "big_orders",
     "media_features", "media_collage", "chunk_docs",
 ]
 
