@@ -442,6 +442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.late_shipment_priority(sf),
         "big_orders": lambda sf: relational.big_orders(sf),
         "bracket_revenue": lambda sf: relational.bracket_revenue(sf),
+        # greedy k-center diversity sampling (no SQL oracle — iterative
+        # geometric algorithm; pytest pins exact-greedy equality + the
+        # two-level radius bound)
+        "coreset_sample": lambda sf: similarity.coreset_sample(sf),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(

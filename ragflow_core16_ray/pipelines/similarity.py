@@ -622,3 +622,88 @@ def brute_topk_batch(sf_dir: str, query_vec_ids: tuple = (0, 1, 2, 3),
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def _fps_greedy(ids: np.ndarray, x: np.ndarray, k: int,
+                seed: int | None = None) -> list[int]:
+    """Farthest-point (greedy k-center) selection over L2-normalized
+    rows. Deterministic: seed = row of the smallest id; every tie in
+    the farthest distance breaks to the smallest id. Returns row
+    indices in selection order (may stop early once every remaining
+    point coincides with a selected one)."""
+    n = len(ids)
+    if n == 0:
+        return []
+    cur = int(np.argmin(ids)) if seed is None else seed
+    sel = [cur]
+    d = np.linalg.norm(x - x[cur], axis=1)
+    d[cur] = -1.0
+    while len(sel) < min(k, n):
+        m = d.max()
+        if m <= 0.0:
+            break  # all remaining points duplicate a selected one
+        cand = np.nonzero(d == m)[0]
+        cur = int(cand[np.argmin(ids[cand])])
+        sel.append(cur)
+        d = np.minimum(d, np.linalg.norm(x - x[cur], axis=1))
+        d[cur] = -1.0
+    return sel
+
+
+def coreset_sample(sf_dir: str, k: int = 32,
+                   n_buckets: int = 16) -> pd.DataFrame:
+    """DIVERSITY SAMPLING (greedy k-center / farthest-point coreset)
+    over the embeddings table — the coverage-maximizing subset selection
+    a curated-pretraining pipeline runs before expensive labeling or as
+    a SemDeDup-complement (pick spread-out representatives rather than
+    drop near-twins).
+
+    Composable-coreset shape: rows bucket by ``vec_id % n_buckets``
+    (LOGICAL partitioning — candidates depend only on the data, never on
+    physical block boundaries, so results are reproducible across any
+    parallelism); each bucket runs local farthest-point sampling and
+    ships only min(k, bucket) candidate vectors; the driver re-runs the
+    exact greedy on the ≤ k·n_buckets pooled candidates. Driver state is
+    O(k·n_buckets·d); the corpus streams once through one hash shuffle.
+    Two-level FPS keeps the classic 2-approximation of greedy's own
+    coverage radius (tests bound it empirically).
+
+    Output: (selection_order, vec_id, gap_q) where gap_q is the distance
+    to the previously-selected set at pick time (the FPS 'coverage gap'
+    curve), quantized to 1e-6 by the repo's floor(x·1e6+0.5) convention.
+    No SQL oracle (iterative geometric algorithm) — rows-only driver
+    check + pytest equality/approximation bounds."""
+
+    def local_fps(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(np.int64)
+        x = _norm(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        sel = _fps_greedy(ids, x, k)
+        return pd.DataFrame({
+            "vec_id": ids[sel],
+            "embedding": [x[i].tolist() for i in sel]})
+
+    emb = _emb(sf_dir)
+    cand = (emb.map_batches(
+                lambda b: b.assign(bucket=b["vec_id"].to_numpy(np.int64)
+                                   % np.int64(n_buckets)),
+                batch_format="pandas")
+            .groupby("bucket").map_groups(local_fps,
+                                          batch_format="pandas")
+            ).to_pandas()  # ≤ k·n_buckets rows — bounded by construction
+    ids = cand["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    x = np.stack(cand["embedding"].to_numpy())[order]
+    sel = _fps_greedy(ids, x, k)
+    gaps = []
+    d = None
+    for i in sel:
+        gaps.append(0.0 if d is None else float(d[i]))
+        nd = np.linalg.norm(x - x[i], axis=1)
+        d = nd if d is None else np.minimum(d, nd)
+        d[i] = -1.0
+    return pd.DataFrame({
+        "selection_order": pd.array(range(len(sel)), dtype="int64"),
+        "vec_id": pd.array(ids[sel], dtype="int64"),
+        "gap_q": pd.array([int(np.floor(g * 1e6 + 0.5)) for g in gaps],
+                          dtype="int64")})

@@ -588,3 +588,19 @@ def test_bracket_revenue_empty_branch(ray_session, tmp_path):
     got = bracket_revenue(str(d))
     assert got["revenue_u"].tolist() == [0]
     assert got["n_lines"].tolist() == [0]
+
+
+def test_round4_join_shapes_bucket_invariant(ray_session):
+    """Results must be independent of the partitioning knob (n_buckets)
+    — the invariant that makes the bucket co-partition a JOIN and not a
+    sampling heuristic. Odd, small bucket counts stress the skew path
+    (many keys per bucket)."""
+    from ragflow_core16_ray.pipelines.relational import (
+        big_orders, late_shipment_priority, nation_trade_volume,
+        returned_revenue)
+
+    for fn in (nation_trade_volume, returned_revenue,
+               late_shipment_priority, big_orders):
+        a = fn(SF, n_buckets=5).reset_index(drop=True)
+        b = fn(SF, n_buckets=32).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), fn.__name__

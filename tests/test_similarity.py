@@ -750,3 +750,57 @@ def test_brute_topk_batch_matches_single(ray_session):
         sliced = (batch[batch["query_vec_id"] == q]
                   .sort_values("rank")["vec_id"].tolist())
         assert sliced == single
+
+
+def test_coreset_single_bucket_equals_exact_greedy(ray_session):
+    """n_buckets=1 routes the whole table through one local FPS — must
+    equal a driver-side numpy replica of greedy k-center exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.similarity import (_fps_greedy, _norm,
+                                                         coreset_sample)
+
+    sf = "/root/testdata/sf0.001"
+    got = coreset_sample(sf, k=16, n_buckets=1)
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    x = _norm(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    order = np.argsort(ids, kind="stable")
+    ids, x = ids[order], x[order]
+    want = ids[_fps_greedy(ids, x, 16)]
+    assert got["vec_id"].tolist() == want.tolist()
+    assert got["selection_order"].tolist() == list(range(16))
+    assert got["gap_q"].iloc[0] == 0 and (got["gap_q"].iloc[1:] > 0).all()
+    # FPS invariant: the coverage gap never increases along the curve
+    assert (np.diff(got["gap_q"].iloc[1:]) <= 0).all()
+
+
+def test_coreset_two_level_radius_bound(ray_session):
+    """The composable two-level FPS keeps coverage radius within 2× of
+    single-level greedy (the classic composable-coreset bound), and is
+    deterministic across calls."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.similarity import _norm, coreset_sample
+
+    sf = "/root/testdata/sf0.001"
+    k = 16
+    two = coreset_sample(sf, k=k, n_buckets=16)
+    again = coreset_sample(sf, k=k, n_buckets=16)
+    assert two["vec_id"].tolist() == again["vec_id"].tolist()
+    one = coreset_sample(sf, k=k, n_buckets=1)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    x = _norm(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+
+    def radius(sel_ids):
+        sel = x[np.isin(ids, np.asarray(sel_ids))]
+        d = np.linalg.norm(x[:, None, :] - sel[None, :, :], axis=2)
+        return d.min(axis=1).max()
+
+    assert radius(two["vec_id"]) <= 2.0 * radius(one["vec_id"]) + 1e-9
