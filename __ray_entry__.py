@@ -446,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geometric algorithm; pytest pins exact-greedy equality + the
         # two-level radius bound)
         "coreset_sample": lambda sf: similarity.coreset_sample(sf),
+        # posting-list (inverted-index) BM25 — the serving-shaped path:
+        # only the query terms' hash-bucket partitions leave storage
+        "bm25_indexed_topk": lambda sf: similarity.bm25_topk_indexed(sf),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
@@ -2081,4 +2084,8 @@ def oracle_sql() -> dict[str, str]:
                    AS value
         FROM t, qs
     """
+    # the posting-list index returns bit-identical quantized scores to
+    # the streaming scan (same formula, same term-order float
+    # accumulation) — one oracle serves both
+    out["bm25_indexed_topk"] = out["bm25_topk"]
     return out

@@ -378,6 +378,11 @@ def bm25_topk(sf_dir: str, query: str = "hash table scan",
                                ascending=[False, True]).head(k)
 
     df = docs.map_batches(score, batch_format="pandas").to_pandas()
+    if df.empty:  # zero-hit query: a fully-empty dataset loses its
+        # schema on to_pandas() — return the typed empty frame
+        return pd.DataFrame({"rank": pd.array([], dtype="int64"),
+                             "doc_id": pd.array([], dtype="int64"),
+                             "score_q": pd.array([], dtype="int64")})
     df = df.sort_values(["score_q", "doc_id"],
                         ascending=[False, True]).head(k).reset_index(drop=True)
     df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
@@ -707,3 +712,166 @@ def coreset_sample(sf_dir: str, k: int = 32,
         "vec_id": pd.array(ids[sel], dtype="int64"),
         "gap_q": pd.array([int(np.floor(g * 1e6 + 0.5)) for g in gaps],
                           dtype="int64")})
+
+
+def bm25_build_index(sf_dir: str, index_dir: str,
+                     n_buckets: int = 32) -> str:
+    """One-time posting-list index for BM25 (the build half of a
+    Lucene-style inverted index, in parquet): one row per (term, doc)
+    with tf and the doc length DENORMALIZED in (so scoring never joins a
+    corpus-sized doc-length table), partitioned by a term-hash bucket so
+    a query reads ONLY its terms' partitions. Corpus stats (n_docs,
+    sum_dl over nonempty docs — the same counts bm25_topk's streaming
+    pass 1 computes) land in a tiny sidecar. Same digest-keyed caching
+    as ivf_build_index: content changes rebuild, never silently reuse."""
+    from ..functions.hashing import hash64
+
+    marker = os.path.join(index_dir, "_INDEX_DONE")
+    if os.path.exists(marker):
+        return index_dir
+    import json
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.strip()
+        batch = batch[toks != ""]
+        split = toks[toks != ""].str.split()
+        dl = split.str.len()
+        ex = split.explode()
+        tf = (ex.groupby([ex.index, ex]).size()
+              .rename("tf").reset_index())
+        tf.columns = ["row", "term", "tf"]
+        out = pd.DataFrame({
+            "term": tf["term"].values,
+            "doc_id": batch["doc_id"].values[
+                batch.index.get_indexer(tf["row"])],
+            "tf": tf["tf"].astype("int64").values,
+            "dl": dl.values[dl.index.get_indexer(tf["row"])]})
+        out["dl"] = out["dl"].astype("int64")
+        out["bucket"] = [hash64(t) % n_buckets for t in out["term"]]
+        # stats sidecar partials ride along as sentinel rows? no — keep
+        # the posting table pure; stats are a second cheap pass below
+        return out
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    (docs.map_batches(postings, batch_format="pandas")
+     .write_parquet(index_dir, partition_cols=["bucket"]))
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.strip()
+        nonempty = toks != ""
+        return pd.DataFrame({
+            "n_docs": pd.array([int(nonempty.sum())], dtype="int64"),
+            "sum_dl": pd.array(
+                [int(toks[nonempty].str.split().str.len().sum())],
+                dtype="int64")})
+
+    st = docs.map_batches(stats_partial, batch_format="pandas") \
+        .to_pandas().sum()
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump({"n_docs": int(st["n_docs"]),
+                   "sum_dl": int(st["sum_dl"]),
+                   "n_buckets": n_buckets}, f)
+    open(marker, "w").close()
+    return index_dir
+
+
+def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
+                      query: str = "hash table scan", k: int = 10,
+                      k1: float = 1.2, b: float = 0.75,
+                      n_buckets: int = 32) -> pd.DataFrame:
+    """BM25 top-k against the posting-list index: only the query terms'
+    hash-bucket partitions leave storage (vs bm25_topk's per-query
+    corpus scan — correct for one-off analytics, wrong for serving).
+    df per term is exact and free (count of that term's posting rows,
+    counted in the same read). Per-posting score contributions are
+    independent, so scoring is one vectorized pass; the per-doc sum
+    accumulates in query-term order (groupby after a (doc, term-index)
+    sort) so floats add in the same order as bm25_topk's term loop —
+    the two return identical quantized scores (asserted in tests).
+    The candidate→doc rollup co-partitions by a doc-hash bucket with
+    bucket-local top-k; the driver merges ≤ k·buckets rows."""
+    import glob as _glob
+    import json
+
+    from ..functions.hashing import hash64
+
+    if index_dir is None:
+        index_dir = os.path.join(
+            "/tmp", f"graft_bm25_index_{_corpus_digest(sf_dir)}"
+            f"_b{n_buckets}")
+    bm25_build_index(sf_dir, index_dir, n_buckets)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        st = json.load(f)
+    n_docs, avgdl = st["n_docs"], st["sum_dl"] / st["n_docs"]
+    terms = query.split()
+    term_ix = {t: i for i, t in enumerate(terms)}
+    empty = pd.DataFrame({"rank": pd.array([], dtype="int64"),
+                          "doc_id": pd.array([], dtype="int64"),
+                          "score_q": pd.array([], dtype="int64")})
+    paths = [f for bk in sorted({hash64(t) % n_buckets for t in terms})
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"bucket={bk}", "*.parquet")))]
+    if not paths:
+        return empty
+    postings = rd.read_parquet(paths, columns=["term", "doc_id",
+                                               "tf", "dl"])
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["term"].isin(terms)]
+        g = m.groupby("term", sort=False).size()
+        return pd.DataFrame({
+            f"df_{i}": pd.array([int(g.get(t, 0))], dtype="int64")
+            for i, t in enumerate(terms)})
+
+    dfs = (postings.map_batches(df_partial, batch_format="pandas")
+           .to_pandas().sum())
+    idf = {t: float(np.log(1.0 + (n_docs - dfs[f"df_{i}"] + 0.5)
+                           / (dfs[f"df_{i}"] + 0.5)))
+           for i, t in enumerate(terms)}
+    const = ray.put(idf)
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        idf_m = ray.get(const)
+        m = batch[batch["term"].isin(terms)]
+        if m.empty:
+            return pd.DataFrame({
+                "bucket": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="int64"),
+                "ti": pd.array([], dtype="int64"),
+                "c": pd.array([], dtype="float64")})
+        tf = m["tf"].values.astype(np.float64)
+        dl = m["dl"].values.astype(np.float64)
+        w = m["term"].map(idf_m).values.astype(np.float64)
+        c = w * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        doc = m["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": doc % np.int64(n_buckets),
+            "doc_id": doc,
+            "ti": m["term"].map(term_ix).values.astype(np.int64),
+            "c": c})
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "ti"], kind="stable")
+        s = g.groupby("doc_id", sort=False)["c"].sum()
+        out = pd.DataFrame({
+            "doc_id": s.index.values.astype("int64"),
+            "score_q": np.round(s.values * 1e6).astype(np.int64)})
+        out = out[out["score_q"] > 0]
+        return out.sort_values(["score_q", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    dd = (postings.map_batches(contrib, batch_format="pandas")
+          .repartition(max(1, n_buckets // 8))
+          .groupby("bucket").map_groups(local_topk, batch_format="pandas")
+          ).to_pandas()
+    if dd.empty:
+        return empty
+    dd = (dd.sort_values(["score_q", "doc_id"], ascending=[False, True])
+          .head(k).reset_index(drop=True))
+    dd["rank"] = pd.array(range(1, len(dd) + 1), dtype="int64")
+    return dd[["rank", "doc_id", "score_q"]]

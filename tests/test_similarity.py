@@ -804,3 +804,29 @@ def test_coreset_two_level_radius_bound(ray_session):
         return d.min(axis=1).max()
 
     assert radius(two["vec_id"]) <= 2.0 * radius(one["vec_id"]) + 1e-9
+
+
+def test_bm25_indexed_equals_streaming(ray_session, tmp_path):
+    """The posting-list index returns bit-identical quantized scores to
+    the streaming corpus scan for hit-rich, sparse and zero-hit
+    queries; the index only reads the query terms' bucket partitions."""
+    import os
+
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.similarity import (bm25_build_index,
+                                                         bm25_topk,
+                                                         bm25_topk_indexed)
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "bm25_idx")
+    bm25_build_index(sf, idx)
+    assert os.path.exists(os.path.join(idx, "_INDEX_DONE"))
+    n_parts = len([d for d in os.listdir(idx) if d.startswith("bucket=")])
+    assert n_parts > 1  # partitioned, not one blob
+    for q in ("hash table scan", "merge sort join", "window",
+              "zzz-nonexistent-term"):
+        a = bm25_topk(sf, query=q).reset_index(drop=True)
+        b = bm25_topk_indexed(sf, index_dir=idx, query=q) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), q
