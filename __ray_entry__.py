@@ -449,6 +449,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # posting-list (inverted-index) BM25 — the serving-shaped path:
         # only the query terms' hash-bucket partitions leave storage
         "bm25_indexed_topk": lambda sf: similarity.bm25_topk_indexed(sf),
+        # fully-indexed hybrid (pruned IVF arm → approximate by design:
+        # rows-only; pytest pins exhaustive-probe == streaming hybrid)
+        "hybrid_indexed_topk":
+            lambda sf: similarity.hybrid_indexed_topk(sf),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(

@@ -875,3 +875,43 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
           .head(k).reset_index(drop=True))
     dd["rank"] = pd.array(range(1, len(dd) + 1), dtype="int64")
     return dd[["rank", "doc_id", "score_q"]]
+
+
+def _rrf_fuse(rank_lists: list[list[int]], k: int,
+              rrf_k: int = 60) -> pd.DataFrame:
+    """Reciprocal Rank Fusion over id rank lists, integer-exact:
+    floor(1e9/(rrf_k+rank) + 0.5) per contribution, summed as int64
+    (the same quantization hybrid_topk inlines)."""
+    scores: dict = {}
+    for ids in rank_lists:
+        for pos, did in enumerate(ids, start=1):
+            q = int(1e9 // (rrf_k + pos)
+                    + (1 if (1e9 % (rrf_k + pos)) * 2 >= (rrf_k + pos)
+                       else 0))
+            scores[int(did)] = scores.get(int(did), 0) + q
+    rows = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
+        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+        "rrf_q": pd.array([s for _, s in rows], dtype="int64")})
+
+
+def hybrid_indexed_topk(sf_dir: str, query: str = "hash table scan",
+                        query_vec_id: int = 0, k: int = 10,
+                        k_each: int = 20, rrf_k: int = 60,
+                        n_centroids: int = 16, nprobe: int = 6,
+                        train_sample: int = 2048) -> pd.DataFrame:
+    """Hybrid retrieval over the two PERSISTED indexes — posting-list
+    BM25 (bm25_topk_indexed) + IVF cells (ivf_topk_indexed) — the
+    serving-shaped composition: both arms read only their index
+    partitions (term buckets / probed cells), the RRF fusion touches
+    two ≤k_each driver-side rank lists. With nprobe = n_centroids the
+    vector arm is exhaustive and the result equals the streaming
+    hybrid_topk exactly (asserted in tests); smaller nprobe trades the
+    tail for cell pruning, the standard serving operating point."""
+    lex = bm25_topk_indexed(sf_dir, query=query, k=k_each)
+    vec = ivf_topk_indexed(sf_dir, query_vec_id=query_vec_id, k=k_each,
+                           n_centroids=n_centroids, nprobe=nprobe,
+                           train_sample=train_sample)
+    return _rrf_fuse([list(lex["doc_id"]), list(vec["vec_id"])],
+                     k, rrf_k)

@@ -830,3 +830,22 @@ def test_bm25_indexed_equals_streaming(ray_session, tmp_path):
         b = bm25_topk_indexed(sf, index_dir=idx, query=q) \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b), q
+
+
+def test_hybrid_indexed_exhaustive_probe_equals_streaming(ray_session):
+    """With nprobe = n_centroids the IVF arm scans every cell (exact),
+    so the fully-indexed hybrid equals the streaming hybrid bit-for-bit;
+    the default pruned probe still returns a full well-formed top-k."""
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.similarity import (hybrid_indexed_topk,
+                                                         hybrid_topk)
+
+    sf = "/root/testdata/sf0.001"
+    want = hybrid_topk(sf)
+    got = hybrid_indexed_topk(sf, nprobe=16, n_centroids=16)
+    pd.testing.assert_frame_equal(got, want)
+    pruned = hybrid_indexed_topk(sf, nprobe=4, n_centroids=16)
+    assert list(pruned.columns) == ["rank", "doc_id", "rrf_q"]
+    assert len(pruned) == 10
+    assert pruned["rrf_q"].is_monotonic_decreasing
