@@ -91,8 +91,12 @@ def _walk(data: bytes, start: int, end: int, out: dict) -> None:
         pos = payload_at + size + (size % 2)
 
 
-def decode_avi(data: bytes) -> tuple[float, list[np.ndarray]]:
-    """MJPEG AVI bytes → (fps, decoded grayscale/RGB frames)."""
+def decode_avi(data: bytes,
+               first_only: bool = False) -> tuple[float, list[np.ndarray]]:
+    """MJPEG AVI bytes → (fps, decoded grayscale/RGB frames).
+    ``first_only`` decodes just frame 0 — the still-image contract
+    (OCR/feature paths) must not pay N Huffman+IDCT passes for one
+    frame."""
     from .jpeg import decode_jpeg
 
     if not is_avi(data):
@@ -102,6 +106,8 @@ def decode_avi(data: bytes) -> tuple[float, list[np.ndarray]]:
     raw = found.get("frames", [])
     if not raw:
         raise ValueError("AVI carries no video chunks")
+    if first_only:
+        raw = raw[:1]
     return float(found.get("fps", 25.0)), [decode_jpeg(j) for j in raw]
 
 

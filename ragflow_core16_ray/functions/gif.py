@@ -198,10 +198,14 @@ def encode_gif_animated(frames: list[np.ndarray],
 
 # ---------------------------------------------------------- decoder ----
 
-def decode_gif_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
+def decode_gif_frames(data: bytes,
+                      max_frames: int | None = None
+                      ) -> tuple[list[int], list[np.ndarray]]:
     """GIF bytes → (per-frame delay ms, grayscale uint8 frames). Static
     GIFs return ([0], [frame]). Frames with a local color table or
-    interlacing are rejected (the encoder never writes them)."""
+    interlacing are rejected (the encoder never writes them).
+    ``max_frames`` stops LZW work after that many frames (the
+    still-image contract reads only frame 0)."""
     if not is_gif(data):
         raise ValueError("not a GIF")
     w, h, packed = struct.unpack_from("<HHB", data, 6)
@@ -249,6 +253,8 @@ def decode_gif_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
         frames.append(gray.copy())
         delays.append(next_delay)
         next_delay = 0
+        if max_frames is not None and len(frames) >= max_frames:
+            break
     if not frames:
         raise ValueError("GIF carries no image data")
     if len(frames) == 1 and delays == [0]:
@@ -258,5 +264,6 @@ def decode_gif_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
 
 def decode_gif(data: bytes) -> np.ndarray:
     """First frame of a GIF as grayscale uint8 (the OCR-path contract,
-    same shape as png.decode_png)."""
-    return decode_gif_frames(data)[1][0]
+    same shape as png.decode_png). Stops after one frame — no LZW work
+    on an animation's tail."""
+    return decode_gif_frames(data, max_frames=1)[1][0]

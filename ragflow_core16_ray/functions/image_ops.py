@@ -108,8 +108,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_gif(data)
     if is_jpeg(data):
         return decode_jpeg(data)
-    if is_avi(data):  # video: still-image contract = first frame
-        return decode_avi(data)[1][0]
+    if is_avi(data):  # video: still-image contract = first frame ONLY
+        return decode_avi(data, first_only=True)[1][0]
     raise ValueError("unrecognized image magic")
 
 

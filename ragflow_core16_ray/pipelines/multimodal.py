@@ -37,12 +37,13 @@ class MediaFeatures:
         # real impl: self.model = load_onnx_session(...)  (once per actor)
 
     def decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        """REAL decode for PNG, GIF and baseline-JPEG payloads
-        (functions/{png,gif,jpeg}.py — pure zlib/LZW/Huffman+numpy):
+        """REAL decode for PNG, GIF, baseline-JPEG and MJPEG-AVI
+        payloads (functions/{png,gif,jpeg,avi}.py — pure
+        zlib/LZW/Huffman+numpy; video features come from frame 0):
         dimensions from the header, feature = L2-normalized
         ``feature_dim``-bin intensity histogram of the decoded pixels.
-        Video payloads still need ffmpeg — unavailable in this
-        sandbox."""
+        Compressed codecs (H.264, MP3…) still need ffmpeg — unavailable
+        in this sandbox."""
         from ..functions.image_ops import decode_image
 
         arr = decode_image(payload)

@@ -1300,14 +1300,30 @@ def returned_revenue(sf_dir: str, k: int = 20,
                 .groupby("bucket").map_groups(local_topk,
                                               batch_format="pandas")
                 ).to_pandas()
+    empty = pd.DataFrame({"c_custkey": pd.array([], dtype="int64"),
+                          "c_name": pd.array([], dtype="object"),
+                          "n_name": pd.array([], dtype="object"),
+                          "revenue_u": pd.array([], dtype="int64")})
+    if per_cust.empty:  # no 'R' lineitem anywhere: an all-empty
+        # map_groups result loses its schema on to_pandas()
+        return empty
     top = (per_cust.sort_values(["revenue_u", "c_custkey"],
                                 ascending=[False, True])
            .head(k).reset_index(drop=True))
-    # k-row dimension resolve (driver-side, bounded by k)
-    cust = _t(sf_dir, "customer",
-              ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    # k-row dimension resolve: the winners' keys broadcast into a
+    # DISTRIBUTED filter — the driver receives ≤k customer rows, never
+    # the table
+    keys_ref = ray.put(frozenset(int(x) for x in top["c_custkey"]))
+
+    def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        return batch[batch["c_custkey"].isin(keys)]
+
+    cust = (_t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+            .map_batches(keep_winners, batch_format="pandas")).to_pandas()
+    if cust.empty:
+        return empty
     nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust = cust[cust["c_custkey"].isin(top["c_custkey"])]
     merged = (top.merge(cust, on="c_custkey")
               .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
     out = merged[["c_custkey", "c_name", "n_name", "revenue_u"]].copy()
@@ -1438,6 +1454,12 @@ def big_orders(sf_dir: str, min_qty: int = 300, k: int = 100,
               .groupby("bucket").map_groups(having_topk,
                                             batch_format="pandas")
               ).to_pandas()
+    if merged.empty:  # nothing over the HAVING bar: an all-empty
+        # map_groups result loses its schema on to_pandas()
+        return pd.DataFrame({
+            "o_orderkey": pd.array([], dtype="int64"),
+            "o_totalprice_c": pd.array([], dtype="int64"),
+            "sum_qty": pd.array([], dtype="int64")})
     for c in merged.columns:
         merged[c] = merged[c].astype("int64")
     return (merged.sort_values(["sum_qty", "o_orderkey"],

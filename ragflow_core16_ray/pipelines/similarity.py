@@ -35,16 +35,17 @@ def _emb(sf_dir: str) -> rd.Dataset:
                            columns=["vec_id", "embedding"])
 
 
-def _corpus_digest(sf_dir: str) -> str:
-    """Content fingerprint of the embeddings table (abs path + size +
-    mtime of every parquet file under it), so a cached on-disk index is
-    NEVER reused when the corpus changes under the same path or two
-    corpora share a basename — a stale index would silently return wrong
-    neighbors."""
+def _corpus_digest(sf_dir: str, table: str = "embeddings.parquet") -> str:
+    """Content fingerprint of one corpus table (abs path + size + mtime
+    of every parquet file under it), so a cached on-disk index is NEVER
+    reused when the corpus changes under the same path or two corpora
+    share a basename — a stale index would silently return wrong
+    neighbors. Each index keys on the table it was BUILT from (IVF →
+    embeddings, BM25 → documents)."""
     import glob
     import hashlib
 
-    p = os.path.join(sf_dir, "embeddings.parquet")
+    p = os.path.join(sf_dir, table)
     files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"),
                              recursive=True)) if os.path.isdir(p) else [p]
     h = hashlib.md5()
@@ -483,23 +484,9 @@ def hybrid_topk(sf_dir: str, query: str = "hash table scan",
     integer fusion) hashes strictly. Output: (rank, doc_id, rrf_q)."""
     lex = bm25_topk(sf_dir, query=query, k=k_each)
     vec = brute_topk(sf_dir, query_vec_id=query_vec_id, k=k_each)
-
-    scores: dict = {}
-    for rank, did in zip(lex["rank"], lex["doc_id"]):
-        scores[int(did)] = scores.get(int(did), 0) + int(
-            1e9 // (rrf_k + int(rank)) + (
-                1 if (1e9 % (rrf_k + int(rank))) * 2 >= (rrf_k + int(rank))
-                else 0))
-    for pos, vid in enumerate(vec["vec_id"], start=1):
-        scores[int(vid)] = scores.get(int(vid), 0) + int(
-            1e9 // (rrf_k + pos) + (
-                1 if (1e9 % (rrf_k + pos)) * 2 >= (rrf_k + pos) else 0))
-
-    rows = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-    return pd.DataFrame({
-        "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
-        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
-        "rrf_q": pd.array([s for _, s in rows], dtype="int64")})
+    # one fusion implementation for every hybrid variant (_rrf_fuse) —
+    # lex carries an explicit rank column but it is 1..n by construction
+    return _rrf_fuse([list(lex["doc_id"]), list(vec["vec_id"])], k, rrf_k)
 
 
 def _pq_train_codebooks(sample: np.ndarray, m_sub: int,
@@ -751,7 +738,11 @@ def bm25_build_index(sf_dir: str, index_dir: str,
             "tf": tf["tf"].astype("int64").values,
             "dl": dl.values[dl.index.get_indexer(tf["row"])]})
         out["dl"] = out["dl"].astype("int64")
-        out["bucket"] = [hash64(t) % n_buckets for t in out["term"]]
+        # explicit int64: an all-empty batch would otherwise infer the
+        # partition column as float64 and poison the parquet schema
+        # (float-named 'bucket=0.0' dirs the query glob never matches)
+        out["bucket"] = pd.array([hash64(t) % n_buckets
+                                  for t in out["term"]], dtype="int64")
         # stats sidecar partials ride along as sentinel rows? no — keep
         # the posting table pure; stats are a second cheap pass below
         return out
@@ -801,14 +792,27 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
     from ..functions.hashing import hash64
 
     if index_dir is None:
+        # keyed by the DOCUMENTS table's content digest (the table this
+        # index is built from — not the embeddings table the IVF index
+        # fingerprints)
         index_dir = os.path.join(
-            "/tmp", f"graft_bm25_index_{_corpus_digest(sf_dir)}"
+            "/tmp", f"graft_bm25_index_"
+            f"{_corpus_digest(sf_dir, 'documents.parquet')}"
             f"_b{n_buckets}")
     bm25_build_index(sf_dir, index_dir, n_buckets)
     with open(os.path.join(index_dir, "stats.json")) as f:
         st = json.load(f)
+    # term→bucket hashing MUST use the bucket count the index was built
+    # with — an explicit index_dir built under a different n_buckets
+    # would otherwise silently miss postings
+    n_buckets = st["n_buckets"]
     n_docs, avgdl = st["n_docs"], st["sum_dl"] / st["n_docs"]
-    terms = query.split()
+    # duplicate query terms score once per OCCURRENCE in the streaming
+    # scan (its per-term loop), so each unique term's contribution here
+    # carries its multiplicity; ordering uses first occurrence
+    raw_terms = query.split()
+    terms = list(dict.fromkeys(raw_terms))
+    mult = {t: raw_terms.count(t) for t in terms}
     term_ix = {t: i for i, t in enumerate(terms)}
     empty = pd.DataFrame({"rank": pd.array([], dtype="int64"),
                           "doc_id": pd.array([], dtype="int64"),
@@ -847,6 +851,7 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
         tf = m["tf"].values.astype(np.float64)
         dl = m["dl"].values.astype(np.float64)
         w = m["term"].map(idf_m).values.astype(np.float64)
+        w = w * m["term"].map(mult).values.astype(np.float64)
         c = w * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
         doc = m["doc_id"].to_numpy(np.int64)
         return pd.DataFrame({

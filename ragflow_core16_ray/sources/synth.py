@@ -32,7 +32,7 @@ _CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 15
+CORPUS_VERSION = 16
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -587,11 +587,15 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
 
             raw = encode_gif_animated([img] + fades, delay_ms=delay)
         elif fmt < 0.60:
-            # real VIDEO container: Motion-JPEG in AVI, fps from the
-            # drawn frame delay (frame 0 still OCRs via decode_image)
+            # real VIDEO container: Motion-JPEG in AVI. fps must DIVIDE
+            # 1000 (encode_avi_mjpeg's exact-timing contract — 1000//80
+            # would be 12 fps, decoding to 83 ms, not the drawn delay),
+            # so the delay maps onto the nearest dividing rate. Frame 0
+            # still OCRs via decode_image.
             from ..functions.avi import encode_avi_mjpeg
 
-            raw = encode_avi_mjpeg([img] + fades, fps=1000 // delay)
+            fps = {40: 25, 80: 10, 120: 5}[delay]
+            raw = encode_avi_mjpeg([img] + fades, fps=fps)
         else:
             from ..functions.png import encode_apng
 

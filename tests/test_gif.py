@@ -139,3 +139,19 @@ def test_picture_template_gif_payload_chunks():
     secs = [s["text"] for s in out if s["kind"] == "section"]
     assert secs == ["\n".join(lines)]  # OCR recovered the exact text
     assert any(s["kind"] == "image" for s in out)
+
+
+def test_decode_gif_reads_only_frame_zero():
+    """The still-image contract stops after one frame: decode_gif of an
+    animation equals frame 0 and max_frames short-circuits the tail."""
+    import numpy as np
+
+    from ragflow_core16_ray.functions.gif import (decode_gif,
+                                                  decode_gif_frames,
+                                                  encode_gif_animated)
+
+    frames = [np.full((6, 6), v, dtype=np.uint8) for v in (10, 90, 200)]
+    raw = encode_gif_animated(frames, delay_ms=40)
+    assert np.array_equal(decode_gif(raw), frames[0])
+    delays, got = decode_gif_frames(raw, max_frames=2)
+    assert len(got) == 2 and len(delays) == 2

@@ -604,3 +604,42 @@ def test_round4_join_shapes_bucket_invariant(ray_session):
         a = fn(SF, n_buckets=5).reset_index(drop=True)
         b = fn(SF, n_buckets=32).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b), fn.__name__
+
+
+def test_big_orders_and_returned_revenue_typed_empty(ray_session, tmp_path):
+    """All-filtered results return the TYPED empty frame (an all-empty
+    map_groups output loses its schema on to_pandas — the zero-hit
+    guard)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import (big_orders,
+                                                         returned_revenue)
+
+    got = big_orders(SF, min_qty=10**9)
+    assert list(got.columns) == ["o_orderkey", "o_totalprice_c", "sum_qty"]
+    assert len(got) == 0
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_custkey": pa.array([5], type=pa.int64())}), d / "orders.parquet")
+    pq.write_table(pa.table({  # no 'R' anywhere
+        "l_orderkey": pa.array([1], type=pa.int64()),
+        "l_returnflag": pa.array(["N"]),
+        "l_extendedprice": pa.array([10.0]),
+        "l_discount": pa.array([0.0])}), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([5], type=pa.int64()),
+        "c_name": pa.array(["c5"]),
+        "c_nationkey": pa.array([0], type=pa.int64())}),
+        d / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], type=pa.int64()),
+        "n_name": pa.array(["X"])}), d / "nation.parquet")
+    got = returned_revenue(str(d))
+    assert list(got.columns) == ["c_custkey", "c_name", "n_name",
+                                 "revenue_u"]
+    assert len(got) == 0

