@@ -67,13 +67,15 @@ class ExtractRouter:
         rows = []
         staged_rows = []
         from ..functions.pdf_bytes import expand_pdf_spans
+        from ..functions.xlsx import expand_xlsx_spans
 
         for doc_id, spans in zip(batch["doc_id"].to_pylist(),
                                  spans_column_to_pylists(batch["spans"])):
             try:
-                # PDF payloads expand to boxes BEFORE the shard decision so
+                # raw-binary payloads expand BEFORE the shard decision so
                 # a many-page PDF page-range-shards like any pdfish doc
-                spans = expand_pdf_spans(spans)
+                # and a big workbook row-shards like any table doc
+                spans = expand_xlsx_spans(expand_pdf_spans(spans))
                 template = route_template(spans)
                 shards = split_shards(spans, template, self.cfg)
                 if len(shards) == 1:

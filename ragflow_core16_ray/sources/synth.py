@@ -32,7 +32,7 @@ _CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 16
+CORPUS_VERSION = 17
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -280,20 +280,29 @@ _DATE_FMTS = ("2023-{m:02d}-{d:02d}", "2024-{m:02d}-{d:02d}")
 def _gen_table(r: random.Random, doc_id: str, n_rows=None) -> list[dict]:
     n_rows = n_rows or r.randint(40, 400)
     headers = ["item id", "price", "ship date", "active", "note"]
-    spans = [make_span("row", "\t".join(headers))]
+    rows = [headers]
     for i in range(n_rows):
         if r.random() < 0.02:
-            spans.append(make_span("row", "deformed row"))  # wrong arity → dropped
+            rows.append(["deformed row"])  # wrong arity → dropped
             continue
-        row = [
+        rows.append([
             str(r.randint(1, 10_000)),
             f"{r.uniform(1, 500):.2f}",
             r.choice(_DATE_FMTS).format(m=r.randint(1, 12), d=r.randint(1, 28)),
             r.choice(["yes", "no", "true", "false"]),
             _words(r, r.randint(1, 4)),
-        ]
-        spans.append(make_span("row", "\t".join(row)))
-    return spans
+        ])
+    if r.random() < 0.4:
+        # the document IS a real .xlsx (the reference receives workbook
+        # bytes, deepdoc/parser/excel_parser.py:107-130) — the xlsx span
+        # expands to the same `row` spans at the extract entry point
+        import base64
+
+        from ..functions.xlsx import build_xlsx
+
+        payload = base64.b64encode(build_xlsx(rows)).decode("ascii")
+        return [make_span("xlsx", payload)]
+    return [make_span("row", "\t".join(row)) for row in rows]
 
 
 # ----------------------------------------------------------------- txt ----
