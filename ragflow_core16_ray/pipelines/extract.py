@@ -67,15 +67,18 @@ class ExtractRouter:
         rows = []
         staged_rows = []
         from ..functions.pdf_bytes import expand_pdf_spans
+        from ..functions.pptx import expand_pptx_spans
         from ..functions.xlsx import expand_xlsx_spans
 
         for doc_id, spans in zip(batch["doc_id"].to_pylist(),
                                  spans_column_to_pylists(batch["spans"])):
             try:
                 # raw-binary payloads expand BEFORE the shard decision so
-                # a many-page PDF page-range-shards like any pdfish doc
-                # and a big workbook row-shards like any table doc
-                spans = expand_xlsx_spans(expand_pdf_spans(spans))
+                # a many-page PDF page-range-shards like any pdfish doc, a
+                # big workbook row-shards like any table doc and a deck
+                # slide-shards like any presentation
+                spans = expand_pptx_spans(
+                    expand_xlsx_spans(expand_pdf_spans(spans)))
                 template = route_template(spans)
                 shards = split_shards(spans, template, self.cfg)
                 if len(shards) == 1:

@@ -32,7 +32,7 @@ _CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 17
+CORPUS_VERSION = 18
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -316,8 +316,55 @@ def _gen_txt(r: random.Random, doc_id: str) -> list[dict]:
 def _gen_ppt(r: random.Random, doc_id: str) -> list[dict]:
     """Presentation: one `slide` span per slide (title + bullet lines),
     media_ref = the slide thumbnail the reference stores per chunk
-    (rag/app/presentation.py: every page is a chunk + its thumbnail)."""
+    (rag/app/presentation.py: every page is a chunk + its thumbnail).
+    ~40% of decks are real .pptx BYTES (the reference receives the raw
+    deck, deepdoc/parser/ppt_parser.py:58-80) — shapes written
+    scrambled so extraction must restore reading order by geometry,
+    with bullet levels, a stats table and an embedded picture in the
+    mix; the pptx span expands to `slide` spans at the extract entry
+    point."""
     n_slides = r.randint(4, 25)
+    if r.random() < 0.4:
+        import base64
+
+        from ..functions.pptx import build_pptx
+
+        slides = []
+        for i in range(n_slides):
+            title = _words(r, r.randint(2, 6)).title()
+            shapes = [{"kind": "text", "paras": [title],
+                       "top": 0, "left": 0}]
+            bullets = [(_sentence(r), r.choice([0, 0, 0, 1, 1, 2]), True)
+                       for _ in range(r.randint(2, 6))]
+            shapes.append({"kind": "text", "paras": bullets,
+                           "top": 1_000_000, "left": 0})
+            roll = r.random()
+            if roll < 0.15:
+                rows = [["metric", "value"]] + [
+                    [_words(r, 1), str(r.randint(1, 999))]
+                    for _ in range(r.randint(2, 5))]
+                shapes.append({"kind": "table", "rows": rows,
+                               "top": 3_000_000, "left": 0})
+            elif roll < 0.25:
+                shapes.append({"kind": "group", "top": 3_000_000,
+                               "left": 0, "shapes": [
+                                   {"kind": "text",
+                                    "paras": [_sentence(r)],
+                                    "top": 10, "left": 0},
+                                   {"kind": "text",
+                                    "paras": [_sentence(r)],
+                                    "top": 500, "left": 0}]})
+            if i == 0 and r.random() < 0.5:
+                from ..functions.glyphs import normalize_text, render_text
+                from ..functions.png import encode_png
+
+                img = render_text([normalize_text(_words(r, 2))])
+                shapes.append({"kind": "pic", "data": encode_png(img),
+                               "top": 5_000_000, "left": 0})
+            r.shuffle(shapes)  # geometry, not file order, is the order
+            slides.append(shapes)
+        payload = base64.b64encode(build_pptx(slides)).decode("ascii")
+        return [make_span("pptx", payload)]
     spans = []
     for i in range(n_slides):
         lines = [_words(r, r.randint(2, 6)).title()]

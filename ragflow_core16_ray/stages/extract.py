@@ -771,14 +771,16 @@ def extract_doc(spans: list[dict], cfg: ExtractConfig = DEFAULT_CONFIG,
     exactly (the golden-equality contract in tests/).
     Returns (template, output spans, n_shards)."""
     from ..functions.pdf_bytes import expand_pdf_spans
+    from ..functions.pptx import expand_pptx_spans
     from ..functions.xlsx import expand_xlsx_spans
     from .shard import split_shards
 
-    # raw-binary entry points: `pdf` payload spans become box spans and
-    # `xlsx` payloads become `row` spans before routing/sharding (no-op
-    # when none present — the distributed router already expanded them
-    # so page/row-range sharding sees the parsed spans)
-    spans = expand_xlsx_spans(expand_pdf_spans(spans))
+    # raw-binary entry points: `pdf` payload spans become box spans,
+    # `xlsx` payloads become `row` spans and `pptx` payloads become
+    # `slide` spans before routing/sharding (no-op when none present —
+    # the distributed router already expanded them so page/row/slide-
+    # range sharding sees the parsed spans)
+    spans = expand_pptx_spans(expand_xlsx_spans(expand_pdf_spans(spans)))
     base = route_template(spans)
     template = template or cfg.template_override or base
     # parsing (phase A) always follows the CONTENT (base) template; the
