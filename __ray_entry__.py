@@ -442,6 +442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.late_shipment_priority(sf),
         "big_orders": lambda sf: relational.big_orders(sf),
         "bracket_revenue": lambda sf: relational.bracket_revenue(sf),
+        "forecast_revenue": lambda sf: relational.forecast_revenue(sf),
+        "market_share": lambda sf: relational.market_share(sf),
+        "product_profit": lambda sf: relational.product_profit(sf),
+        "top_supplier": lambda sf: relational.top_supplier(sf),
+        "waiting_suppliers": lambda sf: relational.waiting_suppliers(sf),
         # greedy k-center diversity sampling (no SQL oracle — iterative
         # geometric algorithm; pytest pins exact-greedy equality + the
         # two-level radius bound)
@@ -1760,6 +1765,111 @@ def oracle_sql() -> dict[str, str]:
            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
                AND CAST(ROUND(l.l_quantity, 0) AS BIGINT)
                    BETWEEN 20 AND 40)
+    """
+    # Q6-shaped global filter-aggregate (see relational.forecast_revenue)
+    out["forecast_revenue"] = r"""
+        SELECT CAST(COALESCE(
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100, 0) AS BIGINT)),
+                   0) AS BIGINT) AS revenue_u,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) = 1999
+          AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(ROUND(l_quantity, 0) AS BIGINT) < 24
+    """
+    # Q8-shaped market share; share quantizes floor(x*1e6 + 0.5), the
+    # repo-wide oracle rounding convention (see relational.market_share)
+    out["market_share"] = r"""
+        WITH vol AS (
+          SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                     AS o_year,
+                 CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))
+                     AS volume_u,
+                 sn.n_name AS supp_nation
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+                     AND p.p_type = 'ECONOMY'
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = cn.n_regionkey
+                       AND r.r_name = 'ASIA'
+        )
+        SELECT o_year,
+               CAST(SUM(volume_u) AS BIGINT) AS total_u,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                             THEN volume_u ELSE 0 END) AS BIGINT)
+                   AS nation_u,
+               CAST(FLOOR(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN volume_u ELSE 0 END) * 1.0
+                          / SUM(volume_u) * 1000000 + 0.5) AS BIGINT)
+                   AS mkt_share_micros
+        FROM vol GROUP BY 1 ORDER BY 1
+    """
+    # Q9-shaped profit matrix — no partsupp/supplycost in this corpus,
+    # profit = discounted revenue (see relational.product_profit)
+    out["product_profit"] = r"""
+        SELECT sn.n_name AS supp_nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                      AS BIGINT))) AS BIGINT) AS profit_u
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+                   AND p.p_type = 'STANDARD'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # Q15-shaped argmax with ties (see relational.top_supplier)
+    out["top_supplier"] = r"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100, 0)
+                                        AS BIGINT))) AS BIGINT)
+                     AS total_revenue_u
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1999-07-01'
+            AND l_shipdate < TIMESTAMP '1999-10-01'
+          GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue_u
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue_u = (SELECT MAX(total_revenue_u) FROM rev)
+        ORDER BY s.s_suppkey
+    """
+    # Q21-shaped sole-late-shipper count — late = shipped > 90 days
+    # after the order date, this corpus has no commit/receipt dates
+    # (see relational.waiting_suppliers)
+    out["waiting_suppliers"] = r"""
+        WITH ls AS (
+          SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+                 MAX(l.l_shipdate) AS max_ship
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+                       AND o.o_orderstatus = 'F'
+          GROUP BY 1, 2
+        ), flag AS (
+          SELECT ls.okey, ls.skey,
+                 (ls.max_ship > o.o_orderdate + INTERVAL 90 DAY) AS late
+          FROM ls JOIN orders o ON o.o_orderkey = ls.okey
+        ), ag AS (
+          SELECT okey, COUNT(*) AS n_supp,
+                 SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late
+          FROM flag GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM flag f
+        JOIN ag a ON a.okey = f.okey
+        JOIN supplier s ON s.s_suppkey = f.skey
+        WHERE f.late AND a.n_supp >= 2 AND a.n_late = 1
+        GROUP BY 1, 2 ORDER BY numwait DESC, s.s_suppkey LIMIT 25
     """
     # Q3-shaped top-k: the same exact-integer money convention as
     # pricing_summary; order date as int64 epoch days

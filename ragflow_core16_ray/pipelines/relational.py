@@ -1523,3 +1523,421 @@ def bracket_revenue(sf_dir: str) -> pd.DataFrame:
         "revenue_u": pd.array([int(parts["revenue_u"].sum())],
                               dtype="int64"),
         "n_lines": pd.array([int(parts["n_lines"].sum())], dtype="int64")})
+
+
+def forecast_revenue(sf_dir: str, year: int = 1999, disc_lo: int = 5,
+                     disc_hi: int = 7, max_qty: int = 24) -> pd.DataFrame:
+    """TPC-H Q6-shaped GLOBAL FILTER-AGGREGATE: potential revenue
+    increase from dropping small discounts — sum(extendedprice ×
+    discount) over one ship-year, a discount band and a quantity cap.
+    The cheapest possible distributed shape: a column-pruned scan where
+    every batch reduces to ONE (revenue, count) pair, the driver sums a
+    frame the size of the batch count — no shuffle, no keys, nothing
+    but the three filter columns ever leaves storage."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        disc_c = np.rint(batch["l_discount"].values * 100).astype("int64")
+        qty = np.rint(batch["l_quantity"].values).astype("int64")
+        m = ((batch["l_shipdate"].dt.year.values == year)
+             & (disc_c >= disc_lo) & (disc_c <= disc_hi)
+             & (qty < max_qty))
+        price_c = np.rint(batch["l_extendedprice"].values[m]
+                          * 100).astype("int64")
+        rev = price_c * disc_c[m]
+        return pd.DataFrame({
+            "revenue_u": pd.array([int(rev.sum())], dtype="int64"),
+            "n_lines": pd.array([int(m.sum())], dtype="int64")})
+
+    parts = (_t(sf_dir, "lineitem",
+                ["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+             .map_batches(partial, batch_format="pandas")).to_pandas()
+    return pd.DataFrame({
+        "revenue_u": pd.array([int(parts["revenue_u"].sum())],
+                              dtype="int64"),
+        "n_lines": pd.array([int(parts["n_lines"].sum())], dtype="int64")})
+
+
+def market_share(sf_dir: str, nation: str = "NATION_3",
+                 region: str = "ASIA", ptype: str = "ECONOMY",
+                 n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q8-shaped MARKET-SHARE query: of the `ptype` parts sold to
+    customers in `region`, what fraction of yearly volume came from
+    suppliers in `nation`. Three joins against the lineitem fact, none
+    broadcasting a fact table: (1) ORDERS co-partition with CUSTOMER by
+    custkey bucket, keeping only in-region orders (the selective side
+    shrinks first); (2) LINEITEM pre-reduces per batch to per-orderkey
+    (total, nation) volume pairs after a broadcast partkey-subset
+    filter (the type-filtered part slice — Q8's own selectivity makes
+    it dimension-sized) and a broadcast supplier→nation lookup
+    (supplier is 100× smaller than customer, same move as
+    nation_trade_volume); (3) the partials co-partition with the
+    in-region (okey, year) rows by orderkey bucket. The driver sums a
+    ≤ years×buckets frame. Share quantizes as floor(x·1e6 + 0.5) — the
+    repo's oracle-stable rounding."""
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pkeys = np.sort(part.loc[part["p_type"].values == ptype,
+                             "p_partkey"].to_numpy(np.int64))
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation",
+             ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region_nkeys = nat.loc[np.isin(
+        nat["n_regionkey"].values,
+        reg.loc[reg["r_name"].values == region, "r_regionkey"].values),
+        "n_nationkey"].to_numpy(np.int64)
+    nation_key = int(nat.loc[nat["n_name"].values == nation,
+                             "n_nationkey"].iloc[0])
+    order_s = np.argsort(sup["s_suppkey"].values)
+    dims_ref = ray.put((pkeys,
+                        sup["s_suppkey"].to_numpy(np.int64)[order_s],
+                        sup["s_nationkey"].to_numpy(np.int64)[order_s],
+                        np.sort(region_nkeys), nation_key))
+
+    # ---- stage 1: orders ⋈ customer by custkey bucket → in-region
+    # (okey, year) rows only
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["c_custkey"] % np.int64(n_buckets)),
+            "key": batch["c_custkey"].astype("int64").values,
+            "okey": pd.array([0] * len(batch), dtype="int64"),
+            "year": batch["c_nationkey"].astype("int64").values,
+            "is_dim": pd.array([True] * len(batch), dtype="bool")})
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["o_custkey"] % np.int64(n_buckets)),
+            "key": batch["o_custkey"].astype("int64").values,
+            "okey": batch["o_orderkey"].astype("int64").values,
+            "year": batch["o_orderdate"].dt.year.astype("int64").values,
+            "is_dim": pd.array([False] * len(batch), dtype="bool")})
+
+    def keep_region(g: pd.DataFrame) -> pd.DataFrame:
+        _pk, _sk, _sn, rkeys, _nk = ray.get(dims_ref)
+        dim = g[g["is_dim"]]
+        k2n = pd.Series(dim["year"].values, index=dim["key"].values)
+        o = g[~g["is_dim"]]
+        cnat = k2n.reindex(o["key"]).fillna(-1).astype("int64").values
+        pos = np.minimum(np.searchsorted(rkeys, cnat),
+                         max(len(rkeys) - 1, 0))
+        m = len(rkeys) > 0
+        m = (rkeys[pos] == cnat) if m else np.zeros(len(o), dtype=bool)
+        o = o[m]
+        return pd.DataFrame({
+            "bucket": (o["okey"] % np.int64(n_buckets)).values,
+            "okey": o["okey"].values,
+            "year": o["year"].values,
+            "total_u": pd.array([0] * len(o), dtype="int64"),
+            "nation_u": pd.array([0] * len(o), dtype="int64"),
+            "is_ord": pd.array([True] * len(o), dtype="bool")})
+
+    in_region = (
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(cust_rows, batch_format="pandas")
+        .union(_t(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+               .map_batches(order_rows, batch_format="pandas"))
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(keep_region, batch_format="pandas"))
+
+    # ---- lineitem: per-orderkey (total, nation) volume partials
+    def li_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        pkeys, sks, snk, _rk, nation_key = ray.get(dims_ref)
+        empty = pd.DataFrame({
+            "bucket": pd.array([], dtype="int64"),
+            "okey": pd.array([], dtype="int64"),
+            "year": pd.array([], dtype="int64"),
+            "total_u": pd.array([], dtype="int64"),
+            "nation_u": pd.array([], dtype="int64"),
+            "is_ord": pd.array([], dtype="bool")})
+        if not len(pkeys):
+            return empty
+        pk = batch["l_partkey"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(pkeys, pk), len(pkeys) - 1)
+        m = pkeys[pos] == pk
+        if not m.any():
+            return empty
+        b = batch[m]
+        price_c = np.rint(b["l_extendedprice"].values * 100).astype(
+            "int64")
+        disc_c = np.rint(b["l_discount"].values * 100).astype("int64")
+        vol = price_c * (100 - disc_c)
+        snat = snk[np.searchsorted(sks, b["l_suppkey"].to_numpy(np.int64))]
+        is_nat = (snat == nation_key).astype("int64")
+        g = (pd.DataFrame({"okey": b["l_orderkey"].to_numpy(np.int64),
+                           "total_u": vol, "nation_u": vol * is_nat})
+             .groupby("okey", sort=False).sum().reset_index())
+        return pd.DataFrame({
+            "bucket": (g["okey"] % n_buckets).astype("int64"),
+            "okey": g["okey"], "year": pd.array([0] * len(g),
+                                                dtype="int64"),
+            "total_u": g["total_u"].astype("int64"),
+            "nation_u": g["nation_u"].astype("int64"),
+            "is_ord": pd.array([False] * len(g), dtype="bool")})
+
+    def per_year(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["is_ord"]]
+        o2y = pd.Series(o["year"].values, index=o["okey"].values)
+        li = g[~g["is_ord"]]
+        yr = o2y.reindex(li["okey"])
+        keep = yr.notna().values  # only in-region orders join through
+        out = pd.DataFrame({"o_year": yr.values[keep].astype("int64"),
+                            "total_u": li["total_u"].values[keep],
+                            "nation_u": li["nation_u"].values[keep]})
+        return (out.groupby("o_year", sort=False).sum().reset_index())
+
+    li = (_t(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_suppkey",
+              "l_extendedprice", "l_discount"])
+          .map_batches(li_partials, batch_format="pandas"))
+    parts = (in_region.union(li)
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(per_year,
+                                           batch_format="pandas")
+             ).to_pandas()
+    out = (parts.groupby("o_year")
+           .agg(total_u=("total_u", "sum"), nation_u=("nation_u", "sum"))
+           .reset_index())
+    out = out[out["total_u"] > 0]
+    out["total_u"] = out["total_u"].astype("int64")
+    out["nation_u"] = out["nation_u"].astype("int64")
+    out["mkt_share_micros"] = np.floor(
+        out["nation_u"].values / out["total_u"].values * 1e6 + 0.5
+    ).astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def product_profit(sf_dir: str, ptype: str = "STANDARD",
+                   n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q9-shaped PROFIT MATRIX (this corpus carries no partsupp /
+    supplycost, so profit is discounted revenue): per (supplier nation,
+    order year) revenue over one part type. Lineitem pre-reduces per
+    batch to per-(orderkey, nation) partials behind the broadcast
+    part-subset filter and supplier→nation lookup; one orderkey-bucket
+    co-partition with orders resolves the year; the driver sums a
+    ≤ nations×years frame."""
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pkeys = np.sort(part.loc[part["p_type"].values == ptype,
+                             "p_partkey"].to_numpy(np.int64))
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_names = np.empty(int(nat["n_nationkey"].max()) + 1, dtype=object)
+    nat_names[nat["n_nationkey"].values] = nat["n_name"].values
+    order_s = np.argsort(sup["s_suppkey"].values)
+    dims_ref = ray.put((pkeys,
+                        sup["s_suppkey"].to_numpy(np.int64)[order_s],
+                        sup["s_nationkey"].to_numpy(np.int64)[order_s],
+                        nat_names))
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["o_orderkey"] % np.int64(n_buckets)),
+            "okey": batch["o_orderkey"].astype("int64").values,
+            "year": batch["o_orderdate"].dt.year.astype("int64").values,
+            "supp_nation": pd.array([""] * len(batch), dtype="object"),
+            "profit_u": pd.array([0] * len(batch), dtype="int64"),
+            "is_ord": pd.array([True] * len(batch), dtype="bool")})
+
+    def li_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        pkeys, sks, snk, names = ray.get(dims_ref)
+        empty = pd.DataFrame({
+            "bucket": pd.array([], dtype="int64"),
+            "okey": pd.array([], dtype="int64"),
+            "year": pd.array([], dtype="int64"),
+            "supp_nation": pd.array([], dtype="object"),
+            "profit_u": pd.array([], dtype="int64"),
+            "is_ord": pd.array([], dtype="bool")})
+        if not len(pkeys):
+            return empty
+        pk = batch["l_partkey"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(pkeys, pk), len(pkeys) - 1)
+        m = pkeys[pos] == pk
+        if not m.any():
+            return empty
+        b = batch[m]
+        price_c = np.rint(b["l_extendedprice"].values * 100).astype(
+            "int64")
+        disc_c = np.rint(b["l_discount"].values * 100).astype("int64")
+        snat = names[snk[np.searchsorted(
+            sks, b["l_suppkey"].to_numpy(np.int64))]]
+        g = (pd.DataFrame({"okey": b["l_orderkey"].to_numpy(np.int64),
+                           "supp_nation": snat,
+                           "profit_u": price_c * (100 - disc_c)})
+             .groupby(["okey", "supp_nation"], sort=False)["profit_u"]
+             .sum().reset_index())
+        return pd.DataFrame({
+            "bucket": (g["okey"] % n_buckets).astype("int64"),
+            "okey": g["okey"].astype("int64"),
+            "year": pd.array([0] * len(g), dtype="int64"),
+            "supp_nation": g["supp_nation"].values,
+            "profit_u": g["profit_u"].astype("int64"),
+            "is_ord": pd.array([False] * len(g), dtype="bool")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["is_ord"]]
+        o2y = pd.Series(o["year"].values, index=o["okey"].values)
+        li = g[~g["is_ord"]]
+        yr = o2y.reindex(li["okey"])
+        keep = yr.notna().values  # keeps the int64 block schema stable
+        out = pd.DataFrame({
+            "supp_nation": li["supp_nation"].values[keep],
+            "o_year": yr.values[keep].astype("int64"),
+            "profit_u": li["profit_u"].values[keep]})
+        return (out.groupby(["supp_nation", "o_year"], sort=False)
+                ["profit_u"].sum().reset_index())
+
+    orders = (_t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+              .map_batches(order_rows, batch_format="pandas"))
+    li = (_t(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_suppkey",
+              "l_extendedprice", "l_discount"])
+          .map_batches(li_partials, batch_format="pandas"))
+    parts = (orders.union(li)
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+             ).to_pandas()
+    out = (parts.groupby(["supp_nation", "o_year"])["profit_u"]
+           .sum().reset_index())
+    out["o_year"] = out["o_year"].astype("int64")
+    out["profit_u"] = out["profit_u"].astype("int64")
+    return (out.sort_values(["supp_nation", "o_year"])
+            .reset_index(drop=True))
+
+
+def top_supplier(sf_dir: str, start: str = "1999-07-01",
+                 end: str = "1999-10-01",
+                 n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q15-shaped ARGMAX-WITH-TIES: the supplier(s) with maximum
+    revenue over one quarter. Lineitem pre-reduces per batch to
+    per-suppkey revenue partials; a suppkey-bucket groupby completes
+    each supplier's sum LOCALLY and emits only that bucket's max-revenue
+    rows (ties kept), so the driver reduces bucket-count candidates to
+    the global max — never the full supplier revenue vector. Winner
+    names resolve driver-side against the supplier dim (winners ≈ 1)."""
+    lo = pd.Timestamp(start)
+    hi = pd.Timestamp(end)
+
+    def li_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ((batch["l_shipdate"] >= lo)
+             & (batch["l_shipdate"] < hi)).values
+        b = batch[m]
+        price_c = np.rint(b["l_extendedprice"].values * 100).astype(
+            "int64")
+        disc_c = np.rint(b["l_discount"].values * 100).astype("int64")
+        g = (pd.DataFrame({"skey": b["l_suppkey"].to_numpy(np.int64),
+                           "total_revenue_u": price_c * (100 - disc_c)})
+             .groupby("skey", sort=False).sum().reset_index())
+        g["bucket"] = (g["skey"] % n_buckets).astype("int64")
+        return g[["bucket", "skey", "total_revenue_u"]]
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        sums = (g.groupby("skey", sort=False)["total_revenue_u"]
+                .sum())
+        mx = sums.max()
+        win = sums[sums == mx].reset_index()
+        win["total_revenue_u"] = win["total_revenue_u"].astype("int64")
+        return win[["skey", "total_revenue_u"]]
+
+    cand = (_t(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+            .map_batches(li_partials, batch_format="pandas")
+            .repartition(max(1, n_buckets // 4))
+            .groupby("bucket").map_groups(bucket_max,
+                                          batch_format="pandas")
+            ).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"s_suppkey": pd.array([], dtype="int64"),
+                             "s_name": pd.array([], dtype="object"),
+                             "total_revenue_u": pd.array([],
+                                                         dtype="int64")})
+    mx = int(cand["total_revenue_u"].max())
+    win = cand[cand["total_revenue_u"] == mx]
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    names = pd.Series(sup["s_name"].values, index=sup["s_suppkey"].values)
+    out = pd.DataFrame({
+        "s_suppkey": win["skey"].astype("int64").values,
+        "s_name": names.reindex(win["skey"]).values,
+        "total_revenue_u": win["total_revenue_u"].astype("int64").values})
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def waiting_suppliers(sf_dir: str, late_days: int = 90, k: int = 25,
+                      n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q21-shaped SOLE-LATE-SHIPPER count (this corpus carries no
+    commit/receipt dates, so 'late' is shipping > `late_days` after the
+    order date): suppliers who, on finalized multi-supplier orders, were
+    the ONLY supplier to ship late — Q21's exists / not-exists pair
+    expressed over per-(order, supplier) max-shipdate rows. Lineitem
+    pre-reduces per batch to (okey, skey, max_ship) — the fact shuffle
+    carries 3 ints per order-supplier pair; orders join in by orderkey
+    bucket (inner: non-'F' orders drop); each bucket evaluates the
+    existential logic per order and emits per-suppkey count partials;
+    the driver top-k's the supplier counts (ties broken by suppkey)."""
+    US_PER_DAY = 86_400_000_000
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[(batch["o_orderstatus"] == "F").values]
+        return pd.DataFrame({
+            "bucket": (b["o_orderkey"] % np.int64(n_buckets)),
+            "okey": b["o_orderkey"].astype("int64").values,
+            "skey": pd.array([-1] * len(b), dtype="int64"),
+            "t": b["o_orderdate"].astype("int64").values,
+            "is_ord": pd.array([True] * len(b), dtype="bool")})
+
+    def li_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"okey": batch["l_orderkey"].to_numpy(np.int64),
+                           "skey": batch["l_suppkey"].to_numpy(np.int64),
+                           "t": batch["l_shipdate"].astype("int64").values})
+             .groupby(["okey", "skey"], sort=False)["t"].max()
+             .reset_index())
+        return pd.DataFrame({
+            "bucket": (g["okey"] % n_buckets).astype("int64"),
+            "okey": g["okey"], "skey": g["skey"], "t": g["t"],
+            "is_ord": pd.array([False] * len(g), dtype="bool")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["is_ord"]]
+        odate = pd.Series(o["t"].values, index=o["okey"].values)
+        li = (g[~g["is_ord"]]
+              .groupby(["okey", "skey"], sort=False)["t"].max()
+              .reset_index())  # merge cross-batch partials of one pair
+        cutoff = odate.reindex(li["okey"]).values \
+            + np.int64(late_days) * US_PER_DAY
+        keep = ~np.isnan(cutoff)  # inner join: only 'F' orders
+        li = li[keep]
+        late = li["t"].values > cutoff[keep].astype("int64")
+        per_order = (pd.DataFrame({"okey": li["okey"].values,
+                                   "late": late})
+                     .groupby("okey", sort=False)["late"]
+                     .agg(n_supp="size", n_late="sum"))
+        n_supp = per_order["n_supp"].reindex(li["okey"]).values
+        n_late = per_order["n_late"].reindex(li["okey"]).values
+        m = late & (n_supp >= 2) & (n_late == 1)
+        out = (pd.DataFrame({"skey": li["skey"].values[m]})
+               .groupby("skey", sort=False).size()
+               .rename("numwait").reset_index())
+        out["numwait"] = out["numwait"].astype("int64")
+        return out
+
+    orders = (_t(sf_dir, "orders",
+                 ["o_orderkey", "o_orderstatus", "o_orderdate"])
+              .map_batches(order_rows, batch_format="pandas"))
+    li = (_t(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_shipdate"])
+          .map_batches(li_rows, batch_format="pandas"))
+    parts = (orders.union(li)
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+             ).to_pandas()
+    agg = (parts.groupby("skey")["numwait"].sum().reset_index()
+           .sort_values(["numwait", "skey"], ascending=[False, True])
+           .head(k))
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    names = pd.Series(sup["s_name"].values, index=sup["s_suppkey"].values)
+    return pd.DataFrame({
+        "s_suppkey": agg["skey"].astype("int64").values,
+        "s_name": names.reindex(agg["skey"]).values,
+        "numwait": agg["numwait"].astype("int64").values}
+    ).reset_index(drop=True)

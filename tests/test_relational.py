@@ -643,3 +643,105 @@ def test_big_orders_and_returned_revenue_typed_empty(ray_session, tmp_path):
     assert list(got.columns) == ["c_custkey", "c_name", "n_name",
                                  "revenue_u"]
     assert len(got) == 0
+
+
+def test_tpch_completion_shapes_match_oracles(ray_session):
+    """Q6/Q8/Q9/Q15/Q21-shaped queries == their registered SQL oracles
+    (the same strings the driver runs): global filter-aggregate,
+    market share with quantized ratio, profit matrix, argmax-with-ties,
+    sole-late-shipper existential counts."""
+    import __ray_entry__ as e
+
+    c = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "supplier", "part",
+              "nation", "region"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    queries, oracles = e.queries(), e.oracle_sql()
+    for name in ("forecast_revenue", "market_share", "product_profit",
+                 "top_supplier", "waiting_suppliers"):
+        got = queries[name](SF).reset_index(drop=True)
+        want = c.sql(oracles[name]).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
+
+
+def test_tpch_completion_bucket_invariant(ray_session):
+    """n_buckets must not change any of the new join results."""
+    from ragflow_core16_ray.pipelines.relational import (
+        market_share, product_profit, top_supplier, waiting_suppliers)
+
+    for fn in (market_share, product_profit, top_supplier,
+               waiting_suppliers):
+        a = fn(SF, n_buckets=5).reset_index(drop=True)
+        b = fn(SF, n_buckets=32).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), fn.__name__
+
+
+def test_top_supplier_keeps_ties(ray_session, tmp_path):
+    """Two suppliers with identical max revenue both surface (Q15's
+    correlated-subquery semantics), even across different buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import top_supplier
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    ts = pa.array([pd.Timestamp("1999-08-01")] * 5,
+                  type=pa.timestamp("us"))
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3, 3], type=pa.int64()),
+        "l_shipdate": ts,
+        "l_extendedprice": pa.array([100.0, 60.0, 40.0, 70.0, 30.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0])}),
+        d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"])}),
+        d / "supplier.parquet")
+    got = top_supplier(str(d), start="1999-07-01", end="1999-10-01",
+                       n_buckets=2)
+    assert got["s_suppkey"].tolist() == [1, 2, 3]
+    assert got["total_revenue_u"].nunique() == 1
+
+
+def test_waiting_suppliers_existential_logic(ray_session, tmp_path):
+    """Only the SOLE late shipper on a multi-supplier 'F' order counts:
+    single-supplier orders, two-late orders, and non-F orders all
+    drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import waiting_suppliers
+
+    d = tmp_path / "sf"
+    d.mkdir()
+
+    def t(s):
+        return pd.Timestamp(s)
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"]),
+        "o_orderdate": pa.array([t("2000-01-01")] * 4,
+                                type=pa.timestamp("us"))}),
+        d / "orders.parquet")
+    late = t("2000-06-01")
+    ok = t("2000-01-15")
+    pq.write_table(pa.table({
+        # order 1: supp 10 late, supp 11 on time → 10 qualifies
+        # order 2: both late → nobody
+        # order 3: only supplier → nobody (needs a second supplier)
+        # order 4: non-F → nobody
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4], type=pa.int64()),
+        "l_suppkey": pa.array([10, 11, 10, 12, 10, 10, 11],
+                              type=pa.int64()),
+        "l_shipdate": pa.array([late, ok, late, late, late, late, ok],
+                               type=pa.timestamp("us"))}),
+        d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11, 12], type=pa.int64()),
+        "s_name": pa.array(["sa", "sb", "sc"])}),
+        d / "supplier.parquet")
+    got = waiting_suppliers(str(d), late_days=90, n_buckets=3)
+    assert got["s_suppkey"].tolist() == [10]
+    assert got["numwait"].tolist() == [1]
