@@ -107,12 +107,11 @@ def _extract_flat(sf_dir: str):
     ).map_batches(flatten, batch_format="pyarrow")
 
 
-def _extract_pdf_bytes(sf_dir: str):
-    """Raw-PDF entry point: the spans of every `pdf`-archetype doc (whose
-    corpus row is base64 PDF BYTES parsed by functions/pdf_bytes.py, not
-    pre-tokenized box IR) after full extraction — per-kind counts + an
-    order-independent span-text hash, same evidence shape as
-    _extract_override. Rows-only: the content-stream parse isn't
+def _extract_bytes_counts(sf_dir: str, prefixes: tuple[str, ...]):
+    """Raw-binary entry-point evidence: the spans of every doc in the
+    given archetype prefixes after full extraction — per-kind counts +
+    an order-independent span-text hash, same evidence shape as
+    _extract_override. Rows-only: the binary parse isn't
     SQL-expressible."""
     import pandas as pd
     import pyarrow as pa
@@ -128,7 +127,10 @@ def _extract_pdf_bytes(sf_dir: str):
         import numpy as np
         import pyarrow.compute as pc
 
-        mask = pc.starts_with(batch["doc_id"], "doc-pdf-")
+        mask = None
+        for p in prefixes:
+            m = pc.starts_with(batch["doc_id"], p)
+            mask = m if mask is None else pc.or_(mask, m)
         flat = explode_spans(batch.filter(mask), extra_cols=("template",))
         df = flat.select(["template", "kind", "text"]).to_pandas()
         df["text_hash"] = np.fromiter(
@@ -159,6 +161,22 @@ def _extract_pdf_bytes(sf_dir: str):
         return batch
 
     return out.map_batches(mask_hash, batch_format="pandas")
+
+
+def _extract_pdf_bytes(sf_dir: str):
+    """Raw-PDF entry point (functions/pdf_bytes.py content-stream
+    parse): rows-only per-(template, kind) evidence."""
+    return _extract_bytes_counts(sf_dir, ("doc-pdf-",))
+
+
+def _extract_office_bytes(sf_dir: str):
+    """Raw-office entry points: table and presentation docs, ~40% of
+    which enter as real .xlsx / .pptx BYTES (functions/xlsx.py /
+    functions/pptx.py) and expand to row / slide spans before
+    routing — the binary and pre-parsed variants land in the same
+    per-(template, kind) counts, so a codec regression shifts the
+    hash. Rows-only."""
+    return _extract_bytes_counts(sf_dir, ("doc-table-", "doc-ppt-"))
 
 
 def _chunk_docs(sf_dir: str):
@@ -429,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_tag": lambda sf: _extract_override(sf, "tag"),
         "extract_picture": lambda sf: _extract_override(sf, "picture"),
         "extract_pdf_bytes": _extract_pdf_bytes,
+        "extract_office_bytes": _extract_office_bytes,
         "order_priority_check":
             lambda sf: relational.order_priority_check(sf),
         "idle_customers": lambda sf: relational.idle_customers(sf),

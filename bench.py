@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "pricing_summary", "nation_revenue", "top_customers",
     "events_hourly", "events_sessions", "events_asof_orders",
     "nation_trade_volume", "returned_revenue", "big_orders",
+    "market_share", "waiting_suppliers",
     "media_features", "media_collage", "chunk_docs",
 ]
 
