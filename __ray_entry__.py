@@ -425,9 +425,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_topk_batch": lambda sf: similarity.brute_topk_batch(sf),
         "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
         "bm25_topk": lambda sf: similarity.bm25_topk(sf),
-        "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
+        # posting-list (inverted-index) BM25 — the serving-shaped path:
+        # only the query terms' hash-bucket partitions leave storage
+        "bm25_indexed_topk": lambda sf: similarity.bm25_topk_indexed(sf),
         "hybrid_topk": lambda sf: similarity.hybrid_topk(sf),
-        "emb_pq_topk": lambda sf: similarity.pq_topk(sf),
+        # fully-indexed hybrid (pruned IVF arm → approximate by design:
+        # rows-only; pytest pins exhaustive-probe == streaming hybrid)
+        "hybrid_indexed_topk":
+            lambda sf: similarity.hybrid_indexed_topk(sf),
         "funnel_stages": lambda sf: relational.funnel_stages(sf),
         "event_transitions": lambda sf: relational.event_transitions(sf),
         "cohort_retention": lambda sf: relational.cohort_retention(sf),
@@ -461,6 +466,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.late_shipment_priority(sf),
         "big_orders": lambda sf: relational.big_orders(sf),
         "bracket_revenue": lambda sf: relational.bracket_revenue(sf),
+        # supervised embedding eval — exact quantized geometry makes a
+        # float NN ranking hash-strict against SQL
+        "knn_label_accuracy":
+            lambda sf: similarity.knn_label_accuracy(sf),
+        "radius_neighbor_counts":
+            lambda sf: similarity.radius_neighbor_counts(sf),
         "forecast_revenue": lambda sf: relational.forecast_revenue(sf),
         "market_share": lambda sf: relational.market_share(sf),
         "product_profit": lambda sf: relational.product_profit(sf),
@@ -470,13 +481,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geometric algorithm; pytest pins exact-greedy equality + the
         # two-level radius bound)
         "coreset_sample": lambda sf: similarity.coreset_sample(sf),
-        # posting-list (inverted-index) BM25 — the serving-shaped path:
-        # only the query terms' hash-bucket partitions leave storage
-        "bm25_indexed_topk": lambda sf: similarity.bm25_topk_indexed(sf),
-        # fully-indexed hybrid (pruned IVF arm → approximate by design:
-        # rows-only; pytest pins exhaustive-probe == streaming hybrid)
-        "hybrid_indexed_topk":
-            lambda sf: similarity.hybrid_indexed_topk(sf),
+        # pushed past the 50-slot driver window: both no-oracle and
+        # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
+        # floor), so a rows-only driver row adds the least signal
+        "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
+        "emb_pq_topk": lambda sf: similarity.pq_topk(sf),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
@@ -1784,6 +1793,59 @@ def oracle_sql() -> dict[str, str]:
            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
                AND CAST(ROUND(l.l_quantity, 0) AS BIGINT)
                    BETWEEN 20 AND 40)
+    """
+    # leave-one-out kNN label accuracy — engine and oracle rank by the
+    # SAME exact integer squared distances (components quantized
+    # floor(x·2^20 + 0.5); every intermediate < 2^53 so BLAS matmul and
+    # DuckDB's sequential list_sum agree bit-for-bit); plurality vote
+    # tie-breaks (count desc, label asc) on both sides
+    out["knn_label_accuracy"] = r"""
+        WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                     x -> FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5)) AS e
+          FROM embeddings
+        ), nb AS (
+          SELECT a.vec_id AS eval_id, a.label AS true_label,
+                 b.label AS nb_label,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(a.e, b.e),
+                              p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                     b.vec_id ASC) AS rk
+          FROM q a JOIN q b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id % 5 = 0
+        ), votes AS (
+          SELECT eval_id, true_label, nb_label, COUNT(*) AS c
+          FROM nb WHERE rk <= 10 GROUP BY 1, 2, 3
+        ), pred AS (
+          SELECT eval_id, true_label,
+                 (array_agg(nb_label ORDER BY c DESC, nb_label))[1] AS p
+          FROM votes GROUP BY 1, 2
+        )
+        SELECT CAST(true_label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN p = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM pred GROUP BY 1 ORDER BY 1
+    """
+    # range-search density probe; threshold = floor(1.2·2^20 + 0.5)²
+    # = 1258291² = 1583296240681, integer vs integer on both sides
+    out["radius_neighbor_counts"] = r"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5)) AS e
+          FROM embeddings
+        )
+        SELECT a.vec_id,
+               CAST(COUNT(b.vec_id) AS BIGINT) AS n_within
+        FROM q a LEFT JOIN q b
+          ON b.vec_id <> a.vec_id
+         AND list_sum(list_transform(list_zip(a.e, b.e),
+                      p -> (p[1] - p[2]) * (p[1] - p[2])))
+             <= 1583296240681
+        WHERE a.vec_id % 5 = 0
+        GROUP BY 1 ORDER BY 1
     """
     # Q6-shaped global filter-aggregate (see relational.forecast_revenue)
     out["forecast_revenue"] = r"""

@@ -920,3 +920,141 @@ def hybrid_indexed_topk(sf_dir: str, query: str = "hash table scan",
                            train_sample=train_sample)
     return _rrf_fuse([list(lex["doc_id"]), list(vec["vec_id"])],
                      k, rrf_k)
+
+
+# ---------------------------------------------------------------------------
+# supervised embedding evaluation (exact integer-quantized geometry)
+# ---------------------------------------------------------------------------
+
+_Q_SCALE = 1_048_576  # 2^20: |x| < 0.5 ⇒ dist² < 2^53, EXACT in doubles
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """Component-wise floor(x · 2^20 + 0.5) — the repo's oracle rounding.
+    All downstream squared distances / dot products stay integer-valued
+    doubles below 2^53, so numpy (BLAS matmul) and DuckDB (sequential
+    list_sum) compute BIT-IDENTICAL values despite different
+    accumulation orders — exact arithmetic is what makes a float
+    nearest-neighbor ranking hash-strict against SQL."""
+    return np.floor(m.astype(np.float64) * _Q_SCALE + 0.5)
+
+
+def _eval_matrix(sf_dir: str, eval_every: int):
+    """The deterministic eval subset (vec_id % eval_every == 0) as
+    driver-side arrays. Eval-sized (corpus/eval_every), not
+    corpus-sized; at scale eval_every keeps this a bounded sample."""
+    t = (_emb(sf_dir).map_batches(
+            lambda b: b[(b["vec_id"] % eval_every == 0).values],
+            batch_format="pandas")).to_pandas()
+    ids = t["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    Q = _quantize(np.stack(t["embedding"].to_numpy()))[order]
+    return ids[order], Q
+
+
+def knn_label_accuracy(sf_dir: str, k: int = 10,
+                       eval_every: int = 5) -> pd.DataFrame:
+    """Leave-one-out k-NN LABEL ACCURACY over the embedding column —
+    the standard embedding-quality probe for a labeled corpus slice.
+    Eval set = every ``eval_every``-th vec_id (deterministic,
+    bounded); each eval vector's k nearest neighbors (exact squared
+    euclidean on the quantized grid, ties broken by vec_id, self
+    excluded) vote with plurality (count desc, label asc). Scale
+    shape: the eval matrix broadcasts once via ray.put; the corpus
+    STREAMS — each batch emits at most eval·k candidate rows (its
+    local top-k per eval vector), and the driver merge touches
+    eval·k·n_batches candidate rows, never the corpus. Output:
+    per-label (n_eval, n_correct) — exact ints."""
+    eval_ids, Qe = _eval_matrix(sf_dir, eval_every)
+    ref = ray.put((eval_ids, Qe))
+    ksafe = k
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        eval_ids, Qe = ray.get(ref)
+        Qb = _quantize(np.stack(batch["embedding"].to_numpy()))
+        ids_b = batch["vec_id"].to_numpy(np.int64)
+        lab_b = batch["label"].to_numpy(np.int64)
+        # exact: every term integer-valued < 2^53
+        d2 = ((Qe * Qe).sum(1)[:, None] + (Qb * Qb).sum(1)[None, :]
+              - 2.0 * (Qe @ Qb.T))
+        d2[eval_ids[:, None] == ids_b[None, :]] = np.inf  # self
+        rows = {"eval_id": [], "nb_label": [], "d2": [], "nb_id": []}
+        take = min(ksafe, d2.shape[1])
+        for i in range(len(eval_ids)):
+            order = np.lexsort((ids_b, d2[i]))[:take]
+            m = np.isfinite(d2[i][order])
+            order = order[m]
+            rows["eval_id"].extend([int(eval_ids[i])] * len(order))
+            rows["nb_label"].extend(lab_b[order])
+            rows["d2"].extend(d2[i][order])
+            rows["nb_id"].extend(ids_b[order])
+        return pd.DataFrame({
+            "eval_id": pd.array(rows["eval_id"], dtype="int64"),
+            "nb_label": pd.array(rows["nb_label"], dtype="int64"),
+            "d2": pd.array(rows["d2"], dtype="float64"),
+            "nb_id": pd.array(rows["nb_id"], dtype="int64")})
+
+    cand = (rd.read_parquet(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding", "label"])
+            .map_batches(partials, batch_format="pandas")).to_pandas()
+    # global k-NN merge: candidates are ≤ eval·k per batch
+    cand = cand.sort_values(["eval_id", "d2", "nb_id"])
+    top = cand.groupby("eval_id", sort=True).head(k)
+    # plurality vote (count desc, label asc) — matches the SQL oracle's
+    # array_agg(label ORDER BY c DESC, label)[1]
+    votes = (top.groupby(["eval_id", "nb_label"], sort=False).size()
+             .rename("c").reset_index()
+             .sort_values(["eval_id", "c", "nb_label"],
+                          ascending=[True, False, True]))
+    pred = votes.groupby("eval_id", sort=True).head(1).set_index(
+        "eval_id")["nb_label"]
+    # true labels of the eval set
+    lab = (rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "label"])
+           .map_batches(
+               lambda b: b[(b["vec_id"] % eval_every == 0).values],
+               batch_format="pandas")).to_pandas()
+    lab = lab.set_index("vec_id")["label"]
+    correct = (pred.reindex(lab.index) == lab)
+    out = pd.DataFrame({"label": lab.values.astype("int64"),
+                        "correct": correct.values})
+    out = (out.groupby("label")
+           .agg(n_eval=("correct", "size"), n_correct=("correct", "sum"))
+           .reset_index())
+    out["n_eval"] = out["n_eval"].astype("int64")
+    out["n_correct"] = out["n_correct"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def radius_neighbor_counts(sf_dir: str, radius: float = 1.2,
+                           eval_every: int = 5) -> pd.DataFrame:
+    """RANGE-SEARCH density probe: for each eval vector, how many OTHER
+    corpus vectors sit within ``radius`` (exact quantized euclidean —
+    the threshold compares integer d² against an integer r², so engine
+    and oracle agree bit-for-bit). The density histogram is the
+    standard pre-check before choosing dedup/cluster radii. Scale
+    shape: broadcast eval matrix, streaming corpus, per-batch COUNT
+    partials (eval-sized, not candidate-sized — a count needs no
+    candidate rows at all), driver sums eval-sized frames. Output:
+    (vec_id, n_within) for the eval set, zeros included."""
+    eval_ids, Qe = _eval_matrix(sf_dir, eval_every)
+    ref = ray.put((eval_ids, Qe))
+    r_q2 = float(int(np.floor(radius * _Q_SCALE + 0.5)) ** 2)
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        eval_ids, Qe = ray.get(ref)
+        Qb = _quantize(np.stack(batch["embedding"].to_numpy()))
+        ids_b = batch["vec_id"].to_numpy(np.int64)
+        d2 = ((Qe * Qe).sum(1)[:, None] + (Qb * Qb).sum(1)[None, :]
+              - 2.0 * (Qe @ Qb.T))
+        within = (d2 <= r_q2) & (eval_ids[:, None] != ids_b[None, :])
+        return pd.DataFrame({
+            "vec_id": pd.array(eval_ids, dtype="int64"),
+            "n_within": pd.array(within.sum(1), dtype="int64")})
+
+    parts = (_emb(sf_dir)
+             .map_batches(partials, batch_format="pandas")).to_pandas()
+    out = parts.groupby("vec_id")["n_within"].sum().reset_index()
+    out["n_within"] = out["n_within"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -890,3 +890,59 @@ def test_bm25_indexed_duplicate_terms_and_digest_keying(ray_session,
     # (mtimes differ across copies, so compare what the key protects)
     assert (_corpus_digest(str(d1), "documents.parquet")
             != _corpus_digest(str(d1), "embeddings.parquet"))
+
+
+def test_knn_label_accuracy_matches_local_replica(ray_session):
+    """Distributed streaming top-k merge == a single-machine numpy
+    leave-one-out kNN on the same quantized grid. (The synthetic
+    label column is near-independent of embedding geometry — measured
+    intra/inter pair distances 1.390 vs 1.412 — so accuracy sits near
+    the 10-class chance floor; the probe measures it, whatever it is,
+    and the test pins exact per-label counts, not a quality bar.)"""
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.similarity import (_quantize,
+                                                         knn_label_accuracy)
+
+    got = knn_label_accuracy(SF, k=10, eval_every=5)
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    Q = _quantize(np.stack(t["embedding"].to_numpy()))
+    ids = t["vec_id"].to_numpy(np.int64)
+    labels = t["label"].to_numpy(np.int64)
+    ev = np.where(ids % 5 == 0)[0]
+    d2 = ((Q[ev] ** 2).sum(1)[:, None] + (Q ** 2).sum(1)[None, :]
+          - 2.0 * (Q[ev] @ Q.T))
+    d2[np.equal(ids[ev][:, None], ids[None, :])] = np.inf
+    rows = []
+    for i, e in enumerate(ev):
+        order = np.lexsort((ids, d2[i]))[:10]
+        votes = pd.Series(labels[order]).value_counts()
+        best = votes[votes == votes.max()].index.min()
+        rows.append((labels[e], best == labels[e]))
+    rep = (pd.DataFrame(rows, columns=["label", "correct"])
+           .groupby("label")
+           .agg(n_eval=("correct", "size"), n_correct=("correct", "sum"))
+           .reset_index())
+    assert got["label"].tolist() == rep["label"].tolist()
+    assert got["n_eval"].tolist() == rep["n_eval"].tolist()
+    assert got["n_correct"].tolist() == rep["n_correct"].tolist()
+    assert int(got["n_eval"].sum()) == len(ev)
+
+
+def test_radius_counts_match_local_and_include_zeros(ray_session):
+    from ragflow_core16_ray.pipelines.similarity import (
+        _Q_SCALE, _quantize, radius_neighbor_counts)
+
+    got = radius_neighbor_counts(SF, radius=1.2, eval_every=5)
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    Q = _quantize(np.stack(t["embedding"].to_numpy()))
+    ids = t["vec_id"].to_numpy(np.int64)
+    ev = np.where(ids % 5 == 0)[0]
+    thr = float(int(np.floor(1.2 * _Q_SCALE + 0.5)) ** 2)
+    d2 = ((Q[ev] ** 2).sum(1)[:, None] + (Q ** 2).sum(1)[None, :]
+          - 2.0 * (Q[ev] @ Q.T))
+    within = (d2 <= thr) & ~np.equal(ids[ev][:, None], ids[None, :])
+    assert got["vec_id"].tolist() == ids[ev].tolist()  # zeros included
+    assert got["n_within"].tolist() == within.sum(1).tolist()
