@@ -477,15 +477,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": lambda sf: relational.product_profit(sf),
         "top_supplier": lambda sf: relational.top_supplier(sf),
         "waiting_suppliers": lambda sf: relational.waiting_suppliers(sf),
-        # greedy k-center diversity sampling (no SQL oracle — iterative
-        # geometric algorithm; pytest pins exact-greedy equality + the
-        # two-level radius bound)
-        "coreset_sample": lambda sf: similarity.coreset_sample(sf),
-        # pushed past the 50-slot driver window: both no-oracle and
+        # iterative distributed graph algorithm — exact-int64 TextRank,
+        # hash-strict vs an unrolled 3-iteration DuckDB CTE
+        "textrank_keywords":
+            lambda sf: text_analysis.textrank_keywords(sf),
+        # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
-        # floor), so a rows-only driver row adds the least signal
+        # floor; coreset == exact-greedy k-center equality), so a
+        # rows-only driver row adds the least signal
         "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
         "emb_pq_topk": lambda sf: similarity.pq_topk(sf),
+        "coreset_sample": lambda sf: similarity.coreset_sample(sf),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
@@ -1846,6 +1848,50 @@ def oracle_sql() -> dict[str, str]:
              <= 1583296240681
         WHERE a.vec_id % 5 = 0
         GROUP BY 1 ORDER BY 1
+    """
+    # exact-int64 TextRank over the symmetrized adjacent-word graph —
+    # 3 unrolled power iterations at scale 2^20, damping 17/20, floor
+    # division on both sides (all operands positive, so DuckDB // ==
+    # Python //); see text_analysis.textrank_keywords
+    out["textrank_keywords"] = r"""
+        WITH toks AS (
+            SELECT string_split_regex(trim(text), '\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ), adj AS (
+            SELECT ts[i] AS a, ts[i + 1] AS b
+            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+            WHERE ts[i] <> ts[i + 1]
+        ), edges AS (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM (SELECT a AS src, b AS dst FROM adj
+                  UNION ALL SELECT b AS src, a AS dst FROM adj)
+            GROUP BY src, dst
+        ), outw AS (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS wtot
+            FROM edges GROUP BY src
+        ), r1 AS (
+            SELECT e.dst AS node,
+                   CAST(157286 + (17 * SUM((1048576 * e.w) // o.wtot))
+                        // 20 AS BIGINT) AS r
+            FROM edges e JOIN outw o ON o.src = e.src
+            GROUP BY e.dst
+        ), r2 AS (
+            SELECT e.dst AS node,
+                   CAST(157286 + (17 * SUM((p.r * e.w) // o.wtot))
+                        // 20 AS BIGINT) AS r
+            FROM edges e JOIN outw o ON o.src = e.src
+                         JOIN r1 p ON p.node = e.src
+            GROUP BY e.dst
+        ), r3 AS (
+            SELECT e.dst AS node,
+                   CAST(157286 + (17 * SUM((p.r * e.w) // o.wtot))
+                        // 20 AS BIGINT) AS r
+            FROM edges e JOIN outw o ON o.src = e.src
+                         JOIN r2 p ON p.node = e.src
+            GROUP BY e.dst
+        )
+        SELECT node AS word, r AS rank_q
+        FROM r3 ORDER BY rank_q DESC, word LIMIT 20
     """
     # Q6-shaped global filter-aggregate (see relational.forecast_revenue)
     out["forecast_revenue"] = r"""

@@ -1444,3 +1444,91 @@ def dsir_select(sf_dir: str, target_lang: str = "en",
     out["doc_id"] = out["doc_id"].astype("int64")
     out["score_q"] = out["score_q"].astype("int64")
     return out
+
+
+def textrank_keywords(sf_dir: str, k: int = 20,
+                      n_iter: int = 3) -> pd.DataFrame:
+    """TextRank keyword ranking (Mihalcea & Tarau 2004) over the corpus
+    word co-occurrence graph — the graph-centrality keyword extractor a
+    training-data profile pass uses, and the engine's first iterative
+    distributed graph algorithm with a hash-strict SQL oracle.
+
+    Graph: whitespace tokens (top_bigrams' parity-proven tokenization);
+    one undirected edge per adjacent pair with a != b, weight = adjacency
+    count, symmetrized at birth (each pair emits both directions).
+    Rank update at fixed point scale 2**20 with damping 17/20:
+
+        r_0(v)     = 2**20
+        r_{i+1}(v) = 157286 + (17 * sum_{u->v} (r_i(u)*w_uv) // W_u) // 20
+
+    with floor division throughout — all operands positive, so Python
+    ``//``, numpy ``//`` and DuckDB ``//`` agree bit-for-bit and the
+    unrolled three-iteration CTE oracle hashes strictly. In a symmetric
+    graph every node has both in- and out-edges, so the node set is
+    stable across iterations (isolated single-token documents contribute
+    no node, matching the oracle's edge-derived domain).
+
+    Scale shape: edge partials ride the combiner tree (the shuffle moves
+    (src, dst, cnt) rows, never documents); the combined edge table is
+    repartitioned and materialized ONCE (bigram-vocab-sized — the same
+    driver bound top_bigrams already accepts) and each iteration is one
+    map_batches over those edge blocks plus a vocab-sized combiner; the
+    rank and out-weight vectors broadcast via ``ray.put`` (vocab-sized,
+    the accepted DSIR ratio-table pattern — hash-bucket co-partition of
+    edges-by-src with rank replaces the broadcast when the vocabulary
+    outgrows the driver). int64 bound: r <= N*2**20 total mass, so
+    r*w stays under 2**63 for any corpus whose bigram multiplicity times
+    vocabulary fits 2**22 bits — documented, not checked per row.
+    Output: top-k (word, rank_q), rank desc / word asc."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["text"].str.strip() != ""]
+        toks = b["text"].str.strip().str.split().explode()
+        nxt = toks.groupby(level=0).shift(-1)
+        m = nxt.notna() & (toks != nxt)
+        a, c = toks[m].values, nxt[m].values
+        cnt = (pd.DataFrame({"src": np.concatenate([a, c]),
+                             "dst": np.concatenate([c, a])})
+               .value_counts(sort=False))
+        idx = cnt.index.to_frame(index=False)
+        return pd.DataFrame({"src": idx["src"], "dst": idx["dst"],
+                             "w": cnt.values.astype("int64")})
+
+    edges = combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(edge_partial,
+                                            batch_format="pandas"),
+        ["src", "dst"], {"w": "sum"}).repartition(8).materialize()
+
+    outw = combine_partials(
+        edges.map_batches(
+            lambda b: b.groupby("src", sort=False)["w"].sum()
+            .rename("wtot").reset_index(),
+            batch_format="pandas"),
+        ["src"], {"wtot": "sum"}).to_pandas()
+    wtot_ref = ray.put(dict(zip(outw["src"], outw["wtot"].astype("int64"))))
+    rank = {s: 1 << 20 for s in outw["src"]}
+
+    for _ in range(n_iter):
+        rank_ref = ray.put(rank)
+
+        def contrib(batch: pd.DataFrame, _r=rank_ref) -> pd.DataFrame:
+            r = batch["src"].map(ray.get(_r)).values.astype("int64")
+            wt = batch["src"].map(ray.get(wtot_ref)).values.astype("int64")
+            c = (r * batch["w"].values.astype("int64")) // wt
+            out = pd.DataFrame({"dst": batch["dst"], "c": c})
+            return out.groupby("dst", sort=False)["c"].sum().reset_index()
+
+        s = combine_partials(
+            edges.map_batches(contrib, batch_format="pandas"),
+            ["dst"], {"c": "sum"}).to_pandas()
+        rank = {d: 157286 + (17 * int(c)) // 20
+                for d, c in zip(s["dst"], s["c"])}
+
+    out = pd.DataFrame({"word": list(rank.keys()),
+                        "rank_q": pd.array(list(rank.values()),
+                                           dtype="int64")})
+    return (out.sort_values(["rank_q", "word"], ascending=[False, True])
+            .head(k).reset_index(drop=True))

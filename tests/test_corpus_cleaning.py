@@ -618,3 +618,76 @@ def test_corpus_diff_known_snapshot_change(ray_session, tmp_path):
     assert got["n_kept"] == 1      # "shared text"
     assert got["n_removed"] == 2   # "a only", "a dup" (dups once)
     assert got["n_added"] == 2     # the two b-only texts
+
+
+# textrank fixture: "hub" is adjacent to everything (high centrality);
+# "x x" self-pairs must be dropped; single-token and empty docs contribute
+# no nodes; runs of whitespace collapse like the oracle's \s+ split
+TEXTRANK_TEXTS = [
+    "hub alpha hub beta hub gamma",
+    "alpha beta  alpha\tgamma",
+    "x x x",          # only self-adjacent pairs -> no edges at all
+    "hub delta",
+    "lonely",         # single token -> isolated, not a node
+    "",
+]
+
+
+def _textrank_replica(texts, n_iter=3):
+    """Pure-Python int TextRank replica (dict-of-dict graph)."""
+    from collections import defaultdict
+    edges = defaultdict(int)
+    for t in texts:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                edges[(a, b)] += 1
+                edges[(b, a)] += 1
+    wtot = defaultdict(int)
+    for (s, _), w in edges.items():
+        wtot[s] += w
+    rank = {s: 1 << 20 for s in wtot}
+    for _ in range(n_iter):
+        acc = defaultdict(int)
+        for (s, d), w in edges.items():
+            acc[d] += (rank[s] * w) // wtot[s]
+        rank = {d: 157286 + (17 * c) // 20 for d, c in acc.items()}
+    return rank
+
+
+def test_textrank_hub_centrality_and_replica(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import textrank_keywords
+
+    sf = _write_corpus(tmp_path, TEXTRANK_TEXTS)
+    got = textrank_keywords(sf, k=100)
+    want = _textrank_replica(TEXTRANK_TEXTS)
+    assert dict(zip(got["word"], got["rank_q"])) == want
+    # the hub word dominates every leaf
+    ranks = dict(zip(got["word"], got["rank_q"]))
+    assert ranks["hub"] == max(ranks.values())
+    # isolated / self-pair-only tokens are not nodes
+    assert "lonely" not in ranks and "x" not in ranks
+
+
+def test_textrank_matches_oracle_on_fixture(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.text_analysis import textrank_keywords
+
+    sf = _write_corpus(tmp_path, TEXTRANK_TEXTS)
+    got = _canon(textrank_keywords(sf).astype({"word": str}))
+    want = _canon(_oracle(sf, e.oracle_sql()["textrank_keywords"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_textrank_total_mass_conserved(ray_session, tmp_path):
+    # power iteration at damping 17/20 preserves total mass up to the
+    # per-edge floor losses: N*157286 + floor-bounds around 0.85*prev
+    from ragflow_core16_ray.pipelines.text_analysis import textrank_keywords
+
+    sf = _write_corpus(tmp_path, TEXTRANK_TEXTS)
+    got = textrank_keywords(sf, k=100, n_iter=1)
+    n = len(got)
+    total = int(got["rank_q"].sum())
+    exact = n * 157286 + (17 * n * (1 << 20)) // 20
+    n_edges = 2 * 7  # symmetric directed edge count of the fixture graph
+    assert exact - (n_edges + n) <= total <= exact
