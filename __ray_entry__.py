@@ -429,10 +429,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # only the query terms' hash-bucket partitions leave storage
         "bm25_indexed_topk": lambda sf: similarity.bm25_topk_indexed(sf),
         "hybrid_topk": lambda sf: similarity.hybrid_topk(sf),
-        # fully-indexed hybrid (pruned IVF arm → approximate by design:
-        # rows-only; pytest pins exhaustive-probe == streaming hybrid)
-        "hybrid_indexed_topk":
-            lambda sf: similarity.hybrid_indexed_topk(sf),
+        # position-exact substring-duplication coverage (overlapping
+        # k-grams, per-doc interval union) — hash-strict gaps-and-islands
+        # oracle
+        "substring_dup_spans": lambda sf: dedup.substring_dup_spans(sf),
         "funnel_stages": lambda sf: relational.funnel_stages(sf),
         "event_transitions": lambda sf: relational.event_transitions(sf),
         "cohort_retention": lambda sf: relational.cohort_retention(sf),
@@ -488,6 +488,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
         "emb_pq_topk": lambda sf: similarity.pq_topk(sf),
         "coreset_sample": lambda sf: similarity.coreset_sample(sf),
+        # fully-indexed hybrid (pruned IVF arm → approximate by design:
+        # rows-only; pytest pins exhaustive-probe == streaming hybrid,
+        # and hybrid_topk in-window driver-verifies the fusion semantics)
+        "hybrid_indexed_topk":
+            lambda sf: similarity.hybrid_indexed_topk(sf),
         # --- r2-verified rotations (no r3 driver row)
         "jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(sf),
         "char_jaccard_pairs": lambda sf: dedup.jaccard_dup_pairs(
@@ -1848,6 +1853,46 @@ def oracle_sql() -> dict[str, str]:
              <= 1583296240681
         WHERE a.vec_id % 5 = 0
         GROUP BY 1 ORDER BY 1
+    """
+    # substring-duplication coverage: overlapping 8-gram hits, per-doc
+    # interval union via the gaps-and-islands window scan; see
+    # dedup.substring_dup_spans
+    out["substring_dup_spans"] = r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ), grams AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(ts[i:i + 7], ' ')) AS h
+            FROM toks, unnest(generate_series(1, len(ts) - 7)) AS g(i)
+        ), dup AS (
+            SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2
+        ), occ AS (
+            SELECT doc_id, pos, pos + 7 AS e
+            FROM grams WHERE h IN (SELECT h FROM dup)
+        ), m AS (
+            SELECT doc_id, pos, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM occ
+        ), cov AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN pm IS NULL OR pos > pm THEN 8
+                                 WHEN e > pm THEN e - pm
+                                 ELSE 0 END) AS BIGINT) AS n_dup_tokens,
+                   CAST(SUM(CASE WHEN pm IS NULL OR pos > pm
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+            FROM m GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN trim(d.text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(d.text), '\s+'))
+                    END AS BIGINT) AS n_tokens,
+               COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+               COALESCE(c.n_spans, 0) AS n_spans
+        FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
+        ORDER BY d.doc_id
     """
     # exact-int64 TextRank over the symmetrized adjacent-word graph —
     # 3 unrolled power iterations at scale 2^20, damping 17/20, floor

@@ -1359,3 +1359,100 @@ def corpus_diff(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     ).to_pandas()
     return (df[["n_added", "n_removed", "n_kept"]]
             .astype("int64").reset_index(drop=True))
+
+
+def substring_dup_spans(sf_dir: str, k: int = 8,
+                        n_buckets: int = 64) -> pd.DataFrame:
+    """Exact substring-duplication coverage — the OVERLAPPING-gram
+    semantic of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", public): every k-token window that occurs
+    MORE THAN ONCE corpus-wide (any position, including within-doc
+    repeats) marks its token interval as duplicated; per doc the hit
+    intervals are UNION-merged and the report is (doc_id, n_tokens,
+    n_dup_tokens, n_spans). ``dup_passage_stats`` tiles the doc into
+    disjoint passages and misses dup regions that straddle a tile
+    boundary; this operator is position-exact.
+
+    Scale shape (two bounded shuffles, text never moves):
+      1. gram pass: each batch emits (gram-md5-bucket, gram-md5, doc_id,
+         pos) — 32-byte key + ints per token position, the intrinsic
+         cost of substring-level dedup;
+      2. groupby(gram bucket): a gram's global count is bucket-local and
+         complete, so duplicated occurrences (doc_id, pos) are decided
+         in-group with no broadcast dup-set;
+      3. the surviving hit positions re-bucket by doc_id hash and each
+         doc's interval union is computed VECTORIZED across the whole
+         group (sort + per-doc cummax of interval ends — the
+         gaps-and-islands scan, not a Python loop per doc);
+      4. the per-doc hit stats join the per-doc token counts on the
+         driver — both frames are the query's own output size.
+
+    Exactness contract: interval arithmetic is pure int64 and the SQL
+    oracle is the same gaps-and-islands window scan (MAX(e) OVER
+    (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)), so the driver hash
+    is strict."""
+    from ..functions.hashing import md5_hex
+
+    K = k
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_b, rows_h, rows_d, rows_p = [], [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            ws = text.split()
+            for i in range(len(ws) - K + 1):
+                h = md5_hex(" ".join(ws[i:i + K]))
+                rows_b.append(hash64(h) % n_buckets)
+                rows_h.append(h)
+                rows_d.append(did)
+                rows_p.append(i + 1)        # 1-based, matching the oracle
+        return pd.DataFrame({
+            "bucket": pd.array(rows_b, dtype="int32"),
+            "h": rows_h,
+            "doc_id": pd.array(rows_d, dtype="int64"),
+            "pos": pd.array(rows_p, dtype="int64")})
+
+    def dup_hits(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("h")["doc_id"].transform("size") >= 2
+        out = g.loc[dup, ["doc_id", "pos"]].copy()
+        out["doc_bucket"] = (out["doc_id"] % n_buckets).astype("int32")
+        return out
+
+    def merge_intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        e = g["pos"] + (K - 1)
+        pm = (e.groupby(g["doc_id"].values).cummax()
+              .groupby(g["doc_id"].values).shift(1))
+        new_span = pm.isna() | (g["pos"] > pm)
+        covered = np.where(new_span, K,
+                           np.maximum(e - pm.fillna(0), 0)).astype("int64")
+        agg = (pd.DataFrame({"doc_id": g["doc_id"], "cov": covered,
+                             "ns": new_span.astype("int64")})
+               .groupby("doc_id", sort=False).sum().reset_index())
+        return agg.rename(columns={"cov": "n_dup_tokens", "ns": "n_spans"})
+
+    hits = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(gram_rows, batch_format="pandas")
+            .repartition(max(1, n_buckets // 4))
+            .groupby("bucket").map_groups(dup_hits, batch_format="pandas")
+            .groupby("doc_bucket")
+            .map_groups(merge_intervals, batch_format="pandas")
+            .to_pandas())
+
+    def tok_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["text"].str.split().str.len()
+            .astype("int64")})
+
+    toks = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(tok_counts, batch_format="pandas").to_pandas())
+    out = toks.merge(hits[["doc_id", "n_dup_tokens", "n_spans"]]
+                     if not hits.empty else
+                     pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                   "n_dup_tokens": pd.array([], dtype="int64"),
+                                   "n_spans": pd.array([], dtype="int64")}),
+                     on="doc_id", how="left")
+    for c in ("n_dup_tokens", "n_spans"):
+        out[c] = out[c].fillna(0).astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -691,3 +691,44 @@ def test_textrank_total_mass_conserved(ray_session, tmp_path):
     exact = n * 157286 + (17 * n * (1 << 20)) // 20
     n_edges = 2 * 7  # symmetric directed edge count of the fixture graph
     assert exact - (n_edges + n) <= total <= exact
+
+
+# substring-dup fixture, k=8: docs 0 and 1 share a 10-token run placed at
+# DIFFERENT offsets (straddling any passage tiling); doc 2 repeats an
+# 8-token run WITHIN itself; doc 3 is unique; doc 4 is under k tokens
+_SHARED10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+SUBSTR_TEXTS = [
+    _SHARED10 + " tail0a tail0b",                     # hits pos 1..10
+    "head1a head1b head1c " + _SHARED10,              # hits pos 4..13
+    "r1 r2 r3 r4 r5 r6 r7 r8 mid " + "r1 r2 r3 r4 r5 r6 r7 r8",
+    "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12",
+    "tiny doc below k",
+    "",
+]
+
+
+def test_substring_dup_spans_hand_computed(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.dedup import substring_dup_spans
+
+    sf = _write_corpus(tmp_path, SUBSTR_TEXTS)
+    got = substring_dup_spans(sf, k=8).set_index("doc_id")
+    # docs 0/1: three overlapping shared 8-grams merge into ONE 10-token
+    # span each (a 10-word tiling would have split or missed these)
+    assert got.loc[0].tolist() == [12, 10, 1]
+    assert got.loc[1].tolist() == [13, 10, 1]
+    # doc 2: the repeated 8-run duplicates both its occurrences
+    assert got.loc[2].tolist() == [17, 16, 2]
+    # unique doc, sub-k doc, empty doc: zero coverage
+    assert got.loc[3].tolist() == [12, 0, 0]
+    assert got.loc[4].tolist() == [4, 0, 0]
+    assert got.loc[5].tolist() == [0, 0, 0]
+
+
+def test_substring_dup_spans_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.dedup import substring_dup_spans
+
+    sf = _write_corpus(tmp_path, SUBSTR_TEXTS)
+    got = _canon(substring_dup_spans(sf, k=8))
+    want = _canon(_oracle(sf, e.oracle_sql()["substring_dup_spans"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
