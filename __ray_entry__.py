@@ -421,7 +421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": lambda sf: dedup.ngram_novelty(sf),
         "boilerplate_removal": lambda sf: dedup.boilerplate_removal(sf),
         "dedup_passages": lambda sf: dedup.dedup_passages(sf),
-        "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
+        # bigram-LM fluency scoring (CCNet second-order) — hash-strict
+        "bigram_lm_nll": lambda sf: text_analysis.bigram_lm_nll(sf),
         "emb_topk_batch": lambda sf: similarity.brute_topk_batch(sf),
         "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
         "bm25_topk": lambda sf: similarity.bm25_topk(sf),
@@ -488,6 +489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": lambda sf: similarity.kmeans_clusters(sf),
         "emb_pq_topk": lambda sf: similarity.pq_topk(sf),
         "coreset_sample": lambda sf: similarity.coreset_sample(sf),
+        # SemDeDup (rows-only; pytest pins precision 1.0 vs brute force)
+        "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
         # fully-indexed hybrid (pruned IVF arm → approximate by design:
         # rows-only; pytest pins exhaustive-probe == streaming hybrid,
         # and hybrid_topk in-window driver-verifies the fusion semantics)
@@ -1853,6 +1856,35 @@ def oracle_sql() -> dict[str, str]:
              <= 1583296240681
         WHERE a.vec_id % 5 = 0
         GROUP BY 1 ORDER BY 1
+    """
+    # add-one-smoothed bigram-LM average NLL; the LN argument is
+    # (c+1.0)/(ctot+V) with exact-int operands on both sides and the
+    # floor(x*1e6+0.5) quantization contract; see
+    # text_analysis.bigram_lm_nll
+    out["bigram_lm_nll"] = r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ), uni AS (
+            SELECT COUNT(DISTINCT w) AS v FROM toks, unnest(ts) AS u(w)
+        ), pairs AS (
+            SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        ), c2 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pairs GROUP BY w1, w2
+        ), c1 AS (
+            SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot FROM c2 GROUP BY w1
+        )
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(FLOOR(SUM(-LN((c2.c + 1.0) / (c1.ctot + uni.v)))
+                          / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS nll_q
+        FROM pairs p
+        JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        CROSS JOIN uni
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id
     """
     # substring-duplication coverage: overlapping 8-gram hits, per-doc
     # interval union via the gaps-and-islands window scan; see

@@ -1532,3 +1532,89 @@ def textrank_keywords(sf_dir: str, k: int = 20,
                                            dtype="int64")})
     return (out.sort_values(["rank_q", "word"], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def bigram_lm_nll(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM quality scoring — the second-order refinement of
+    lm_quality_rank's unigram CCNet filter (Wenzek et al. 2020; Heafield
+    KenLM, public): score every document by the average negative
+    log-probability of its adjacent word pairs under an add-one-smoothed
+    bigram LM trained on the corpus itself:
+
+        P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)
+
+    with c(w1,·) the left-context total and V the distinct-unigram
+    vocabulary size. Repetitive/boilerplate text scores low-NLL, word
+    soup scores high — the standard in-domain fluency signal a unigram
+    model cannot see (it ignores order entirely).
+
+    Exactness: the quantization is floor(avg_nll·1e6 + 0.5) and the LN
+    argument is formed identically on both sides ((c+1.0)/(ctot+V),
+    exact-int operands), reusing lm_quality_rank's proven numpy↔DuckDB
+    ln parity. Docs with <2 tokens have no bigram and are excluded,
+    matching the oracle's pair-derived domain.
+
+    Scale shape: bigram and unigram counts ride the combiner tree (one
+    (w1,w2,cnt) / (word,cnt) row per batch — partials, never text); the
+    bigram-count map broadcasts via ``ray.put`` (bigram-vocab-sized, the
+    top_bigrams bound; a term-bucketed join replaces it past driver
+    scale); the score pass is one streaming vectorized map_batches.
+    Output (doc_id, n_bigrams, nll_q), doc_id asc."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.strip().str.split().explode()
+        nxt = toks.groupby(level=0).shift(-1)
+        m = nxt.notna()
+        counts = (pd.DataFrame({"w1": toks[m].values, "w2": nxt[m].values})
+                  .value_counts(sort=False))
+        idx = counts.index.to_frame(index=False)
+        return pd.DataFrame({"w1": idx["w1"], "w2": idx["w2"],
+                             "c": counts.values.astype("int64")})
+
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = (batch["text"].str.strip().str.split().explode()
+                  .dropna().value_counts())
+        return pd.DataFrame({"word": counts.index,
+                             "cnt": counts.values.astype("int64")})
+
+    c2 = combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(pair_partial,
+                                            batch_format="pandas"),
+        ["w1", "w2"], {"c": "sum"}).to_pandas()
+    v_size = len(combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(uni_partial,
+                                            batch_format="pandas"),
+        ["word"], {"cnt": "sum"}).to_pandas())
+    ctot = c2.groupby("w1", sort=False)["c"].sum()
+    model_ref = ray.put((
+        dict(zip(c2["w1"] + " " + c2["w2"], c2["c"].astype("int64"))),
+        dict(zip(ctot.index, ctot.astype("int64"))),
+        int(v_size)))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        pair_c, left_c, v = ray.get(model_ref)
+        b = batch.reset_index(drop=True)
+        toks = b["text"].str.strip().str.split().explode()
+        nxt = toks.groupby(level=0).shift(-1)
+        m = nxt.notna()
+        w1, pair = toks[m], toks[m] + " " + nxt[m]
+        c = pair.map(pair_c).values.astype("int64")
+        tot = w1.map(left_c).values.astype("int64")
+        nll = -np.log((c + 1.0) / (tot + np.int64(v)))
+        g = pd.Series(nll, index=w1.index).groupby(level=0)
+        avg_q = np.floor(g.sum() / g.size() * 1e6 + 0.5).astype("int64")
+        out = pd.DataFrame({"doc_id": b["doc_id"],
+                            "n_bigrams": g.size().reindex(b.index),
+                            "nll_q": avg_q.reindex(b.index)})
+        out = out.dropna(subset=["n_bigrams"])
+        out["n_bigrams"] = out["n_bigrams"].astype("int64")
+        out["nll_q"] = out["nll_q"].astype("int64")
+        return out
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(score, batch_format="pandas").to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -732,3 +732,67 @@ def test_substring_dup_spans_matches_oracle(ray_session, tmp_path):
     got = _canon(substring_dup_spans(sf, k=8))
     want = _canon(_oracle(sf, e.oracle_sql()["substring_dup_spans"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# bigram-LM fixture: docs 0-2 repeat the same fluent phrase (high bigram
+# counts -> low NLL); doc 3 is unseen-order word soup over the same vocab;
+# doc 4 has a self-pair; docs 5/6 have <2 tokens -> excluded
+BIGRAM_TEXTS = [
+    "the cat sat on the mat",
+    "the cat sat on the mat",
+    "the cat sat on the mat",
+    "mat the on sat cat the",
+    "go go go",
+    "single",
+    "",
+]
+
+
+def _bigram_nll_replica(texts):
+    import math
+    from collections import Counter
+    c2, vocab = Counter(), set()
+    for t in texts:
+        ws = t.split()
+        vocab.update(ws)
+        c2.update(zip(ws, ws[1:]))
+    c1 = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    v = len(vocab)
+    out = {}
+    for did, t in enumerate(texts):
+        ws = t.split()
+        if len(ws) < 2:
+            continue
+        nll = [-math.log((c2[(a, b)] + 1.0) / (c1[a] + v))
+               for a, b in zip(ws, ws[1:])]
+        out[did] = (len(nll),
+                    math.floor(sum(nll) / len(nll) * 1e6 + 0.5))
+    return out
+
+
+def test_bigram_lm_nll_replica_and_fluency_order(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import bigram_lm_nll
+
+    sf = _write_corpus(tmp_path, BIGRAM_TEXTS)
+    got = bigram_lm_nll(sf)
+    want = _bigram_nll_replica(BIGRAM_TEXTS)
+    assert {d: (n, q) for d, n, q in
+            zip(got["doc_id"], got["n_bigrams"], got["nll_q"])} == want
+    by_doc = dict(zip(got["doc_id"], got["nll_q"]))
+    # the repeated fluent phrase scores strictly lower NLL than the
+    # same-vocab shuffled soup — the order signal a unigram LM cannot see
+    assert by_doc[0] < by_doc[3]
+    # sub-bigram docs are excluded
+    assert 5 not in by_doc and 6 not in by_doc
+
+
+def test_bigram_lm_nll_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.text_analysis import bigram_lm_nll
+
+    sf = _write_corpus(tmp_path, BIGRAM_TEXTS)
+    got = _canon(bigram_lm_nll(sf))
+    want = _canon(_oracle(sf, e.oracle_sql()["bigram_lm_nll"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
