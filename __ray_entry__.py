@@ -213,6 +213,32 @@ def _corpus_clean(sf_dir: str):
                            "gopher_pass_stop", "n_out")}])
 
 
+def _jsonl_token_counts(sf_dir: str):
+    """End-to-end proof of the jsonl source/sink: the sf documents table
+    is written ONCE to partitioned jsonl.gz (cache keyed by a CONTENT
+    digest of the parquet file — never the path basename, so a corpus
+    change under the same path rebuilds), read back through the
+    streaming jsonl source, and token-counted; the oracle is the plain
+    parquet-based token_counts SQL, so a hash match proves the
+    round-trip is byte-lossless for text."""
+    import hashlib
+
+    from ragflow_core16_ray.pipelines.text_analysis import token_counts
+    from ragflow_core16_ray.sources.jsonl import (read_documents_jsonl,
+                                                  write_documents_jsonl)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    with open(src, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:12]
+    out_dir = f"/tmp/graft_jsonl_{digest}"
+    marker = os.path.join(out_dir, "_GRAFT_DONE")
+    if not os.path.exists(marker):
+        import ray.data as rd
+        write_documents_jsonl(rd.read_parquet(src), out_dir)
+        open(marker, "w").close()
+    return token_counts(sf_dir, docs=read_documents_jsonl(out_dir))
+
+
 def _extract_override(sf_dir: str, template: str):
     """Template-override run: whole corpus through one forced chunking
     template — per-(template,kind) span counts PLUS an order-independent
@@ -423,8 +449,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_passages": lambda sf: dedup.dedup_passages(sf),
         # bigram-LM fluency scoring (CCNet second-order) — hash-strict
         "bigram_lm_nll": lambda sf: text_analysis.bigram_lm_nll(sf),
+        # jsonl.gz source/sink round-trip proven by the parquet oracle
+        "jsonl_token_counts": _jsonl_token_counts,
         "emb_topk_batch": lambda sf: similarity.brute_topk_batch(sf),
-        "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
         "bm25_topk": lambda sf: similarity.bm25_topk(sf),
         # posting-list (inverted-index) BM25 — the serving-shaped path:
         # only the query terms' hash-bucket partitions leave storage
@@ -491,6 +518,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreset_sample": lambda sf: similarity.coreset_sample(sf),
         # SemDeDup (rows-only; pytest pins precision 1.0 vs brute force)
         "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
+        # indexed IVF (rows-only; pytest pins parity with the streaming
+        # IVF path, whose r2 driver rows cover the semantics)
+        "emb_ivf_indexed_topk": lambda sf: similarity.ivf_topk_indexed(sf),
         # fully-indexed hybrid (pruned IVF arm → approximate by design:
         # rows-only; pytest pins exhaustive-probe == streaming hybrid,
         # and hybrid_topk in-window driver-verifies the fusion semantics)
@@ -578,6 +608,16 @@ _STOPWORDS_SQL = "('the','and','of','to','is','in','that','it','for','with')"
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # same SQL as token_counts but the Ray side reads documents
+        # through the jsonl.gz round-trip — a hash match proves the
+        # source/sink is byte-lossless
+        "jsonl_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens
+            FROM documents
+        """,
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

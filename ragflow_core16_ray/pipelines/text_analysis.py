@@ -26,8 +26,10 @@ def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
                            columns=columns)
 
 
-def token_counts(sf_dir: str) -> rd.Dataset:
-    """doc_id, n_tokens (whitespace tokens — SQL-parity definition)."""
+def token_counts(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:
+    """doc_id, n_tokens (whitespace tokens — SQL-parity definition).
+    ``docs`` overrides the parquet read — any Dataset with the documents
+    schema (e.g. the jsonl source) plugs into the same count."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -36,8 +38,8 @@ def token_counts(sf_dir: str) -> rd.Dataset:
             .fillna(0).astype("int64"),
         })
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas")
+    base = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+    return base.map_batches(fn, batch_format="pandas")
 
 
 def quality_stats(sf_dir: str) -> rd.Dataset:
