@@ -509,6 +509,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-strict vs an unrolled 3-iteration DuckDB CTE
         "textrank_keywords":
             lambda sf: text_analysis.textrank_keywords(sf),
+        # slot 51+: the window is full of never-verified oracled queries;
+        # these keep local check_oracle + pytest evidence and are first
+        # in line for the next rotation
+        "source_leakage_matrix":
+            lambda sf: dedup.source_leakage_matrix(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -1896,6 +1901,27 @@ def oracle_sql() -> dict[str, str]:
              <= 1583296240681
         WHERE a.vec_id % 5 = 0
         GROUP BY 1 ORDER BY 1
+    """
+    # cross-source shared-passage matrix (disjoint 10-word tiles, same
+    # tiling as dup_passage_stats); see dedup.source_leakage_matrix
+    out["source_leakage_matrix"] = r"""
+        WITH toks AS (
+            SELECT source, string_split_regex(trim(text), '\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ), p AS (
+            SELECT source,
+                   md5(array_to_string(
+                       ts[(j * 10 + 1):(j * 10 + 10)], ' ')) AS h
+            FROM toks,
+                 unnest(generate_series(0, len(ts) // 10 - 1)) AS g(j)
+        ), sh AS (
+            SELECT DISTINCT source, h FROM p
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b
+          ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     # add-one-smoothed bigram-LM average NLL; the LN argument is
     # (c+1.0)/(ctot+V) with exact-int operands on both sides and the

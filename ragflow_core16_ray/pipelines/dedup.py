@@ -1456,3 +1456,69 @@ def substring_dup_spans(sf_dir: str, k: int = 8,
         out[c] = out[c].fillna(0).astype("int64")
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def source_leakage_matrix(sf_dir: str, passage_words: int = 10,
+                          n_buckets: int = 64) -> pd.DataFrame:
+    """Cross-SOURCE contamination matrix: for every unordered pair of
+    sources, how many DISTINCT passage fingerprints they share. The
+    between-subset view of dup_passage_stats — before mixing training
+    subsets you need to know which ones are secretly the same feed
+    (mirrors, scrapes of scrapes), and per-doc dup counts can't show
+    that.
+
+    Passages are the same disjoint ``passage_words``-word tiles as
+    dup_passage_stats (tail dropped). Output (src_a, src_b, n_shared),
+    src_a < src_b, both columns sorted — only pairs sharing ≥1 passage
+    appear.
+
+    Scale shape: batches emit batch-DISTINCT (passage-md5-bucket, md5,
+    source) rows — text never leaves the scan; a passage's full source
+    set is bucket-local, so each bucket group dedups to (h, source),
+    self-merges on h (vectorized pandas merge, NOT a per-hash Python
+    loop) and emits per-pair partial counts; the combiner tree reduces
+    to the final matrix, which is |sources|²-bounded — the only
+    driver-side object."""
+    from ..functions.hashing import md5_hex
+    from ..stages.agg import combine_partials
+
+    P = passage_words
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_b, rows_h, rows_s = [], [], []
+        seen = set()
+        for src, text in zip(batch["source"], batch["text"]):
+            ws = text.split()
+            for j in range(len(ws) // P):
+                h = md5_hex(" ".join(ws[j * P:(j + 1) * P]))
+                if (h, src) in seen:
+                    continue
+                seen.add((h, src))
+                rows_b.append(hash64(h) % n_buckets)
+                rows_h.append(h)
+                rows_s.append(src)
+        return pd.DataFrame({
+            "bucket": pd.array(rows_b, dtype="int32"),
+            "h": rows_h,
+            "source": rows_s})
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g[["h", "source"]].drop_duplicates()
+        m = sh.merge(sh, on="h", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        out = (m.groupby(["source_a", "source_b"], sort=False)
+               .size().rename("n_shared").reset_index())
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out.rename(columns={"source_a": "src_a",
+                                   "source_b": "src_b"})
+
+    parts = (_docs(sf_dir, ["source", "text"])
+             .map_batches(explode, batch_format="pandas")
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(pair_partials,
+                                           batch_format="pandas"))
+    out = combine_partials(parts, ["src_a", "src_b"],
+                           {"n_shared": "sum"}).to_pandas()
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return (out.sort_values(["src_a", "src_b"])
+            .reset_index(drop=True))

@@ -796,3 +796,44 @@ def test_bigram_lm_nll_matches_oracle(ray_session, tmp_path):
     got = _canon(bigram_lm_nll(sf))
     want = _canon(_oracle(sf, e.oracle_sql()["bigram_lm_nll"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_source_leakage_matrix_fixture(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.dedup import source_leakage_matrix
+
+    ten = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    other = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    texts = [
+        ten + " tailA",            # srcA: tile = ten
+        ten + " tailB",            # srcB: shares `ten` with A and C
+        ten + " " + other,         # srcC: two tiles, shares both
+        other + " more words here",  # srcB: shares `other` with C
+        "unique text never repeated anywhere at all ok fine yes",  # srcA
+    ]
+    sources = ["A", "B", "C", "B", "A"]
+    sf = _write_corpus(tmp_path, texts, sources=sources)
+    got = source_leakage_matrix(sf, passage_words=10)
+    want = pd.DataFrame({
+        "src_a": ["A", "A", "B", ],
+        "src_b": ["B", "C", "C"],
+        "n_shared": pd.array([1, 1, 2], dtype="int64"),
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_source_leakage_matches_oracle_on_fixture(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.dedup import source_leakage_matrix
+
+    texts = [
+        # three positional tiles, all hashing to the same 10 words —
+        # DISTINCT-h semantics must count the X∩Y share once, not thrice
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 3,
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+        "short doc",
+        "",
+    ]
+    sf = _write_corpus(tmp_path, texts, sources=["X", "Y", "X", "Y"])
+    got = _canon(source_leakage_matrix(sf))
+    want = _canon(_oracle(sf, e.oracle_sql()["source_leakage_matrix"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
