@@ -514,6 +514,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in line for the next rotation
         "source_leakage_matrix":
             lambda sf: dedup.source_leakage_matrix(sf),
+        # Naive-Bayes quality-classifier scoring (the fastText-filter
+        # stand-in) — hash-strict via the bigram_lm_nll ln-parity contract
+        "nb_quality_scores":
+            lambda sf: text_analysis.nb_quality_scores(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -1951,6 +1955,50 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # add-one multinomial Naive-Bayes log-odds vs the src0 reference
+    # class; every LN argument is a ratio of exact-int products formed
+    # identically on both sides, the doc-prior adds after the sum, and
+    # the quantization is floor(x*1e6+0.5); see
+    # text_analysis.nb_quality_scores
+    out["nb_quality_scores"] = r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(text), '\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ), tok AS (
+            SELECT doc_id, source, w FROM toks, unnest(ts) AS u(w)
+        ), cls AS (
+            SELECT w AS word,
+                   CAST(SUM(CASE WHEN source = 'src0'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                   CAST(SUM(CASE WHEN source <> 'src0'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+            FROM tok GROUP BY w
+        ), tot AS (
+            SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM cls
+        ), prior AS (
+            SELECT LN(CAST(SUM(CASE WHEN source = 'src0'
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                      / SUM(CASE WHEN source <> 'src0'
+                            THEN 1 ELSE 0 END)) AS lp
+            FROM toks
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(FLOOR((SUM(LN(((c.c_pos + 1.0) * (tot.n_neg + tot.v))
+                                  / ((c.c_neg + 1.0)
+                                     * (tot.n_pos + tot.v))))
+                           + ANY_VALUE(prior.lp)) * 1e6 + 0.5)
+                    AS BIGINT) AS logodds_q
+        FROM tok t
+        JOIN cls c ON t.w = c.word
+        CROSS JOIN tot CROSS JOIN prior
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
     """
     # substring-duplication coverage: overlapping 8-gram hits, per-doc
     # interval union via the gaps-and-islands window scan; see

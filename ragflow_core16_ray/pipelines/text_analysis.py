@@ -1620,3 +1620,102 @@ def bigram_lm_nll(sf_dir: str) -> pd.DataFrame:
            .map_batches(score, batch_format="pandas").to_pandas())
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def nb_quality_scores(sf_dir: str, pos_source: str = "src0") -> pd.DataFrame:
+    """Supervised quality-classifier scoring — the multinomial
+    Naive-Bayes stand-in for the fastText quality filter every
+    LLaMA/CCNet-style pipeline runs (Touvron et al. 2023 train a
+    classifier on "reference" pages and keep web docs the model scores
+    high; fastText itself is out of sandbox, NB is its exactly-computable
+    cousin over the same bag-of-words). One source (``pos_source``) is
+    the reference class, everything else is background; every doc gets
+    the add-one-smoothed log-odds
+
+        score(d) = ln(d_pos/d_neg)
+                 + Σ_w∈d  ln( ((c_pos(w)+1)·(N_neg+V))
+                            / ((c_neg(w)+1)·(N_pos+V)) )
+
+    with c_cls(w) the class token counts, N_cls their totals and V the
+    distinct-vocabulary size. Output (doc_id, n_tokens, logodds_q),
+    doc_id asc; empty-trim docs are excluded (no tokens, no score).
+
+    Exactness: every ln argument is a ratio of exact-integer products
+    (each factor < 2^26 at oracle scales, products < 2^53 ⇒ exact
+    doubles formed identically on both sides), per-doc sums run in token
+    order, the prior adds AFTER the sum, and the quantization is the
+    repo-wide floor(x·1e6+0.5) — the same ln-parity contract
+    bigram_lm_nll proved hash-strict.
+
+    Scale shape: per-class word counts ride the combiner tree (one
+    (word, c_pos, c_neg) row per word per batch — partials, never text);
+    the model broadcasts once via ``ray.put`` (vocab-sized, the
+    source_vocab bound; a word-bucketed join replaces it past driver
+    scale); scoring is one streaming vectorized map_batches over the
+    corpus. Nothing doc-sized ever reaches the driver."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def cls_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        toks = b["text"].str.strip().str.split().explode().dropna()
+        is_pos = b["source"].eq(pos_source).reindex(toks.index)
+        df = pd.DataFrame({"word": toks.values,
+                           "p": is_pos.values.astype("int64")})
+        g = df.groupby("word", sort=False)["p"].agg(["sum", "size"])
+        return pd.DataFrame({"word": g.index,
+                             "c_pos": g["sum"].astype("int64").values,
+                             "c_neg": (g["size"] - g["sum"])
+                             .astype("int64").values})
+
+    def doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ne = batch["text"].str.strip().ne("")
+        pos = batch["source"].eq(pos_source) & ne
+        return pd.DataFrame({"k": pd.array([0], dtype="int64"),
+                             "d_pos": pd.array([int(pos.sum())],
+                                               dtype="int64"),
+                             "d_neg": pd.array([int((ne & ~pos).sum())],
+                                               dtype="int64")})
+
+    w = combine_partials(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            cls_partial, batch_format="pandas"),
+        ["word"], {"c_pos": "sum", "c_neg": "sum"}).to_pandas()
+    d = combine_partials(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            doc_partial, batch_format="pandas"),
+        ["k"], {"d_pos": "sum", "d_neg": "sum"}).to_pandas()
+    d_pos, d_neg = int(d["d_pos"][0]), int(d["d_neg"][0])
+    if not d_pos or not d_neg:
+        raise ValueError(f"class {pos_source!r} or its complement is "
+                         "empty — the log-odds prior is undefined")
+    n_pos = int(w["c_pos"].astype("int64").sum())
+    n_neg = int(w["c_neg"].astype("int64").sum())
+    v = len(w)
+    prior = float(np.log(np.float64(d_pos) / np.float64(d_neg)))
+    model_ref = ray.put((dict(zip(w["word"], w["c_pos"].astype("int64"))),
+                         dict(zip(w["word"], w["c_neg"].astype("int64")))))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cp_map, cn_map = ray.get(model_ref)
+        b = batch.reset_index(drop=True)
+        toks = b["text"].str.strip().str.split().explode().dropna()
+        cp = toks.map(cp_map).values.astype("int64")
+        cn = toks.map(cn_map).values.astype("int64")
+        contrib = np.log(((cp + 1.0) * np.float64(n_neg + v))
+                         / ((cn + 1.0) * np.float64(n_pos + v)))
+        g = pd.Series(contrib, index=toks.index).groupby(level=0)
+        q = np.floor((g.sum() + prior) * 1e6 + 0.5).astype("int64")
+        out = pd.DataFrame({"doc_id": b["doc_id"],
+                            "n_tokens": g.size().reindex(b.index),
+                            "logodds_q": q.reindex(b.index)})
+        out = out.dropna(subset=["n_tokens"])
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        out["logodds_q"] = out["logodds_q"].astype("int64")
+        return out
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(score, batch_format="pandas").to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

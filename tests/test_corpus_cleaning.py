@@ -837,3 +837,88 @@ def test_source_leakage_matches_oracle_on_fixture(ray_session, tmp_path):
     got = _canon(source_leakage_matrix(sf))
     want = _canon(_oracle(sf, e.oracle_sql()["source_leakage_matrix"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# NB quality-classifier fixture: src0 is the "reference" class with a
+# distinctive vocabulary; docs 4/5 are background; doc 6 mixes; doc 7 is
+# empty (excluded). Words overlap enough that both class counters are
+# exercised on shared tokens.
+NB_TEXTS = [
+    "clean prose reads well and cites sources",
+    "clean prose cites careful sources",
+    "well cited careful clean prose",
+    "spam click now buy cheap pills",
+    "buy cheap spam pills click here now",
+    "cheap spam spam buy click",
+    "clean prose buy cheap",
+    "",
+]
+NB_SOURCES = ["src0", "src0", "src0", "srcX", "srcX", "srcY", "srcY", "srcX"]
+
+
+def _nb_replica(texts, sources, pos="src0"):
+    import math
+    from collections import Counter
+    cp, cn = Counter(), Counter()
+    d_pos = d_neg = 0
+    for t, s in zip(texts, sources):
+        ws = t.split()
+        if not ws:
+            continue
+        if s == pos:
+            d_pos += 1
+            cp.update(ws)
+        else:
+            d_neg += 1
+            cn.update(ws)
+    v = len(set(cp) | set(cn))
+    n_pos, n_neg = sum(cp.values()), sum(cn.values())
+    prior = math.log(d_pos / d_neg)
+    out = {}
+    for did, t in enumerate(texts):
+        ws = t.split()
+        if not ws:
+            continue
+        sc = sum(math.log(((cp[w] + 1.0) * (n_neg + v))
+                          / ((cn[w] + 1.0) * (n_pos + v))) for w in ws)
+        out[did] = (len(ws), math.floor((sc + prior) * 1e6 + 0.5))
+    return out
+
+
+def test_nb_quality_scores_replica_and_separation(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import nb_quality_scores
+
+    sf = _write_corpus(tmp_path, NB_TEXTS, sources=NB_SOURCES)
+    got = nb_quality_scores(sf)
+    want = _nb_replica(NB_TEXTS, NB_SOURCES)
+    assert {d: (n, q) for d, n, q in
+            zip(got["doc_id"], got["n_tokens"], got["logodds_q"])} == want
+    by_doc = dict(zip(got["doc_id"], got["logodds_q"]))
+    # reference-class vocabulary scores strictly above background spam
+    assert min(by_doc[0], by_doc[1], by_doc[2]) > max(by_doc[3],
+                                                      by_doc[4], by_doc[5])
+    # the mixed doc sits between the two blocks
+    assert by_doc[3] < by_doc[6] < by_doc[0]
+    # the empty doc is excluded
+    assert 7 not in by_doc
+
+
+def test_nb_quality_scores_empty_class_raises(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from ragflow_core16_ray.pipelines.text_analysis import nb_quality_scores
+
+    sf = _write_corpus(tmp_path, ["a b", "c d"], sources=["srcX", "srcY"])
+    with _pytest.raises(ValueError):
+        nb_quality_scores(sf)
+
+
+def test_nb_quality_scores_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    from ragflow_core16_ray.pipelines.text_analysis import nb_quality_scores
+
+    sf = _write_corpus(tmp_path, NB_TEXTS, sources=NB_SOURCES)
+    got = _canon(nb_quality_scores(sf))
+    want = _canon(_oracle(sf, e.oracle_sql()["nb_quality_scores"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
