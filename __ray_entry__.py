@@ -518,6 +518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stand-in) — hash-strict via the bigram_lm_nll ln-parity contract
         "nb_quality_scores":
             lambda sf: text_analysis.nb_quality_scores(sf),
+        # exact-int64 Gram matrix of the embedding column (hash-strict);
+        # its derived eigenspectrum probe is pytest-bound (no-oracle)
+        "embedding_gram": lambda sf: similarity.embedding_gram(sf),
+        "pca_spectrum": lambda sf: similarity.pca_spectrum(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -1955,6 +1959,24 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # exact-int64 Gram matrix on the 2^20 quantized grid — every
+    # product and sum is integer-valued, so no float contract is even
+    # needed; see similarity.embedding_gram
+    out["embedding_gram"] = r"""
+        WITH comp AS (
+            SELECT vec_id, i,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576
+                              + 0.5) AS BIGINT) AS q
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS u(i)
+        )
+        SELECT a.i - 1 AS i, b.i - 1 AS j,
+               CAST(SUM(a.q * b.q) AS BIGINT) AS g
+        FROM comp a JOIN comp b
+          ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY a.i, b.i
+        ORDER BY i, j
     """
     # add-one multinomial Naive-Bayes log-odds vs the src0 reference
     # class; every LN argument is a ratio of exact-int products formed

@@ -1058,3 +1058,82 @@ def radius_neighbor_counts(sf_dir: str, radius: float = 1.2,
     out = parts.groupby("vec_id")["n_within"].sum().reset_index()
     out["n_within"] = out["n_within"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def embedding_gram(sf_dir: str) -> pd.DataFrame:
+    """EXACT-INT64 Gram matrix of the embedding column — the sufficient
+    statistic behind every second-order embedding-quality probe (PCA /
+    covariance spectrum, whitening, effective rank; Jolliffe 2002). On
+    the 2^20 quantized grid every per-vector product q_i·q_j is an
+    integer ≤ 2^38, a batch partial sums < 2^51 of them (exact doubles
+    out of the BLAS matmul), and the corpus total accumulates in int64 —
+    no float leaves the operator, so the oracle comparison is trivially
+    bit-exact (int64 holds to ~2^25 ≈ 3·10^7 vectors per dimension pair;
+    past that, shard the i-range and widen to two-limb sums).
+
+    Scale shape: one streaming ``map_batches`` emits a d(d+1)/2-row
+    upper-triangle partial per batch (Q_bᵀQ_b — vectorized, never a
+    Python pair loop); partials ride the combiner tree; the only
+    driver object is the d×d matrix itself. The corpus never moves.
+    Output (i, j, g) with 0-based i ≤ j, sorted."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Q = _quantize(np.stack(batch["embedding"].to_numpy()))
+        G = (Q.T @ Q).astype(np.int64)
+        iu, ju = np.triu_indices(G.shape[0])
+        return pd.DataFrame({"i": pd.array(iu, dtype="int64"),
+                             "j": pd.array(ju, dtype="int64"),
+                             "g": pd.array(G[iu, ju], dtype="int64")})
+
+    out = combine_partials(
+        _emb(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["i", "j"], {"g": "sum"}).to_pandas()
+    for c in ("i", "j", "g"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def pca_spectrum(sf_dir: str) -> pd.DataFrame:
+    """Covariance EIGENSPECTRUM of the embedding column — the standard
+    anisotropy probe for learned representations (Mu & Viswanath 2018:
+    dominant directions; effective rank = participation ratio
+    (Σλ)²/Σλ²). Derived entirely from the exact-int sufficient
+    statistics: the Gram matrix (``embedding_gram``) plus the per-dim
+    component sums and the row count, each an exact-int combiner-tree
+    partial — cov = (G − s·sᵀ/n)/n on the quantized grid, eigh on the
+    d×d driver matrix. Nothing corpus-sized leaves the workers; the
+    eigendecomposition is no-oracle territory (pytest pins equality
+    with direct numpy covariance eigenvalues, the trace identity and
+    monotone order). Output one row per eigenvalue, descending:
+    (rank, eigval_q, cum_var_q) with eigval in ORIGINAL embedding units
+    (grid² scaled back), quantized floor(x·1e6+0.5)."""
+    from ..stages.agg import combine_partials
+
+    def sum_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Q = _quantize(np.stack(batch["embedding"].to_numpy()))
+        s = Q.sum(0).astype(np.int64)
+        return pd.DataFrame({"i": pd.array(np.arange(len(s)),
+                                           dtype="int64"),
+                             "s": pd.array(s, dtype="int64"),
+                             "n": pd.array([len(Q)] * len(s),
+                                           dtype="int64")})
+
+    g = embedding_gram(sf_dir)
+    d = int(g["j"].max()) + 1
+    G = np.zeros((d, d), dtype=np.float64)
+    G[g["i"], g["j"]] = g["g"].to_numpy(np.float64)
+    G = G + np.triu(G, 1).T
+    sm = combine_partials(
+        _emb(sf_dir).map_batches(sum_partial, batch_format="pandas"),
+        ["i"], {"s": "sum", "n": "sum"}).to_pandas().sort_values("i")
+    s = sm["s"].to_numpy(np.float64)
+    n = float(sm["n"].max())  # every i-row sums the same per-batch sizes
+    cov = (G - np.outer(s, s) / n) / n / (_Q_SCALE * _Q_SCALE)
+    ev = np.linalg.eigvalsh(cov)[::-1]
+    tot = float(ev.sum())
+    cum = np.cumsum(ev) / tot if tot > 0 else np.zeros_like(ev)
+    return pd.DataFrame({
+        "rank": pd.array(np.arange(len(ev)), dtype="int64"),
+        "eigval_q": pd.array(np.floor(ev * 1e6 + 0.5), dtype="int64"),
+        "cum_var_q": pd.array(np.floor(cum * 1e6 + 0.5), dtype="int64")})

@@ -946,3 +946,49 @@ def test_radius_counts_match_local_and_include_zeros(ray_session):
     within = (d2 <= thr) & ~np.equal(ids[ev][:, None], ids[None, :])
     assert got["vec_id"].tolist() == ids[ev].tolist()  # zeros included
     assert got["n_within"].tolist() == within.sum(1).tolist()
+
+
+def test_embedding_gram_matches_local_exact(ray_session):
+    from ragflow_core16_ray.pipelines.similarity import (_quantize,
+                                                         embedding_gram)
+
+    got = embedding_gram(SF)
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    Q = _quantize(np.stack(t["embedding"].to_numpy())).astype(np.int64)
+    G = Q.T @ Q
+    d = Q.shape[1]
+    iu, ju = np.triu_indices(d)
+    assert len(got) == d * (d + 1) // 2
+    assert got["i"].tolist() == iu.tolist()
+    assert got["j"].tolist() == ju.tolist()
+    assert got["g"].tolist() == G[iu, ju].tolist()
+
+
+def test_embedding_gram_partition_invariant(ray_session):
+    """The combiner-tree sum is exact whatever the batching — rerunning
+    must reproduce identical int64 entries (no float accumulation)."""
+    from ragflow_core16_ray.pipelines.similarity import embedding_gram
+
+    a = embedding_gram(SF)
+    b = embedding_gram(SF)
+    assert a.equals(b)
+
+
+def test_pca_spectrum_matches_numpy_covariance(ray_session):
+    from ragflow_core16_ray.pipelines.similarity import (_Q_SCALE,
+                                                         _quantize,
+                                                         pca_spectrum)
+
+    got = pca_spectrum(SF)
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    Q = _quantize(np.stack(t["embedding"].to_numpy()))
+    X = Q / _Q_SCALE
+    cov = np.cov(X, rowvar=False, bias=True)
+    ev = np.linalg.eigvalsh(cov)[::-1]
+    want_q = np.floor(ev * 1e6 + 0.5).astype(np.int64)
+    assert got["eigval_q"].tolist() == want_q.tolist()
+    # descending order and the trace identity (Σλ == Σ var_i)
+    assert (np.diff(got["eigval_q"].to_numpy()) <= 0).all()
+    assert got["rank"].tolist() == list(range(len(ev)))
+    # cumulative variance ends at 100% (quantized)
+    assert int(got["cum_var_q"].iloc[-1]) == 1_000_000
