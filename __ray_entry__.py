@@ -345,6 +345,17 @@ def _media_features(sf_dir: str):
     return media_features(extracted)
 
 
+def _image_dhash_dups(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import image_dhash_dups
+
+    out_dir = _extract_out(sf_dir)
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"),
+                                columns=["doc_id", "spans"])
+    return image_dhash_dups(extracted)
+
+
 def _frame_samples(sf_dir: str):
     import ray.data as rd
 
@@ -522,6 +533,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its derived eigenspectrum probe is pytest-bound (no-oracle)
         "embedding_gram": lambda sf: similarity.embedding_gram(sf),
         "pca_spectrum": lambda sf: similarity.pca_spectrum(sf),
+        # perceptual-hash (dHash) cross-format image dedup over the real
+        # decoders — no-oracle (decode is not SQL); fixture pytest pins
+        # PNG==GIF exact pairs, JPEG re-encode within the hamming bound
+        "image_dhash_dups": _image_dhash_dups,
+        # exact-integer hourly volume anomalies (division-free z-test,
+        # zero-filled silent hours) — hash-strict, no float contract
+        "event_volume_anomaly":
+            lambda sf: relational.event_volume_anomaly(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -1959,6 +1978,39 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # division-free integer z-test over zero-filled per-type hourly
+    # counts; flag ⟺ (H·n−T)² > 9·(H·S−T²); see
+    # relational.event_volume_anomaly
+    out["event_volume_anomaly"] = r"""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_epoch,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), rng AS (
+            SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM c
+        ), grid AS (
+            SELECT t.event_type, g.h AS hour_epoch
+            FROM (SELECT DISTINCT event_type FROM c) t, rng,
+                 unnest(generate_series(rng.lo, rng.hi)) AS g(h)
+        ), filled AS (
+            SELECT grid.event_type, grid.hour_epoch,
+                   COALESCE(c.n, 0) AS n
+            FROM grid LEFT JOIN c USING (event_type, hour_epoch)
+        ), stats AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS hh,
+                   CAST(SUM(n) AS BIGINT) AS t,
+                   CAST(SUM(n * n) AS BIGINT) AS s
+            FROM filled GROUP BY 1
+        )
+        SELECT f.event_type, f.hour_epoch, CAST(f.n AS BIGINT) AS n,
+               CAST(CASE WHEN st.hh * f.n - st.t < 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_low
+        FROM filled f JOIN stats st USING (event_type)
+        WHERE (st.hh * f.n - st.t) * (st.hh * f.n - st.t)
+              > 9 * (st.hh * st.s - st.t * st.t)
+        ORDER BY f.event_type, f.hour_epoch
     """
     # exact-int64 Gram matrix on the 2^20 quantized grid — every
     # product and sum is integer-valued, so no float contract is even

@@ -458,3 +458,156 @@ def frame_samples(extracted: rd.Dataset, n_frames: int = 4,
     return refs.map_batches(FrameSampler, fn_constructor_args=(n_frames,),
                             batch_format="pandas", batch_size=batch_size,
                             concurrency=concurrency or _default_pool())
+
+
+# ------------------------------------------------ perceptual-hash dedup ---
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash, Krawetz 2013 — the public
+    perceptual hash LAION-scale image dedup pipelines run): grayscale →
+    8×9 grid of AREA means (integral-image cell averages, more stable
+    under re-encoding than nearest-neighbor sampling) → bit = cell
+    brighter than its right neighbor. Deterministic, pure numpy."""
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2)
+    a = arr.astype(np.float64)
+    h, w = a.shape
+    if h == 0 or w == 0:
+        return 0
+    # integral image → exact mean over each of the 8×9 cells
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = a.cumsum(0).cumsum(1)
+    rb = np.linspace(0, h, 9).astype(np.int64)     # 8 row bands
+    cb = np.linspace(0, w, 10).astype(np.int64)    # 9 col bands
+    area = ((rb[1:] - rb[:-1])[:, None]
+            * (cb[1:] - cb[:-1])[None, :]).astype(np.float64)
+    cells = (ii[rb[1:], :][:, cb[1:]] - ii[rb[:-1], :][:, cb[1:]]
+             - ii[rb[1:], :][:, cb[:-1]]
+             + ii[rb[:-1], :][:, cb[:-1]]) / np.maximum(area, 1.0)
+    bits = (cells[:, :-1] > cells[:, 1:]).ravel()  # 8×8
+    return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+class DHasher:
+    """Actor-pool stage: in-band image payloads → 64-bit dHash. Decode
+    dispatch is magic-sniffing (PNG/GIF/JPEG/AVI frame 0); corrupt
+    payloads cost one ok=False row (poison containment, never the
+    task)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import base64
+
+        from ..functions.image_ops import decode_image
+
+        hashes, ok = [], []
+        for payload in batch["payload"]:
+            try:
+                arr = decode_image(base64.b64decode(payload))
+                hashes.append(np.uint64(dhash64(arr)))
+                ok.append(True)
+            except Exception:  # noqa: BLE001 — poison containment
+                hashes.append(np.uint64(0))
+                ok.append(False)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].values,
+            "media_ref": batch["media_ref"].values,
+            "dhash": pd.array(hashes, dtype="uint64"),
+            "ok": pd.array(ok, dtype="bool")})
+
+
+def image_dhash_dups(extracted: rd.Dataset, max_hamming: int = 6,
+                     n_buckets: int = 64,
+                     concurrency=None) -> pd.DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the cross-format image dedup every multimodal training pipeline
+    runs before CLIP-style filtering (a PNG, its GIF re-palette and its
+    JPEG re-encode all land within a few dHash bits of each other while
+    cryptographic content hashes see three distinct blobs).
+
+    Scale shape: decode+hash is the actor-pool stage (pixels never
+    shuffle — each image reduces to 8 bytes in place); candidate
+    generation is the EXACT pigeonhole piece trick proven by
+    simhash_pairs (max_hamming+1 pieces; any pair within the bound
+    agrees on ≥1 piece), shuffled by a bounded bucket column; verify is
+    a vectorized in-bucket hamming check. Output one row per qualifying
+    unordered pair, (doc_a, ref_a, doc_b, ref_b, hamming) sorted."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..schemas import explode_spans
+
+    n_pieces = max_hamming + 1
+    piece_bits = 64 // n_pieces
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat = explode_spans(batch)
+        keep = pc.and_(pc.equal(flat["kind"], "image"),
+                       pc.not_equal(flat["media_ref"], "")).combine_chunks()
+        flat = flat.filter(keep)
+        return (flat.select(["doc_id", "media_ref"])
+                .append_column("payload", flat["text"]))
+
+    sigs = (extracted.map_batches(explode, batch_format="pyarrow")
+            .map_batches(DHasher, batch_format="pandas", batch_size=64,
+                         concurrency=concurrency or _default_pool()))
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["ok"]]
+        n = len(b)
+        if not n:
+            return pd.DataFrame({
+                "bucket": pd.array([], dtype="int32"),
+                "piece_key": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="string"),
+                "media_ref": pd.array([], dtype="string"),
+                "dhash": pd.array([], dtype="uint64")})
+        hs = b["dhash"].to_numpy(np.uint64)
+        ps = np.arange(n_pieces, dtype=np.uint64)
+        mask = np.uint64((1 << piece_bits) - 1)
+        pieces = (hs[:, None] >> (ps[None, :] * np.uint64(piece_bits))) & mask
+        keys = ((ps[None, :] << np.uint64(piece_bits)) | pieces).astype(
+            np.int64).ravel()
+        return pd.DataFrame({
+            "bucket": pd.array((keys % n_buckets).astype(np.int32),
+                               dtype="int32"),
+            "piece_key": pd.array(keys, dtype="int64"),
+            "doc_id": np.repeat(b["doc_id"].to_numpy(), n_pieces),
+            "media_ref": np.repeat(b["media_ref"].to_numpy(), n_pieces),
+            "dhash": pd.array(np.repeat(hs, n_pieces), dtype="uint64")})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("piece_key", keep=False)]
+        out = []
+        for _, grp in g.groupby("piece_key", sort=False):
+            grp = (grp.sort_values(["doc_id", "media_ref"])
+                   .drop_duplicates(["doc_id", "media_ref"]))
+            recs = list(zip(grp["doc_id"], grp["media_ref"],
+                            grp["dhash"].astype("uint64")))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    d = bin(int(recs[i][2]) ^ int(recs[j][2])).count("1")
+                    if d <= max_hamming:
+                        out.append((recs[i][0], recs[i][1],
+                                    recs[j][0], recs[j][1], d))
+        return pd.DataFrame({
+            "doc_a": [r[0] for r in out],
+            "ref_a": [r[1] for r in out],
+            "doc_b": [r[2] for r in out],
+            "ref_b": [r[3] for r in out],
+            "hamming": pd.array([r[4] for r in out], dtype="int64")})
+
+    df = (sigs.map_batches(bands, batch_format="pandas")
+          .repartition(min(16, n_buckets))
+          .groupby("bucket").map_groups(bucket_pairs,
+                                        batch_format="pandas")
+          .to_pandas())
+    if df.empty:
+        return pd.DataFrame({
+            "doc_a": pd.array([], dtype="string"),
+            "ref_a": pd.array([], dtype="string"),
+            "doc_b": pd.array([], dtype="string"),
+            "ref_b": pd.array([], dtype="string"),
+            "hamming": pd.array([], dtype="int64")})
+    return (df.drop_duplicates(["doc_a", "ref_a", "doc_b", "ref_b"])
+            .sort_values(["doc_a", "ref_a", "doc_b", "ref_b"])
+            .reset_index(drop=True))

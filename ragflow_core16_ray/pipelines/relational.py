@@ -1941,3 +1941,73 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90, k: int = 25,
         "s_name": names.reindex(agg["skey"]).values,
         "numwait": agg["numwait"].astype("int64").values}
     ).reset_index(drop=True)
+
+
+def event_volume_anomaly(sf_dir: str, sigmas: int = 3) -> pd.DataFrame:
+    """Per-type hourly VOLUME anomalies in exact integer arithmetic —
+    the traffic-spike / dead-feed monitor every event pipeline runs.
+    For each event_type, hourly counts over the GLOBAL hour range
+    (zero-filled: silent hours are anomalies too) are tested against
+    the type's own population mean/variance with the z-test cleared of
+    division:  flag ⟺ (H·cnt − T)² > sigmas²·(H·S − T²), where H is
+    the number of hours in range, T = Σcnt and S = Σcnt² — every term
+    an exact int64, so engine and SQL agree bit-for-bit with no float
+    contract at all (H ≤ ~10^4 hours, cnt ≤ ~10^6/hr keeps H·S well
+    under 2^63; past that, widen to Python ints driver-side).
+
+    Scale shape: one (type, hour, n) partial row per batch rides the
+    combiner tree; the flag scan runs on the tiny merged histogram
+    (types × active hours — the value_quantiles pattern); zero-filled
+    hours are materialized only for the output's flagged rows. Output
+    (event_type, hour_epoch, n, is_low) for flagged hours, sorted."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hrs = batch["ts"].astype("int64").to_numpy() // 3_600_000_000
+        g = (pd.DataFrame({"event_type": batch["event_type"].values,
+                           "hour_epoch": hrs})
+             .groupby(["event_type", "hour_epoch"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    hist = combine_partials(
+        _t(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_epoch"], {"n": "sum"}).to_pandas()
+    if hist.empty:
+        return pd.DataFrame({
+            "event_type": pd.array([], dtype="string"),
+            "hour_epoch": pd.array([], dtype="int64"),
+            "n": pd.array([], dtype="int64"),
+            "is_low": pd.array([], dtype="int64")})
+    h_lo = int(hist["hour_epoch"].min())
+    h_hi = int(hist["hour_epoch"].max())
+    H = h_hi - h_lo + 1
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        full = (g.set_index("hour_epoch")["n"]
+                .reindex(range(h_lo, h_hi + 1), fill_value=0)
+                .astype("int64"))
+        cnt = full.to_numpy()
+        T = int(cnt.sum())
+        S = int((cnt.astype(object) ** 2).sum())  # exact python ints
+        rhs = sigmas * sigmas * (H * S - T * T)
+        dev = H * cnt.astype(object) - T
+        flag = (dev * dev) > rhs
+        for hr, n, f, d in zip(full.index, cnt, flag, dev):
+            if f:
+                rows.append({"event_type": et, "hour_epoch": int(hr),
+                             "n": int(n), "is_low": int(d < 0)})
+    out = pd.DataFrame(rows, columns=["event_type", "hour_epoch",
+                                      "n", "is_low"])
+    if out.empty:
+        return pd.DataFrame({
+            "event_type": pd.array([], dtype="string"),
+            "hour_epoch": pd.array([], dtype="int64"),
+            "n": pd.array([], dtype="int64"),
+            "is_low": pd.array([], dtype="int64")})
+    for c in ("hour_epoch", "n", "is_low"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["event_type", "hour_epoch"])
+            .reset_index(drop=True))

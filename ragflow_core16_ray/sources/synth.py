@@ -26,13 +26,13 @@ from ..schemas import DOCUMENTS_SCHEMA, finalize_offsets, make_span
 ARCHETYPES = ("html", "pdfish", "pdf", "book", "md", "table", "docx", "txt",
               "ppt", "eml", "json", "picture", "audio")
 # cumulative proportions for the seed-stable assignment
-_CUM = ((0.28, "html"), (0.48, "pdfish"), (0.50, "pdf"), (0.60, "book"),
-        (0.70, "md"), (0.80, "table"), (0.86, "docx"), (0.90, "txt"),
-        (0.94, "ppt"), (0.97, "eml"), (0.985, "json"), (0.991, "picture"),
+_CUM = ((0.27, "html"), (0.47, "pdfish"), (0.49, "pdf"), (0.59, "book"),
+        (0.69, "md"), (0.79, "table"), (0.85, "docx"), (0.89, "txt"),
+        (0.93, "ppt"), (0.96, "eml"), (0.972, "json"), (0.992, "picture"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 18
+CORPUS_VERSION = 19
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -603,6 +603,16 @@ def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
 
 # ------------------------------------------------------------- picture ----
 
+# fixed stock glyph renders for the planted cross-format image dups —
+# two distinct images keep the pair structure non-trivial (pairs must
+# not bridge stock A and stock B)
+_STOCK_PICTURES = (
+    ("STOCK CHART QUARTERLY REVENUE", "UP AND TO THE RIGHT",
+     "SOURCE ANNUAL REPORT"),
+    ("DIAGRAM PIPELINE OVERVIEW", "READ PARSE CHUNK EMIT"),
+)
+
+
 def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
     """Image-only doc: the document IS a real image — PNG, GIF or
     baseline JPEG (rag/app/picture.py receives the raw file bytes).
@@ -615,6 +625,30 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
     from ..functions.glyphs import normalize_text, render_text
     from ..functions.png import encode_png
 
+    if r.random() < 0.50:
+        # STOCK image: a fixed glyph render shared corpus-wide, so the
+        # same pixels recur under different encodings — the planted
+        # ground truth for cross-format perceptual-hash dedup
+        # (multimodal.image_dhash_dups; mirrors real crawls, where one
+        # viral image circulates as PNG/GIF/JPEG re-encodes). Stock
+        # docs stay static: frame fades would change later frames but
+        # not frame 0, hiding nothing — static keeps the planted pair
+        # semantics obvious.
+        lines = _STOCK_PICTURES[r.randrange(len(_STOCK_PICTURES))]
+        img = render_text(list(lines))
+        fmt = r.random()
+        if fmt < 0.35:
+            from ..functions.gif import encode_gif
+
+            raw = encode_gif(img)
+        elif fmt < 0.60:
+            from ..functions.jpeg import encode_jpeg
+
+            raw = encode_jpeg(img)
+        else:
+            raw = encode_png(img)
+        payload = base64.b64encode(raw).decode("ascii")
+        return [make_span("image", payload, f"media://{doc_id}/pic")]
     if r.random() < 0.25:
         lines = [normalize_text(_words(r, r.randint(1, 4)))]
     else:

@@ -1,0 +1,96 @@
+"""Perceptual-hash (dHash) image dedup: cross-format exact pairs, lossy
+re-encode within the hamming bound, poison containment."""
+
+import base64
+
+import numpy as np
+import pyarrow as pa
+
+from ragflow_core16_ray.functions.gif import encode_gif
+from ragflow_core16_ray.functions.jpeg import encode_jpeg
+from ragflow_core16_ray.functions.png import encode_png
+from ragflow_core16_ray.pipelines.multimodal import dhash64
+from ragflow_core16_ray.schemas import DOCUMENTS_SCHEMA, make_span
+
+
+def _gradient(h=64, w=96):
+    r = np.linspace(0, 255, h)[:, None]
+    c = np.linspace(0, 255, w)[None, :]
+    return np.clip(0.6 * r + 0.4 * c, 0, 255).astype(np.uint8)
+
+
+def _b64(b: bytes) -> str:
+    return base64.b64encode(b).decode()
+
+
+def test_dhash64_deterministic_and_structure_sensitive():
+    img = _gradient()
+    h1 = dhash64(img)
+    assert h1 == dhash64(img.copy())
+    # left-to-right brightening gradient: every right neighbor is
+    # brighter, so all 64 difference bits are 0 … flipping the image
+    # flips every bit
+    assert dhash64(img[:, ::-1]) == h1 ^ 0xFFFFFFFFFFFFFFFF
+    # RGB of the same grayscale content hashes identically
+    assert dhash64(np.stack([img] * 3, axis=2)) == h1
+
+
+def test_dhash64_survives_lossy_jpeg():
+    from ragflow_core16_ray.functions.image_ops import decode_image
+
+    # structured but non-trivial image: gradient + blocks
+    img = _gradient()
+    img[16:32, 24:48] = 30
+    img[40:56, 60:90] = 220
+    jj = decode_image(encode_jpeg(img, quality=88))
+    d = bin(dhash64(img) ^ dhash64(jj)).count("1")
+    assert d <= 6
+
+
+def test_image_dhash_dups_pipeline(ray_session):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import image_dhash_dups
+
+    img = _gradient()
+    img[16:32, 24:48] = 30
+    img[40:56, 60:90] = 220
+    other = img[::-1, ::-1].copy()  # flipped: far in hamming
+
+    rows = [
+        {"doc_id": "d1", "spans": [
+            make_span("image", _b64(encode_png(img)), "media://d1/p0")]},
+        {"doc_id": "d2", "spans": [
+            make_span("image", _b64(encode_gif(img)), "media://d2/p0")]},
+        {"doc_id": "d3", "spans": [
+            make_span("image", _b64(encode_jpeg(img, quality=88)),
+                      "media://d3/p0")]},
+        {"doc_id": "d4", "spans": [
+            make_span("image", _b64(encode_png(other)), "media://d4/p0")]},
+        {"doc_id": "d5", "spans": [
+            make_span("image", _b64(b"not an image"), "media://d5/p0")]},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA))
+    pairs = image_dhash_dups(ds, max_hamming=6)
+    got = {(a, b): h for a, b, h in
+           zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])}
+    # PNG and its GIF re-palette are pixel-identical -> hamming 0
+    assert got[("d1", "d2")] == 0
+    # the JPEG re-encode pairs with both lossless twins within the bound
+    assert got[("d1", "d3")] <= 6 and got[("d2", "d3")] <= 6
+    # the flipped image pairs with nothing; the poison row pairs with
+    # nothing and kills nothing
+    assert not any("d4" in p or "d5" in p for p in got)
+
+
+def test_image_dhash_dups_empty_and_no_images(ray_session):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import image_dhash_dups
+
+    rows = [{"doc_id": "t1", "spans": [make_span("text", "no media here")]}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA))
+    pairs = image_dhash_dups(ds)
+    assert len(pairs) == 0
+    assert list(pairs.columns) == ["doc_a", "ref_a", "doc_b", "ref_b",
+                                   "hamming"]

@@ -745,3 +745,97 @@ def test_waiting_suppliers_existential_logic(ray_session, tmp_path):
     got = waiting_suppliers(str(d), late_days=90, n_buckets=3)
     assert got["s_suppkey"].tolist() == [10]
     assert got["numwait"].tolist() == [1]
+
+
+def test_event_volume_anomaly_hand_computed(ray_session, tmp_path):
+    """A flat hourly series with one spike and one dead hour: only those
+    two flag, directions correct, zero-filled hours participate."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import event_volume_anomaly
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # 31 hours: steady 30/hr, one 2× spike, one dead hour — both clear
+    # 3σ (a lone extreme in a SHORT series never can: sup z = √(H−1))
+    counts = [30] * 31
+    counts[3], counts[5] = 60, 0
+    rows = []
+    for h, n in enumerate(counts):
+        for k in range(n):
+            rows.append((base + pd.Timedelta(hours=h, seconds=k), "view"))
+    # a steady second type that must flag nothing
+    for h in range(31):
+        for k in range(7):
+            rows.append((base + pd.Timedelta(hours=h, seconds=k), "click"))
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(rows)), dtype="int64"),
+        "ts": [t for t, _ in rows],
+        "user_id": pd.array([0] * len(rows), dtype="int64"),
+        "event_type": [e for _, e in rows],
+        "value": [0.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = event_volume_anomaly(str(tmp_path))
+    # replica of the division-free z-test on the hand series
+    H, T = len(counts), sum(counts)
+    S = sum(n * n for n in counts)
+    rhs = 9 * (H * S - T * T)
+    want = [(h, n, int(H * n - T < 0)) for h, n in enumerate(counts)
+            if (H * n - T) ** 2 > rhs]
+    assert [(n, lo) for _, n, lo in want] == [(60, 0), (0, 1)]
+    view = got[got["event_type"] == "view"]
+    base_hour = int(pd.Timestamp("2024-01-01").value // 10**9 // 3600)
+    assert list(zip(view["hour_epoch"] - base_hour,
+                    view["n"], view["is_low"])) == want
+    # the steady type flags nothing
+    assert (got["event_type"] == "click").sum() == 0
+
+
+def test_event_volume_anomaly_matches_oracle_fixture(ray_session, tmp_path):
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.relational import event_volume_anomaly
+
+    base = pd.Timestamp("2024-03-05 08:00:00")
+    rng = [3, 4, 2, 30, 3, 4, 0, 3, 2, 4, 3, 3]
+    rows = []
+    for h, n in enumerate(rng):
+        for k in range(n):
+            rows.append((base + pd.Timedelta(hours=h, minutes=k),
+                         "view" if k % 2 else "click"))
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(rows)), dtype="int64"),
+        "ts": [t for t, _ in rows],
+        "user_id": pd.array([0] * len(rows), dtype="int64"),
+        "event_type": [e2 for _, e2 in rows],
+        "value": [0.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = event_volume_anomaly(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(e.oracle_sql()["event_volume_anomaly"]).df()
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
