@@ -541,6 +541,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zero-filled silent hours) — hash-strict, no float contract
         "event_volume_anomaly":
             lambda sf: relational.event_volume_anomaly(sf),
+        # embedding-vs-text dedup threshold calibration (confusion
+        # counts + integer-floor precision/recall) — hash-strict
+        "emb_text_dup_agreement":
+            lambda sf: dedup.emb_text_dup_agreement(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -1978,6 +1982,51 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # confusion counts between the emb_near_dup and jaccard_pairs
+    # semantics (both reproduced verbatim); ratios in exact integer
+    # floor division; see dedup.emb_text_dup_agreement
+    out["emb_text_dup_agreement"] = r"""
+        WITH words AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ws
+          FROM documents WHERE trim(text) <> ''
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+          FROM words,
+               LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1)))
+               AS t(i)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), tpairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        ), epairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a
+          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        ), counts AS (
+          SELECT (SELECT COUNT(*) FROM epairs) AS n_emb_pairs,
+                 (SELECT COUNT(*) FROM tpairs) AS n_text_pairs,
+                 (SELECT COUNT(*) FROM epairs e
+                  JOIN tpairs t USING (id_a, id_b)) AS n_both
+        )
+        SELECT CAST(n_emb_pairs AS BIGINT) AS n_emb_pairs,
+               CAST(n_text_pairs AS BIGINT) AS n_text_pairs,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(n_both * 1000000 // greatest(n_emb_pairs, 1)
+                    AS BIGINT) AS precision_q,
+               CAST(n_both * 1000000 // greatest(n_text_pairs, 1)
+                    AS BIGINT) AS recall_q
+        FROM counts
     """
     # division-free integer z-test over zero-filled per-type hourly
     # counts; flag ⟺ (H·n−T)² > 9·(H·S−T²); see

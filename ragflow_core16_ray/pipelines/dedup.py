@@ -1522,3 +1522,40 @@ def source_leakage_matrix(sf_dir: str, passage_words: int = 10,
     out["n_shared"] = out["n_shared"].astype("int64")
     return (out.sort_values(["src_a", "src_b"])
             .reset_index(drop=True))
+
+
+def emb_text_dup_agreement(sf_dir: str, cos_threshold: float = 0.4,
+                           jac_threshold: float = 0.5) -> pd.DataFrame:
+    """DEDUP-THRESHOLD CALIBRATION: how well does the cheap embedding
+    signal (within-label cosine ≥ ``cos_threshold``, the
+    embedding_near_dup semantics) agree with exact text overlap
+    (word-shingle Jaccard ≥ ``jac_threshold``, the jaccard_dup_pairs
+    semantics)? Production pipelines run this confusion count on a
+    labeled slice before trusting SemDeDup-style embedding dedup at
+    full scale (Abbas et al. 2023 calibrate ε exactly this way).
+    vec_id ↔ doc_id identity is the corpus contract.
+
+    Output is ONE row: (n_emb_pairs, n_text_pairs, n_both,
+    precision_q, recall_q) with the ratios in exact integer floor
+    division ((n_both·10^6) // max(n,1)) so the oracle comparison
+    needs no float contract. Scale shape: both pair generators keep
+    their own documented shuffles; the agreement join runs on the two
+    OUTPUT-sized pair lists (dup pairs, not the corpus) — the merge is
+    driver-side because dedup-pair lists are bounded by design."""
+    ep = embedding_near_dup(sf_dir, threshold=cos_threshold)
+    tp = jaccard_dup_pairs(sf_dir, threshold=jac_threshold)
+    n_emb, n_text = len(ep), len(tp)
+    if n_emb and n_text:
+        both = ep.merge(tp, left_on=["vec_id_a", "vec_id_b"],
+                        right_on=["id_a", "id_b"])
+        n_both = len(both)
+    else:
+        n_both = 0
+    return pd.DataFrame({
+        "n_emb_pairs": pd.array([n_emb], dtype="int64"),
+        "n_text_pairs": pd.array([n_text], dtype="int64"),
+        "n_both": pd.array([n_both], dtype="int64"),
+        "precision_q": pd.array([n_both * 1_000_000 // max(n_emb, 1)],
+                                dtype="int64"),
+        "recall_q": pd.array([n_both * 1_000_000 // max(n_text, 1)],
+                             dtype="int64")})

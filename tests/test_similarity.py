@@ -992,3 +992,65 @@ def test_pca_spectrum_matches_numpy_covariance(ray_session):
     assert got["rank"].tolist() == list(range(len(ev)))
     # cumulative variance ends at 100% (quantized)
     assert int(got["cum_var_q"].iloc[-1]) == 1_000_000
+
+
+def _agreement_fixture(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",   # text pair with 1
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six",           # text pair with 3
+        "one two three four five six",
+        "nothing shared here at all truly",      # emb pair with 5, no text
+        "completely different words appear now",
+    ]
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(6), dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+    })
+    e = np.zeros((6, 8), dtype=np.float32)
+    e[0, 0] = e[1, 0] = 1.0   # emb pair (0,1) — agrees with text
+    e[2, 1] = 1.0
+    e[3, 2] = 1.0             # (2,3) orthogonal: text pair only
+    e[4, 3] = e[5, 3] = 1.0   # emb pair (4,5) — no text overlap
+    emb = pd.DataFrame({
+        "vec_id": pd.array(range(6), dtype="int64"),
+        "embedding": list(e),
+        "label": pd.array([0] * 6, dtype="int32"),
+    })
+    pq_.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                    str(tmp_path / "documents.parquet"))
+    pq_.write_table(pa.Table.from_pandas(emb, preserve_index=False),
+                    str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_emb_text_dup_agreement_fixture(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.dedup import emb_text_dup_agreement
+
+    sf = _agreement_fixture(tmp_path)
+    got = emb_text_dup_agreement(sf)
+    assert got.iloc[0].tolist() == [2, 2, 1, 500000, 500000]
+
+
+def test_emb_text_dup_agreement_matches_oracle(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+    from ragflow_core16_ray.pipelines.dedup import emb_text_dup_agreement
+
+    sf = _agreement_fixture(tmp_path)
+    got = emb_text_dup_agreement(sf)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(e.oracle_sql()["emb_text_dup_agreement"]).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
