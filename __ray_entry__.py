@@ -545,6 +545,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counts + integer-floor precision/recall) — hash-strict
         "emb_text_dup_agreement":
             lambda sf: dedup.emb_text_dup_agreement(sf),
+        # MinHash signature-size calibration: per-candidate estimate vs
+        # exact Jaccard (no-oracle: crc32 permutations aren't SQL;
+        # pytest pins replica equality + the Broder concentration bound)
+        "minhash_estimator_accuracy":
+            lambda sf: dedup.minhash_estimator_accuracy(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a

@@ -110,7 +110,8 @@ def _char_grams(text: str, n: int = 4) -> set[str]:
 def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                       n_buckets: int = 64, wanted_ref=None,
                       grams: str = "word",
-                      max_doc_freq: int | None = None) -> pd.DataFrame:
+                      max_doc_freq: int | None = None,
+                      return_jaccard: bool = False) -> pd.DataFrame:
     """All doc pairs with exact k-shingle Jaccard ≥ threshold.
     ``grams``: "word" = k-word shingles (the dedup default), "char" =
     character k-grams (classic n-gram Jaccard — robust to tokenization,
@@ -215,8 +216,11 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
             a = batch["id_a"].map(sz).values
             b = batch["id_b"].map(sz).values
             inter_v = batch["inter"].values
-            keep = inter_v / (a + b - inter_v) >= threshold
-            return batch.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+            j = inter_v / (a + b - inter_v)
+            keep = j >= threshold
+            out = batch.loc[keep, ["id_a", "id_b"]]
+            out["jaccard"] = j[keep]
+            return out.reset_index(drop=True)
 
         out = inter.map_batches(jacc, batch_format="pandas").to_pandas()
     else:
@@ -246,16 +250,24 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
             a = sz.reindex(ipd["id_a"]).to_numpy(np.int64)
             b = sz.reindex(ipd["id_b"]).to_numpy(np.int64)
             inter_v = ipd["inter"].to_numpy(np.int64)
-            keep = inter_v / (a + b - inter_v) >= threshold
-            out = ipd.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+            j = inter_v / (a + b - inter_v)
+            keep = j >= threshold
+            out = ipd.loc[keep, ["id_a", "id_b"]]
+            out["jaccard"] = j[keep]
+            out = out.reset_index(drop=True)
         else:
             out = ipd
+    cols = (["id_a", "id_b", "jaccard"] if return_jaccard
+            else ["id_a", "id_b"])
     if out.empty:
         # an all-empty result can come back schema-less from Ray; keep the
         # typed contract (a df-capped run may legitimately drop every pair)
-        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
-                             "id_b": pd.array([], dtype="int64")})
-    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        empty = {"id_a": pd.array([], dtype="int64"),
+                 "id_b": pd.array([], dtype="int64"),
+                 "jaccard": pd.array([], dtype="float64")}
+        return pd.DataFrame({c: empty[c] for c in cols})
+    return (out[cols].sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------- winnowing ---
@@ -1559,3 +1571,53 @@ def emb_text_dup_agreement(sf_dir: str, cos_threshold: float = 0.4,
                                 dtype="int64"),
         "recall_q": pd.array([n_both * 1_000_000 // max(n_text, 1)],
                              dtype="int64")})
+
+
+def minhash_estimator_accuracy(sf_dir: str, k: int = 3,
+                               est_threshold: float = 0.25
+                               ) -> pd.DataFrame:
+    """MinHash SIGNATURE-SIZE CALIBRATION: per LSH candidate pair, the
+    64-hash MinHash Jaccard estimate next to the EXACT shingle Jaccard
+    and their quantized error — the probe that tells you whether 64
+    permutations suffice before you commit a 100-TB dedup run to them
+    (Broder 1997: each permutation is a Bernoulli(J) trial, so
+    |est − J| concentrates as ~√(J(1−J)/64)). Completes the
+    calibration trio: emb_text_dup_agreement (embedding vs text),
+    image_dhash_dups' hamming (pixels vs encoding), and this
+    (sketch vs exact).
+
+    Scale shape: candidates from the banded-LSH shuffle; the exact
+    side re-runs the shingle-bucket co-partition RESTRICTED to the
+    broadcast candidate-id set (the minhash_verified_pairs move) with
+    threshold 0 so every candidate pair gets its true J. Driver touches
+    candidate-pair lists only. No SQL oracle (the signature's crc32 ∘
+    (a·x+b) mod 2³¹−1 permutations aren't DuckDB-expressible);
+    pytest pins the replica equality and the concentration bound.
+    Output (id_a, id_b, est_q, exact_q, abs_err_q), pairs sorted."""
+    cand = minhash_lsh_pairs(sf_dir, k, est_threshold, n_bands=32)
+    empty = pd.DataFrame({
+        "id_a": pd.array([], dtype="int64"),
+        "id_b": pd.array([], dtype="int64"),
+        "est_q": pd.array([], dtype="int64"),
+        "exact_q": pd.array([], dtype="int64"),
+        "abs_err_q": pd.array([], dtype="int64")})
+    if cand.empty:
+        return empty
+    wanted_ref = ray.put(frozenset(cand["id_a"]) | frozenset(cand["id_b"]))
+    exact = jaccard_dup_pairs(sf_dir, k, 0.0, wanted_ref=wanted_ref,
+                              return_jaccard=True)
+    # left merge: an LSH candidate with NO shared shingle (pure
+    # permutation collision) is a real estimator error — exact J = 0
+    out = cand.merge(exact, on=["id_a", "id_b"], how="left")
+    out["jaccard"] = out["jaccard"].fillna(0.0)
+    if out.empty:
+        return empty
+    est_q = np.floor(out["est_jaccard"].to_numpy() * 1e6 + 0.5)
+    ex_q = np.floor(out["jaccard"].to_numpy() * 1e6 + 0.5)
+    return (pd.DataFrame({
+        "id_a": out["id_a"].astype("int64"),
+        "id_b": out["id_b"].astype("int64"),
+        "est_q": pd.array(est_q, dtype="int64"),
+        "exact_q": pd.array(ex_q, dtype="int64"),
+        "abs_err_q": pd.array(np.abs(est_q - ex_q), dtype="int64")})
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -1054,3 +1054,31 @@ def test_emb_text_dup_agreement_matches_oracle(ray_session, tmp_path):
                     f"read_parquet('{sf}/{t}.parquet')")
     want = con.execute(e.oracle_sql()["emb_text_dup_agreement"]).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_estimator_accuracy_replica_and_bound(ray_session):
+    """The distributed estimate/exact pairing equals a single-machine
+    replica, and every estimate sits within the Broder concentration
+    bound for 64 permutations (4σ ≤ 0.25 ⇒ |est − J| ≤ 0.25 + the
+    1e-6 quantization)."""
+    import pandas as pd
+
+    from ragflow_core16_ray.pipelines.dedup import (
+        _shingle_hashes31, _shingles, minhash_estimator_accuracy,
+        minhash_signature)
+
+    got = minhash_estimator_accuracy(SF)
+    assert len(got) > 0, "corpus should contain LSH candidate pairs"
+    docs = pq.read_table(SF + "/documents.parquet").to_pandas()
+    txt = dict(zip(docs["doc_id"], docs["text"]))
+    for _, r in got.iterrows():
+        a, b = txt[r["id_a"]], txt[r["id_b"]]
+        sa = minhash_signature(_shingle_hashes31(a, 3))
+        sb = minhash_signature(_shingle_hashes31(b, 3))
+        est = float((sa == sb).mean())
+        wa, wb = _shingles(a, 3), _shingles(b, 3)
+        exact = len(wa & wb) / len(wa | wb)
+        assert r["est_q"] == int(np.floor(est * 1e6 + 0.5))
+        assert r["exact_q"] == int(np.floor(exact * 1e6 + 0.5))
+        assert r["abs_err_q"] == abs(r["est_q"] - r["exact_q"])
+    assert int(got["abs_err_q"].max()) <= 250_001
