@@ -239,6 +239,29 @@ def _jsonl_token_counts(sf_dir: str):
     return token_counts(sf_dir, docs=read_documents_jsonl(out_dir))
 
 
+def _csv_token_counts(sf_dir: str):
+    """End-to-end proof of the CSV source/sink (same contract as
+    _jsonl_token_counts): write once to partitioned csv.gz keyed by a
+    content digest, read back through the streaming CSV source,
+    token-count, and hash-match the parquet-based oracle."""
+    import hashlib
+
+    from ragflow_core16_ray.pipelines.text_analysis import token_counts
+    from ragflow_core16_ray.sources.csv import (read_documents_csv,
+                                                write_documents_csv)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    with open(src, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:12]
+    out_dir = f"/tmp/graft_csv_{digest}"
+    marker = os.path.join(out_dir, "_GRAFT_DONE")
+    if not os.path.exists(marker):
+        import ray.data as rd
+        write_documents_csv(rd.read_parquet(src), out_dir)
+        open(marker, "w").close()
+    return token_counts(sf_dir, docs=read_documents_csv(out_dir))
+
+
 def _extract_override(sf_dir: str, template: str):
     """Template-override run: whole corpus through one forced chunking
     template — per-(template,kind) span counts PLUS an order-independent
@@ -550,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest pins replica equality + the Broder concentration bound)
         "minhash_estimator_accuracy":
             lambda sf: dedup.minhash_estimator_accuracy(sf),
+        # CSV(.gz) source/sink round-trip proven by the parquet oracle
+        "csv_token_counts": _csv_token_counts,
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -653,6 +678,14 @@ def oracle_sql() -> dict[str, str]:
         # through the jsonl.gz round-trip — a hash match proves the
         # source/sink is byte-lossless
         "jsonl_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens
+            FROM documents
+        """,
+        # same proof for the CSV(.gz) source/sink
+        "csv_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END
