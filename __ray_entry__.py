@@ -575,6 +575,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: dedup.minhash_estimator_accuracy(sf),
         # CSV(.gz) source/sink round-trip proven by the parquet oracle
         "csv_token_counts": _csv_token_counts,
+        # dedup-threshold tuning curve (pairs retained per 10% cutoff) —
+        # hash-strict
+        "jaccard_threshold_sweep":
+            lambda sf: dedup.jaccard_threshold_sweep(sf),
+        # per-language BPE fertility / bytes-per-token (frozen merges;
+        # no-oracle — BPE is iterative; replica-pinned in pytest)
+        "bpe_fertility": lambda sf: text_analysis.bpe_fertility(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2020,6 +2027,39 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # cumulative pair counts on the 10% threshold grid over the same
+    # shingle/inter CTEs as jaccard_pairs; the grid divisions (g/10.0,
+    # t/100.0) are identical correctly-rounded doubles on both sides;
+    # see dedup.jaccard_threshold_sweep
+    out["jaccard_threshold_sweep"] = r"""
+        WITH words AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ws
+          FROM documents WHERE trim(text) <> ''
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+          FROM words,
+               LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1)))
+               AS t(i)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pj AS (
+          SELECT CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1
+        )
+        SELECT CAST(t.g * 10 AS BIGINT) AS threshold_pct,
+               CAST((SELECT COUNT(*) FROM pj
+                     WHERE pj.j >= t.g / 10.0) AS BIGINT) AS n_pairs
+        FROM unnest(generate_series(1, 9)) AS t(g)
+        ORDER BY threshold_pct
     """
     # confusion counts between the emb_near_dup and jaccard_pairs
     # semantics (both reproduced verbatim); ratios in exact integer

@@ -1621,3 +1621,24 @@ def minhash_estimator_accuracy(sf_dir: str, k: int = 3,
         "exact_q": pd.array(ex_q, dtype="int64"),
         "abs_err_q": pd.array(np.abs(est_q - ex_q), dtype="int64")})
         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def jaccard_threshold_sweep(sf_dir: str, k: int = 3,
+                            min_threshold: float = 0.1) -> pd.DataFrame:
+    """DEDUP-THRESHOLD TUNING CURVE: how many near-dup pairs would each
+    Jaccard cutoff keep? One distributed pass computes every pair with
+    J ≥ ``min_threshold`` (the same shingle-bucket co-partition as
+    jaccard_dup_pairs — text never shuffles), then the driver buckets
+    the OUTPUT-sized pair list into the 10%-grid cumulative curve.
+    This is the sweep you run before committing a 100-TB dedup pass to
+    a single threshold (pair volume vs cutoff ⇒ retention estimate).
+    Output (threshold_pct, n_pairs) with n_pairs = pairs at J ≥
+    threshold_pct/100, thresholds 10..90 step 10, zeros included."""
+    pairs = jaccard_dup_pairs(sf_dir, k, min_threshold,
+                              return_jaccard=True)
+    grid = np.arange(10, 100, 10)
+    j = pairs["jaccard"].to_numpy() if len(pairs) else np.array([])
+    n = [(j >= t / 100.0).sum() for t in grid]
+    return pd.DataFrame({
+        "threshold_pct": pd.array(grid, dtype="int64"),
+        "n_pairs": pd.array(n, dtype="int64")})

@@ -1719,3 +1719,57 @@ def nb_quality_scores(sf_dir: str, pos_source: str = "src0") -> pd.DataFrame:
            .map_batches(score, batch_format="pandas").to_pandas())
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def bpe_fertility(sf_dir: str) -> pd.DataFrame:
+    """Per-language TOKENIZER FERTILITY: BPE tokens per whitespace word
+    and bytes per BPE token — the standard multilingual tokenizer
+    health check (a language with fertility ≫ corpus mean is
+    under-served by the merge table and will train poorly; Rust et al.
+    2021). Uses the FROZEN merge table (functions/bpe_counter.py, the
+    reproducible tiktoken substitute behind ExtractConfig
+    token_counter="bpe"). No SQL oracle (BPE is iterative merging);
+    pytest pins a replica on a hand corpus. Ratios quantized
+    floor(x·1e6+0.5). Scale: one streaming map_batches emits per-lang
+    (words, bpe_tokens, bytes) partials through the combiner tree;
+    output is lang-count-sized."""
+    import numpy as np
+
+    from ..functions.bpe_counter import bpe_num_tokens
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {}
+        for lang, text in zip(batch["lang"], batch["text"]):
+            t = text.strip()
+            words = len(t.split()) if t else 0
+            toks = bpe_num_tokens(text)
+            r = rows.setdefault(lang, [0, 0, 0])
+            r[0] += words
+            r[1] += toks
+            r[2] += len(text.encode("utf-8"))
+        return pd.DataFrame({
+            "lang": list(rows),
+            "n_words": pd.array([v[0] for v in rows.values()],
+                                dtype="int64"),
+            "n_bpe_tokens": pd.array([v[1] for v in rows.values()],
+                                     dtype="int64"),
+            "n_bytes": pd.array([v[2] for v in rows.values()],
+                                dtype="int64")})
+
+    out = combine_partials(
+        _docs(sf_dir, ["lang", "text"]).map_batches(partial,
+                                                    batch_format="pandas"),
+        ["lang"], {"n_words": "sum", "n_bpe_tokens": "sum",
+                   "n_bytes": "sum"}).to_pandas()
+    for c in ("n_words", "n_bpe_tokens", "n_bytes"):
+        out[c] = out[c].astype("int64")
+    w = np.maximum(out["n_words"].to_numpy(np.float64), 1.0)
+    t = np.maximum(out["n_bpe_tokens"].to_numpy(np.float64), 1.0)
+    out["fertility_q"] = pd.array(
+        np.floor(out["n_bpe_tokens"].to_numpy() / w * 1e6 + 0.5),
+        dtype="int64")
+    out["bytes_per_token_q"] = pd.array(
+        np.floor(out["n_bytes"].to_numpy() / t * 1e6 + 0.5),
+        dtype="int64")
+    return out.sort_values("lang").reset_index(drop=True)

@@ -922,3 +922,61 @@ def test_nb_quality_scores_matches_oracle(ray_session, tmp_path):
     got = _canon(nb_quality_scores(sf))
     want = _canon(_oracle(sf, e.oracle_sql()["nb_quality_scores"]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_jaccard_threshold_sweep_fixture(ray_session, tmp_path):
+    """Hand corpus with one exact dup (J=1.0) and one half-overlap pair:
+    the cumulative curve steps exactly where it should."""
+    from ragflow_core16_ray.pipelines.dedup import jaccard_threshold_sweep
+
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g h",             # J=1.0 with doc 0
+        "a b c d e f x y z w",         # partial overlap with 0/1
+        "totally different words entirely here now",
+    ]
+    sf = _write_corpus(tmp_path, texts)
+    got = jaccard_threshold_sweep(sf)
+    assert got["threshold_pct"].tolist() == list(range(10, 100, 10))
+    # the curve is non-increasing and ends at the exact-dup pair count
+    n = got["n_pairs"].tolist()
+    assert all(a >= b for a, b in zip(n, n[1:]))
+    assert n[-1] == 1          # only the exact dup survives J >= 0.9
+    assert n[0] >= 3           # the partial pairs appear at J >= 0.1
+
+
+def test_bpe_fertility_replica(ray_session, tmp_path):
+    from ragflow_core16_ray.functions.bpe_counter import bpe_num_tokens
+    from ragflow_core16_ray.pipelines.text_analysis import bpe_fertility
+
+    texts = ["the quick brown fox", "le renard brun rapide saute",
+             "sehr schnelle braune füchse", ""]
+    langs = ["en", "fr", "de", "en"]
+    import pandas as pd_
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+    df = pd_.DataFrame({
+        "doc_id": pd_.array(range(4), dtype="int64"),
+        "text": texts, "lang": langs, "source": ["s"] * 4,
+        "n_chars": pd_.array([len(t) for t in texts], dtype="int64")})
+    import os as os_
+    os_.makedirs(str(tmp_path), exist_ok=True)
+    pq_.write_table(pa_.Table.from_pandas(df, preserve_index=False),
+                    str(tmp_path / "documents.parquet"))
+    got = bpe_fertility(str(tmp_path)).set_index("lang")
+    import math
+    for lang in ("en", "fr", "de"):
+        ws = sum(len(t.split()) for t, lg in zip(texts, langs)
+                 if lg == lang)
+        tk = sum(bpe_num_tokens(t) for t, lg in zip(texts, langs)
+                 if lg == lang)
+        by = sum(len(t.encode()) for t, lg in zip(texts, langs)
+                 if lg == lang)
+        assert got.loc[lang, "n_words"] == ws
+        assert got.loc[lang, "n_bpe_tokens"] == tk
+        assert got.loc[lang, "fertility_q"] == math.floor(
+            tk / max(ws, 1) * 1e6 + 0.5)
+        assert got.loc[lang, "bytes_per_token_q"] == math.floor(
+            by / max(tk, 1) * 1e6 + 0.5)
+    # BPE never emits fewer than one token per word
+    assert (got["fertility_q"] >= 1_000_000).all()
