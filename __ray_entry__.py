@@ -379,6 +379,17 @@ def _image_dhash_dups(sf_dir: str):
     return image_dhash_dups(extracted)
 
 
+def _frame_motion_stats(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import frame_motion_stats
+
+    out_dir = _extract_out(sf_dir)
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"),
+                                columns=["doc_id", "spans"])
+    return frame_motion_stats(extracted)
+
+
 def _frame_samples(sf_dir: str):
     import ray.data as rd
 
@@ -582,6 +593,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-language BPE fertility / bytes-per-token (frozen merges;
         # no-oracle — BPE is iterative; replica-pinned in pytest)
         "bpe_fertility": lambda sf: text_analysis.bpe_fertility(sf),
+        # exact-integer motion energy over REAL decoded frame sequences
+        # (no-oracle: decode isn't SQL; fixture pins hand-built fades)
+        "frame_motion_stats": _frame_motion_stats,
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a

@@ -611,3 +611,76 @@ def image_dhash_dups(extracted: rd.Dataset, max_hamming: int = 6,
     return (df.drop_duplicates(["doc_a", "ref_a", "doc_b", "ref_b"])
             .sort_values(["doc_a", "ref_a", "doc_b", "ref_b"])
             .reset_index(drop=True))
+
+
+class MotionStats:
+    """Actor-pool stage: animated in-band payloads → per-media MOTION
+    energy (mean |Δintensity| per pixel per transition, exact integer
+    arithmetic) — the shot-boundary / static-clip screen every video
+    training pipeline runs before sampling frames (a deck of identical
+    frames wastes its token budget; a hard cut wants denser sampling).
+    Real decode via the magic-sniffing frame dispatch (APNG /
+    animated-GIF / MJPEG-AVI); corrupt payloads cost one sentinel row
+    (n_frames −1), static/ref-only media report n_frames accordingly."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import base64
+
+        from ..functions.image_ops import decode_image_frames
+
+        rows = {"doc_id": [], "media_ref": [], "n_frames": [],
+                "duration_ms": [], "motion_q": []}
+        for did, ref, payload in zip(batch["doc_id"], batch["media_ref"],
+                                     batch["payload"]):
+            n, dur, motion = -1, -1, -1
+            if payload:
+                try:
+                    delays, frames = decode_image_frames(
+                        base64.b64decode(payload))
+                    n = len(frames)
+                    dur = int(sum(delays))
+                    if n >= 2:
+                        total = 0
+                        for a, b in zip(frames, frames[1:]):
+                            total += int(np.abs(a.astype(np.int64)
+                                                - b.astype(np.int64)).sum())
+                        den = (n - 1) * frames[0].size
+                        motion = (total * 1_000_000 + den // 2) // den
+                    else:
+                        motion = 0
+                except Exception:  # noqa: BLE001 — poison containment
+                    pass
+            rows["doc_id"].append(did)
+            rows["media_ref"].append(ref)
+            rows["n_frames"].append(n)
+            rows["duration_ms"].append(dur)
+            rows["motion_q"].append(motion)
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"], "media_ref": rows["media_ref"],
+            "n_frames": pd.array(rows["n_frames"], dtype="int64"),
+            "duration_ms": pd.array(rows["duration_ms"], dtype="int64"),
+            "motion_q": pd.array(rows["motion_q"], dtype="int64")})
+
+
+def frame_motion_stats(extracted: rd.Dataset, batch_size: int = 32,
+                       concurrency=None) -> rd.Dataset:
+    """One row per in-band image/video payload with exact-integer motion
+    energy (see MotionStats). Pixels never shuffle — each clip reduces
+    to three ints in place on the actor pool."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..schemas import explode_spans
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat = explode_spans(batch)
+        keep = pc.and_(pc.equal(flat["kind"], "image"),
+                       pc.not_equal(flat["media_ref"], "")).combine_chunks()
+        flat = flat.filter(keep)
+        return (flat.select(["doc_id", "media_ref"])
+                .append_column("payload", flat["text"]))
+
+    refs = extracted.map_batches(explode, batch_format="pyarrow")
+    return refs.map_batches(MotionStats, batch_format="pandas",
+                            batch_size=batch_size,
+                            concurrency=concurrency or _default_pool())

@@ -94,3 +94,36 @@ def test_image_dhash_dups_empty_and_no_images(ray_session):
     assert len(pairs) == 0
     assert list(pairs.columns) == ["doc_a", "ref_a", "doc_b", "ref_b",
                                    "hamming"]
+
+
+def test_frame_motion_stats_hand_built(ray_session):
+    """Exact motion on hand-built animations: a constant-step fade has
+    motion == the step; a static 2-frame clip has motion 0; a single
+    frame reports 0; poison reports the sentinel."""
+    import ray.data as rd
+
+    from ragflow_core16_ray.functions.png import encode_apng, encode_png
+    from ragflow_core16_ray.pipelines.multimodal import frame_motion_stats
+
+    base = np.full((8, 8), 100, dtype=np.uint8)
+    fade = [base, base + 10, base + 20]           # |Δ| = 10 per transition
+    static = [base, base]
+    rows = [
+        {"doc_id": "m1", "spans": [make_span(
+            "image", _b64(encode_apng(fade, delay_ms=40)),
+            "media://m1/v")]},
+        {"doc_id": "m2", "spans": [make_span(
+            "image", _b64(encode_apng(static, delay_ms=50)),
+            "media://m2/v")]},
+        {"doc_id": "m3", "spans": [make_span(
+            "image", _b64(encode_png(base)), "media://m3/p")]},
+        {"doc_id": "m4", "spans": [make_span(
+            "image", _b64(b"garbage"), "media://m4/x")]},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA))
+    got = (frame_motion_stats(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.loc["m1"].tolist() == ["media://m1/v", 3, 120, 10_000_000]
+    assert got.loc["m2"].tolist() == ["media://m2/v", 2, 100, 0]
+    assert got.loc["m3", "n_frames"] == 1 and got.loc["m3", "motion_q"] == 0
+    assert got.loc["m4", "n_frames"] == -1
