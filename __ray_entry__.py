@@ -596,6 +596,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-integer motion energy over REAL decoded frame sequences
         # (no-oracle: decode isn't SQL; fixture pins hand-built fades)
         "frame_motion_stats": _frame_motion_stats,
+        # session-gap calibration curve (sessions per candidate
+        # inactivity threshold, one co-partition pass) — hash-strict
+        "session_gap_sweep":
+            lambda sf: relational.session_gap_sweep(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2041,6 +2045,27 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # sessions(g) = distinct users + inter-event deltas > g, exact
+    # integer microseconds; see relational.session_gap_sweep
+    out["session_gap_sweep"] = r"""
+        WITH gaps AS (
+            SELECT unnest([5, 10, 30, 60, 120]) AS gap_minutes
+        ), d AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS delta
+            FROM events
+        ), u AS (
+            SELECT COUNT(DISTINCT user_id) AS nu FROM events
+        )
+        SELECT CAST(gaps.gap_minutes AS BIGINT) AS gap_minutes,
+               CAST(u.nu + (SELECT COUNT(*) FROM d
+                            WHERE d.delta > gaps.gap_minutes
+                                  * CAST(60000000 AS BIGINT))
+                    AS BIGINT) AS n_sessions
+        FROM gaps, u
+        ORDER BY gap_minutes
     """
     # cumulative pair counts on the 10% threshold grid over the same
     # shingle/inter CTEs as jaccard_pairs; the grid divisions (g/10.0,

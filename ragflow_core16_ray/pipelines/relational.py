@@ -2011,3 +2011,50 @@ def event_volume_anomaly(sf_dir: str, sigmas: int = 3) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     return (out.sort_values(["event_type", "hour_epoch"])
             .reset_index(drop=True))
+
+
+def session_gap_sweep(sf_dir: str,
+                      gaps_minutes: tuple = (5, 10, 30, 60, 120),
+                      n_buckets: int = 64) -> pd.DataFrame:
+    """SESSION-GAP CALIBRATION curve: total session count at each
+    candidate inactivity threshold — the sweep you run before fixing
+    the gap every sessionization downstream depends on (the elbow of
+    this curve IS the natural gap; Halfaker et al. 2015). ONE
+    user-bucket co-partition pass sorts each user's events once and
+    counts, per gap g, the inter-event deltas > g (sessions = user
+    count + long-gap count — every threshold reuses the same sorted
+    deltas, so G thresholds cost one shuffle, not G). Exact integer
+    microsecond comparisons; output (gap_minutes, n_sessions)."""
+    from ..stages.agg import combine_partials
+
+    gaps_us = {int(g): np.int64(g) * 60_000_000 for g in gaps_minutes}
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[["user_id", "ts"]].copy()
+        batch["bucket"] = batch["user_id"] % np.int64(n_buckets)
+        return batch
+
+    def counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        t = g["ts"].astype("int64").to_numpy()
+        same_user = g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        delta = np.diff(t, prepend=t[0] if len(t) else 0)
+        n_users = int(g["user_id"].nunique())
+        rows = [{"gap_minutes": gm,
+                 "n_sessions": n_users
+                 + int(((delta > int(gu)) & same_user).sum())}
+                for gm, gu in gaps_us.items()]
+        out = pd.DataFrame(rows)
+        out["gap_minutes"] = out["gap_minutes"].astype("int64")
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
+
+    df = combine_partials(
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(counts, batch_format="pandas"),
+        ["gap_minutes"], {"n_sessions": "sum"}).to_pandas()
+    df["gap_minutes"] = df["gap_minutes"].astype("int64")
+    df["n_sessions"] = df["n_sessions"].astype("int64")
+    return df.sort_values("gap_minutes").reset_index(drop=True)

@@ -839,3 +839,44 @@ def test_event_volume_anomaly_matches_oracle_fixture(ray_session, tmp_path):
     got = got.sort_values(list(got.columns)).reset_index(drop=True)
     want = want.sort_values(list(want.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_gap_sweep_hand_and_consistency(ray_session, tmp_path):
+    """Hand stream: exact session counts at each gap, plus consistency
+    with events_sessions at its default 30-minute gap."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import (events_sessions,
+                                                         session_gap_sweep)
+
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    rows = [(1, 0), (1, 4), (1, 20), (1, 100), (2, 0)]  # (user, minute)
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(rows)), dtype="int64"),
+        "ts": [base + pd.Timedelta(minutes=m) for _, m in rows],
+        "user_id": pd.array([u for u, _ in rows], dtype="int64"),
+        "event_type": ["view"] * len(rows),
+        "value": [0.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = session_gap_sweep(str(tmp_path)).set_index("gap_minutes")
+    # user 1 deltas: 4, 16, 80 minutes; user 2: none
+    assert got.loc[5, "n_sessions"] == 2 + 2     # >5: 16, 80
+    assert got.loc[10, "n_sessions"] == 2 + 2
+    assert got.loc[30, "n_sessions"] == 2 + 1    # >30: 80
+    assert got.loc[60, "n_sessions"] == 2 + 1
+    assert got.loc[120, "n_sessions"] == 2 + 0
+    # non-increasing curve; agrees with events_sessions at gap=30
+    n = got["n_sessions"].tolist()
+    assert all(a >= b for a, b in zip(n, n[1:]))
+    per_user = events_sessions(str(tmp_path), gap_minutes=30).to_pandas()
+    assert int(per_user["n_sessions"].sum()) == got.loc[30, "n_sessions"]
