@@ -600,6 +600,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inactivity threshold, one co-partition pass) — hash-strict
         "session_gap_sweep":
             lambda sf: relational.session_gap_sweep(sf),
+        # HLL sketch calibration: estimate vs exact distinct + rel err
+        # (no-oracle: register hash isn't SQL; pytest pins exact side
+        # against COUNT(DISTINCT) and a 5σ error bound)
+        "hll_accuracy": lambda sf: text_analysis.hll_accuracy(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a

@@ -1773,3 +1773,40 @@ def bpe_fertility(sf_dir: str) -> pd.DataFrame:
         np.floor(out["n_bytes"].to_numpy() / t * 1e6 + 0.5),
         dtype="int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def hll_accuracy(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """SKETCH-CALIBRATION probe for the HyperLogLog distinct-word
+    estimator: estimate, EXACT distinct count (one distinct-word
+    combiner pass — the thing the sketch exists to avoid at scale, run
+    here on the bounded vocabulary to grade the sketch) and the
+    quantized relative error. Completes the calibration family
+    (minhash_estimator_accuracy, emb_text_dup_agreement,
+    jaccard_threshold_sweep): run this once on a labeled slice before
+    trusting the p you picked corpus-wide (theory: σ ≈ 1.04/√2^p).
+    No SQL oracle (the register hash isn't SQL); pytest pins the exact
+    side against COUNT(DISTINCT) and bounds |rel_err| at 5σ. Output one
+    row (n_distinct_est, n_distinct_exact, rel_err_q, n_registers)."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    est = int(approx_distinct_words(sf_dir, p)["n_distinct_est"][0])
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = (batch["text"].str.split().explode().dropna()
+                 .drop_duplicates())
+        return pd.DataFrame({"word": words.values,
+                             "one": np.ones(len(words), dtype="int64")})
+
+    exact = len(combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(vocab_partial,
+                                            batch_format="pandas"),
+        ["word"], {"one": "max"}).to_pandas())
+    rel = (est - exact) / exact if exact else 0.0
+    return pd.DataFrame({
+        "n_distinct_est": pd.array([est], dtype="int64"),
+        "n_distinct_exact": pd.array([exact], dtype="int64"),
+        "rel_err_q": pd.array([int(np.floor(rel * 1e6 + 0.5))],
+                              dtype="int64"),
+        "n_registers": pd.array([1 << p], dtype="int64")})

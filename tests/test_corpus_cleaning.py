@@ -980,3 +980,27 @@ def test_bpe_fertility_replica(ray_session, tmp_path):
             by / max(tk, 1) * 1e6 + 0.5)
     # BPE never emits fewer than one token per word
     assert (got["fertility_q"] >= 1_000_000).all()
+
+
+def test_hll_accuracy_exact_side_and_bound(ray_session, tmp_path):
+    import duckdb
+
+    from ragflow_core16_ray.pipelines.text_analysis import hll_accuracy
+
+    texts = [" ".join(f"w{i % 311}" for i in range(j, j + 60))
+             for j in range(0, 900, 60)]
+    sf = _write_corpus(tmp_path, texts)
+    got = hll_accuracy(sf)
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT COUNT(DISTINCT w) FROM (SELECT unnest(string_split_regex("
+        f"trim(text), '\\s+')) AS w FROM read_parquet("
+        f"'{sf}/documents.parquet') WHERE trim(text) <> '')").fetchone()[0]
+    assert int(got["n_distinct_exact"][0]) == want
+    # 5σ bound at p=12: 5 · 1.04/√4096 ≈ 8.1%
+    assert abs(int(got["rel_err_q"][0])) <= 82_000
+    # rel_err_q is exactly the quantized (est-exact)/exact
+    est, ex = int(got["n_distinct_est"][0]), int(got["n_distinct_exact"][0])
+    import math
+    assert int(got["rel_err_q"][0]) == math.floor(
+        (est - ex) / ex * 1e6 + 0.5)
