@@ -604,6 +604,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (no-oracle: register hash isn't SQL; pytest pins exact side
         # against COUNT(DISTINCT) and a 5σ error bound)
         "hll_accuracy": lambda sf: text_analysis.hll_accuracy(sf),
+        # per-source language entropy (mixing diagnostic) — hash-strict
+        "source_lang_entropy":
+            lambda sf: text_analysis.source_lang_entropy(sf),
+        # per-source exact-dup share (which crawl to de-weight) —
+        # hash-strict
+        "dup_share_by_source":
+            lambda sf: text_analysis.dup_share_by_source(sf),
+        # events-per-user Gini (traffic concentration) — hash-strict
+        "event_user_gini": lambda sf: relational.event_user_gini(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2049,6 +2058,66 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # per-source language entropy in nats; ln-parity (int-ratio LN
+    # args, lang-ordered sum); see text_analysis.source_lang_entropy
+    out["source_lang_entropy"] = r"""
+        WITH c AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ), t AS (
+            SELECT source, CAST(SUM(n) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS nl
+            FROM c GROUP BY 1
+        )
+        SELECT c.source,
+               ANY_VALUE(t.t) AS n_docs,
+               ANY_VALUE(t.nl) AS n_langs,
+               CAST(FLOOR(-SUM((c.n / CAST(t.t AS DOUBLE))
+                               * LN(c.n / CAST(t.t AS DOUBLE)))
+                          * 1e6 + 0.5) AS BIGINT) AS entropy_q
+        FROM c JOIN t USING (source)
+        GROUP BY c.source
+        ORDER BY c.source
+    """
+    # per-source exact-dup share (md5 occurring >= 2 corpus-wide),
+    # integer floor division; see text_analysis.dup_share_by_source
+    out["dup_share_by_source"] = r"""
+        WITH c AS (
+            SELECT md5(text) AS h, source,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ), tot AS (
+            SELECT h, SUM(n) AS t FROM c GROUP BY h
+        )
+        SELECT c.source,
+               CAST(SUM(c.n) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN tot.t >= 2 THEN c.n ELSE 0 END)
+                    AS BIGINT) AS n_dup_docs,
+               CAST(SUM(CASE WHEN tot.t >= 2 THEN c.n ELSE 0 END)
+                    * 1000000 // SUM(c.n) AS BIGINT) AS dup_share_q
+        FROM c JOIN tot USING (h)
+        GROUP BY c.source
+        ORDER BY c.source
+    """
+    # Gini of events-per-user: integer numerator over (count, user)
+    # order, one quantized division; see relational.event_user_gini
+    out["event_user_gini"] = r"""
+        WITH c AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ), r AS (
+            SELECT n,
+                   ROW_NUMBER() OVER (ORDER BY n, user_id) AS i,
+                   COUNT(*) OVER () AS nu
+            FROM c
+        )
+        SELECT CAST(ANY_VALUE(nu) AS BIGINT) AS n_users,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(FLOOR(SUM((2 * i - nu - 1) * n)
+                          / CAST(ANY_VALUE(nu) * SUM(n) AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS gini_q
+        FROM r
     """
     # sessions(g) = distinct users + inter-event deltas > g, exact
     # integer microseconds; see relational.session_gap_sweep

@@ -2058,3 +2058,40 @@ def session_gap_sweep(sf_dir: str,
     df["gap_minutes"] = df["gap_minutes"].astype("int64")
     df["n_sessions"] = df["n_sessions"].astype("int64")
     return df.sort_values("gap_minutes").reset_index(drop=True)
+
+
+def event_user_gini(sf_dir: str) -> pd.DataFrame:
+    """TRAFFIC-CONCENTRATION probe: the Gini coefficient of events per
+    user — the one-number answer to "is this event stream a few bots or
+    a real population?" (heavy-user concentration is the first thing a
+    sampling plan must know). Exact arithmetic: per-user counts are
+    ints; with users sorted by (count, user_id) the numerator
+    Σ(2i−n−1)·x_i is an exact int64, and the single division
+    quantizes floor(x·1e6+0.5) — hash-strict against a window-function
+    oracle. Scale: per-user counts ride the combiner tree (one int per
+    user per batch); the concentration scan runs on the user-count
+    frame (user-dimension sized; at 10^12 events this is the
+    rolled-up USER table, not the event stream)."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("user_id", sort=False).size()
+        return pd.DataFrame({"user_id": g.index.astype("int64"),
+                             "n": g.values.astype("int64")})
+
+    cnt = combine_partials(
+        _t(sf_dir, "events", ["user_id"]).map_batches(
+            partial, batch_format="pandas"),
+        ["user_id"], {"n": "sum"}).to_pandas()
+    cnt = cnt.sort_values(["n", "user_id"]).reset_index(drop=True)
+    x = cnt["n"].to_numpy(np.int64)
+    n = len(x)
+    tot = int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * x).sum())
+    gini = num / (n * tot) if n and tot else 0.0
+    return pd.DataFrame({
+        "n_users": pd.array([n], dtype="int64"),
+        "n_events": pd.array([tot], dtype="int64"),
+        "gini_q": pd.array([int(np.floor(gini * 1e6 + 0.5))],
+                           dtype="int64")})

@@ -1810,3 +1810,79 @@ def hll_accuracy(sf_dir: str, p: int = 12) -> pd.DataFrame:
         "rel_err_q": pd.array([int(np.floor(rel * 1e6 + 0.5))],
                               dtype="int64"),
         "n_registers": pd.array([1 << p], dtype="int64")})
+
+
+def source_lang_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-source LANGUAGE ENTROPY — the mixing diagnostic that flags a
+    "multilingual" subset that is actually 99% one language before you
+    weight it into a training mix: H(src) = −Σ_l (c_l/T)·ln(c_l/T) in
+    nats over the source's lang counts. Hash-strict via the ln-parity
+    contract: every ln argument is a ratio of exact ints formed
+    identically on both sides, terms sum in lang order, quantize
+    floor(x·1e6+0.5). Scale: (source, lang, n) partials ride the
+    combiner tree; the entropy scan runs on the sources×langs frame.
+    Output (source, n_docs, n_langs, entropy_q), source asc."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.groupby(["source", "lang"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    hist = combine_partials(
+        _docs(sf_dir, ["source", "lang"]).map_batches(
+            partial, batch_format="pandas"),
+        ["source", "lang"], {"n": "sum"}).to_pandas()
+    rows = []
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("lang")
+        n = g["n"].to_numpy(np.int64)
+        t = int(n.sum())
+        h = float(-(n / t * np.log(n / t)).sum())
+        rows.append({"source": src, "n_docs": t, "n_langs": len(g),
+                     "entropy_q": int(np.floor(h * 1e6 + 0.5))})
+    out = pd.DataFrame(rows)
+    for c in ("n_docs", "n_langs", "entropy_q"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def dup_share_by_source(sf_dir: str) -> pd.DataFrame:
+    """WHERE does the duplication come from: per source, how many docs
+    carry a text (md5) that occurs ≥2 times CORPUS-WIDE — the
+    per-subset view that tells you which crawl to de-weight before
+    mixing (complements source_leakage_matrix's pair view). Hash-strict;
+    share in exact integer floor division (n_dup·10^6 // n_docs).
+    Scale: (md5, source) rows shuffle once through the combiner tree
+    keyed by hash; text never moves."""
+    import numpy as np
+
+    from ..functions.hashing import md5_hex
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "h": [md5_hex(t) for t in batch["text"]],
+            "source": batch["source"].values})
+        g = (out.groupby(["h", "source"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    hist = combine_partials(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            partial, batch_format="pandas"),
+        ["h", "source"], {"n": "sum"}).to_pandas()
+    tot = hist.groupby("h")["n"].transform("sum")
+    hist["n_dup"] = np.where(tot >= 2, hist["n"], 0)
+    out = (hist.groupby("source")
+           .agg(n_docs=("n", "sum"), n_dup_docs=("n_dup", "sum"))
+           .reset_index())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_dup_docs"] = out["n_dup_docs"].astype("int64")
+    out["dup_share_q"] = (out["n_dup_docs"] * 1_000_000
+                          // out["n_docs"]).astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

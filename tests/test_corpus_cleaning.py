@@ -1004,3 +1004,80 @@ def test_hll_accuracy_exact_side_and_bound(ray_session, tmp_path):
     import math
     assert int(got["rel_err_q"][0]) == math.floor(
         (est - ex) / ex * 1e6 + 0.5)
+
+
+def test_source_lang_entropy_hand(ray_session, tmp_path):
+    import math
+
+    import pandas as pd_
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from ragflow_core16_ray.pipelines.text_analysis import source_lang_entropy
+
+    texts = ["a"] * 6
+    langs = ["en", "en", "en", "en", "fr", "de"]
+    srcs = ["mono", "mono", "mono", "mix", "mix", "mix"]
+    df = pd_.DataFrame({
+        "doc_id": pd_.array(range(6), dtype="int64"), "text": texts,
+        "lang": langs, "source": srcs,
+        "n_chars": pd_.array([1] * 6, dtype="int64")})
+    import os as os_
+    os_.makedirs(str(tmp_path), exist_ok=True)
+    pq_.write_table(pa_.Table.from_pandas(df, preserve_index=False),
+                    str(tmp_path / "documents.parquet"))
+    got = source_lang_entropy(str(tmp_path)).set_index("source")
+    assert got.loc["mono"].tolist() == [3, 1, 0]        # H = 0
+    # mix: uniform over 3 langs -> ln 3
+    assert got.loc["mix", "n_langs"] == 3
+    assert got.loc["mix", "entropy_q"] == math.floor(
+        math.log(3) * 1e6 + 0.5)
+
+
+def test_dup_share_by_source_cross_source(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import dup_share_by_source
+
+    # the dup text spans two sources: BOTH count their copies as dup
+    texts = ["same text", "same text", "unique one", "unique two",
+             "same text", "other unique"]
+    srcs = ["A", "A", "A", "A", "B", "B"]
+    sf = _write_corpus(tmp_path, texts, sources=srcs)
+    got = dup_share_by_source(sf).set_index("source")
+    assert got.loc["A"].tolist() == [4, 2, 500000]
+    assert got.loc["B"].tolist() == [2, 1, 500000]
+
+
+def test_event_user_gini_extremes(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import event_user_gini
+
+    def write(rows, d):
+        df = pd.DataFrame({
+            "event_id": pd.array(range(len(rows)), dtype="int64"),
+            "ts": [pd.Timestamp("2024-01-01")] * len(rows),
+            "user_id": pd.array(rows, dtype="int64"),
+            "event_type": ["view"] * len(rows),
+            "value": [0.0] * len(rows), "props": ["{}"] * len(rows)})
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(d, "events.parquet"))
+        return d
+
+    # perfectly equal: gini 0
+    got = event_user_gini(write([1, 2, 3, 4] * 5, str(tmp_path / "eq")))
+    assert got.iloc[0].tolist() == [4, 20, 0]
+    # maximal concentration over 4 users: 1 event each for 3, 97 for one
+    # → gini = Σ(2i−n−1)x / (n·Σx)
+    rows = [1, 2, 3] + [4] * 97
+    got = event_user_gini(write(rows, str(tmp_path / "sk")))
+    x = sorted([1, 1, 1, 97])
+    num = sum((2 * (i + 1) - 4 - 1) * v for i, v in enumerate(x))
+    import math
+    assert got.iloc[0].tolist() == [4, 100, math.floor(
+        num / (4 * 100) * 1e6 + 0.5)]
