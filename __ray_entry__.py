@@ -613,6 +613,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: text_analysis.dup_share_by_source(sf),
         # events-per-user Gini (traffic concentration) — hash-strict
         "event_user_gini": lambda sf: relational.event_user_gini(sf),
+        # zlib compression-ratio quality signal (no-oracle: DuckDB has
+        # no zlib; replica + ordering pinned in pytest)
+        "compression_ratio":
+            lambda sf: text_analysis.compression_ratio(sf),
+        # per-vector exact-int squared norms (Gram diagonal per vector;
+        # norm-collapse screen) — hash-strict
+        "emb_norm_stats": lambda sf: similarity.emb_norm_stats(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2058,6 +2065,17 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # per-vector exact-int64 squared norm on the 2^20 grid; see
+    # similarity.emb_norm_stats
+    out["emb_norm_stats"] = r"""
+        SELECT vec_id,
+               CAST(list_sum(list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5)
+                        * FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5)))
+                    AS BIGINT) AS norm2_q
+        FROM embeddings
+        ORDER BY vec_id
     """
     # per-source language entropy in nats; ln-parity (int-ratio LN
     # args, lang-ordered sum); see text_analysis.source_lang_entropy

@@ -1137,3 +1137,24 @@ def pca_spectrum(sf_dir: str) -> pd.DataFrame:
         "rank": pd.array(np.arange(len(ev)), dtype="int64"),
         "eigval_q": pd.array(np.floor(ev * 1e6 + 0.5), dtype="int64"),
         "cum_var_q": pd.array(np.floor(cum * 1e6 + 0.5), dtype="int64")})
+
+
+def emb_norm_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-vector squared NORM on the 2^20 quantized grid — exact int64
+    (the Gram diagonal, per vector instead of per dimension): the
+    norm-collapse / outlier screen run before cosine-based anything
+    (a near-zero-norm vector makes cosine ill-conditioned; a giant one
+    dominates IVF training). Hash-strict with no float contract.
+    Scale: one streaming map_batches, one int per vector out.
+    Output (vec_id, norm2_q), vec_id asc."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        Q = _quantize(np.stack(batch["embedding"].to_numpy()))
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64").values,
+            "norm2_q": pd.array((Q * Q).sum(1).astype(np.int64),
+                                dtype="int64")})
+
+    out = (_emb(sf_dir).map_batches(fn, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -1886,3 +1886,33 @@ def dup_share_by_source(sf_dir: str) -> pd.DataFrame:
     out["dup_share_q"] = (out["n_dup_docs"] * 1_000_000
                           // out["n_docs"]).astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
+    """Per-doc zlib COMPRESSION-RATIO quality signal — the published
+    cheap filter (used alongside Gopher rules in RefinedWeb/FineWeb
+    lineage): highly repetitive or templated text compresses far below
+    natural prose, word salad compresses worse; both tails get cut.
+    ratio_q = floor(compressed_bytes·10^6 / max(raw_bytes, 1)) — exact
+    integer floor division, deterministic for a fixed zlib level (the
+    stdlib's zlib is the same everywhere this engine runs). No SQL
+    oracle (DuckDB has no zlib); pytest pins a replica plus the
+    repetitive < prose < random ordering. Scale: one streaming
+    map_batches; eight bytes per doc leave the workers."""
+    import zlib
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in batch["text"]]
+        comp = [len(zlib.compress(b, level)) for b in raw]
+        nraw = [len(b) for b in raw]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64").values,
+            "raw_bytes": pd.array(nraw, dtype="int64"),
+            "compressed_bytes": pd.array(comp, dtype="int64"),
+            "ratio_q": pd.array(
+                [c * 1_000_000 // max(n, 1)
+                 for c, n in zip(comp, nraw)], dtype="int64")})
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(fn, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

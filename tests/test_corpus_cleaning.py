@@ -1081,3 +1081,29 @@ def test_event_user_gini_extremes(ray_session, tmp_path):
     import math
     assert got.iloc[0].tolist() == [4, 100, math.floor(
         num / (4 * 100) * 1e6 + 0.5)]
+
+
+def test_compression_ratio_replica_and_ordering(ray_session, tmp_path):
+    import zlib
+
+    from ragflow_core16_ray.pipelines.text_analysis import compression_ratio
+
+    rep = "spam " * 200                      # highly repetitive
+    prose = ("the quick brown fox jumps over the lazy dog and keeps "
+             "running through fields of green grass near the river "
+             "bank while birds circle overhead in the warm light ") * 5
+    import random
+    rng = random.Random(7)
+    salad = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                             for _ in range(8)) for _ in range(150))
+    sf = _write_corpus(tmp_path, [rep, prose, salad, ""])
+    got = compression_ratio(sf).set_index("doc_id")
+    for did, text in enumerate([rep, prose, salad, ""]):
+        b = text.encode()
+        assert got.loc[did, "raw_bytes"] == len(b)
+        assert got.loc[did, "compressed_bytes"] == len(zlib.compress(b, 6))
+        assert got.loc[did, "ratio_q"] == (
+            len(zlib.compress(b, 6)) * 1_000_000 // max(len(b), 1))
+    # repetition compresses hardest, salad worst
+    assert (got.loc[0, "ratio_q"] < got.loc[1, "ratio_q"]
+            < got.loc[2, "ratio_q"])
