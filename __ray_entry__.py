@@ -620,6 +620,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-vector exact-int squared norms (Gram diagonal per vector;
         # norm-collapse screen) — hash-strict
         "emb_norm_stats": lambda sf: similarity.emb_norm_stats(sf),
+        # time-to-convert quantiles per funnel transition (lower-rule
+        # histogram, integer seconds) — hash-strict
+        "funnel_time_quantiles":
+            lambda sf: relational.funnel_time_quantiles(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2065,6 +2069,44 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # same funnel CTEs as funnel_stages; quantile = lower rule with
+    # need = (q·n+99)//100 on both sides, deltas in integer seconds;
+    # see relational.funnel_time_quantiles
+    out["funnel_time_quantiles"] = r"""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST(epoch_us(ts) AS BIGINT) AS t
+          FROM events
+        ), s1 AS (
+          SELECT user_id, MIN(t) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND t >= t1 GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND t >= t2 GROUP BY e.user_id
+        ), d AS (
+          SELECT 'view_to_click' AS transition,
+                 (t2 - t1) // 1000000 AS delta_s
+          FROM s2 JOIN s1 USING (user_id)
+          UNION ALL
+          SELECT 'click_to_purchase', (t3 - t2) // 1000000
+          FROM s3 JOIN s2 USING (user_id)
+        ), agg AS (
+          SELECT transition,
+                 array_agg(delta_s ORDER BY delta_s) AS arr,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY transition
+        ), qs AS (
+          SELECT unnest([25, 50, 75, 90]) AS q
+        )
+        SELECT agg.transition, CAST(qs.q AS BIGINT) AS q,
+               CAST(agg.arr[CAST((qs.q * agg.n + 99) // 100 AS INT)]
+                    AS BIGINT) AS delta_s
+        FROM agg, qs
+        ORDER BY transition, q
     """
     # per-vector exact-int64 squared norm on the 2^20 grid; see
     # similarity.emb_norm_stats

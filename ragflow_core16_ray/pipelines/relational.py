@@ -2095,3 +2095,54 @@ def event_user_gini(sf_dir: str) -> pd.DataFrame:
         "n_events": pd.array([tot], dtype="int64"),
         "gini_q": pd.array([int(np.floor(gini * 1e6 + 0.5))],
                            dtype="int64")})
+
+
+def funnel_time_quantiles(sf_dir: str,
+                          qs: tuple = (25, 50, 75, 90)) -> pd.DataFrame:
+    """TIME-TO-CONVERT quantiles per funnel transition (view→click,
+    click→purchase) — the latency view the first-reach funnel can't
+    show (a funnel that converts in seconds and one that converts in
+    days have the same depth histogram). Deltas are exact integer
+    SECONDS (µs diff // 10^6, floor); per-transition quantiles use the
+    repo's lower-rule histogram trick (need = ⌈q·n/100⌉, first value
+    whose cumulative count reaches it) so everything is integer-exact
+    against the SQL oracle. Scale: rides funnel_stages' one
+    co-partition shuffle; per-batch (transition, delta_s, n) histogram
+    partials sum through the combiner tree; the quantile scan runs on
+    the tiny merged histogram. Output (transition, q, delta_s)."""
+    from ..stages.agg import combine_partials
+
+    funnel = funnel_stages(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for a, b, name in (("t_view", "t_click", "view_to_click"),
+                           ("t_click", "t_purchase", "click_to_purchase")):
+            m = (batch[a] >= 0) & (batch[b] >= 0)
+            d = ((batch.loc[m, b].to_numpy(np.int64)
+                  - batch.loc[m, a].to_numpy(np.int64)) // 1_000_000)
+            g = pd.Series(d).value_counts()
+            frames.append(pd.DataFrame({
+                "transition": name,
+                "delta_s": g.index.astype("int64"),
+                "n": g.values.astype("int64")}))
+        return pd.concat(frames, ignore_index=True)
+
+    hist = combine_partials(
+        funnel.map_batches(partial, batch_format="pandas"),
+        ["transition", "delta_s"], {"n": "sum"}).to_pandas()
+    rows = []
+    for tr, g in hist.groupby("transition"):
+        g = g.sort_values("delta_s")
+        cum = g["n"].astype("int64").cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["delta_s"].to_numpy(np.int64)
+        for q in qs:
+            need = -(-q * total // 100)
+            rows.append({"transition": tr, "q": q,
+                         "delta_s": int(vals[(cum >= need).argmax()])})
+    out = pd.DataFrame(rows, columns=["transition", "q", "delta_s"])
+    out["q"] = out["q"].astype("int64")
+    out["delta_s"] = out["delta_s"].astype("int64")
+    return (out.sort_values(["transition", "q"])
+            .reset_index(drop=True))

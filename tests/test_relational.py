@@ -880,3 +880,42 @@ def test_session_gap_sweep_hand_and_consistency(ray_session, tmp_path):
     assert all(a >= b for a, b in zip(n, n[1:]))
     per_user = events_sessions(str(tmp_path), gap_minutes=30).to_pandas()
     assert int(per_user["n_sessions"].sum()) == got.loc[30, "n_sessions"]
+
+
+def test_funnel_time_quantiles_hand(ray_session, tmp_path):
+    """Hand stream with known conversion latencies: exact lower-rule
+    quantiles, per-transition domains (only users who reached both)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import funnel_time_quantiles
+
+    base = pd.Timestamp("2024-01-01")
+    # users 1-4 convert view->click in 10/20/30/40 s; only user 1
+    # purchases (+5 s); user 5 views only
+    rows = []
+    for u, dt in [(1, 10), (2, 20), (3, 30), (4, 40)]:
+        rows += [(u, "view", 0), (u, "click", dt)]
+    rows += [(1, "purchase", 15), (5, "view", 0)]
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(rows)), dtype="int64"),
+        "ts": [base + pd.Timedelta(seconds=s) for _, _, s in rows],
+        "user_id": pd.array([u for u, _, _ in rows], dtype="int64"),
+        "event_type": [e for _, e, _ in rows],
+        "value": [0.0] * len(rows), "props": ["{}"] * len(rows)})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = funnel_time_quantiles(str(tmp_path))
+    vc = got[got["transition"] == "view_to_click"].set_index("q")
+    # lower rule over [10,20,30,40]: need(25)=1 -> 10, need(50)=2 -> 20,
+    # need(75)=3 -> 30, need(90)=4 -> 40
+    assert vc["delta_s"].tolist() == [10, 20, 30, 40]
+    cp = got[got["transition"] == "click_to_purchase"].set_index("q")
+    # single converting user: every quantile is its 5 s latency
+    assert cp["delta_s"].tolist() == [5, 5, 5, 5]
