@@ -1607,11 +1607,10 @@ def minhash_estimator_accuracy(sf_dir: str, k: int = 3,
     exact = jaccard_dup_pairs(sf_dir, k, 0.0, wanted_ref=wanted_ref,
                               return_jaccard=True)
     # left merge: an LSH candidate with NO shared shingle (pure
-    # permutation collision) is a real estimator error — exact J = 0
+    # permutation collision) is a real estimator error — exact J = 0.
+    # cand is non-empty here, so the merge result is too.
     out = cand.merge(exact, on=["id_a", "id_b"], how="left")
     out["jaccard"] = out["jaccard"].fillna(0.0)
-    if out.empty:
-        return empty
     est_q = np.floor(out["est_jaccard"].to_numpy() * 1e6 + 0.5)
     ex_q = np.floor(out["jaccard"].to_numpy() * 1e6 + 0.5)
     return (pd.DataFrame({

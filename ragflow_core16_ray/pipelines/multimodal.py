@@ -102,6 +102,28 @@ class MediaFeatures:
         })
 
 
+
+def _explode_payload(batch, kinds: tuple, payload_kinds: tuple):
+    """Shared span explode for every media stage: keep ref-bearing spans
+    of ``kinds``; rows whose kind is in ``payload_kinds`` carry their
+    in-band payload (picture/audio docs), ref-only rows carry ""."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..schemas import explode_spans
+
+    flat = explode_spans(batch)
+    keep = pc.and_(pc.is_in(flat["kind"],
+                            value_set=pa.array(list(kinds))),
+                   pc.not_equal(flat["media_ref"], "")).combine_chunks()
+    flat = flat.filter(keep)
+    payload = pc.if_else(pc.is_in(flat["kind"],
+                                  value_set=pa.array(list(payload_kinds))),
+                         flat["text"], pa.scalar(""))
+    return (flat.select(["doc_id", "media_ref"])
+            .append_column("payload", payload))
+
+
 def _default_pool() -> tuple[int, int]:
     """Actor-pool bounds sized from the cluster, not a hard-coded cap: a
     CPU decode stage starves at (1,4) on a 32-CPU node. Production GPU
@@ -119,23 +141,10 @@ def media_features(extracted: rd.Dataset, concurrency=None,
     metadata + features. flat-map explode happens vectorized in Arrow."""
     if concurrency is None:
         concurrency = _default_pool()
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..schemas import explode_spans
-
-    def explode(batch: pa.Table) -> pa.Table:
-        flat = explode_spans(batch)
-        # figure spans carry a ref only; image spans (picture docs) carry
-        # their PNG payload in-band in `text` — kept for the real decode
-        keep = pc.and_(pc.is_in(flat["kind"],
-                                value_set=pa.array(["figure", "image"])),
-                       pc.not_equal(flat["media_ref"], "")).combine_chunks()
-        flat = flat.filter(keep)
-        payload = pc.if_else(pc.equal(flat["kind"], "image"),
-                             flat["text"], pa.scalar(""))
-        return (flat.select(["doc_id", "media_ref"])
-                .append_column("payload", payload))
+    def explode(batch):
+        # figure spans carry a ref only; image spans (picture docs)
+        # carry their PNG payload in-band for the real decode
+        return _explode_payload(batch, ("figure", "image"), ("image",))
 
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(MediaFeatures, batch_format="pandas",
@@ -156,24 +165,14 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     see events_sessions, relational.py). A doc's frames still co-locate
     on one worker (same bucket ⇒ same group) and never cross the driver."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from ..functions.hashing import hash64
     from ..functions.image_ops import maybe_rotate, resize, vertical_concat
-    from ..schemas import explode_spans
 
     def explode(batch: pa.Table) -> pa.Table:
-        flat = explode_spans(batch)
-        # figures are ref-only; image spans (picture docs) carry their
-        # PNG payload in-band — kept so the collage REAL-decodes them
-        keep = pc.and_(pc.is_in(flat["kind"],
-                                value_set=pa.array(["figure", "image"])),
-                       pc.not_equal(flat["media_ref"], ""))
-        flat = flat.filter(keep)
-        payload = pc.if_else(pc.equal(flat["kind"], "image"),
-                             flat["text"], pa.scalar(""))
-        flat = (flat.select(["doc_id", "media_ref"])
-                .append_column("payload", payload))
+        # shared explode; the collage REAL-decodes in-band picture
+        # payloads, then adds its coarse doc bucket
+        flat = _explode_payload(batch, ("figure", "image"), ("image",))
         bucket = pa.array([hash64(d) & (n_buckets - 1)
                            for d in flat["doc_id"].to_pylist()],
                           type=pa.int64())
@@ -405,23 +404,9 @@ def audio_segments(extracted: rd.Dataset, window_ms: int = 30_000,
     """Extracted docs → overlapping audio segment rows for every
     media-bearing figure span (same Arrow explode as media_features; the
     fan-out happens inside the actor — no driver loop, no shuffle)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..schemas import explode_spans
-
-    def explode(batch: pa.Table) -> pa.Table:
-        flat = explode_spans(batch)
-        # figures are ref-only; audio spans carry their WAV payload
-        # in-band — kept so the segmenter real-decodes them
-        keep = pc.and_(pc.is_in(flat["kind"],
-                                value_set=pa.array(["figure", "audio"])),
-                       pc.not_equal(flat["media_ref"], ""))
-        flat = flat.filter(keep)
-        payload = pc.if_else(pc.equal(flat["kind"], "audio"),
-                             flat["text"], pa.scalar(""))
-        return (flat.select(["doc_id", "media_ref"])
-                .append_column("payload", payload))
+    def explode(batch):
+        # audio spans carry their WAV payload in-band for the real probe
+        return _explode_payload(batch, ("figure", "audio"), ("audio",))
 
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(AudioSegmenter,
@@ -435,24 +420,10 @@ def frame_samples(extracted: rd.Dataset, n_frames: int = 4,
     """Extracted docs → sampled frame rows for every media-bearing figure
     span. Same explode as media_features; the sampler fans each ref out to
     ``n_frames`` rows inside the actor (no driver loop, no shuffle)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..schemas import explode_spans
-
-    def explode(batch: pa.Table) -> pa.Table:
-        flat = explode_spans(batch)
-        # figures are ref-only; image spans (picture docs, possibly
-        # animated) carry their PNG/APNG payload in-band — kept so the
-        # sampler real-decodes them
-        keep = pc.and_(pc.is_in(flat["kind"],
-                                value_set=pa.array(["figure", "image"])),
-                       pc.not_equal(flat["media_ref"], ""))
-        flat = flat.filter(keep)
-        payload = pc.if_else(pc.equal(flat["kind"], "image"),
-                             flat["text"], pa.scalar(""))
-        return (flat.select(["doc_id", "media_ref"])
-                .append_column("payload", payload))
+    def explode(batch):
+        # image spans may be animated (APNG/GIF/AVI) — the sampler
+        # real-decodes the in-band payload
+        return _explode_payload(batch, ("figure", "image"), ("image",))
 
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(FrameSampler, fn_constructor_args=(n_frames,),
@@ -531,21 +502,11 @@ def image_dhash_dups(extracted: rd.Dataset, max_hamming: int = 6,
     agrees on ≥1 piece), shuffled by a bounded bucket column; verify is
     a vectorized in-bucket hamming check. Output one row per qualifying
     unordered pair, (doc_a, ref_a, doc_b, ref_b, hamming) sorted."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..schemas import explode_spans
-
     n_pieces = max_hamming + 1
     piece_bits = 64 // n_pieces
 
-    def explode(batch: pa.Table) -> pa.Table:
-        flat = explode_spans(batch)
-        keep = pc.and_(pc.equal(flat["kind"], "image"),
-                       pc.not_equal(flat["media_ref"], "")).combine_chunks()
-        flat = flat.filter(keep)
-        return (flat.select(["doc_id", "media_ref"])
-                .append_column("payload", flat["text"]))
+    def explode(batch):
+        return _explode_payload(batch, ("image",), ("image",))
 
     sigs = (extracted.map_batches(explode, batch_format="pyarrow")
             .map_batches(DHasher, batch_format="pandas", batch_size=64,
@@ -667,18 +628,8 @@ def frame_motion_stats(extracted: rd.Dataset, batch_size: int = 32,
     """One row per in-band image/video payload with exact-integer motion
     energy (see MotionStats). Pixels never shuffle — each clip reduces
     to three ints in place on the actor pool."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..schemas import explode_spans
-
-    def explode(batch: pa.Table) -> pa.Table:
-        flat = explode_spans(batch)
-        keep = pc.and_(pc.equal(flat["kind"], "image"),
-                       pc.not_equal(flat["media_ref"], "")).combine_chunks()
-        flat = flat.filter(keep)
-        return (flat.select(["doc_id", "media_ref"])
-                .append_column("payload", flat["text"]))
+    def explode(batch):
+        return _explode_payload(batch, ("image",), ("image",))
 
     refs = extracted.map_batches(explode, batch_format="pyarrow")
     return refs.map_batches(MotionStats, batch_format="pandas",

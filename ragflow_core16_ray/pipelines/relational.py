@@ -2055,6 +2055,14 @@ def session_gap_sweep(sf_dir: str,
         .repartition(max(1, n_buckets // 4))
         .groupby("bucket").map_groups(counts, batch_format="pandas"),
         ["gap_minutes"], {"n_sessions": "sum"}).to_pandas()
+    if df.empty or "gap_minutes" not in df.columns:
+        # empty events table: zero sessions at every gap (typed, not
+        # schema-less) — matches the oracle's gaps × (nu=0) frame
+        return pd.DataFrame({
+            "gap_minutes": pd.array(sorted(int(g) for g in gaps_minutes),
+                                    dtype="int64"),
+            "n_sessions": pd.array([0] * len(gaps_minutes),
+                                   dtype="int64")})
     df["gap_minutes"] = df["gap_minutes"].astype("int64")
     df["n_sessions"] = df["n_sessions"].astype("int64")
     return df.sort_values("gap_minutes").reset_index(drop=True)
@@ -2083,6 +2091,10 @@ def event_user_gini(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "events", ["user_id"]).map_batches(
             partial, batch_format="pandas"),
         ["user_id"], {"n": "sum"}).to_pandas()
+    if cnt.empty or "user_id" not in cnt.columns:
+        return pd.DataFrame({"n_users": pd.array([0], dtype="int64"),
+                             "n_events": pd.array([0], dtype="int64"),
+                             "gini_q": pd.array([0], dtype="int64")})
     cnt = cnt.sort_values(["n", "user_id"]).reset_index(drop=True)
     x = cnt["n"].to_numpy(np.int64)
     n = len(x)
@@ -2131,6 +2143,13 @@ def funnel_time_quantiles(sf_dir: str,
     hist = combine_partials(
         funnel.map_batches(partial, batch_format="pandas"),
         ["transition", "delta_s"], {"n": "sum"}).to_pandas()
+    if hist.empty or "transition" not in hist.columns:
+        # no user completed any transition — Ray can return the all-empty
+        # combine schema-less; keep the typed contract
+        return pd.DataFrame({
+            "transition": pd.array([], dtype="string"),
+            "q": pd.array([], dtype="int64"),
+            "delta_s": pd.array([], dtype="int64")})
     rows = []
     for tr, g in hist.groupby("transition"):
         g = g.sort_values("delta_s")

@@ -1110,25 +1110,35 @@ def pca_spectrum(sf_dir: str) -> pd.DataFrame:
     (grid² scaled back), quantized floor(x·1e6+0.5)."""
     from ..stages.agg import combine_partials
 
-    def sum_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # ONE corpus pass: Gram upper triangle + per-dim sums (j = -1
+        # marker rows) + the row count ((-1, -1) marker) share the same
+        # (i, j, g) int64 schema through one combiner tree — the probe
+        # never reads the embedding column twice
         Q = _quantize(np.stack(batch["embedding"].to_numpy()))
+        G = (Q.T @ Q).astype(np.int64)
+        iu, ju = np.triu_indices(G.shape[0])
         s = Q.sum(0).astype(np.int64)
-        return pd.DataFrame({"i": pd.array(np.arange(len(s)),
-                                           dtype="int64"),
-                             "s": pd.array(s, dtype="int64"),
-                             "n": pd.array([len(Q)] * len(s),
-                                           dtype="int64")})
+        i_all = np.concatenate([iu, np.arange(len(s)), [-1]])
+        j_all = np.concatenate([ju, np.full(len(s), -1), [-1]])
+        g_all = np.concatenate([G[iu, ju], s, [len(Q)]])
+        return pd.DataFrame({"i": pd.array(i_all, dtype="int64"),
+                             "j": pd.array(j_all, dtype="int64"),
+                             "g": pd.array(g_all, dtype="int64")})
 
-    g = embedding_gram(sf_dir)
+    rows = combine_partials(
+        _emb(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["i", "j"], {"g": "sum"}).to_pandas()
+    n = float(rows.loc[(rows["i"] == -1) & (rows["j"] == -1),
+                       "g"].sum())
+    sm = (rows[(rows["j"] == -1) & (rows["i"] >= 0)]
+          .sort_values("i"))
+    g = rows[rows["j"] >= 0]
     d = int(g["j"].max()) + 1
     G = np.zeros((d, d), dtype=np.float64)
     G[g["i"], g["j"]] = g["g"].to_numpy(np.float64)
     G = G + np.triu(G, 1).T
-    sm = combine_partials(
-        _emb(sf_dir).map_batches(sum_partial, batch_format="pandas"),
-        ["i"], {"s": "sum", "n": "sum"}).to_pandas().sort_values("i")
-    s = sm["s"].to_numpy(np.float64)
-    n = float(sm["n"].max())  # every i-row sums the same per-batch sizes
+    s = sm["g"].to_numpy(np.float64)
     cov = (G - np.outer(s, s) / n) / n / (_Q_SCALE * _Q_SCALE)
     ev = np.linalg.eigvalsh(cov)[::-1]
     tot = float(ev.sum())

@@ -1657,6 +1657,12 @@ def nb_quality_scores(sf_dir: str, pos_source: str = "src0") -> pd.DataFrame:
 
     from ..stages.agg import combine_partials
 
+    # doc-count sentinel key: split() tokens can never contain
+    # whitespace, so a space-bearing key cannot collide with a word —
+    # the per-class doc counts ride the SAME combiner pass as the word
+    # counts (one corpus scan, not two)
+    _DOCS_KEY = " docs "
+
     def cls_partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.reset_index(drop=True)
         toks = b["text"].str.strip().str.split().explode().dropna()
@@ -1664,29 +1670,23 @@ def nb_quality_scores(sf_dir: str, pos_source: str = "src0") -> pd.DataFrame:
         df = pd.DataFrame({"word": toks.values,
                            "p": is_pos.values.astype("int64")})
         g = df.groupby("word", sort=False)["p"].agg(["sum", "size"])
-        return pd.DataFrame({"word": g.index,
-                             "c_pos": g["sum"].astype("int64").values,
-                             "c_neg": (g["size"] - g["sum"])
-                             .astype("int64").values})
-
-    def doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ne = batch["text"].str.strip().ne("")
-        pos = batch["source"].eq(pos_source) & ne
-        return pd.DataFrame({"k": pd.array([0], dtype="int64"),
-                             "d_pos": pd.array([int(pos.sum())],
-                                               dtype="int64"),
-                             "d_neg": pd.array([int((ne & ~pos).sum())],
-                                               dtype="int64")})
+        ne = b["text"].str.strip().ne("")
+        pos_docs = int((b["source"].eq(pos_source) & ne).sum())
+        neg_docs = int((~b["source"].eq(pos_source) & ne).sum())
+        return pd.DataFrame({
+            "word": list(g.index) + [_DOCS_KEY],
+            "c_pos": list(g["sum"].astype("int64").values) + [pos_docs],
+            "c_neg": list((g["size"] - g["sum"]).astype("int64").values)
+            + [neg_docs]})
 
     w = combine_partials(
         _docs(sf_dir, ["text", "source"]).map_batches(
             cls_partial, batch_format="pandas"),
         ["word"], {"c_pos": "sum", "c_neg": "sum"}).to_pandas()
-    d = combine_partials(
-        _docs(sf_dir, ["text", "source"]).map_batches(
-            doc_partial, batch_format="pandas"),
-        ["k"], {"d_pos": "sum", "d_neg": "sum"}).to_pandas()
-    d_pos, d_neg = int(d["d_pos"][0]), int(d["d_neg"][0])
+    dmask = w["word"] == _DOCS_KEY
+    d_pos = int(w.loc[dmask, "c_pos"].sum())
+    d_neg = int(w.loc[dmask, "c_neg"].sum())
+    w = w[~dmask].reset_index(drop=True)
     if not d_pos or not d_neg:
         raise ValueError(f"class {pos_source!r} or its complement is "
                          "empty — the log-odds prior is undefined")
@@ -1836,6 +1836,12 @@ def source_lang_entropy(sf_dir: str) -> pd.DataFrame:
         _docs(sf_dir, ["source", "lang"]).map_batches(
             partial, batch_format="pandas"),
         ["source", "lang"], {"n": "sum"}).to_pandas()
+    empty = pd.DataFrame({"source": pd.array([], dtype="string"),
+                          "n_docs": pd.array([], dtype="int64"),
+                          "n_langs": pd.array([], dtype="int64"),
+                          "entropy_q": pd.array([], dtype="int64")})
+    if hist.empty or "source" not in hist.columns:
+        return empty
     rows = []
     for src, g in hist.groupby("source"):
         g = g.sort_values("lang")
@@ -1845,6 +1851,8 @@ def source_lang_entropy(sf_dir: str) -> pd.DataFrame:
         rows.append({"source": src, "n_docs": t, "n_langs": len(g),
                      "entropy_q": int(np.floor(h * 1e6 + 0.5))})
     out = pd.DataFrame(rows)
+    if out.empty:
+        return empty
     for c in ("n_docs", "n_langs", "entropy_q"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
@@ -1876,6 +1884,11 @@ def dup_share_by_source(sf_dir: str) -> pd.DataFrame:
         _docs(sf_dir, ["text", "source"]).map_batches(
             partial, batch_format="pandas"),
         ["h", "source"], {"n": "sum"}).to_pandas()
+    if hist.empty or "h" not in hist.columns:
+        return pd.DataFrame({"source": pd.array([], dtype="string"),
+                             "n_docs": pd.array([], dtype="int64"),
+                             "n_dup_docs": pd.array([], dtype="int64"),
+                             "dup_share_q": pd.array([], dtype="int64")})
     tot = hist.groupby("h")["n"].transform("sum")
     hist["n_dup"] = np.where(tot >= 2, hist["n"], 0)
     out = (hist.groupby("source")
