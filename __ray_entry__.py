@@ -624,6 +624,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram, integer seconds) — hash-strict
         "funnel_time_quantiles":
             lambda sf: relational.funnel_time_quantiles(sf),
+        # Efraimidis-Spirakis weighted sampling (md5 uniforms, no RNG
+        # state) — hash-strict via ln parity
+        "weighted_sample": lambda sf: text_analysis.weighted_sample(sf),
+        # per-source centroid distance matrix (subset redundancy) —
+        # hash-strict via exact-int cross-multiplied numerators
+        "source_centroid_distances":
+            lambda sf: similarity.source_centroid_distances(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2069,6 +2076,51 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # key = LN((md5_int32(id)+1)/2^32)/w, top-k by (key DESC, id);
+    # see text_analysis.weighted_sample
+    out["weighted_sample"] = r"""
+        WITH k AS (
+            SELECT doc_id, n_chars AS w,
+                   LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) + 1)
+                      / 4294967296.0) / n_chars AS key
+            FROM documents WHERE n_chars > 0
+        ), top AS (
+            SELECT doc_id, w, key FROM k
+            ORDER BY key DESC, doc_id LIMIT 100
+        )
+        SELECT doc_id, CAST(w AS BIGINT) AS w,
+               CAST(FLOOR(key * 1e6 + 0.5) AS BIGINT) AS key_q
+        FROM top ORDER BY doc_id
+    """
+    # centroid distances on the cross-multiplied integer lattice:
+    # numerator sums are exact (HUGEINT), ONE final double division;
+    # see similarity.source_centroid_distances
+    out["source_centroid_distances"] = r"""
+        WITH m AS (
+            SELECT d.source, u.i,
+                   CAST(FLOOR(CAST(e.embedding[u.i] AS DOUBLE) * 1048576
+                              + 0.5) AS BIGINT) AS q
+            FROM embeddings e
+            JOIN documents d ON d.doc_id = e.vec_id,
+                 unnest(generate_series(1, len(e.embedding))) AS u(i)
+        ), s AS (
+            SELECT source, i, CAST(SUM(q) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM m GROUP BY 1, 2
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(FLOOR(CAST(SUM((a.s * b.n - b.s * a.n)
+                                   * (a.s * b.n - b.s * a.n)) AS DOUBLE)
+                          / CAST((ANY_VALUE(a.n) * ANY_VALUE(b.n))
+                                 * (ANY_VALUE(a.n) * ANY_VALUE(b.n))
+                                 * CAST(1099511627776 AS BIGINT)
+                                 AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS dist2_q
+        FROM s a JOIN s b ON a.i = b.i AND a.source < b.source
+        GROUP BY a.source, b.source
+        ORDER BY src_a, src_b
     """
     # same funnel CTEs as funnel_stages; quantile = lower rule with
     # need = (q·n+99)//100 on both sides, deltas in integer seconds;

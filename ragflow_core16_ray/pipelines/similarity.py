@@ -1168,3 +1168,75 @@ def emb_norm_stats(sf_dir: str) -> pd.DataFrame:
     out = (_emb(sf_dir).map_batches(fn, batch_format="pandas")
            .to_pandas())
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def source_centroid_distances(sf_dir: str) -> pd.DataFrame:
+    """SOURCE-REDUNDANCY map: pairwise squared euclidean distance
+    between per-source embedding CENTROIDS — two crawls whose centroids
+    nearly coincide are candidates for de-weighting before mixing (the
+    subset-level view SemDeDup takes per document). Exactness: centroid
+    difference cross-multiplies to the integer lattice — (s_a/n_a −
+    s_b/n_b) = (s_a·n_b − s_b·n_a)/(n_a·n_b) — so the numerator sum is
+    EXACT (arbitrary-precision ints here, HUGEINT in the oracle) and
+    the single final division is the only float op, formed identically
+    on both sides. Scale: per-source (i, Σq, n) partials ride the
+    combiner tree (sources×dims rows); the vec→source lookup broadcasts
+    the doc→source map once (docs-table sized — replace with an
+    id-bucket co-partition join past driver scale, the jaccard-sizes
+    move). Output (src_a, src_b, dist2_q) in ORIGINAL embedding units,
+    pairs src_a < src_b sorted."""
+    import pyarrow.parquet as pq
+
+    from ..stages.agg import combine_partials
+
+    dt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "source"])
+    src_map_ref = ray.put(dict(zip(dt["doc_id"].to_pylist(),
+                                   dt["source"].to_pylist())))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(src_map_ref)
+        b = batch.reset_index(drop=True)
+        Q = _quantize(np.stack(b["embedding"].to_numpy()))
+        src = b["vec_id"].map(smap)
+        frames = []
+        for s, pos in b.groupby(src, sort=False).indices.items():
+            sub = Q[pos]
+            frames.append(pd.DataFrame({
+                "source": s,
+                "i": pd.array(np.arange(Q.shape[1]), dtype="int64"),
+                "s": pd.array(sub.sum(0).astype(np.int64),
+                              dtype="int64"),
+                "n": pd.array([len(sub)] * Q.shape[1], dtype="int64")}))
+        return (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({"source": pd.array([], dtype="string"),
+                                   "i": pd.array([], dtype="int64"),
+                                   "s": pd.array([], dtype="int64"),
+                                   "n": pd.array([], dtype="int64")}))
+
+    stats = combine_partials(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pandas"),
+        ["source", "i"], {"s": "sum", "n": "sum"}).to_pandas()
+    if stats.empty or "source" not in stats.columns:
+        return pd.DataFrame({"src_a": pd.array([], dtype="string"),
+                             "src_b": pd.array([], dtype="string"),
+                             "dist2_q": pd.array([], dtype="int64")})
+    rows = []
+    by_src = {s: g.sort_values("i") for s, g in stats.groupby("source")}
+    names = sorted(by_src)
+    for ia in range(len(names)):
+        for ib in range(ia + 1, len(names)):
+            a, b = by_src[names[ia]], by_src[names[ib]]
+            na, nb = int(a["n"].iloc[0]), int(b["n"].iloc[0])
+            sa = [int(v) for v in a["s"]]
+            sb = [int(v) for v in b["s"]]
+            num = sum((x * nb - y * na) ** 2 for x, y in zip(sa, sb))
+            den = (na * nb) ** 2 * (_Q_SCALE * _Q_SCALE)
+            d2 = float(num) / float(den)
+            rows.append({"src_a": names[ia], "src_b": names[ib],
+                         "dist2_q": int(np.floor(d2 * 1e6 + 0.5))})
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "dist2_q"])
+    out["dist2_q"] = out["dist2_q"].astype("int64")
+    return out.reset_index(drop=True)

@@ -1929,3 +1929,46 @@ def compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
     out = (_docs(sf_dir, ["doc_id", "text"])
            .map_batches(fn, batch_format="pandas").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis & Spirakis 2006): doc i gets key ln(u_i)/w_i with
+    u_i = (md5_int32(doc_id)+1)/2^32 and weight w_i = n_chars; the k
+    LARGEST keys are the sample — each doc's inclusion probability is
+    proportional to its weight, with NO RNG state (md5 of the id is the
+    uniform, the stratified_sample convention), so any partitioning and
+    any rerun draw the same sample. The standard move for
+    quality/length-weighted corpus subsampling. Hash-strict: u is an
+    exact-int ratio, ln-parity, one division by the int weight —
+    identical expressions both sides; keys quantize floor(x·1e6+0.5)
+    (ties broken by doc_id). Scale: per-batch local top-k partials
+    (stages/agg.local_topk — ≤k rows per block reach the driver)."""
+    import hashlib
+
+    import numpy as np
+
+    from ..stages.agg import local_topk
+
+    def keys(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["n_chars"] > 0]
+        h = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+             for d in b["doc_id"]), dtype=np.int64, count=len(b))
+        u = (h + 1.0) / 4294967296.0
+        key = np.log(u) / b["n_chars"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").values,
+            "w": b["n_chars"].astype("int64").values,
+            "key": key})
+
+    top = local_topk(
+        _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+            keys, batch_format="pandas"),
+        by=["key", "doc_id"], ascending=[False, True], k=k)
+    out = pd.DataFrame({
+        "doc_id": top["doc_id"].astype("int64"),
+        "w": top["w"].astype("int64"),
+        "key_q": pd.array(np.floor(top["key"].to_numpy() * 1e6 + 0.5),
+                          dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)

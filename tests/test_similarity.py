@@ -1082,3 +1082,77 @@ def test_minhash_estimator_accuracy_replica_and_bound(ray_session):
         assert r["exact_q"] == int(np.floor(exact * 1e6 + 0.5))
         assert r["abs_err_q"] == abs(r["est_q"] - r["exact_q"])
     assert int(got["abs_err_q"].max()) <= 250_001
+
+
+def test_weighted_sample_replica_and_weight_bias(ray_session, tmp_path):
+    """ES keys replicate exactly; a doc with overwhelming weight is
+    (essentially) always sampled when k is a large fraction."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from ragflow_core16_ray.pipelines.text_analysis import weighted_sample
+
+    n = 40
+    w = [10] * n
+    w[7] = 100000  # heavyweight doc
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(n), dtype="int64"),
+        "text": ["x" * v for v in w],
+        "lang": ["en"] * n, "source": ["s"] * n,
+        "n_chars": pd.array(w, dtype="int64")})
+    import os
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq_.write_table(pa_.Table.from_pandas(df, preserve_index=False),
+                    str(tmp_path / "documents.parquet"))
+    got = weighted_sample(str(tmp_path), k=10)
+    assert len(got) == 10
+    # replica: recompute every key, take top 10
+    keys = {}
+    for d, wt in enumerate(w):
+        u = (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+             + 1) / 2 ** 32
+        keys[d] = math.log(u) / wt
+    want = sorted(keys, key=lambda d: (-keys[d], d))[:10]
+    assert sorted(got["doc_id"]) == sorted(want)
+    assert 7 in set(got["doc_id"])  # the heavyweight is in
+    for _, r in got.iterrows():
+        assert r["key_q"] == math.floor(keys[r["doc_id"]] * 1e6 + 0.5)
+
+
+def test_source_centroid_distances_hand(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from ragflow_core16_ray.pipelines.similarity import (
+        source_centroid_distances)
+
+    # source A at e1, source B at e1 (identical centroid), source C at e2
+    e = np.zeros((6, 4), dtype=np.float32)
+    e[0, 0] = e[1, 0] = 1.0       # A
+    e[2, 0] = e[3, 0] = 1.0       # B
+    e[4, 1] = e[5, 1] = 1.0       # C
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(6), dtype="int64"),
+        "text": ["t"] * 6, "lang": ["en"] * 6,
+        "source": ["A", "A", "B", "B", "C", "C"],
+        "n_chars": pd.array([1] * 6, dtype="int64")})
+    emb = pd.DataFrame({
+        "vec_id": pd.array(range(6), dtype="int64"),
+        "embedding": list(e),
+        "label": pd.array([0] * 6, dtype="int32")})
+    import os
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq_.write_table(pa_.Table.from_pandas(docs, preserve_index=False),
+                    str(tmp_path / "documents.parquet"))
+    pq_.write_table(pa_.Table.from_pandas(emb, preserve_index=False),
+                    str(tmp_path / "embeddings.parquet"))
+    got = source_centroid_distances(str(tmp_path)).set_index(
+        ["src_a", "src_b"])
+    assert got.loc[("A", "B"), "dist2_q"] == 0          # redundant pair
+    assert got.loc[("A", "C"), "dist2_q"] == 2_000_000  # |e1-e2|² = 2
+    assert got.loc[("B", "C"), "dist2_q"] == 2_000_000
