@@ -631,6 +631,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-strict via exact-int cross-multiplied numerators
         "source_centroid_distances":
             lambda sf: similarity.source_centroid_distances(sf),
+        # Pearson r between length and token count via exact-int
+        # sufficient statistics — hash-strict
+        "metric_correlation":
+            lambda sf: text_analysis.metric_correlation(sf),
+        # Heaps-law vocabulary growth (first-doc min-combiner, no
+        # sequential scan) — hash-strict
+        "vocab_growth_curve":
+            lambda sf: text_analysis.vocab_growth_curve(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2076,6 +2084,57 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # Pearson r from exact-int sufficient statistics; one sqrt + one
+    # division in doubles on both sides; see
+    # text_analysis.metric_correlation
+    out["metric_correlation"] = r"""
+        WITH v AS (
+            SELECT n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS y
+            FROM documents
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(n_chars * y) AS BIGINT) AS sxy,
+                   CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM v
+        )
+        SELECT n,
+               CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS r_q
+        FROM s
+    """
+    # distinct words whose FIRST doc_id falls inside each prefix;
+    # see text_analysis.vocab_growth_curve
+    out["vocab_growth_curve"] = r"""
+        WITH toks AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS ts
+                  FROM documents WHERE trim(text) <> ''),
+                 unnest(ts) AS u(w)
+        ), first AS (
+            SELECT w, MIN(doc_id) AS d FROM toks GROUP BY w
+        ), nd AS (
+            SELECT MAX(doc_id) + 1 AS n FROM documents
+        ), grid AS (
+            SELECT g FROM nd,
+                 unnest(generate_series(50, CAST(nd.n AS BIGINT), 50))
+                 AS t(g)
+            UNION
+            SELECT n FROM nd
+        )
+        SELECT CAST(g AS BIGINT) AS n_docs_prefix,
+               CAST((SELECT COUNT(*) FROM first WHERE d <= g - 1)
+                    AS BIGINT) AS n_distinct_words
+        FROM grid ORDER BY n_docs_prefix
     """
     # key = LN((md5_int32(id)+1)/2^32)/w, top-k by (key DESC, id);
     # see text_analysis.weighted_sample

@@ -1972,3 +1972,93 @@ def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
         "key_q": pd.array(np.floor(top["key"].to_numpy() * 1e6 + 0.5),
                           dtype="int64")})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def metric_correlation(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation between doc LENGTH (n_chars) and whitespace
+    TOKEN COUNT — the filter-design sanity check ("does my quality
+    signal just measure length?"; run it for any metric pair before
+    adding a correlated filter that double-cuts). Exactness: the five
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are exact int64
+    combiner-tree partials; r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    has exact-int numerator/radicands, ONE sqrt and ONE division in
+    doubles formed identically on both sides (HUGEINT products in the
+    oracle), quantized floor(x·1e6+0.5). Output one row
+    (n, r_q). Scale: one streaming pass, five ints per batch."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["n_chars"].to_numpy(np.int64)
+        t = batch["text"].str.strip()
+        y = np.where(t.eq("").to_numpy(), 0,
+                     t.str.split().str.len().fillna(0)
+                     .to_numpy(np.int64))
+        return pd.DataFrame({
+            "k": pd.array([0], dtype="int64"),
+            "n": pd.array([len(x)], dtype="int64"),
+            "sx": pd.array([int(x.sum())], dtype="int64"),
+            "sy": pd.array([int(y.sum())], dtype="int64"),
+            "sxy": pd.array([int((x * y).sum())], dtype="int64"),
+            "sxx": pd.array([int((x * x).sum())], dtype="int64"),
+            "syy": pd.array([int((y * y).sum())], dtype="int64")})
+
+    s = combine_partials(
+        _docs(sf_dir, ["text", "n_chars"]).map_batches(
+            partial, batch_format="pandas"),
+        ["k"], {c: "sum" for c in ("n", "sx", "sy", "sxy",
+                                   "sxx", "syy")}).to_pandas()
+    n, sx, sy = int(s["n"][0]), int(s["sx"][0]), int(s["sy"][0])
+    sxy, sxx, syy = int(s["sxy"][0]), int(s["sxx"][0]), int(s["syy"][0])
+    num = n * sxy - sx * sy
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (float(num) / np.sqrt(float(vx) * float(vy))
+         if vx > 0 and vy > 0 else 0.0)
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "r_q": pd.array([int(np.floor(r * 1e6 + 0.5))], dtype="int64")})
+
+
+def vocab_growth_curve(sf_dir: str, step: int = 50) -> pd.DataFrame:
+    """Heaps-law VOCABULARY GROWTH curve: distinct words seen within the
+    first k docs (doc_id order), at k = step, 2·step, … — the
+    diminishing-returns view that says when more of the SAME source
+    stops buying new vocabulary (Heaps 1978). One pass, no sequential
+    scan: each word's FIRST doc_id is a min-combiner partial; the tiny
+    (first_doc → count) histogram cumsums into the curve. Hash-strict.
+    Output (n_docs_prefix, n_distinct_words)."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        toks = b["text"].str.strip().str.split().explode().dropna()
+        first = (pd.DataFrame({
+            "word": toks.values,
+            "d": b["doc_id"].astype("int64")
+            .reindex(toks.index).values})
+            .groupby("word", sort=False)["d"].min().reset_index())
+        first["d"] = first["d"].astype("int64")
+        return first
+
+    first = combine_partials(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas"),
+        ["word"], {"d": "min"}).to_pandas()
+    if first.empty or "d" not in first.columns:
+        return pd.DataFrame({
+            "n_docs_prefix": pd.array([], dtype="int64"),
+            "n_distinct_words": pd.array([], dtype="int64")})
+    n_docs = int(_docs(sf_dir, ["doc_id"]).max("doc_id")) + 1
+    hist = first.groupby("d").size().sort_index()
+    cum = hist.cumsum()
+    grid = list(range(step, n_docs + 1, step))
+    if not grid or grid[-1] != n_docs:
+        grid.append(n_docs)
+    vals = [int(cum[cum.index <= g - 1].iloc[-1])
+            if (cum.index <= g - 1).any() else 0 for g in grid]
+    return pd.DataFrame({
+        "n_docs_prefix": pd.array(grid, dtype="int64"),
+        "n_distinct_words": pd.array(vals, dtype="int64")})

@@ -1107,3 +1107,37 @@ def test_compression_ratio_replica_and_ordering(ray_session, tmp_path):
     # repetition compresses hardest, salad worst
     assert (got.loc[0, "ratio_q"] < got.loc[1, "ratio_q"]
             < got.loc[2, "ratio_q"])
+
+
+def test_metric_correlation_replica(ray_session, tmp_path):
+    import math
+
+    from ragflow_core16_ray.pipelines.text_analysis import metric_correlation
+
+    texts = ["a" * 5, "b b b", "c c c c c c", "dd dd", "e " * 30]
+    sf = _write_corpus(tmp_path, texts)
+    got = metric_correlation(sf)
+    xs = [len(t) for t in texts]
+    ys = [len(t.split()) for t in texts]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    r = (n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    assert got.iloc[0].tolist() == [n, math.floor(r * 1e6 + 0.5)]
+
+
+def test_vocab_growth_curve_hand(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import vocab_growth_curve
+
+    # docs 0-3: doc0 brings 2 words, doc1 brings 1 new, doc2 repeats,
+    # doc3 brings 2 new
+    texts = ["alpha beta", "beta gamma", "alpha gamma", "delta epsilon"]
+    sf = _write_corpus(tmp_path, texts)
+    got = vocab_growth_curve(sf, step=2)
+    assert got["n_docs_prefix"].tolist() == [2, 4]
+    assert got["n_distinct_words"].tolist() == [3, 5]
+    # monotone non-decreasing by construction
+    v = got["n_distinct_words"].tolist()
+    assert all(a <= b for a, b in zip(v, v[1:]))
