@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "nation_trade_volume", "returned_revenue", "big_orders",
     "market_share", "waiting_suppliers",
     "media_features", "media_collage", "chunk_docs",
+    # round-4 session-2 additions: representative new shapes
+    "nb_quality_scores", "embedding_gram", "image_dhash_dups",
+    "substring_dup_spans", "source_leakage_matrix", "weighted_sample",
+    "session_gap_sweep", "source_centroid_distances",
 ]
 
 
