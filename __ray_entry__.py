@@ -639,6 +639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequential scan) — hash-strict
         "vocab_growth_curve":
             lambda sf: text_analysis.vocab_growth_curve(sf),
+        # contrastive (anchor, positive, negative) mining from the dup
+        # graph with md5-argmin negatives (no RNG) — hash-strict
+        "contrastive_pairs": lambda sf: dedup.contrastive_pairs(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2084,6 +2087,53 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # positives = the jaccard_pairs CTEs; negative(a) = md5-argmin
+    # non-partner (ties by doc id); pure strings/ints, no float
+    # contract; see dedup.contrastive_pairs
+    out["contrastive_pairs"] = r"""
+        WITH words AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ws
+          FROM documents WHERE trim(text) <> ''
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+          FROM words,
+               LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1)))
+               AS t(i)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), tpairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        ), anchors AS (
+          SELECT DISTINCT id_a AS a FROM tpairs
+        ), banned AS (
+          SELECT id_a AS a, id_b AS d FROM tpairs
+          UNION SELECT id_b, id_a FROM tpairs
+          UNION SELECT a, a FROM anchors
+        ), cand AS (
+          SELECT an.a, dd.doc_id AS d,
+                 md5(CAST(an.a AS VARCHAR) || ':'
+                     || CAST(dd.doc_id AS VARCHAR)) AS h
+          FROM anchors an CROSS JOIN documents dd
+          WHERE NOT EXISTS (SELECT 1 FROM banned b
+                            WHERE b.a = an.a AND b.d = dd.doc_id)
+        ), neg AS (
+          SELECT a, (array_agg(d ORDER BY h, d))[1] AS negative
+          FROM cand GROUP BY a
+        )
+        SELECT p.id_a AS anchor, p.id_b AS positive,
+               CAST(COALESCE(n.negative, -1) AS BIGINT) AS negative
+        FROM tpairs p LEFT JOIN neg n ON n.a = p.id_a
+        ORDER BY anchor, positive
     """
     # Pearson r from exact-int sufficient statistics; one sqrt + one
     # division in doubles on both sides; see

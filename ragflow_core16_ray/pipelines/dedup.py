@@ -1641,3 +1641,88 @@ def jaccard_threshold_sweep(sf_dir: str, k: int = 3,
     return pd.DataFrame({
         "threshold_pct": pd.array(grid, dtype="int64"),
         "n_pairs": pd.array(n, dtype="int64")})
+
+
+def contrastive_pairs(sf_dir: str, k: int = 3,
+                      threshold: float = 0.5) -> pd.DataFrame:
+    """CONTRASTIVE TRAINING-PAIR MINING from the dup graph: every exact
+    near-dup pair (word-shingle Jaccard ≥ ``threshold``) becomes an
+    (anchor, positive); the negative is the deterministic md5-argmin
+    non-partner — negative(a) = argmin_d md5(f"{a}:{d}") over docs d
+    that are neither a nor any positive partner of a. This is the
+    standard weak-supervision recipe for training/calibrating embedding
+    models on one's own corpus (SimCSE-style positives from near-dups,
+    uniform negatives), made RERUN- and PARTITION-DETERMINISTIC by
+    hashing instead of sampling. Purely string/int — hash-strict with
+    no float contract.
+
+    Scale shape: positives ride jaccard_dup_pairs' documented shuffles;
+    the negative argmin streams the corpus ONCE with the (pair-bounded)
+    anchor list broadcast — per batch one (anchor, min-hash, doc) row
+    per anchor through the min-combiner. Output (anchor, positive,
+    negative), pair-sorted."""
+    from ..functions.hashing import md5_hex
+    from ..stages.agg import combine_partials
+
+    pairs = jaccard_dup_pairs(sf_dir, k, threshold)
+    empty = pd.DataFrame({"anchor": pd.array([], dtype="int64"),
+                          "positive": pd.array([], dtype="int64"),
+                          "negative": pd.array([], dtype="int64")})
+    if pairs.empty:
+        return empty
+    partners: dict[int, set] = {}
+    for a, b in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
+        partners.setdefault(a, {a}).add(b)
+        partners.setdefault(b, {b}).add(a)
+    # only id_a-side anchors need negatives
+    anchors_ref = ray.put({int(a): frozenset(partners[int(a)])
+                           for a in pairs["id_a"].unique()})
+
+    def neg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        excl = ray.get(anchors_ref)
+        ids = batch["doc_id"].astype("int64").tolist()
+        rows = {"anchor": [], "h": [], "negative": []}
+        for a, banned in excl.items():
+            best_h, best_d = None, None
+            for d in ids:
+                if d in banned:
+                    continue
+                h = md5_hex(f"{a}:{d}")
+                if best_h is None or h < best_h or (h == best_h
+                                                    and d < best_d):
+                    best_h, best_d = h, d
+            if best_h is not None:
+                rows["anchor"].append(a)
+                rows["h"].append(best_h)
+                rows["negative"].append(best_d)
+        return pd.DataFrame({
+            "anchor": pd.array(rows["anchor"], dtype="int64"),
+            "h": rows["h"],
+            "negative": pd.array(rows["negative"], dtype="int64")})
+
+    # min-combiner on the md5 string; the (h, negative) pair must move
+    # together, so encode negative into the key: ties on h break by the
+    # smaller doc id via the lexicographic zero-padded suffix
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["hk"] = b["h"] + ":" + b["negative"].astype(str).str.zfill(20)
+        return b[["anchor", "hk"]]
+
+    mins = combine_partials(
+        _docs(sf_dir, ["doc_id"]).map_batches(neg_partial,
+                                              batch_format="pandas")
+        .map_batches(keyed, batch_format="pandas"),
+        ["anchor"], {"hk": "min"}).to_pandas()
+    if mins.empty or "anchor" not in mins.columns:
+        return empty
+    neg = {int(a): int(hk.rsplit(":", 1)[1])
+           for a, hk in zip(mins["anchor"], mins["hk"])}
+    # -1 sentinel: every corpus doc is a partner of this anchor (only
+    # possible on degenerate all-dup corpora)
+    out = pd.DataFrame({
+        "anchor": pairs["id_a"].astype("int64"),
+        "positive": pairs["id_b"].astype("int64"),
+        "negative": pd.array([neg.get(int(a), -1)
+                              for a in pairs["id_a"]], dtype="int64")})
+    return (out.sort_values(["anchor", "positive"])
+            .reset_index(drop=True))

@@ -1141,3 +1141,30 @@ def test_vocab_growth_curve_hand(ray_session, tmp_path):
     # monotone non-decreasing by construction
     v = got["n_distinct_words"].tolist()
     assert all(a <= b for a, b in zip(v, v[1:]))
+
+
+def test_contrastive_pairs_semantics(ray_session, tmp_path):
+    import hashlib
+
+    from ragflow_core16_ray.pipelines.dedup import contrastive_pairs
+
+    texts = [
+        "a b c d e f g h",        # 0: dup cluster {0,1}
+        "a b c d e f g h",        # 1
+        "p q r s t u v w",        # 2: dup cluster {2,3}
+        "p q r s t u v w",        # 3
+        "completely unrelated words one",   # 4
+        "another set of free words two",    # 5
+    ]
+    sf = _write_corpus(tmp_path, texts)
+    got = contrastive_pairs(sf)
+    by_anchor = {(a, p): n for a, p, n in
+                 zip(got["anchor"], got["positive"], got["negative"])}
+    assert set(by_anchor) == {(0, 1), (2, 3)}
+    # replica of the md5-argmin negative
+    for a, banned in ((0, {0, 1}), (2, {2, 3})):
+        cands = [(hashlib.md5(f"{a}:{d}".encode()).hexdigest(), d)
+                 for d in range(6) if d not in banned]
+        want = min(cands)[1]
+        assert by_anchor[(a, a + 1)] == want
+        assert want not in banned
