@@ -642,6 +642,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contrastive (anchor, positive, negative) mining from the dup
         # graph with md5-argmin negatives (no RNG) — hash-strict
         "contrastive_pairs": lambda sf: dedup.contrastive_pairs(sf),
+        # per-source docs/tokens retained after near-dup removal —
+        # hash-strict vs the recursive-CTE CC oracle
+        "dedup_retention_by_source":
+            lambda sf: dedup.dedup_retention_by_source(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2087,6 +2091,60 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # near_dup_removal's recursive-CTE components + per-source doc and
+    # token retention; see dedup.dedup_retention_by_source
+    out["dedup_retention_by_source"] = r"""
+        WITH RECURSIVE words AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ws
+          FROM documents WHERE trim(text) <> ''
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+          FROM words,
+               LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1)))
+               AS t(i)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        ), und AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ), reach(src, dst) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+        ), drops AS (
+          SELECT src AS doc_id FROM reach
+          GROUP BY src HAVING MIN(dst) <> src
+        ), kept AS (
+          SELECT d.source,
+                 CASE WHEN trim(d.text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(d.text), '\s+'))
+                 END AS toks,
+                 CASE WHEN d.doc_id IN (SELECT doc_id FROM drops)
+                      THEN 0 ELSE 1 END AS k
+          FROM documents d
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(k) AS BIGINT) AS n_kept,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN k = 1 THEN toks ELSE 0 END)
+                    AS BIGINT) AS n_tokens_kept,
+               CAST(SUM(k) * 1000000 // COUNT(*) AS BIGINT)
+                   AS kept_share_q
+        FROM kept GROUP BY source ORDER BY source
     """
     # positives = the jaccard_pairs CTEs; negative(a) = md5-argmin
     # non-partner (ties by doc id); pure strings/ints, no float

@@ -1726,3 +1726,58 @@ def contrastive_pairs(sf_dir: str, k: int = 3,
                               for a in pairs["id_a"]], dtype="int64")})
     return (out.sort_values(["anchor", "positive"])
             .reset_index(drop=True))
+
+
+def dedup_retention_by_source(sf_dir: str, k: int = 3,
+                              threshold: float = 0.5,
+                              n_buckets: int = 64) -> pd.DataFrame:
+    """DEDUP-RETENTION accounting per source: docs and whitespace tokens
+    kept after near-dup removal (jaccard_clusters' min-id
+    representative rule) — the report that decides which crawl pays for
+    its storage after dedup (the near-dup companion to
+    dup_share_by_source's exact-md5 view). Hash-strict against the
+    recursive-CTE connected-components oracle, shares in exact integer
+    floor division. Scale: the drop-set is duplicate-proportional and
+    broadcasts once (the near_dup_removal move); one streaming pass
+    emits per-source (docs, kept, tokens, tokens_kept) partials."""
+    from ..stages.agg import combine_partials
+
+    clusters = jaccard_clusters(sf_dir, k, threshold, n_buckets)
+    drop = frozenset(d for d, c in zip(clusters["doc_id"],
+                                       clusters["cluster_id"]) if d != c)
+    drop_ref = ray.put(drop)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dropset = ray.get(drop_ref)
+        b = batch.reset_index(drop=True)
+        t = b["text"].str.strip()
+        toks = np.where(t.eq("").to_numpy(), 0,
+                        t.str.split().str.len().fillna(0)
+                        .to_numpy(np.int64))
+        kept = ~b["doc_id"].isin(dropset).to_numpy()
+        g = pd.DataFrame({"source": b["source"].values,
+                          "n_docs": 1,
+                          "n_kept": kept.astype("int64"),
+                          "n_tokens": toks,
+                          "n_tokens_kept": np.where(kept, toks, 0)})
+        out = g.groupby("source", sort=False).sum().reset_index()
+        for c in ("n_docs", "n_kept", "n_tokens", "n_tokens_kept"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = combine_partials(
+        _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            partial, batch_format="pandas"),
+        ["source"], {c: "sum" for c in ("n_docs", "n_kept", "n_tokens",
+                                        "n_tokens_kept")}).to_pandas()
+    if out.empty or "source" not in out.columns:
+        return pd.DataFrame({
+            "source": pd.array([], dtype="string"),
+            **{c: pd.array([], dtype="int64")
+               for c in ("n_docs", "n_kept", "n_tokens", "n_tokens_kept",
+                         "kept_share_q")}})
+    for c in ("n_docs", "n_kept", "n_tokens", "n_tokens_kept"):
+        out[c] = out[c].astype("int64")
+    out["kept_share_q"] = (out["n_kept"] * 1_000_000
+                           // out["n_docs"]).astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -1168,3 +1168,18 @@ def test_contrastive_pairs_semantics(ray_session, tmp_path):
         want = min(cands)[1]
         assert by_anchor[(a, a + 1)] == want
         assert want not in banned
+
+
+def test_dedup_retention_by_source_hand(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.dedup import dedup_retention_by_source
+
+    texts = [
+        "a b c d e f g h",       # 0 src A — cluster rep (kept)
+        "a b c d e f g h",       # 1 src B — dropped (rep is 0)
+        "x y z w q r s t",       # 2 src A — unique (kept)
+        "",                      # 3 src B — empty, kept (no shingles)
+    ]
+    sf = _write_corpus(tmp_path, texts, sources=["A", "B", "A", "B"])
+    got = dedup_retention_by_source(sf).set_index("source")
+    assert got.loc["A"].tolist() == [2, 2, 16, 16, 1_000_000]
+    assert got.loc["B"].tolist() == [2, 1, 8, 0, 500_000]
