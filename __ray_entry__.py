@@ -379,6 +379,15 @@ def _image_dhash_dups(sf_dir: str):
     return image_dhash_dups(extracted)
 
 
+def _link_graph(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import link_graph
+
+    corpus = _corpus_for(sf_dir)
+    return link_graph(rd.read_parquet(corpus, columns=["doc_id", "spans"]))
+
+
 def _frame_motion_stats(sf_dir: str):
     import ray.data as rd
 
@@ -646,6 +655,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-strict vs the recursive-CTE CC oracle
         "dedup_retention_by_source":
             lambda sf: dedup.dedup_retention_by_source(sf),
+        # outlink harvest over raw HTML spans (no-oracle: markup lives
+        # in the interleaved corpus, not the documents table; fixture
+        # pins hand HTML)
+        "link_graph": _link_graph,
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a

@@ -216,3 +216,29 @@ def extract_html(html: str) -> HtmlDoc:
     if sections and title and sections[0].strip() == title.strip():
         sections = sections[1:]
     return HtmlDoc(title, sections, figures)
+
+
+_HREF_RE = None
+
+
+def extract_links(html: str) -> list:
+    """(href, anchor_text) pairs from raw HTML, in document order — the
+    link-graph harvest step of a web-crawl pipeline (outlink counts,
+    nav-vs-content link ratio). Tag-tolerant regex pass (same stance as
+    the extractor's own tokenizer: no external HTML lib), anchor text
+    stripped of nested tags and whitespace-normalized."""
+    import re
+
+    global _HREF_RE
+    if _HREF_RE is None:
+        _HREF_RE = re.compile(
+            r"<a\b[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
+            r"[^>]*>(.*?)</a>",
+            re.IGNORECASE | re.DOTALL)
+    out = []
+    for m in _HREF_RE.finditer(html):
+        href = m.group(2) or m.group(3) or m.group(4) or ""
+        text = re.sub(r"<[^>]*>", " ", m.group(5))
+        text = " ".join(text.split())
+        out.append((href, text))
+    return out

@@ -635,3 +635,67 @@ def frame_motion_stats(extracted: rd.Dataset, batch_size: int = 32,
     return refs.map_batches(MotionStats, batch_format="pandas",
                             batch_size=batch_size,
                             concurrency=concurrency or _default_pool())
+
+
+def link_graph(extracted_corpus: rd.Dataset, k: int = 50) -> pd.DataFrame:
+    """OUTLINK harvest over the raw HTML spans of the interleaved
+    corpus: per distinct href, how many documents link to it and the
+    total anchor occurrences — the link-graph aggregation every
+    web-crawl pipeline runs (frontier seeding, boilerplate-link
+    identification: a nav href linked from everywhere is chrome, a
+    long-tail href is content). Top-k by (n_docs desc, href) plus the
+    corpus totals row (href='', the out-of-band rollup).
+
+    Scale shape: anchor extraction is a streaming map_batches over raw
+    html spans (regex per span, pure per-doc work); per-batch
+    (href, docs, hits) partials ride the combiner tree; the driver sees
+    the merged href table (distinct-outlink bounded — at open-web scale
+    swap the tree's final stage for mode='shuffle' on an href-hash
+    key, the documented combiner escape hatch)."""
+    from ..functions.html_extract import extract_links
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {}
+        total_hits = 0
+        n_html = 0
+        for spans in batch["spans"]:
+            if spans is None:
+                continue
+            hrefs = set()
+            saw_html = False
+            for s in spans:
+                if s["kind"] != "html":
+                    continue
+                saw_html = True
+                for href, _text in extract_links(s["text"]):
+                    total_hits += 1
+                    r = rows.setdefault(href, [0, 0])
+                    r[1] += 1
+                    hrefs.add(href)
+            for h in hrefs:
+                rows[h][0] += 1
+            n_html += int(saw_html)
+        out = pd.DataFrame({
+            "href": list(rows) + [""],
+            "n_docs": pd.array([v[0] for v in rows.values()] + [n_html],
+                               dtype="int64"),
+            "n_hits": pd.array([v[1] for v in rows.values()]
+                               + [total_hits], dtype="int64")})
+        return out
+
+    hist = combine_partials(
+        extracted_corpus.map_batches(partial, batch_format="pandas"),
+        ["href"], {"n_docs": "sum", "n_hits": "sum"}).to_pandas()
+    if hist.empty or "href" not in hist.columns:
+        return pd.DataFrame({"href": pd.array([], dtype="string"),
+                             "n_docs": pd.array([], dtype="int64"),
+                             "n_hits": pd.array([], dtype="int64")})
+    totals = hist[hist["href"] == ""]
+    rest = (hist[hist["href"] != ""]
+            .sort_values(["n_docs", "href"], ascending=[False, True])
+            .head(k))
+    out = pd.concat([totals, rest], ignore_index=True)
+    for c in ("n_docs", "n_hits"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)

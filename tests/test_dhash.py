@@ -127,3 +127,33 @@ def test_frame_motion_stats_hand_built(ray_session):
     assert got.loc["m2"].tolist() == ["media://m2/v", 2, 100, 0]
     assert got.loc["m3", "n_frames"] == 1 and got.loc["m3", "motion_q"] == 0
     assert got.loc["m4", "n_frames"] == -1
+
+
+def test_extract_links_and_link_graph(ray_session):
+    import ray.data as rd
+
+    from ragflow_core16_ray.functions.html_extract import extract_links
+    from ragflow_core16_ray.pipelines.multimodal import link_graph
+
+    html = ('<nav><a href="/home">Home</a> <a href=\'/about\'>About '
+            '<b>Us</b></a></nav><p>body text with '
+            '<a href=/rel>a bare-attr link</a></p>')
+    assert extract_links(html) == [
+        ("/home", "Home"), ("/about", "About Us"),
+        ("/rel", "a bare-attr link")]
+    assert extract_links("no links here") == []
+
+    rows = [
+        {"doc_id": "h1", "spans": [make_span("html", html)]},
+        {"doc_id": "h2", "spans": [make_span(
+            "html", '<a href="/home">Home</a><a href="/home">Home</a>')]},
+        {"doc_id": "t1", "spans": [make_span("text", "plain doc")]},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA))
+    got = link_graph(ds).set_index("href")
+    # totals row: 2 html docs, 5 anchor hits in all
+    assert got.loc["", "n_docs"] == 2 and got.loc["", "n_hits"] == 5
+    # /home linked from both docs, 3 total occurrences
+    assert got.loc["/home", "n_docs"] == 2
+    assert got.loc["/home", "n_hits"] == 3
+    assert got.loc["/about", "n_docs"] == 1
