@@ -388,6 +388,15 @@ def _link_graph(sf_dir: str):
     return link_graph(rd.read_parquet(corpus, columns=["doc_id", "spans"]))
 
 
+def _link_hits(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import link_hits
+
+    corpus = _corpus_for(sf_dir)
+    return link_hits(rd.read_parquet(corpus, columns=["doc_id", "spans"]))
+
+
 def _frame_motion_stats(sf_dir: str):
     import ray.data as rd
 
@@ -659,6 +668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in the interleaved corpus, not the documents table; fixture
         # pins hand HTML)
         "link_graph": _link_graph,
+        # exact-int two-step HITS over the doc→href graph (no-oracle;
+        # fixture pins a pure-Python replica)
+        "link_hits": _link_hits,
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a

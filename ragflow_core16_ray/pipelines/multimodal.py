@@ -699,3 +699,79 @@ def link_graph(extracted_corpus: rd.Dataset, k: int = 50) -> pd.DataFrame:
     for c in ("n_docs", "n_hits"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+def link_hits(extracted_corpus: rd.Dataset, k: int = 20) -> pd.DataFrame:
+    """Two-step HITS over the harvested doc→href bipartite graph
+    (Kleinberg 1999), EXACT-INT unnormalized: auth₁(h) = indegree,
+    hub₁(d) = Σ_{h∈d} auth₁(h), auth₂(h) = Σ_{d∋h} hub₁(d). The L2
+    normalization of textbook HITS only rescales — rankings are
+    identical without it, so every score is an exact int64 and the
+    result is rerun/partition-stable with no float contract (the
+    textrank_keywords move, second verse). The ranking separates
+    content links (linked from high-hub docs) from uniform nav chrome.
+
+    Scale shape: distinct (doc, href) edges come from one streaming
+    pass; indegree rides the combiner tree; hub and second-step
+    authority are two more streaming passes with the (href-vocab
+    bounded) score map broadcast — a bucket co-partition replaces the
+    broadcast past driver scale. Output top-k (href, auth2, indeg),
+    (auth2 desc, href)."""
+    import ray
+
+    from ..functions.html_extract import extract_links
+    from ..stages.agg import combine_partials
+
+    def edges(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, spans in zip(batch["doc_id"], batch["spans"]):
+            if spans is None:
+                continue
+            hrefs = {href for s in spans if s["kind"] == "html"
+                     for href, _ in extract_links(s["text"])}
+            rows.extend((did, h) for h in hrefs)
+        return pd.DataFrame({
+            "doc_id": [r[0] for r in rows],
+            "href": [r[1] for r in rows],
+            "one": pd.array([1] * len(rows), dtype="int64")})
+
+    edge_ds = extracted_corpus.map_batches(
+        edges, batch_format="pandas").materialize()
+    indeg = combine_partials(edge_ds, ["href"], {"one": "sum"}).to_pandas()
+    if indeg.empty or "href" not in indeg.columns:
+        return pd.DataFrame({"href": pd.array([], dtype="string"),
+                             "auth2": pd.array([], dtype="int64"),
+                             "indeg": pd.array([], dtype="int64")})
+    indeg_ref = ray.put(dict(zip(indeg["href"],
+                                 indeg["one"].astype("int64"))))
+
+    def hub_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        a1 = ray.get(indeg_ref)
+        h = batch["href"].map(a1).astype("int64")
+        g = (pd.DataFrame({"doc_id": batch["doc_id"].values, "hub": h})
+             .groupby("doc_id", sort=False)["hub"].sum().reset_index())
+        g["hub"] = g["hub"].astype("int64")
+        return g
+
+    hubs = combine_partials(
+        edge_ds.map_batches(hub_partial, batch_format="pandas"),
+        ["doc_id"], {"hub": "sum"}).to_pandas()
+    hub_ref = ray.put(dict(zip(hubs["doc_id"],
+                               hubs["hub"].astype("int64"))))
+
+    def auth_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hb = ray.get(hub_ref)
+        a = batch["doc_id"].map(hb).astype("int64")
+        g = (pd.DataFrame({"href": batch["href"].values, "auth2": a})
+             .groupby("href", sort=False)["auth2"].sum().reset_index())
+        g["auth2"] = g["auth2"].astype("int64")
+        return g
+
+    auth2 = combine_partials(
+        edge_ds.map_batches(auth_partial, batch_format="pandas"),
+        ["href"], {"auth2": "sum"}).to_pandas()
+    out = auth2.merge(indeg.rename(columns={"one": "indeg"}), on="href")
+    out["auth2"] = out["auth2"].astype("int64")
+    out["indeg"] = out["indeg"].astype("int64")
+    return (out.sort_values(["auth2", "href"], ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -157,3 +157,23 @@ def test_extract_links_and_link_graph(ray_session):
     assert got.loc["/home", "n_docs"] == 2
     assert got.loc["/home", "n_hits"] == 3
     assert got.loc["/about", "n_docs"] == 1
+
+
+def test_link_hits_replica(ray_session):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import link_hits
+
+    # d1 links to a,b ; d2 links to a ; d3 links to c
+    rows = [
+        {"doc_id": "d1", "spans": [make_span(
+            "html", '<a href="/a">A</a><a href="/b">B</a>')]},
+        {"doc_id": "d2", "spans": [make_span("html", '<a href="/a">A</a>')]},
+        {"doc_id": "d3", "spans": [make_span("html", '<a href="/c">C</a>')]},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA))
+    got = link_hits(ds)
+    # replica: indeg a=2 b=1 c=1; hub d1=3 d2=2 d3=1;
+    # auth2 a=5 b=3 c=1
+    assert list(zip(got["href"], got["auth2"], got["indeg"])) == [
+        ("/a", 5, 2), ("/b", 3, 1), ("/c", 1, 1)]
