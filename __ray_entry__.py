@@ -671,6 +671,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-int two-step HITS over the doc→href graph (no-oracle;
         # fixture pins a pure-Python replica)
         "link_hits": _link_hits,
+        # top-k event path trigrams ((ts, event_id) order) — hash-strict
+        "event_trigrams": lambda sf: relational.event_trigrams(sf),
+        # Zipf rank-frequency OLS fit (ln-parity, sequential sums) —
+        # hash-strict
+        "zipf_exponent": lambda sf: text_analysis.zipf_exponent(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2116,6 +2121,52 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # second-order Markov path counts in (ts, event_id) order; see
+    # relational.event_trigrams
+    out["event_trigrams"] = r"""
+        WITH o AS (
+            SELECT user_id, event_type,
+                   lag(event_type, 1) OVER w AS t2p,
+                   lag(event_type, 2) OVER w AS t1p
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), tri AS (
+            SELECT t1p AS t1, t2p AS t2, event_type AS t3,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE t1p IS NOT NULL
+            GROUP BY 1, 2, 3
+        )
+        SELECT t1, t2, t3, n FROM tri
+        ORDER BY n DESC, t1, t2, t3 LIMIT 25
+    """
+    # OLS of LN(freq) on LN(rank) over the top-100 words; identical
+    # expression order both sides; see text_analysis.zipf_exponent
+    out["zipf_exponent"] = r"""
+        WITH cnts AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                      AS word
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY word
+        ), top AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk
+            FROM cnts ORDER BY cnt DESC, word LIMIT 100
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(LN(rk)) AS sx, SUM(LN(cnt)) AS sy,
+                   SUM(LN(rk) * LN(cnt)) AS sxy,
+                   SUM(LN(rk) * LN(rk)) AS sxx
+            FROM top
+        )
+        SELECT n AS n_terms,
+               CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * 1e6 + 0.5) AS BIGINT) AS slope_q,
+               CAST(FLOOR((sy - ((n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx)) * sx) / n
+                          * 1e6 + 0.5) AS BIGINT) AS intercept_q
+        FROM s
     """
     # near_dup_removal's recursive-CTE components + per-source doc and
     # token retention; see dedup.dedup_retention_by_source

@@ -2165,3 +2165,54 @@ def funnel_time_quantiles(sf_dir: str,
     out["delta_s"] = out["delta_s"].astype("int64")
     return (out.sort_values(["transition", "q"])
             .reset_index(drop=True))
+
+
+def event_trigrams(sf_dir: str, k: int = 25,
+                   n_buckets: int = 64) -> pd.DataFrame:
+    """Top-k event PATH trigrams ((t1, t2, t3) of consecutive same-user
+    events in (ts, event_id) order) — the path-mining extension of
+    event_transitions' Markov bigram table: a second-order pattern
+    (view→click→purchase vs view→click→view) that a bigram table cannot
+    distinguish. Same one-shuffle user-bucket co-partition, vectorized
+    double-shift per bucket, (t1,t2,t3,n) partials through the combiner
+    tree; global top-k by (n desc, t1, t2, t3) on the type³-bounded
+    frame. Hash-strict."""
+    from ..stages.agg import combine_partials
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (batch["user_id"] % np.int64(n_buckets)),
+            "user_id": batch["user_id"].values,
+            "event_id": batch["event_id"].values,
+            "event_type": batch["event_type"].values,
+            "ts": batch["ts"].values})
+
+    def tris(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same1 = g["user_id"].eq(g["user_id"].shift())
+        same2 = g["user_id"].eq(g["user_id"].shift(2))
+        m = same1 & same2
+        vc = (pd.DataFrame({"t1": g["event_type"].shift(2)[m],
+                            "t2": g["event_type"].shift(1)[m],
+                            "t3": g["event_type"][m]})
+              .value_counts())
+        out = vc.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    df = combine_partials(
+        _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(tris, batch_format="pandas"),
+        ["t1", "t2", "t3"], {"n": "sum"}).to_pandas()
+    if df.empty or "t1" not in df.columns:
+        return pd.DataFrame({
+            "t1": pd.array([], dtype="string"),
+            "t2": pd.array([], dtype="string"),
+            "t3": pd.array([], dtype="string"),
+            "n": pd.array([], dtype="int64")})
+    df["n"] = df["n"].astype("int64")
+    return (df.sort_values(["n", "t1", "t2", "t3"],
+                           ascending=[False, True, True, True])
+            .head(k).reset_index(drop=True))

@@ -2062,3 +2062,52 @@ def vocab_growth_curve(sf_dir: str, step: int = 50) -> pd.DataFrame:
     return pd.DataFrame({
         "n_docs_prefix": pd.array(grid, dtype="int64"),
         "n_distinct_words": pd.array(vals, dtype="int64")})
+
+
+def zipf_exponent(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """Zipf-fit CORPUS-HEALTH probe: OLS slope of ln(freq) on ln(rank)
+    over the top-``top_n`` words — natural language sits near −1;
+    templated/synthetic text bends the rank-frequency line and the
+    slope flags it (Piantadosi 2014 review). Word counts ride the
+    combiner tree (the top_words shape); the regression runs on the
+    top_n frame. Exactness: ranks and counts are exact ints, ln args
+    are those ints (ln-parity), the OLS sums accumulate in rank order
+    on both sides, slope/intercept quantize floor(x·1e6+0.5). Output
+    one row (n_terms, slope_q, intercept_q)."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = (batch["text"].str.strip().str.split().explode()
+                  .dropna().value_counts())
+        return pd.DataFrame({"word": counts.index,
+                             "cnt": counts.values.astype("int64")})
+
+    w = combine_partials(
+        _docs(sf_dir, ["text"]).map_batches(partial,
+                                            batch_format="pandas"),
+        ["word"], {"cnt": "sum"}).to_pandas()
+    w = (w.sort_values(["cnt", "word"], ascending=[False, True])
+         .head(top_n).reset_index(drop=True))
+    n = len(w)
+    if n < 2:
+        return pd.DataFrame({"n_terms": pd.array([n], dtype="int64"),
+                             "slope_q": pd.array([0], dtype="int64"),
+                             "intercept_q": pd.array([0], dtype="int64")})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(w["cnt"].to_numpy(np.int64).astype(np.float64))
+    # sequential python sums, NOT np.sum: numpy's pairwise accumulation
+    # could differ from DuckDB's sequential SUM in the last ulp and flip
+    # the 1e-6 quantization
+    sx, sy = sum(x.tolist()), sum(y.tolist())
+    sxy = sum((x * y).tolist())
+    sxx = sum((x * x).tolist())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({
+        "n_terms": pd.array([n], dtype="int64"),
+        "slope_q": pd.array([int(np.floor(slope * 1e6 + 0.5))],
+                            dtype="int64"),
+        "intercept_q": pd.array([int(np.floor(intercept * 1e6 + 0.5))],
+                                dtype="int64")})

@@ -1183,3 +1183,28 @@ def test_dedup_retention_by_source_hand(ray_session, tmp_path):
     got = dedup_retention_by_source(sf).set_index("source")
     assert got.loc["A"].tolist() == [2, 2, 16, 16, 1_000_000]
     assert got.loc["B"].tolist() == [2, 1, 8, 0, 500_000]
+
+
+def test_zipf_exponent_replica(ray_session, tmp_path):
+    import math
+
+    from ragflow_core16_ray.pipelines.text_analysis import zipf_exponent
+
+    # construct an exact Zipf-ish corpus: word_i appears 60//(i+1) times
+    words = []
+    for i in range(12):
+        words += [f"w{i}"] * (60 // (i + 1))
+    sf = _write_corpus(tmp_path, [" ".join(words)])
+    got = zipf_exponent(sf, top_n=12)
+    cnts = sorted(([60 // (i + 1) for i in range(12)]), reverse=True)
+    n = 12
+    x = [math.log(r) for r in range(1, n + 1)]
+    y = [math.log(c) for c in cnts]
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert got.iloc[0]["n_terms"] == n
+    assert got.iloc[0]["slope_q"] == math.floor(slope * 1e6 + 0.5)
+    # a Zipf-ish corpus fits a slope near -1
+    assert -1_300_000 < got.iloc[0]["slope_q"] < -700_000

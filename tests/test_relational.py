@@ -919,3 +919,31 @@ def test_funnel_time_quantiles_hand(ray_session, tmp_path):
     cp = got[got["transition"] == "click_to_purchase"].set_index("q")
     # single converting user: every quantile is its 5 s latency
     assert cp["delta_s"].tolist() == [5, 5, 5, 5]
+
+
+def test_event_trigrams_hand(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import event_trigrams
+
+    base = pd.Timestamp("2024-01-01")
+    # user 1: a b c b c (trigrams abc, bcb, cbc); user 2: a b (none)
+    rows = [(1, t, i) for i, t in enumerate("abcbc")] + \
+        [(2, "a", 0), (2, "b", 1)]
+    df = pd.DataFrame({
+        "event_id": pd.array(range(len(rows)), dtype="int64"),
+        "ts": [base + pd.Timedelta(seconds=s) for _, _, s in rows],
+        "user_id": pd.array([u for u, _, _ in rows], dtype="int64"),
+        "event_type": [t for _, t, _ in rows],
+        "value": [0.0] * len(rows), "props": ["{}"] * len(rows)})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = event_trigrams(str(tmp_path))
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        ("a", "b", "c", 1), ("b", "c", "b", 1), ("c", "b", "c", 1)]
