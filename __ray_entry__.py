@@ -676,6 +676,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Zipf rank-frequency OLS fit (ln-parity, sequential sums) —
         # hash-strict
         "zipf_exponent": lambda sf: text_analysis.zipf_exponent(sf),
+        # per-doc own-language stopword coverage (lang-label QA) —
+        # hash-strict
+        "stopword_coverage":
+            lambda sf: text_analysis.stopword_coverage(sf),
+        # per-doc unigram entropy (diversity vs boilerplate) —
+        # hash-strict via ln parity
+        "doc_entropy": lambda sf: text_analysis.doc_entropy(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2121,6 +2128,68 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # own-language function-word coverage (the lang_id marker lists,
+    # reproduced verbatim); zh counts CJK chars, no Latin markers; see
+    # text_analysis.stopword_coverage
+    out["stopword_coverage"] = r"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CASE WHEN lang = 'zh'
+                        THEN length(regexp_replace(text, '[^一-鿿]', '',
+                                                   'g'))
+                        ELSE len(regexp_extract_all(lower(text),
+                                                    '[a-zà-ÿ]+'))
+                   END AS n_words,
+                   CASE
+                     WHEN lang = 'zh' THEN 0
+                     WHEN lang = 'en' THEN len(list_filter(
+                       regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                       w -> w IN ('the','and','of','to','is','in','that',
+                                  'it','for','with')))
+                     WHEN lang = 'fr' THEN len(list_filter(
+                       regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                       w -> w IN ('le','la','les','de','et','est','une',
+                                  'que','des','dans')))
+                     WHEN lang = 'es' THEN len(list_filter(
+                       regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                       w -> w IN ('el','la','los','de','y','es','una',
+                                  'que','las','en')))
+                     WHEN lang = 'de' THEN len(list_filter(
+                       regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                       w -> w IN ('der','die','das','und','ist','ein',
+                                  'nicht','mit','den','von')))
+                     ELSE 0
+                   END AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_stop AS BIGINT) AS n_stop,
+               CAST(n_stop * 1000000 // greatest(n_words, 1) AS BIGINT)
+                   AS cover_q
+        FROM base ORDER BY doc_id
+    """
+    # per-doc unigram entropy; int-ratio LN args, floor(x*1e6+0.5); see
+    # text_analysis.doc_entropy
+    out["doc_entropy"] = r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ), w AS (
+            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks, unnest(ts) AS u(w) GROUP BY 1, 2
+        ), t AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM w GROUP BY 1
+        )
+        SELECT w.doc_id,
+               ANY_VALUE(t.t) AS n_tokens,
+               CAST(FLOOR(-SUM((w.c / CAST(t.t AS DOUBLE))
+                               * LN(w.c / CAST(t.t AS DOUBLE)))
+                          * 1e6 + 0.5) AS BIGINT) AS entropy_q
+        FROM w JOIN t USING (doc_id)
+        GROUP BY w.doc_id
+        ORDER BY w.doc_id
     """
     # second-order Markov path counts in (ts, event_id) order; see
     # relational.event_trigrams

@@ -2111,3 +2111,82 @@ def zipf_exponent(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
                             dtype="int64"),
         "intercept_q": pd.array([int(np.floor(intercept * 1e6 + 0.5))],
                                 dtype="int64")})
+
+
+def stopword_coverage(sf_dir: str) -> pd.DataFrame:
+    """LANG-LABEL QA: per doc, how many of its [a-zà-ÿ]+ words are
+    function words of ITS OWN labeled language (textstats._LANG_MARKERS
+    — the same per-lang lists lang_id votes with). A doc labeled 'fr'
+    with near-zero fr-stopword coverage is mislabeled or non-linguistic
+    — the cheap screen run before trusting provider language tags (zh
+    measures CJK char density instead; the marker lists are
+    Latin-script). Exact ints + integer floor share ⇒ hash-strict.
+    Scale: one streaming vectorized pass. Output (doc_id, lang,
+    n_words, n_stop, cover_q), doc_id asc."""
+    import numpy as np
+
+    from ..functions.textstats import _CJK_RE, _LANG_MARKERS, _WORD_RE
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": batch["doc_id"].astype("int64").values,
+                "lang": batch["lang"].values, "n_words": [],
+                "n_stop": []}
+        for lang, text in zip(batch["lang"], batch["text"]):
+            if lang == "zh":
+                words = _CJK_RE.findall(text)
+                n_stop = 0  # marker lists are Latin-script; zh coverage
+                # is CJK char density by definition, not function words
+            else:
+                words = _WORD_RE.findall(text.lower())
+                stop = _LANG_MARKERS.get(lang, frozenset())
+                n_stop = sum(1 for w in words if w in stop)
+            rows["n_words"].append(len(words))
+            rows["n_stop"].append(n_stop)
+        out = pd.DataFrame({
+            "doc_id": rows["doc_id"],
+            "lang": rows["lang"],
+            "n_words": pd.array(rows["n_words"], dtype="int64"),
+            "n_stop": pd.array(rows["n_stop"], dtype="int64")})
+        out["cover_q"] = (out["n_stop"] * 1_000_000
+                          // np.maximum(out["n_words"], 1)).astype("int64")
+        return out
+
+    out = (_docs(sf_dir, ["doc_id", "lang", "text"])
+           .map_batches(fn, batch_format="pandas").to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc UNIGRAM ENTROPY in nats — the text-diversity signal that
+    separates natural prose from repeated boilerplate even when lengths
+    match (the information-theoretic twin of compression_ratio; CCNet
+    lineage): H(d) = −Σ_w (c_w/T)·ln(c_w/T) over the doc's own word
+    counts. Hash-strict via ln parity (int-ratio LN args, terms summed
+    in word order, floor(x·1e6+0.5)); empty-trim docs excluded. Scale:
+    one streaming pass, per-doc work only. Output (doc_id, n_tokens,
+    entropy_q), doc_id asc."""
+    import numpy as np
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        ids, toks, ents = [], [], []
+        for did, text in zip(b["doc_id"], b["text"]):
+            ws = text.strip().split()
+            if not ws:
+                continue
+            vc = pd.Series(ws).value_counts().sort_index()
+            c = vc.to_numpy(np.int64)
+            t = int(c.sum())
+            h = float(-((c / t) * np.log(c / t)).sum())
+            ids.append(int(did))
+            toks.append(t)
+            ents.append(int(np.floor(h * 1e6 + 0.5)))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "n_tokens": pd.array(toks, dtype="int64"),
+            "entropy_q": pd.array(ents, dtype="int64")})
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(fn, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

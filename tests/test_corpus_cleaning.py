@@ -1208,3 +1208,54 @@ def test_zipf_exponent_replica(ray_session, tmp_path):
     assert got.iloc[0]["slope_q"] == math.floor(slope * 1e6 + 0.5)
     # a Zipf-ish corpus fits a slope near -1
     assert -1_300_000 < got.iloc[0]["slope_q"] < -700_000
+
+
+def test_stopword_coverage_flags_mislabeled(ray_session, tmp_path):
+    import pandas as pd_
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from ragflow_core16_ray.pipelines.text_analysis import stopword_coverage
+
+    texts = [
+        "the cat and the dog is in that house for it with them",  # en ok
+        "the cat and the dog is in that house for it with them",  # "fr"!
+        "le chat et la maison dans les champs de la ville",        # fr ok
+        "编号汉字文本测试",                                          # zh
+    ]
+    langs = ["en", "fr", "fr", "zh"]
+    df = pd_.DataFrame({
+        "doc_id": pd_.array(range(4), dtype="int64"), "text": texts,
+        "lang": langs, "source": ["s"] * 4,
+        "n_chars": pd_.array([len(t) for t in texts], dtype="int64")})
+    import os as os_
+    os_.makedirs(str(tmp_path), exist_ok=True)
+    pq_.write_table(pa_.Table.from_pandas(df, preserve_index=False),
+                    str(tmp_path / "documents.parquet"))
+    got = stopword_coverage(str(tmp_path)).set_index("doc_id")
+    # correctly-labeled docs cover well; the mislabeled one near zero
+    assert got.loc[0, "cover_q"] > 400_000
+    assert got.loc[1, "cover_q"] == 0       # en text labeled fr
+    assert got.loc[2, "cover_q"] > 300_000
+    # zh: words are CJK chars, no Latin markers
+    assert got.loc[3, "n_words"] == 8 and got.loc[3, "n_stop"] == 0
+
+
+def test_doc_entropy_separates_repetition(ray_session, tmp_path):
+    import math
+
+    from ragflow_core16_ray.pipelines.text_analysis import doc_entropy
+
+    texts = ["spam spam spam spam spam spam",
+             "six distinct words appear here once",
+             "a a b b c c", ""]
+    sf = _write_corpus(tmp_path, texts)
+    got = doc_entropy(sf).set_index("doc_id")
+    assert got.loc[0, "entropy_q"] == 0           # single repeated type
+    assert got.loc[1, "entropy_q"] == math.floor(
+        math.log(6) * 1e6 + 0.5)                  # uniform over 6
+    assert got.loc[2, "entropy_q"] == math.floor(
+        math.log(3) * 1e6 + 0.5)                  # uniform over 3
+    assert 3 not in got.index                     # empty excluded
+    assert got.loc[0, "entropy_q"] < got.loc[2, "entropy_q"] \
+        < got.loc[1, "entropy_q"]
