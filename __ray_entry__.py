@@ -683,6 +683,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc unigram entropy (diversity vs boilerplate) —
         # hash-strict via ln parity
         "doc_entropy": lambda sf: text_analysis.doc_entropy(sf),
+        # Gopher-gate vs NB-classifier confusion (filter-stack
+        # calibration) — hash-strict by composing the two oracles
+        "quality_filter_agreement":
+            lambda sf: text_analysis.quality_filter_agreement(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2128,6 +2132,91 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # gopher pass_gopher × NB logodds>0 confusion; both sides'
+    # oracles reproduced verbatim; see
+    # text_analysis.quality_filter_agreement
+    out["quality_filter_agreement"] = r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(text), '\s+') AS ts
+            FROM documents WHERE trim(text) <> ''
+        ), tok AS (
+            SELECT doc_id, source, w FROM toks, unnest(ts) AS u(w)
+        ), cls AS (
+            SELECT w AS word,
+                   CAST(SUM(CASE WHEN source = 'src0'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                   CAST(SUM(CASE WHEN source <> 'src0'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+            FROM tok GROUP BY w
+        ), tot AS (
+            SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM cls
+        ), prior AS (
+            SELECT LN(CAST(SUM(CASE WHEN source = 'src0'
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                      / SUM(CASE WHEN source <> 'src0'
+                            THEN 1 ELSE 0 END)) AS lp
+            FROM toks
+        ), nbq AS (
+            SELECT t.doc_id,
+                   CAST(FLOOR((SUM(LN(((c.c_pos + 1.0)
+                                       * (tot.n_neg + tot.v))
+                                      / ((c.c_neg + 1.0)
+                                         * (tot.n_pos + tot.v))))
+                               + ANY_VALUE(prior.lp)) * 1e6 + 0.5)
+                        AS BIGINT) AS logodds_q
+            FROM tok t
+            JOIN cls c ON t.w = c.word
+            CROSS JOIN tot CROSS JOIN prior
+            GROUP BY t.doc_id
+        ), gt AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\s+')
+                   END AS ws
+            FROM documents
+        ), gw AS (
+            SELECT doc_id, unnest(ws) AS w FROM gt
+        ), ga AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_words,
+                   SUM(length(w)) AS n_chars,
+                   SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                            THEN 1 ELSE 0 END) AS n_alpha,
+                   COUNT(DISTINCT CASE WHEN lower(w) IN
+                       ('the','be','to','of','and','that','have','with')
+                       THEN lower(w) END) AS n_stop
+            FROM gw GROUP BY doc_id
+        ), flags AS (
+            SELECT gt.doc_id,
+                   CASE WHEN COALESCE(ga.n_words, 0) BETWEEN 50
+                             AND 100000
+                         AND 3 * COALESCE(ga.n_words, 0)
+                             <= COALESCE(ga.n_chars, 0)
+                         AND COALESCE(ga.n_chars, 0)
+                             <= 10 * COALESCE(ga.n_words, 0)
+                         AND 5 * COALESCE(ga.n_alpha, 0)
+                             >= 4 * COALESCE(ga.n_words, 0)
+                         AND COALESCE(ga.n_stop, 0) >= 2
+                        THEN 1 ELSE 0 END AS g,
+                   CASE WHEN COALESCE(nbq.logodds_q, 0) > 0
+                        THEN 1 ELSE 0 END AS nb
+            FROM gt LEFT JOIN ga USING (doc_id)
+            LEFT JOIN nbq USING (doc_id)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(g) AS BIGINT) AS n_gopher,
+               CAST(SUM(nb) AS BIGINT) AS n_nb,
+               CAST(SUM(g * nb) AS BIGINT) AS n_both,
+               CAST(SUM(g * nb) * 1000000
+                    // greatest(SUM(g) + SUM(nb) - SUM(g * nb), 1)
+                    AS BIGINT) AS jaccard_q
+        FROM flags
     """
     # own-language function-word coverage (the lang_id marker lists,
     # reproduced verbatim); zh counts CJK chars, no Latin markers; see

@@ -2190,3 +2190,60 @@ def doc_entropy(sf_dir: str) -> pd.DataFrame:
     out = (_docs(sf_dir, ["doc_id", "text"])
            .map_batches(fn, batch_format="pandas").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_filter_agreement(sf_dir: str,
+                             pos_source: str = "src0") -> pd.DataFrame:
+    """FILTER-STACK CALIBRATION: confusion counts between the two
+    quality signals the engine ships — the rule-based Gopher lexical
+    gate (pass_gopher) and the learned NB classifier (logodds > 0
+    against ``pos_source``). High agreement means the second filter is
+    redundant; low agreement means the stack cuts twice (run this
+    before composing filters — the same question
+    emb_text_dup_agreement answers for dedup signals). Output one row
+    (n_docs, n_gopher, n_nb, n_both, jaccard_q) with the overlap in
+    exact integer floor division — hash-strict by composing the two
+    existing oracles.
+
+    Scale shape: NB scoring streams with the broadcast model
+    (nb_quality_scores' shape) and its per-doc frame is that query's
+    existing driver contract; the gopher side reduces to confusion
+    PARTIALS inside map_batches against the broadcast NB-positive id
+    set (positives-bounded; an id-bucket co-partition replaces the
+    broadcast past driver scale)."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    nb = nb_quality_scores(sf_dir, pos_source)
+    pos_ids = frozenset(nb.loc[nb["logodds_q"] > 0, "doc_id"]
+                        .astype(int))
+    pos_ref = ray.put(pos_ids)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pos = ray.get(pos_ref)
+        g = batch["pass_gopher"].astype("int64").to_numpy()
+        isnb = batch["doc_id"].astype("int64").isin(pos).to_numpy()
+        return pd.DataFrame({
+            "k": pd.array([0], dtype="int64"),
+            "n_docs": pd.array([len(batch)], dtype="int64"),
+            "n_gopher": pd.array([int(g.sum())], dtype="int64"),
+            "n_nb": pd.array([int(isnb.sum())], dtype="int64"),
+            "n_both": pd.array([int((g.astype(bool) & isnb).sum())],
+                               dtype="int64")})
+
+    s = combine_partials(
+        gopher_filter(sf_dir).map_batches(partial,
+                                          batch_format="pandas"),
+        ["k"], {c: "sum" for c in ("n_docs", "n_gopher", "n_nb",
+                                   "n_both")}).to_pandas()
+    n_docs, n_g = int(s["n_docs"][0]), int(s["n_gopher"][0])
+    n_nb, n_b = int(s["n_nb"][0]), int(s["n_both"][0])
+    union = n_g + n_nb - n_b
+    return pd.DataFrame({
+        "n_docs": pd.array([n_docs], dtype="int64"),
+        "n_gopher": pd.array([n_g], dtype="int64"),
+        "n_nb": pd.array([n_nb], dtype="int64"),
+        "n_both": pd.array([n_b], dtype="int64"),
+        "jaccard_q": pd.array([n_b * 1_000_000 // max(union, 1)],
+                              dtype="int64")})
