@@ -1259,3 +1259,32 @@ def test_doc_entropy_separates_repetition(ray_session, tmp_path):
     assert 3 not in got.index                     # empty excluded
     assert got.loc[0, "entropy_q"] < got.loc[2, "entropy_q"] \
         < got.loc[1, "entropy_q"]
+
+
+def test_quality_filter_agreement_fixture(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import (
+        quality_filter_agreement)
+
+    # 55 words, stopwords present, alphabetic, mean len in bounds
+    good = ("the quick brown fox jumps over lazy dogs and keeps running "
+            "through green fields near that old river bank while many "
+            "birds circle overhead in warm light with gentle winds "
+            "that carry seeds across wide open meadows toward distant "
+            "hills where quiet farms rest beside clear streams flowing")
+    texts = [
+        good,                      # src0: gopher pass AND NB positive
+        good + " extra words",     # srcX: gopher pass, NB negative-ish
+        "short doc",               # srcX: fails gopher
+    ]
+    sf = _write_corpus(tmp_path, texts, sources=["src0", "srcX", "srcX"])
+    got = quality_filter_agreement(sf)
+    assert int(got["n_docs"][0]) == 3
+    assert int(got["n_gopher"][0]) == 2
+    # doc 0 shares src0's whole vocabulary -> strongly positive; doc 1
+    # shares it too but the prior and the neg-class counts pull it down
+    assert int(got["n_both"][0]) >= 1
+    assert int(got["n_nb"][0]) >= 1
+    n_g, n_nb, n_b = (int(got["n_gopher"][0]), int(got["n_nb"][0]),
+                      int(got["n_both"][0]))
+    assert int(got["jaccard_q"][0]) == n_b * 1_000_000 // max(
+        n_g + n_nb - n_b, 1)
