@@ -1270,7 +1270,8 @@ def test_quality_filter_agreement_fixture(ray_session, tmp_path):
             "through green fields near that old river bank while many "
             "birds circle overhead in warm light with gentle winds "
             "that carry seeds across wide open meadows toward distant "
-            "hills where quiet farms rest beside clear streams flowing")
+            "hills where quiet farms rest beside clear streams flowing "
+            "past small stone bridges today")  # 53 words ≥ gopher's 50
     texts = [
         good,                      # src0: gopher pass AND NB positive
         good + " extra words",     # srcX: gopher pass, NB negative-ish
