@@ -687,6 +687,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # calibration) — hash-strict by composing the two oracles
         "quality_filter_agreement":
             lambda sf: text_analysis.quality_filter_agreement(sf),
+        # RFM customer segmentation on fixed integer bucket edges —
+        # hash-strict, pure integer arithmetic
+        "rfm_segments": lambda sf: relational.rfm_segments(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a
@@ -2132,6 +2135,30 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN uni
         GROUP BY p.doc_id
         ORDER BY p.doc_id
+    """
+    # fixed-integer-edge RFM buckets over per-customer rollups; cents
+    # via ROUND(x*100) (the events_hourly precedent); see
+    # relational.rfm_segments
+    out["rfm_segments"] = r"""
+        WITH c AS (
+            SELECT o_custkey,
+                   MAX(CAST(epoch_us(o_orderdate) AS BIGINT)
+                       // 86400000000) AS last_day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ), mx AS (
+            SELECT MAX(last_day) AS md FROM c
+        )
+        SELECT CAST(LEAST((mx.md - c.last_day) // 30, 4) AS BIGINT)
+                   AS r_bucket,
+               CAST(LEAST(c.n, 5) AS BIGINT) AS f_bucket,
+               CAST(LEAST(c.cents // 10000000, 4) AS BIGINT) AS m_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM c, mx
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
     """
     # gopher pass_gopher × NB logodds>0 confusion; both sides'
     # oracles reproduced verbatim; see

@@ -2216,3 +2216,60 @@ def event_trigrams(sf_dir: str, k: int = 25,
     return (df.sort_values(["n", "t1", "t2", "t3"],
                            ascending=[False, True, True, True])
             .head(k).reset_index(drop=True))
+
+
+def rfm_segments(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """RFM SEGMENTATION of the customer base (recency / frequency /
+    monetary — the classic marketing-analytics rollup): per customer,
+    days since last order relative to the corpus's max order date,
+    order count, and lifetime spend in integer cents; each dimension
+    buckets on FIXED integer edges (recency: 30-day months capped at 4;
+    frequency: counts capped at 5; monetary: 100k-cent bands capped at
+    4) so the whole computation is exact integer arithmetic —
+    hash-strict with no quantile estimation and no float contract.
+    Scale: per-customer (max date, count, cents) partials ride the
+    combiner tree keyed by custkey (customer-dimension sized — the
+    rolled-up entity table, never the order stream); the bucket rollup
+    runs on that entity frame (the event_user_gini pattern). Output
+    (r_bucket, f_bucket, m_bucket, n_customers) sorted."""
+    from ..stages.agg import combine_partials
+
+    def cust_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"].astype("int64").to_numpy() \
+            // 86_400_000_000
+        cents = np.rint(batch["o_totalprice"].to_numpy() * 100) \
+            .astype("int64")
+        g = (pd.DataFrame({"custkey": batch["o_custkey"].values,
+                           "last_day": d, "n": 1, "cents": cents})
+             .groupby("custkey", sort=False)
+             .agg(last_day=("last_day", "max"), n=("n", "sum"),
+                  cents=("cents", "sum")).reset_index())
+        for c in ("last_day", "n", "cents"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    cust = combine_partials(
+        _t(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                              "o_totalprice"])
+        .map_batches(cust_partial, batch_format="pandas"),
+        ["custkey"], {"last_day": "max", "n": "sum", "cents": "sum"})
+
+    # corpus max day rides the same partials: take max over the frame
+    cdf = cust.to_pandas()
+    if cdf.empty or "custkey" not in cdf.columns:
+        return pd.DataFrame({
+            "r_bucket": pd.array([], dtype="int64"),
+            "f_bucket": pd.array([], dtype="int64"),
+            "m_bucket": pd.array([], dtype="int64"),
+            "n_customers": pd.array([], dtype="int64")})
+    max_day = int(cdf["last_day"].max())
+    r = np.minimum((max_day - cdf["last_day"].to_numpy(np.int64)) // 30,
+                   4)
+    f = np.minimum(cdf["n"].to_numpy(np.int64), 5)
+    m = np.minimum(cdf["cents"].to_numpy(np.int64) // 10_000_000, 4)
+    out = (pd.DataFrame({"r_bucket": r, "f_bucket": f, "m_bucket": m})
+           .groupby(["r_bucket", "f_bucket", "m_bucket"], sort=True)
+           .size().reset_index(name="n_customers"))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)

@@ -947,3 +947,43 @@ def test_event_trigrams_hand(ray_session, tmp_path):
     got = event_trigrams(str(tmp_path))
     assert [tuple(r) for r in got.itertuples(index=False)] == [
         ("a", "b", "c", 1), ("b", "c", "b", 1), ("c", "b", "c", 1)]
+
+
+def test_rfm_segments_hand(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import rfm_segments
+
+    base = pd.Timestamp("2024-01-01")
+    # cust 1: 2 orders, last at day 0 offset from max (most recent),
+    #   total 150000.00 -> cents 15_000_000 -> m_bucket 1
+    # cust 2: 1 order 200 days before max -> r_bucket 4 (capped), m 0
+    # cust 3: 7 orders (f capped at 5) on the max day, 50.00 each
+    rows = [
+        (1, base + pd.Timedelta(days=150), 100000.0),
+        (1, base + pd.Timedelta(days=200), 50000.0),
+        (2, base, 1000.0),
+    ] + [(3, base + pd.Timedelta(days=200), 50.0)] * 7
+    df = pd.DataFrame({
+        "o_orderkey": pd.array(range(len(rows)), dtype="int64"),
+        "o_custkey": pd.array([r[0] for r in rows], dtype="int64"),
+        "o_orderstatus": ["F"] * len(rows),
+        "o_totalprice": [r[2] for r in rows],
+        "o_orderdate": [r[1] for r in rows],
+        "o_orderpriority": ["1-URGENT"] * len(rows),
+    })
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+    got = rfm_segments(str(tmp_path))
+    cells = {(r, f, m): n for r, f, m, n in got.itertuples(index=False)}
+    assert cells == {
+        (0, 2, 1): 1,   # cust 1: recent, 2 orders, 15M cents
+        (4, 1, 0): 1,   # cust 2: 200 days stale (capped), 1 order
+        (0, 5, 0): 1,   # cust 3: 7 orders capped at 5
+    }
