@@ -690,6 +690,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RFM customer segmentation on fixed integer bucket edges —
         # hash-strict, pure integer arithmetic
         "rfm_segments": lambda sf: relational.rfm_segments(sf),
+        # Bloom-filter measured-vs-theory FPR (sizing check; no-oracle:
+        # bit arrays aren't SQL; pytest pins replica + theory bound)
+        "bloom_fpr_calibration":
+            lambda sf: dedup.bloom_fpr_calibration(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a

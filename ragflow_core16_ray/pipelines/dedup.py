@@ -1781,3 +1781,71 @@ def dedup_retention_by_source(sf_dir: str, k: int = 3,
     out["kept_share_q"] = (out["n_kept"] * 1_000_000
                            // out["n_docs"]).astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def bloom_fpr_calibration(sf_dir: str, bits_per_key: int = 16,
+                          k_hashes: int = 8,
+                          n_probes: int = 10_000) -> pd.DataFrame:
+    """BLOOM-FILTER FPR calibration: build the prior-snapshot filter
+    exactly as incremental_dedup_bloom does, then probe it with
+    ``n_probes`` deterministic NON-MEMBER keys (md5-derived synthetic
+    strings, no RNG state) and report the measured false-positive rate
+    next to the theoretical (1 − e^{−k·n/m})^k — the sizing check run
+    before trusting bits_per_key at snapshot scale (completes the
+    sketch-calibration family: minhash, HLL, CMS). Counts are exact
+    ints; rates quantize as integer floor division. No SQL oracle (bit
+    arrays aren't SQL); pytest pins the probe replica and a
+    concentration bound around theory. Scale: the filter build is the
+    documented OR-reduce; probing is one vectorized pass over the
+    broadcast filter. Output one row (m_bits, k_hashes, n_keys,
+    n_probes, n_false_pos, fpr_q, theory_fpr_q)."""
+    import math
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    n_total = docs.count()
+    m = 1 << max(10, int(np.ceil(np.log2(max(bits_per_key * n_total,
+                                             2)))))
+
+    def _is_prior(sources) -> list:
+        return [int(s[3:]) % 2 == 0 for s in sources]
+
+    def partial_bloom(batch: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(m >> 3, dtype=np.uint8)
+        texts = batch.loc[_is_prior(batch["source"]), "text"]
+        n_keys = len(texts)
+        if n_keys:
+            pos = _bloom_positions(list(texts), m, k_hashes).ravel()
+            np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                             (np.uint8(1) << (pos & np.uint64(7))
+                              .astype(np.uint8)))
+        out = pd.DataFrame({"bloom": [bm.tobytes()]})
+        out["n_keys"] = pd.array([n_keys], dtype="int64")
+        return out
+
+    parts = docs.map_batches(partial_bloom, batch_format="pandas",
+                             batch_size=1024).to_pandas()
+    bloom = np.zeros(m >> 3, dtype=np.uint8)
+    for b in parts["bloom"]:
+        np.bitwise_or(bloom, np.frombuffer(b, dtype=np.uint8), out=bloom)
+    n_keys = int(parts["n_keys"].sum())
+
+    # deterministic non-member probes: a namespaced synthetic key equals
+    # an inserted document text only by deliberate construction — the
+    # FPR estimate needs probes ∉ keys, which the namespace tag gives
+    probes = [f"__bloom_probe__:{i}" for i in range(n_probes)]
+    pos = _bloom_positions(probes, m, k_hashes)
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+    bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    hit = ((bloom[byte_idx] & bit) != 0).all(axis=1)
+    n_fp = int(hit.sum())
+    theory = (1.0 - math.exp(-k_hashes * n_keys / m)) ** k_hashes
+    return pd.DataFrame({
+        "m_bits": pd.array([m], dtype="int64"),
+        "k_hashes": pd.array([k_hashes], dtype="int64"),
+        "n_keys": pd.array([n_keys], dtype="int64"),
+        "n_probes": pd.array([n_probes], dtype="int64"),
+        "n_false_pos": pd.array([n_fp], dtype="int64"),
+        "fpr_q": pd.array([n_fp * 1_000_000 // max(n_probes, 1)],
+                          dtype="int64"),
+        "theory_fpr_q": pd.array([int(np.floor(theory * 1e6 + 0.5))],
+                                 dtype="int64")})

@@ -1289,3 +1289,39 @@ def test_quality_filter_agreement_fixture(ray_session, tmp_path):
                       int(got["n_both"][0]))
     assert int(got["jaccard_q"][0]) == n_b * 1_000_000 // max(
         n_g + n_nb - n_b, 1)
+
+
+def test_bloom_fpr_calibration_replica_and_theory(ray_session, tmp_path):
+    import math
+
+    import numpy as np
+
+    from ragflow_core16_ray.pipelines.dedup import (_bloom_positions,
+                                                    bloom_fpr_calibration)
+
+    # undersized filter (2 bits/key) so the FPR is comfortably non-zero
+    texts = [f"prior document number {i} words words" for i in range(64)]
+    sf = _write_corpus(tmp_path, texts,
+                       sources=["src0"] * 64)  # src0 = prior (even)
+    got = bloom_fpr_calibration(sf, bits_per_key=2, k_hashes=2,
+                                n_probes=4000)
+    m = int(got["m_bits"][0])
+    n_keys = int(got["n_keys"][0])
+    assert n_keys == 64
+    # replica: rebuild the filter and re-probe
+    bloom = np.zeros(m >> 3, dtype=np.uint8)
+    pos = _bloom_positions(texts, m, 2).ravel()
+    np.bitwise_or.at(bloom, (pos >> np.uint64(3)).astype(np.int64),
+                     (np.uint8(1) << (pos & np.uint64(7))
+                      .astype(np.uint8)))
+    probes = [f"__bloom_probe__:{i}" for i in range(4000)]
+    ppos = _bloom_positions(probes, m, 2)
+    bi = (ppos >> np.uint64(3)).astype(np.int64)
+    bit = (np.uint8(1) << (ppos & np.uint64(7)).astype(np.uint8))
+    n_fp = int(((bloom[bi] & bit) != 0).all(axis=1).sum())
+    assert int(got["n_false_pos"][0]) == n_fp
+    # measured FPR within a loose multiplicative band of theory
+    theory = (1.0 - math.exp(-2 * n_keys / m)) ** 2
+    assert int(got["theory_fpr_q"][0]) == math.floor(theory * 1e6 + 0.5)
+    measured = n_fp / 4000
+    assert 0.2 * theory <= measured <= 5 * theory + 1e-3
