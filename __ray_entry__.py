@@ -388,6 +388,18 @@ def _link_graph(sf_dir: str):
     return link_graph(rd.read_parquet(corpus, columns=["doc_id", "spans"]))
 
 
+def _image_dup_verified_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import (
+        image_dup_verified_pairs)
+
+    out_dir = _extract_out(sf_dir)
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"),
+                                columns=["doc_id", "spans"])
+    return image_dup_verified_pairs(extracted)
+
+
 def _link_hits(sf_dir: str):
     import ray.data as rd
 
@@ -694,6 +706,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit arrays aren't SQL; pytest pins replica + theory bound)
         "bloom_fpr_calibration":
             lambda sf: dedup.bloom_fpr_calibration(sf),
+        # dHash candidates verified against REAL decoded pixels (exact
+        # digest match or 16x16 thumbnail MAE) — no-oracle; fixture
+        # pins exact/lossy/flipped outcomes
+        "image_dup_verified_pairs": _image_dup_verified_pairs,
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a

@@ -775,3 +775,109 @@ def link_hits(extracted_corpus: rd.Dataset, k: int = 20) -> pd.DataFrame:
     out["indeg"] = out["indeg"].astype("int64")
     return (out.sort_values(["auth2", "href"], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def image_dup_verified_pairs(extracted: rd.Dataset, max_hamming: int = 6,
+                             mae_threshold: int = 8) -> pd.DataFrame:
+    """The VERIFY stage for perceptual-hash image dedup (the
+    minhash_verified_pairs move, image edition): dHash candidates
+    (hamming ≤ ``max_hamming``) are checked against the REAL decoded
+    pixels — a pair is an exact dup if the decoded arrays' md5 digests
+    match (identical pixels under any container format), else a near
+    dup if the 16×16 area-mean thumbnails differ by mean-abs-error ≤
+    ``mae_threshold`` intensity levels (the lossy-re-encode case).
+
+    Scale shape: candidates come from image_dhash_dups' pigeonhole
+    shuffle; the verify pass streams the corpus ONCE with the
+    (candidate-bounded) doc-id set broadcast, reducing each candidate
+    image to a 32-byte digest + 256-int thumbnail in place — pixels
+    never leave the worker, the driver compares candidate-pair-many
+    tiny artifacts. Output (doc_a, ref_a, doc_b, ref_b, exact, mae_q),
+    verified pairs only, sorted."""
+    import base64
+    import hashlib
+
+    import ray
+
+    cand = image_dhash_dups(extracted, max_hamming=max_hamming)
+    empty = pd.DataFrame({
+        "doc_a": pd.array([], dtype="string"),
+        "ref_a": pd.array([], dtype="string"),
+        "doc_b": pd.array([], dtype="string"),
+        "ref_b": pd.array([], dtype="string"),
+        "exact": pd.array([], dtype="int64"),
+        "mae_q": pd.array([], dtype="int64")})
+    if cand.empty:
+        return empty
+    wanted = frozenset(zip(cand["doc_a"], cand["ref_a"])) \
+        | frozenset(zip(cand["doc_b"], cand["ref_b"]))
+    wanted_ref = ray.put(wanted)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.image_ops import decode_image
+
+        want = ray.get(wanted_ref)
+        rows = {"doc_id": [], "media_ref": [], "digest": [],
+                "thumb": []}
+        for did, ref, payload in zip(batch["doc_id"],
+                                     batch["media_ref"],
+                                     batch["payload"]):
+            if (did, ref) not in want:
+                continue
+            try:
+                arr = decode_image(base64.b64decode(payload))
+            except Exception:  # noqa: BLE001 — poison containment
+                continue
+            if arr.ndim == 3:
+                arr = arr.mean(axis=2)
+            a = arr.astype(np.float64)
+            h, w = a.shape
+            ii = np.zeros((h + 1, w + 1))
+            ii[1:, 1:] = a.cumsum(0).cumsum(1)
+            rb = np.linspace(0, h, 17).astype(np.int64)
+            cb = np.linspace(0, w, 17).astype(np.int64)
+            area = np.maximum((rb[1:] - rb[:-1])[:, None]
+                              * (cb[1:] - cb[:-1])[None, :], 1)
+            cells = (ii[rb[1:], :][:, cb[1:]] - ii[rb[:-1], :][:, cb[1:]]
+                     - ii[rb[1:], :][:, cb[:-1]]
+                     + ii[rb[:-1], :][:, cb[:-1]]) / area
+            rows["doc_id"].append(did)
+            rows["media_ref"].append(ref)
+            rows["digest"].append(
+                hashlib.md5(np.ascontiguousarray(
+                    arr.astype(np.uint8)).tobytes()
+                    + str(arr.shape).encode()).hexdigest())
+            rows["thumb"].append(cells.ravel())
+        return pd.DataFrame(rows)
+
+    sigs = (extracted.map_batches(
+        lambda b: _explode_payload(b, ("image",), ("image",)),
+        batch_format="pyarrow")
+        .map_batches(probe, batch_format="pandas")).to_pandas()
+    meta = {(d, r): (dg, th) for d, r, dg, th in
+            zip(sigs["doc_id"], sigs["media_ref"],
+                sigs["digest"], sigs["thumb"])}
+    out = {"doc_a": [], "ref_a": [], "doc_b": [], "ref_b": [],
+           "exact": [], "mae_q": []}
+    for da, ra, db, rb_ in zip(cand["doc_a"], cand["ref_a"],
+                               cand["doc_b"], cand["ref_b"]):
+        ma, mb = meta.get((da, ra)), meta.get((db, rb_))
+        if ma is None or mb is None:
+            continue
+        exact = int(ma[0] == mb[0])
+        mae = float(np.abs(ma[1] - mb[1]).mean())
+        if not exact and mae > mae_threshold:
+            continue
+        out["doc_a"].append(da)
+        out["ref_a"].append(ra)
+        out["doc_b"].append(db)
+        out["ref_b"].append(rb_)
+        out["exact"].append(exact)
+        out["mae_q"].append(int(np.floor(mae * 1e6 + 0.5)))
+    df = pd.DataFrame(out)
+    if df.empty:
+        return empty
+    df["exact"] = df["exact"].astype("int64")
+    df["mae_q"] = df["mae_q"].astype("int64")
+    return (df.sort_values(["doc_a", "ref_a", "doc_b", "ref_b"])
+            .reset_index(drop=True))

@@ -177,3 +177,35 @@ def test_link_hits_replica(ray_session):
     # auth2 a=5 b=3 c=1
     assert list(zip(got["href"], got["auth2"], got["indeg"])) == [
         ("/a", 5, 2), ("/b", 3, 1), ("/c", 1, 1)]
+
+
+def test_image_dup_verified_pairs(ray_session):
+    import ray.data as rd
+
+    from ragflow_core16_ray.functions.gif import encode_gif
+    from ragflow_core16_ray.functions.jpeg import encode_jpeg
+    from ragflow_core16_ray.functions.png import encode_png
+    from ragflow_core16_ray.pipelines.multimodal import (
+        image_dup_verified_pairs)
+
+    img = _gradient()
+    img[16:32, 24:48] = 30
+    img[40:56, 60:90] = 220
+    rows = [
+        {"doc_id": "d1", "spans": [
+            make_span("image", _b64(encode_png(img)), "media://d1/p")]},
+        {"doc_id": "d2", "spans": [
+            make_span("image", _b64(encode_gif(img)), "media://d2/p")]},
+        {"doc_id": "d3", "spans": [
+            make_span("image", _b64(encode_jpeg(img, quality=88)),
+                      "media://d3/p")]},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA))
+    got = image_dup_verified_pairs(ds)
+    by = {(a, b): (e, m) for a, b, e, m in
+          zip(got["doc_a"], got["doc_b"], got["exact"], got["mae_q"])}
+    # PNG↔GIF decode to identical pixels: exact dup, MAE 0
+    assert by[("d1", "d2")] == (1, 0)
+    # the JPEG re-encode is a verified NEAR dup: not exact, small MAE
+    e13, m13 = by[("d1", "d3")]
+    assert e13 == 0 and 0 < m13 <= 8_000_000
