@@ -710,6 +710,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # digest match or 16x16 thumbnail MAE) — no-oracle; fixture
         # pins exact/lossy/flipped outcomes
         "image_dup_verified_pairs": _image_dup_verified_pairs,
+        # PQ reconstruction-error distribution (codebook sizing check;
+        # no-oracle — k-means codebooks; pytest pins replica +
+        # monotonicity in n_codes)
+        "pq_distortion_stats":
+            lambda sf: similarity.pq_distortion_stats(sf),
         # pushed past the 50-slot driver window: all no-oracle and
         # pytest-bounded (kmeans == numpy-Lloyd replica; PQ recall
         # floor; coreset == exact-greedy k-center equality), so a

@@ -1240,3 +1240,61 @@ def source_centroid_distances(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["src_a", "src_b", "dist2_q"])
     out["dist2_q"] = out["dist2_q"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def pq_distortion_stats(sf_dir: str, m_sub: int = 8, n_codes: int = 16,
+                        train_sample: int = 512) -> pd.DataFrame:
+    """PQ CODEBOOK CALIBRATION: the reconstruction-error distribution
+    of the exact codebooks pq_topk scans with — per vector, the squared
+    L2 distance between the normalized vector and its quantized
+    reconstruction (Jégou et al. 2011 §IV measure). High mean
+    distortion means n_codes/m_sub are undersized for this corpus and
+    the ADC shortlist will misrank; run this before shipping the 32×
+    compressed scan (completes the ANN calibration set: LSH recall
+    bounds, IVF probe equality, PQ distortion). No SQL oracle (k-means
+    codebooks aren't SQL); pytest pins a replica and the
+    more-codes-less-distortion monotonicity. Scale: codebooks broadcast
+    once; one streaming pass emits (count, sum, sum², max) distortion
+    partials — four numbers per batch. Output one row (n_vecs,
+    mean_q, p_max_q, rms_q) quantized floor(x·1e6+0.5)."""
+    from ..stages.agg import combine_partials
+
+    sample_df = _emb(sf_dir).limit(train_sample).to_pandas()
+    X = _norm(np.stack(sample_df["embedding"].to_numpy())
+              .astype(np.float64))
+    books = _pq_train_codebooks(X, m_sub, n_codes)
+    subdim = X.shape[1] // m_sub
+    state = ray.put(books)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bks = ray.get(state)
+        m = _norm(np.stack(batch["embedding"].to_numpy())
+                  .astype(np.float64))
+        err = np.zeros(len(m))
+        for s in range(m_sub):
+            x = m[:, s * subdim:(s + 1) * subdim]
+            d2 = ((x[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1)
+        return pd.DataFrame({
+            "k": pd.array([0], dtype="int64"),
+            "n": pd.array([len(m)], dtype="int64"),
+            "s1": pd.array([float(err.sum())], dtype="float64"),
+            "s2": pd.array([float((err * err).sum())], dtype="float64"),
+            "mx": pd.array([float(err.max()) if len(err) else 0.0],
+                           dtype="float64")})
+
+    s = combine_partials(
+        _emb(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["k"], {"n": "sum", "s1": "sum", "s2": "sum",
+                "mx": "max"}).to_pandas()
+    n = int(s["n"][0])
+    mean = float(s["s1"][0]) / max(n, 1)
+    rms = float(np.sqrt(float(s["s2"][0]) / max(n, 1)))
+    return pd.DataFrame({
+        "n_vecs": pd.array([n], dtype="int64"),
+        "mean_q": pd.array([int(np.floor(mean * 1e6 + 0.5))],
+                           dtype="int64"),
+        "p_max_q": pd.array([int(np.floor(float(s["mx"][0]) * 1e6
+                                          + 0.5))], dtype="int64"),
+        "rms_q": pd.array([int(np.floor(rms * 1e6 + 0.5))],
+                          dtype="int64")})

@@ -1156,3 +1156,31 @@ def test_source_centroid_distances_hand(ray_session, tmp_path):
     assert got.loc[("A", "B"), "dist2_q"] == 0          # redundant pair
     assert got.loc[("A", "C"), "dist2_q"] == 2_000_000  # |e1-e2|² = 2
     assert got.loc[("B", "C"), "dist2_q"] == 2_000_000
+
+
+def test_pq_distortion_replica_and_monotonicity(ray_session):
+    from ragflow_core16_ray.pipelines.similarity import (
+        _norm, _pq_train_codebooks, pq_distortion_stats)
+
+    got16 = pq_distortion_stats(SF, n_codes=16)
+    # replica on the full table
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    X = _norm(np.stack(t["embedding"].to_numpy()).astype(np.float64))
+    sample = X[:512]
+    books = _pq_train_codebooks(sample, 8, 16)
+    sub = X.shape[1] // 8
+    err = np.zeros(len(X))
+    for s in range(8):
+        x = X[:, s * sub:(s + 1) * sub]
+        d2 = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        err += d2.min(axis=1)
+    assert int(got16["n_vecs"][0]) == len(X)
+    # float partials sum in block order; allow the last-ulp quantization
+    # wobble across batchings
+    assert abs(int(got16["mean_q"][0])
+               - int(np.floor(err.mean() * 1e6 + 0.5))) <= 1
+    assert int(got16["p_max_q"][0]) == int(np.floor(err.max() * 1e6
+                                                    + 0.5))
+    # more codes -> lower (or equal) mean distortion
+    got32 = pq_distortion_stats(SF, n_codes=32)
+    assert int(got32["mean_q"][0]) <= int(got16["mean_q"][0])
