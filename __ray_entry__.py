@@ -262,6 +262,82 @@ def _csv_token_counts(sf_dir: str):
     return token_counts(sf_dir, docs=read_documents_csv(out_dir))
 
 
+def _warc_cache(sf_dir: str, as_html: bool) -> str:
+    """Write the sf documents table ONCE as .warc.gz shards (cache keyed
+    by a content digest of the parquet, never the path basename)."""
+    import hashlib
+
+    from ragflow_core16_ray.sources.warc import write_documents_warc
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    with open(src, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:12]
+    kind = "html" if as_html else "plain"
+    out_dir = f"/tmp/graft_warc_{kind}_{digest}"
+    marker = os.path.join(out_dir, "_GRAFT_DONE")
+    if not os.path.exists(marker):
+        import ray.data as rd
+        write_documents_warc(rd.read_parquet(src), out_dir,
+                             as_html=as_html)
+        open(marker, "w").close()
+    return out_dir
+
+
+def _warc_token_counts(sf_dir: str):
+    """End-to-end proof of the WARC source/sink (same contract as
+    _jsonl_token_counts): the documents table is written once as
+    .warc.gz shards of HTTP text/plain responses (per-record gzip
+    members, the Common Crawl layout), read back through the streaming
+    WARC source, and token-counted; a hash match against the
+    parquet-based SQL oracle proves the container round-trip is
+    byte-lossless for text."""
+    from ragflow_core16_ray.pipelines.text_analysis import token_counts
+    from ragflow_core16_ray.sources.warc import (read_warc,
+                                                 warc_to_documents)
+
+    out_dir = _warc_cache(sf_dir, as_html=False)
+    return token_counts(sf_dir, docs=warc_to_documents(read_warc(out_dir)))
+
+
+def _warc_main_content(sf_dir: str):
+    """The extraction-tier flagship shape end-to-end on the crawl wire
+    format: documents wrapped in deterministic link-dense nav/footer
+    chrome, shipped as text/html WARC responses, read back through the
+    streaming WARC source, and boilerplate-stripped by the SAME
+    extract_html density scorer the html template uses. Output per doc:
+    (doc_id, n_sections, content_hash) where content_hash is the sum of
+    per-section hash64 masked to int63 — any chrome leaking into the
+    main content shows as a hash diff. Rows-only for the driver (DOM
+    extraction is not SQL-shaped); pytest pins exact paragraph recovery
+    on fixtures."""
+    import numpy as np
+    import pandas as pd
+
+    from ragflow_core16_ray.functions.hashing import hash64
+    from ragflow_core16_ray.functions.html_extract import extract_html
+    from ragflow_core16_ray.sources.warc import read_warc
+
+    out_dir = _warc_cache(sf_dir, as_html=True)
+    mask = (1 << 63) - 1
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            if r["warc_type"] != "response" or r["http_status"] != 200:
+                continue
+            doc = extract_html(r["body"].decode("utf-8"))
+            rows.append({
+                "doc_id": int(r["doc_id"]),
+                "n_sections": len(doc.sections),
+                "content_hash": np.int64(
+                    sum(hash64(s) & mask for s in doc.sections) & mask),
+            })
+        return pd.DataFrame(rows, columns=["doc_id", "n_sections",
+                                           "content_hash"])
+
+    return read_warc(out_dir).map_batches(fn, batch_format="pandas")
+
+
 def _extract_override(sf_dir: str, template: str):
     """Template-override run: whole corpus through one forced chunking
     template — per-(template,kind) span counts PLUS an order-independent
@@ -556,6 +632,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_picture": lambda sf: _extract_override(sf, "picture"),
         "extract_pdf_bytes": _extract_pdf_bytes,
         "extract_office_bytes": _extract_office_bytes,
+        # WARC source/sink: container round-trip proven by the parquet
+        # oracle; main-content extraction over the crawl wire format
+        "warc_token_counts": _warc_token_counts,
+        "warc_main_content": _warc_main_content,
         "order_priority_check":
             lambda sf: relational.order_priority_check(sf),
         "idle_customers": lambda sf: relational.idle_customers(sf),
@@ -818,6 +898,14 @@ def oracle_sql() -> dict[str, str]:
         # through the jsonl.gz round-trip — a hash match proves the
         # source/sink is byte-lossless
         "jsonl_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens
+            FROM documents
+        """,
+        # same proof for the WARC source/sink (Common Crawl wire format)
+        "warc_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END
