@@ -636,6 +636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle; main-content extraction over the crawl wire format
         "warc_token_counts": _warc_token_counts,
         "warc_main_content": _warc_main_content,
+        # Benford first-digit audit over order totals — hash-strict
+        "benford_digits": lambda sf: relational.benford_digits(sf),
         "order_priority_check":
             lambda sf: relational.order_priority_check(sf),
         "idle_customers": lambda sf: relational.idle_customers(sf),
@@ -3180,6 +3182,20 @@ def oracle_sql() -> dict[str, str]:
     """
     # per-type lower-rule quantiles over cent-rounded values — the same
     # windowed-cumsum rule as lang_length_quantiles
+    out["benford_digits"] = r"""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS BIGINT)
+                     AS first_digit
+          FROM orders
+        ), h AS (
+          SELECT first_digit, COUNT(*) AS n FROM d GROUP BY first_digit
+        ), t AS (SELECT SUM(n) AS total FROM h)
+        SELECT h.first_digit, CAST(h.n AS BIGINT) AS n,
+               CAST((2000000 * h.n + t.total) // (2 * t.total)
+                    AS BIGINT) AS share_q
+        FROM h, t
+    """
     out["value_quantiles"] = r"""
         WITH e AS (
           SELECT event_type,

@@ -868,6 +868,42 @@ def value_quantiles(sf_dir: str,
     return out
 
 
+def benford_digits(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit screen over order totals — the classic
+    synthetic-/fraudulent-data audit (real transactional amounts follow
+    log-uniform leading digits; generated or tampered ones usually
+    don't). First digit comes from the INTEGER part (floor is IEEE-exact
+    both engines; integer→string is exact), shares quantize with pure
+    integer arithmetic floor(n·1e6/total + 0.5) = (2e6·n + total) //
+    (2·total) — no float division anywhere, so the driver hash is
+    strict. Scale: per-batch digit histograms (≤10 rows each) ride the
+    combiner tree; the driver sees one ≤10-row frame."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(batch["o_totalprice"].values).astype("int64")
+        # strip to the leading digit in ≤19 vectorized passes
+        while (v >= 10).any():
+            big = v >= 10
+            v[big] //= 10
+        g = (pd.DataFrame({"first_digit": v}).groupby("first_digit")
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    hist = combine_partials(
+        _t(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pandas"),
+        ["first_digit"], {"n": "sum"}).to_pandas()
+    total = int(hist["n"].sum())
+    hist = hist.sort_values("first_digit").reset_index(drop=True)
+    hist["first_digit"] = hist["first_digit"].astype("int64")
+    hist["n"] = hist["n"].astype("int64")
+    hist["share_q"] = ((2_000_000 * hist["n"] + total)
+                       // (2 * total)).astype("int64")
+    return hist
+
+
 def order_priority_check(sf_dir: str, late_days: int = 30,
                          n_buckets: int = 32) -> pd.DataFrame:
     """TPC-H Q4-shaped SEMIJOIN: per order priority, how many orders

@@ -987,3 +987,36 @@ def test_rfm_segments_hand(ray_session, tmp_path):
         (4, 1, 0): 1,   # cust 2: 200 days stale (capped), 1 order
         (0, 5, 0): 1,   # cust 3: 7 orders capped at 5
     }
+
+
+def test_benford_digits_hand(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import benford_digits
+
+    # prices: leading digits 1,1,1,2,9,3 — and one sub-1 price (digit 0)
+    prices = [123.45, 1999.99, 10.0, 250.0, 90000.5, 3.07, 0.42]
+    df = pd.DataFrame({
+        "o_orderkey": pd.array(range(len(prices)), dtype="int64"),
+        "o_custkey": pd.array([1] * len(prices), dtype="int64"),
+        "o_orderstatus": ["F"] * len(prices),
+        "o_totalprice": prices,
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * len(prices))
+        .astype("datetime64[us]"),
+        "o_orderpriority": ["1-URGENT"] * len(prices),
+    })
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+    got = benford_digits(str(tmp_path))
+    by_digit = {d: (n, s) for d, n, s in got.itertuples(index=False)}
+    assert {d: n for d, (n, _) in by_digit.items()} == {
+        0: 1, 1: 3, 2: 1, 3: 1, 9: 1}
+    # share quantization: floor(n*1e6/7 + 0.5), pure integer arithmetic
+    assert by_digit[1][1] == (2_000_000 * 3 + 7) // 14
+    assert by_digit[0][1] == (2_000_000 * 1 + 7) // 14
+    assert int(got["n"].sum()) == 7
