@@ -638,6 +638,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_main_content": _warc_main_content,
         # Benford first-digit audit over order totals — hash-strict
         "benford_digits": lambda sf: relational.benford_digits(sf),
+        # C4-style token blocklist + per-domain quota cap — hash-strict
+        "badwords_filter": lambda sf: text_analysis.badwords_filter(sf),
+        "domain_quota_sample":
+            lambda sf: text_analysis.domain_quota_sample(sf),
         "order_priority_check":
             lambda sf: relational.order_priority_check(sf),
         "idle_customers": lambda sf: relational.idle_customers(sf),
@@ -3182,6 +3186,31 @@ def oracle_sql() -> dict[str, str]:
     """
     # per-type lower-rule quantiles over cent-rounded values — the same
     # windowed-cumsum rule as lang_length_quantiles
+    out["badwords_filter"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END
+                     AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 len(list_filter(toks,
+                     x -> x IN ('slow', 'legacy', 'stale'))) AS nb
+          FROM t
+        )
+        SELECT doc_id, CAST(nb AS BIGINT) AS n_bad,
+               CAST(CASE WHEN nb = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM c
+    """
+    out["domain_quota_sample"] = r"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+          FROM documents) WHERE rk <= 12
+    """
     out["benford_digits"] = r"""
         WITH d AS (
           SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)

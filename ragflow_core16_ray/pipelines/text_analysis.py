@@ -2247,3 +2247,70 @@ def quality_filter_agreement(sf_dir: str,
         "n_both": pd.array([n_b], dtype="int64"),
         "jaccard_q": pd.array([n_b * 1_000_000 // max(union, 1)],
                               dtype="int64")})
+
+
+BADWORDS = ("slow", "legacy", "stale")
+
+
+def badwords_filter(sf_dir: str,
+                    words: tuple = BADWORDS) -> rd.Dataset:
+    """C4-style blocklist filter: a document is dropped when ANY
+    whitespace token matches the blocklist (exact token membership, the
+    C4 'bad words' rule — not substring, so 'slower' survives 'slow').
+    Output per doc: (doc_id, n_bad, kept) with kept as int64 0/1.
+
+    Scale: the blocklist is a tiny broadcast constant closed over by the
+    batch fn; one streaming map_batches, no shuffle. The per-row split
+    walk is the same per-document text loop every quality op pays (the
+    work is inherently per-doc); the oracle replays the identical token
+    semantics with list_filter over string_split_regex."""
+    bad = frozenset(words)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        n_bad = [sum(t in bad for t in txt.split())
+                 for txt in batch["text"]]
+        arr = np.asarray(n_bad, dtype="int64")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_bad": arr,
+            "kept": (arr == 0).astype("int64"),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")
+
+
+def domain_quota_sample(sf_dir: str, quota: int = 12) -> pd.DataFrame:
+    """Per-domain document quota — the crawl-balancing move (cap any one
+    domain's contribution so a few giant hosts don't dominate the
+    corpus). Within each ``source`` keep the ``quota`` docs with the
+    smallest md5(doc_id) hex digest: a deterministic uniform draw both
+    engines compute identically (ties impossible — the digest keys on
+    the unique doc_id).
+
+    Scale: classic distributed top-N — each batch prunes to its local
+    quota winners per source (a batch can never contribute more), so the
+    shuffle carries at most sources x quota x n_blocks tiny rows; the
+    final per-source selection runs on quota-bounded groups. Text never
+    moves."""
+    import hashlib
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(d).encode()).hexdigest()
+             for d in batch["doc_id"]]
+        g = pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                          "source": batch["source"], "h": h})
+        return (g.sort_values(["source", "h"])
+                .groupby("source", sort=False).head(quota))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("h").head(quota)[["doc_id", "source"]]
+                .reset_index(drop=True))
+
+    out = (_docs(sf_dir, ["doc_id", "source"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("source").map_groups(pick, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["source", "doc_id"])
+            .reset_index(drop=True))

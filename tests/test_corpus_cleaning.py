@@ -1325,3 +1325,40 @@ def test_bloom_fpr_calibration_replica_and_theory(ray_session, tmp_path):
     assert int(got["theory_fpr_q"][0]) == math.floor(theory * 1e6 + 0.5)
     measured = n_fp / 4000
     assert 0.2 * theory <= measured <= 5 * theory + 1e-3
+
+
+def test_badwords_filter_token_not_substring(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import badwords_filter
+
+    sf = _write_corpus(tmp_path, [
+        "fast clean text here",          # kept
+        "this is slow and stale",        # 2 bad tokens
+        "slower is not slow-ish either",  # substrings only -> kept
+        "slow slow slow",                # 3 bad tokens
+        "",                              # empty -> kept
+    ])
+    got = (badwords_filter(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["n_bad"]) == [0, 2, 0, 3, 0]
+    assert list(got["kept"]) == [1, 0, 1, 0, 1]
+
+
+def test_domain_quota_sample_cap_and_determinism(ray_session, tmp_path):
+    import hashlib
+
+    from ragflow_core16_ray.pipelines.text_analysis import \
+        domain_quota_sample
+
+    # 30 docs in srcA, 2 in srcB; quota 5 keeps 5 + 2
+    texts = [f"doc number {i}" for i in range(32)]
+    sources = ["srcA"] * 30 + ["srcB"] * 2
+    sf = _write_corpus(tmp_path, texts, sources=sources)
+    got = domain_quota_sample(sf, quota=5)
+    assert got.groupby("source").size().to_dict() == {"srcA": 5, "srcB": 2}
+    # exactly the 5 smallest md5(doc_id) digests in srcA — the same
+    # deterministic draw the SQL oracle makes
+    want = sorted(range(30),
+                  key=lambda d: hashlib.md5(str(d).encode()).hexdigest())[:5]
+    assert sorted(got[got["source"] == "srcA"]["doc_id"]) == sorted(want)
+    got2 = domain_quota_sample(sf, quota=5)
+    pd.testing.assert_frame_equal(got, got2)
