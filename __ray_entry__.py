@@ -642,6 +642,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "badwords_filter": lambda sf: text_analysis.badwords_filter(sf),
         "domain_quota_sample":
             lambda sf: text_analysis.domain_quota_sample(sf),
+        # bi-directional FK audit and exact source-pair vocab Jaccard
+        "ref_integrity_audit":
+            lambda sf: relational.ref_integrity_audit(sf),
+        "source_jaccard_matrix":
+            lambda sf: text_analysis.source_jaccard_matrix(sf),
         "order_priority_check":
             lambda sf: relational.order_priority_check(sf),
         "idle_customers": lambda sf: relational.idle_customers(sf),
@@ -3210,6 +3215,40 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY source
                      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
           FROM documents) WHERE rk <= 12
+    """
+    out["ref_integrity_audit"] = r"""
+        SELECT
+          CAST((SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+               AS BIGINT) AS n_orphan_lines,
+          CAST((SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey))
+               AS BIGINT) AS n_childless_orders
+    """
+    out["source_jaccard_matrix"] = r"""
+        WITH t AS (
+          SELECT DISTINCT source,
+                 unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents WHERE trim(text) <> ''
+        ), sz AS (
+          SELECT source, count(*) AS n FROM t GROUP BY source
+        ), p AS (
+          SELECT t1.source AS sa, t2.source AS sb, count(*) AS inter
+          FROM t t1 JOIN t t2 USING (word)
+          WHERE t1.source < t2.source
+          GROUP BY 1, 2
+        )
+        SELECT s1.source AS source_a, s2.source AS source_b,
+               CAST(COALESCE(p.inter, 0) AS BIGINT) AS inter,
+               CAST(s1.n + s2.n - COALESCE(p.inter, 0) AS BIGINT) AS uni,
+               CAST((2000000 * COALESCE(p.inter, 0)
+                     + (s1.n + s2.n - COALESCE(p.inter, 0)))
+                    // (2 * (s1.n + s2.n - COALESCE(p.inter, 0)))
+                    AS BIGINT) AS jaccard_q
+        FROM sz s1 JOIN sz s2 ON s1.source < s2.source
+        LEFT JOIN p ON p.sa = s1.source AND p.sb = s2.source
     """
     out["benford_digits"] = r"""
         WITH d AS (

@@ -1033,6 +1033,62 @@ def idle_customers(sf_dir: str, cutoff: str = "2001-05-01",
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def ref_integrity_audit(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Bi-directional foreign-key audit between orders and lineitem —
+    the referential-integrity screen a 100-TB ingest runs before
+    trusting joins: how many lineitem rows reference a missing order
+    (orphans), and how many orders have no line at all (childless).
+    Both anti-joins in ONE co-partition pass: lineitem pre-reduces to
+    per-orderkey line counts inside each batch, orders to distinct keys,
+    both sides bucket by orderkey, and each bucket counts its local
+    orphans/childless; the driver sums one ≤buckets-row frame. Neither
+    side broadcasts, no text/payload moves."""
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.groupby("l_orderkey", sort=False).size()
+             .reset_index(name="n_lines"))
+        k = g["l_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "bucket": (k % np.int64(n_buckets)),
+            "key": k,
+            "n_lines": g["n_lines"].astype("int64"),
+            "is_order": pd.array([False] * len(g), dtype="bool")})
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "bucket": (k % np.int64(n_buckets)),
+            "key": k,
+            "n_lines": pd.array([0] * len(k), dtype="int64"),
+            "is_order": pd.array([True] * len(k), dtype="bool")})
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g.loc[g["is_order"], "key"]
+        lines = g[~g["is_order"]]
+        # partials for one key may arrive from several batches — line
+        # counts sum per key before the membership test
+        lk = lines.groupby("key")["n_lines"].sum()
+        orphan = int(lk[~lk.index.isin(orders)].sum())
+        childless = int((~orders.isin(lk.index)).sum())
+        return pd.DataFrame({
+            "n_orphan_lines": pd.array([orphan], dtype="int64"),
+            "n_childless_orders": pd.array([childless], dtype="int64")})
+
+    parts = (_t(sf_dir, "lineitem", ["l_orderkey"])
+             .map_batches(line_rows, batch_format="pandas")
+             .union(_t(sf_dir, "orders", ["o_orderkey"])
+                    .map_batches(order_rows, batch_format="pandas"))
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(audit, batch_format="pandas")
+             ).to_pandas()
+    return pd.DataFrame({
+        "n_orphan_lines":
+            pd.array([int(parts["n_orphan_lines"].sum())], dtype="int64"),
+        "n_childless_orders":
+            pd.array([int(parts["n_childless_orders"].sum())],
+                     dtype="int64")})
+
+
 def customer_order_dist(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     """TPC-H Q13-shaped OUTER-JOIN DISTRIBUTION: histogram of
     per-customer order counts, zero-order customers included (the LEFT

@@ -2314,3 +2314,62 @@ def domain_quota_sample(sf_dir: str, quota: int = 12) -> pd.DataFrame:
            .to_pandas())
     return (out.sort_values(["source", "doc_id"])
             .reset_index(drop=True))
+
+
+def source_jaccard_matrix(sf_dir: str) -> pd.DataFrame:
+    """EXACT vocabulary Jaccard between every source pair — the
+    corpus-mixing redundancy map (two sources sharing most of their
+    vocabulary are near-duplicates at the distribution level; the
+    embedding twin is source_centroid_distances). Per batch, documents
+    reduce to DISTINCT (word, source) pairs (the combiner move — a word
+    repeated a million times in one source costs one row); the dedup
+    combine tree then holds one row per (word, source), and the final
+    task folds words into per-word source BITMASKS, so the pairwise
+    intersection/union counts come from one histogram pass over masks —
+    no per-pair joins. Jaccard quantizes with pure integer arithmetic
+    (2e6*inter + uni) // (2*uni). Scale bound: the deduped pair table is
+    vocab x n_sources on one task — fine while sources stay a dimension
+    (tens); a web-scale vocab flips the dedup to mode="shuffle" with the
+    same mask fold per shard."""
+    import numpy as np
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = {(w, s) for s, txt in
+                 zip(batch["source"], batch["text"])
+                 for w in txt.split()}
+        if not pairs:
+            return pd.DataFrame({"word": pd.array([], dtype="object"),
+                                 "source": pd.array([], dtype="object"),
+                                 "n": pd.array([], dtype="int64")})
+        g = pd.DataFrame(sorted(pairs), columns=["word", "source"])
+        g["n"] = pd.array([1] * len(g), dtype="int64")
+        return g
+
+    from ..stages.agg import combine_partials
+
+    dedup = combine_partials(
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(partial, batch_format="pandas"),
+        ["word", "source"], {"n": "max"}).to_pandas()
+
+    srcs = sorted(dedup["source"].unique())
+    idx = {s: i for i, s in enumerate(srcs)}
+    bits = dedup["source"].map(idx).to_numpy(np.int64)
+    masks = (pd.DataFrame({"word": dedup["word"],
+                           "bit": np.int64(1) << bits})
+             .groupby("word")["bit"].sum().to_numpy(np.int64))
+    sizes = [int(((masks >> i) & 1).sum()) for i in range(len(srcs))]
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            inter = int((((masks >> i) & (masks >> j)) & 1).sum())
+            uni = sizes[i] + sizes[j] - inter
+            rows.append({
+                "source_a": srcs[i], "source_b": srcs[j],
+                "inter": inter, "uni": uni,
+                "jaccard_q": (2_000_000 * inter + uni) // (2 * uni)
+                if uni else 0})
+    out = pd.DataFrame(rows)
+    for c in ("inter", "uni", "jaccard_q"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)

@@ -1362,3 +1362,19 @@ def test_domain_quota_sample_cap_and_determinism(ray_session, tmp_path):
     assert sorted(got[got["source"] == "srcA"]["doc_id"]) == sorted(want)
     got2 = domain_quota_sample(sf, quota=5)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_source_jaccard_matrix_hand(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import \
+        source_jaccard_matrix
+
+    # A vocab {a,b,c}, B vocab {b,c,d}, C vocab {x}
+    sf = _write_corpus(tmp_path,
+                       ["a b c", "b c", "b c d", "d d d", "x"],
+                       sources=["A", "A", "B", "B", "C"])
+    got = source_jaccard_matrix(sf)
+    m = {(r.source_a, r.source_b): (r.inter, r.uni, r.jaccard_q)
+         for r in got.itertuples()}
+    assert m[("A", "B")] == (2, 4, (2_000_000 * 2 + 4) // 8)  # {b,c}/{a,b,c,d}
+    assert m[("A", "C")] == (0, 4, 0)
+    assert m[("B", "C")] == (0, 4, 0)

@@ -1020,3 +1020,46 @@ def test_benford_digits_hand(ray_session, tmp_path):
     assert by_digit[1][1] == (2_000_000 * 3 + 7) // 14
     assert by_digit[0][1] == (2_000_000 * 1 + 7) // 14
     assert int(got["n"].sum()) == 7
+
+
+def test_ref_integrity_audit_hand(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import ref_integrity_audit
+
+    os.makedirs(str(tmp_path), exist_ok=True)
+    orders = pd.DataFrame({
+        "o_orderkey": pd.array([1, 2, 3], dtype="int64"),
+        "o_custkey": pd.array([1, 1, 1], dtype="int64"),
+        "o_orderstatus": ["F"] * 3,
+        "o_totalprice": [10.0, 20.0, 30.0],
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 3)
+        .astype("datetime64[us]"),
+        "o_orderpriority": ["1-URGENT"] * 3,
+    })
+    # keys 2,3 parented; 99 orphan (2 lines); order 1 childless
+    li = pd.DataFrame({
+        "l_orderkey": pd.array([2, 3, 3, 99, 99], dtype="int64"),
+        "l_partkey": pd.array([1] * 5, dtype="int64"),
+        "l_suppkey": pd.array([1] * 5, dtype="int64"),
+        "l_linenumber": pd.array([1, 1, 2, 1, 2], dtype="int32"),
+        "l_quantity": [1.0] * 5,
+        "l_extendedprice": [1.0] * 5,
+        "l_discount": [0.0] * 5,
+        "l_tax": [0.0] * 5,
+        "l_returnflag": ["N"] * 5,
+        "l_linestatus": ["O"] * 5,
+        "l_shipdate": pd.to_datetime(["2024-01-02"] * 5)
+        .astype("datetime64[us]"),
+    })
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   str(tmp_path / "lineitem.parquet"))
+    got = ref_integrity_audit(str(tmp_path))
+    assert int(got["n_orphan_lines"].iloc[0]) == 2
+    assert int(got["n_childless_orders"].iloc[0]) == 1
