@@ -647,6 +647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.ref_integrity_audit(sf),
         "source_jaccard_matrix":
             lambda sf: text_analysis.source_jaccard_matrix(sf),
+        "encoding_quality":
+            lambda sf: text_analysis.encoding_quality(sf),
         "order_priority_check":
             lambda sf: relational.order_priority_check(sf),
         "idle_customers": lambda sf: relational.idle_customers(sf),
@@ -3215,6 +3217,19 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY source
                      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
           FROM documents) WHERE rk <= 12
+    """
+    out["encoding_quality"] = r"""
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, '�', ''))
+                    AS BIGINT) AS n_fffd,
+               CAST(length(text) - length(regexp_replace(text,
+                        '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+                    AS BIGINT) AS n_control,
+               CAST((length(text) - length(replace(text, 'Ã', '')))
+                    + (length(text) - length(replace(text, 'Â', '')))
+                    + (length(text) - length(replace(text, 'â€', ''))) // 2
+                    AS BIGINT) AS n_mojibake
+        FROM documents
     """
     out["ref_integrity_audit"] = r"""
         SELECT

@@ -2373,3 +2373,41 @@ def source_jaccard_matrix(sf_dir: str) -> pd.DataFrame:
     for c in ("inter", "uni", "jaccard_q"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+_MOJIBAKE = ("Ã", "Â", "â€")
+_CTL_RE = None
+
+
+def encoding_quality(sf_dir: str) -> rd.Dataset:
+    """Per-doc encoding-damage counters — the ingest screen for the
+    three classic failure signatures: U+FFFD replacement chars (a
+    decoder already gave up), C0 control chars other than tab/newline/
+    CR (binary bleed-through), and UTF-8-as-Latin-1 double-decode
+    markers ('Ã', 'Â', 'â€' — the ftfy mojibake tells). Pure counters,
+    one streaming map_batches, no shuffle; the oracle replays them with
+    replace()-length diffs and a regexp_replace, proven char-exact both
+    engines."""
+    import re
+
+    global _CTL_RE
+    if _CTL_RE is None:
+        _CTL_RE = re.compile("[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    ctl = _CTL_RE
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        texts = batch["text"]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_fffd": np.asarray(
+                [t.count("�") for t in texts], dtype="int64"),
+            "n_control": np.asarray(
+                [len(ctl.findall(t)) for t in texts], dtype="int64"),
+            "n_mojibake": np.asarray(
+                [sum(t.count(m) for m in _MOJIBAKE) for t in texts],
+                dtype="int64"),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas")

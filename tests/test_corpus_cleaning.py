@@ -1378,3 +1378,21 @@ def test_source_jaccard_matrix_hand(ray_session, tmp_path):
     assert m[("A", "B")] == (2, 4, (2_000_000 * 2 + 4) // 8)  # {b,c}/{a,b,c,d}
     assert m[("A", "C")] == (0, 4, 0)
     assert m[("B", "C")] == (0, 4, 0)
+
+
+def test_encoding_quality_planted_damage(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import encoding_quality
+
+    sf = _write_corpus(tmp_path, [
+        "perfectly clean text",
+        "bad � char � twice",
+        "moji Ã© and â€œquotedâ€\x9d text Â here",
+        "ctl \x01\x02 but \t\n\r are fine",
+    ])
+    got = (encoding_quality(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["n_fffd"]) == [0, 2, 0, 0]
+    # \x9d is C1 — the counter scopes to C0 (binary bleed-through);
+    # C1 bytes are already covered by the mojibake markers
+    assert list(got["n_control"]) == [0, 0, 0, 2]
+    assert list(got["n_mojibake"]) == [0, 0, 4, 0]
