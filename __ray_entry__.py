@@ -649,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: text_analysis.source_jaccard_matrix(sf),
         "encoding_quality":
             lambda sf: text_analysis.encoding_quality(sf),
+        "copurchase_pairs":
+            lambda sf: relational.copurchase_pairs(sf),
         "order_priority_check":
             lambda sf: relational.order_priority_check(sf),
         "idle_customers": lambda sf: relational.idle_customers(sf),
@@ -3217,6 +3219,20 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY source
                      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
           FROM documents) WHERE rk <= 12
+    """
+    out["copurchase_pairs"] = r"""
+        WITH pp AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pr AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+          FROM pp a JOIN pp b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        )
+        SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+               CAST(n AS BIGINT) AS n
+        FROM pr ORDER BY n DESC, pa, pb LIMIT 20
     """
     out["encoding_quality"] = r"""
         SELECT doc_id,

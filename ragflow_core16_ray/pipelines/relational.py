@@ -1089,6 +1089,58 @@ def ref_integrity_audit(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
                      dtype="int64")})
 
 
+def copurchase_pairs(sf_dir: str, k: int = 20,
+                     n_buckets: int = 32) -> pd.DataFrame:
+    """Market-basket pair mining: the ``k`` most co-purchased part pairs
+    (two parts on the same order), the a-priori first step. The pair
+    expansion is quadratic per ORDER, not per table — orders have few
+    lines, so C(lines,2) is bounded — and it runs bucket-locally:
+    lineitem pre-reduces to DISTINCT (orderkey, partkey) inside each
+    batch, co-partitions by an orderkey bucket, and each bucket expands
+    its own orders into (pa<pb) pairs and pre-counts them, so the
+    combine tree sees per-bucket pair partials, never raw pairs. Total
+    order (n DESC, pa, pb) makes the top-k deterministic under ties."""
+
+    def dedup_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[["l_orderkey", "l_partkey"]].drop_duplicates()
+        k_ = g["l_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "bucket": (k_ % np.int64(n_buckets)),
+            "okey": k_,
+            "part": g["l_partkey"].astype("int64")})
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, parts in g.groupby("okey", sort=False)["part"]:
+            ps = sorted(set(parts.tolist()))
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    rows.append((ps[i], ps[j]))
+        if not rows:
+            return pd.DataFrame({"pa": pd.array([], dtype="int64"),
+                                 "pb": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        out = (pd.DataFrame(rows, columns=["pa", "pb"])
+               .groupby(["pa", "pb"], sort=False).size()
+               .reset_index(name="n"))
+        for c in ("pa", "pb", "n"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    from ..stages.agg import combine_partials
+
+    counts = combine_partials(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(dedup_keys, batch_format="pandas")
+        .repartition(max(1, n_buckets // 4))
+        .groupby("bucket").map_groups(expand, batch_format="pandas"),
+        ["pa", "pb"], {"n": "sum"}).to_pandas()
+    out = (counts.sort_values(["n", "pa", "pb"],
+                              ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    return out[["pa", "pb", "n"]]
+
+
 def customer_order_dist(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     """TPC-H Q13-shaped OUTER-JOIN DISTRIBUTION: histogram of
     per-customer order counts, zero-order customers included (the LEFT

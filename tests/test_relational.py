@@ -1063,3 +1063,39 @@ def test_ref_integrity_audit_hand(ray_session, tmp_path):
     got = ref_integrity_audit(str(tmp_path))
     assert int(got["n_orphan_lines"].iloc[0]) == 2
     assert int(got["n_childless_orders"].iloc[0]) == 1
+
+
+def test_copurchase_pairs_hand(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import copurchase_pairs
+
+    os.makedirs(str(tmp_path), exist_ok=True)
+    # order 1: parts {10, 20, 30}; order 2: {10, 20}; order 3: {10, 20}
+    # duplicate (1,10) line must NOT double the pair count
+    rows = [(1, 10), (1, 10), (1, 20), (1, 30), (2, 10), (2, 20),
+            (3, 20), (3, 10)]
+    li = pd.DataFrame({
+        "l_orderkey": pd.array([r[0] for r in rows], dtype="int64"),
+        "l_partkey": pd.array([r[1] for r in rows], dtype="int64"),
+        "l_suppkey": pd.array([1] * len(rows), dtype="int64"),
+        "l_linenumber": pd.array(range(len(rows)), dtype="int32"),
+        "l_quantity": [1.0] * len(rows),
+        "l_extendedprice": [1.0] * len(rows),
+        "l_discount": [0.0] * len(rows),
+        "l_tax": [0.0] * len(rows),
+        "l_returnflag": ["N"] * len(rows),
+        "l_linestatus": ["O"] * len(rows),
+        "l_shipdate": pd.to_datetime(["2024-01-02"] * len(rows))
+        .astype("datetime64[us]"),
+    })
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   str(tmp_path / "lineitem.parquet"))
+    got = copurchase_pairs(str(tmp_path), k=10)
+    pairs = [(r.pa, r.pb, r.n) for r in got.itertuples()]
+    # (10,20) x3 tops; ties (10,30) and (20,30) order by (pa, pb)
+    assert pairs == [(10, 20, 3), (10, 30, 1), (20, 30, 1)]
