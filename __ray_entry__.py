@@ -262,6 +262,29 @@ def _csv_token_counts(sf_dir: str):
     return token_counts(sf_dir, docs=read_documents_csv(out_dir))
 
 
+def _ipc_token_counts(sf_dir: str):
+    """End-to-end proof of the Arrow IPC (feather v2) source/sink (same
+    contract as _jsonl_token_counts): write once to partitioned .arrow
+    shards keyed by a content digest, read back through the streaming
+    IPC source, token-count, and hash-match the parquet-based oracle."""
+    import hashlib
+
+    from ragflow_core16_ray.pipelines.text_analysis import token_counts
+    from ragflow_core16_ray.sources.ipc import (read_documents_ipc,
+                                                write_documents_ipc)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    with open(src, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:12]
+    out_dir = f"/tmp/graft_ipc_{digest}"
+    marker = os.path.join(out_dir, "_GRAFT_DONE")
+    if not os.path.exists(marker):
+        import ray.data as rd
+        write_documents_ipc(rd.read_parquet(src), out_dir)
+        open(marker, "w").close()
+    return token_counts(sf_dir, docs=read_documents_ipc(out_dir))
+
+
 def _warc_cache(sf_dir: str, as_html: bool) -> str:
     """Write the sf documents table ONCE as .warc.gz shards (cache keyed
     by a content digest of the parquet, never the path basename)."""
@@ -651,6 +674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: text_analysis.encoding_quality(sf),
         "copurchase_pairs":
             lambda sf: relational.copurchase_pairs(sf),
+        # Arrow IPC (feather v2) source/sink round-trip proof
+        "ipc_token_counts": _ipc_token_counts,
         "order_priority_check":
             lambda sf: relational.order_priority_check(sf),
         "idle_customers": lambda sf: relational.idle_customers(sf),
@@ -913,6 +938,14 @@ def oracle_sql() -> dict[str, str]:
         # through the jsonl.gz round-trip — a hash match proves the
         # source/sink is byte-lossless
         "jsonl_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens
+            FROM documents
+        """,
+        # same proof for the Arrow IPC (feather v2) source/sink
+        "ipc_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END

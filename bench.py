@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "nb_quality_scores", "embedding_gram", "image_dhash_dups",
     "substring_dup_spans", "source_leakage_matrix", "weighted_sample",
     "session_gap_sweep", "source_centroid_distances",
+    # round-4 session-3 additions
+    "warc_token_counts", "source_jaccard_matrix", "copurchase_pairs",
+    "domain_quota_sample", "encoding_quality",
 ]
 
 
