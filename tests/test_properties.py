@@ -443,3 +443,38 @@ def test_pdf_build_parse_recovers_text(pages):
     got = [(json.loads(b["text"])["page"], json.loads(b["text"])["t"])
            for b in boxes]
     assert got == want
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=120, deadline=None)
+def test_warc_parse_never_crashes(data):
+    from ragflow_core16_ray.sources.warc import _parse_records
+
+    rows = _parse_records(data, "fuzz")
+    # every row is typed; corrupt rows carry the sentinel shape
+    for r in rows:
+        assert r["warc_type"] == "corrupt" or isinstance(r["body"], bytes)
+        assert isinstance(r["http_status"], int)
+
+
+@given(st.lists(st.tuples(st.text(max_size=40), st.binary(max_size=200)),
+                max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_warc_build_parse_roundtrip_bodies(recs):
+    import gzip
+
+    from ragflow_core16_ray.sources.warc import (_parse_records,
+                                                 build_warc_gz)
+
+    # URIs must be header-safe: no CR/LF injection from the fuzz text
+    clean = [{"uri": u.replace("\r", "").replace("\n", ""),
+              "payload": b, "mime": "application/octet-stream"}
+             for u, b in recs]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "f.warc.gz")
+        build_warc_gz(clean, path)
+        rows = _parse_records(gzip.decompress(open(path, "rb").read()),
+                              path)
+    assert [r["body"] for r in rows] == [r["payload"] for r in clean]
+    assert all(r["warc_type"] == "response" for r in rows)
