@@ -33,15 +33,26 @@ _TARGET_H = 1000.0
 
 # ------------------------------------------------------------ builder ----
 
+def _esc_lit(text: str) -> bytes:
+    esc = (text.replace("\\", r"\\")
+           .replace("(", r"\(").replace(")", r"\)"))
+    return esc.encode("latin-1", "replace")
+
+
 def build_pdf(pages: list[list[tuple[float, float, float, str]]],
               media_box: tuple[float, float] = (612.0, 792.0),
-              use_objstm: bool = False) -> bytes:
+              use_objstm: bool = False,
+              outlines: list[tuple[str, int]] | None = None) -> bytes:
     """pages = per page a list of (x, top, size, text) in TOP-DOWN page
     coords (same convention as the box IR, unscaled). Deterministic
     output bytes for given input. ``use_objstm`` packs every non-stream
     object (catalog/pages/font/page dicts) into one /Type /ObjStm
     compressed object stream — the PDF 1.5+ layout most real-world
-    writers emit — exercising the parser's ObjStm unpack path."""
+    writers emit — exercising the parser's ObjStm unpack path.
+    ``outlines`` = [(title, depth)] emits a document outline (bookmark)
+    tree — /Outlines root + /First//Last//Next//Parent item chain, the
+    structure pdfplumber exposes as ``pdf.outline`` and the reference
+    walks at pdf_parser.py:1022-1034."""
     w, h = media_box
     objs: list[bytes] = []  # 1-indexed object bodies (without obj/endobj)
     n_pages = len(pages)
@@ -71,6 +82,43 @@ def build_pdf(pages: list[list[tuple[float, float, float, str]]],
         objs.append(b"<< /Length " + str(len(stream)).encode()
                     + b" /Filter /FlateDecode >>\nstream\n" + stream
                     + b"\nendstream")
+    if outlines:
+        # outline tree: root object, then one item per entry; parent =
+        # nearest shallower entry, siblings chain via /Next
+        root_num = len(objs) + 1
+        item_num = [root_num + 1 + i for i in range(len(outlines))]
+        parent: list[int] = []       # object number of each item's parent
+        stack: list[tuple[int, int]] = []   # (depth, item index)
+        for i, (_, d) in enumerate(outlines):
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            parent.append(item_num[stack[-1][1]] if stack else root_num)
+            stack.append((d, i))
+        children: dict[int, list[int]] = {}
+        for i, p in enumerate(parent):
+            children.setdefault(p, []).append(i)
+        top = children.get(root_num, [])
+        objs[0] = (f"<< /Type /Catalog /Pages 2 0 R "
+                   f"/Outlines {root_num} 0 R >>").encode()
+        root = f"<< /Type /Outlines /Count {len(outlines)}"
+        if top:
+            root += (f" /First {item_num[top[0]]} 0 R"
+                     f" /Last {item_num[top[-1]]} 0 R")
+        objs.append((root + " >>").encode())
+        for i, (title, _) in enumerate(outlines):
+            body = (b"<< /Title (" + _esc_lit(title) + b")"
+                    + f" /Parent {parent[i]} 0 R".encode())
+            sibs = children[parent[i]]
+            at = sibs.index(i)
+            if at + 1 < len(sibs):
+                body += f" /Next {item_num[sibs[at + 1]]} 0 R".encode()
+            if at > 0:
+                body += f" /Prev {item_num[sibs[at - 1]]} 0 R".encode()
+            kids_i = children.get(item_num[i], [])
+            if kids_i:
+                body += (f" /First {item_num[kids_i[0]]} 0 R"
+                         f" /Last {item_num[kids_i[-1]]} 0 R").encode()
+            objs.append(body + b" >>")
     if use_objstm:
         # pack the non-stream objects into one compressed object stream;
         # content streams stay direct (streams cannot nest in an ObjStm)
@@ -319,6 +367,49 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
 
+def _lit_string(stream: bytes, i: int) -> tuple[str, int]:
+    """Parse a PDF literal string whose ``(`` sits at index ``i``;
+    returns (decoded text, index just past the closing paren). Handles
+    nested parens, the named escapes, octal ``\\ddd`` and line
+    continuations — the one string grammar shared by content streams
+    and outline ``/Title`` values."""
+    n = len(stream)
+    out, depth, j = bytearray(), 1, i + 1
+    while j < n and depth:
+        ch = stream[j]
+        if ch == 0x5C and j + 1 < n:  # backslash escape
+            nxt = stream[j + 1:j + 2]
+            esc = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12,
+                   b"(": 40, b")": 41, b"\\": 92}
+            if nxt in esc:
+                out.append(esc[nxt])
+                j += 2
+            elif nxt.isdigit():  # octal \ddd
+                k = j + 1
+                oct_s = b""
+                while k < n and len(oct_s) < 3 \
+                        and stream[k:k + 1].isdigit():
+                    oct_s += stream[k:k + 1]
+                    k += 1
+                out.append(int(oct_s, 8) & 0xFF)
+                j = k
+            else:  # line continuation / unknown escape
+                j += 2
+        elif ch == 0x28:
+            depth += 1
+            out.append(ch)
+            j += 1
+        elif ch == 0x29:
+            depth -= 1
+            if depth:
+                out.append(ch)
+            j += 1
+        else:
+            out.append(ch)
+            j += 1
+    return out.decode("latin-1"), j
+
+
 def _lex(stream: bytes):
     """Content-stream tokens: ('num', f) ('str', s) ('name', s) ('op', s)
     ('[',) (']',)."""
@@ -331,40 +422,8 @@ def _lex(stream: bytes):
             j = stream.find(b"\n", i)
             i = n if j == -1 else j + 1
         elif c == b"(":
-            out, depth, j = bytearray(), 1, i + 1
-            while j < n and depth:
-                ch = stream[j]
-                if ch == 0x5C and j + 1 < n:  # backslash escape
-                    nxt = stream[j + 1:j + 2]
-                    esc = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12,
-                           b"(": 40, b")": 41, b"\\": 92}
-                    if nxt in esc:
-                        out.append(esc[nxt])
-                        j += 2
-                    elif nxt.isdigit():  # octal \ddd
-                        k = j + 1
-                        oct_s = b""
-                        while k < n and len(oct_s) < 3 \
-                                and stream[k:k + 1].isdigit():
-                            oct_s += stream[k:k + 1]
-                            k += 1
-                        out.append(int(oct_s, 8) & 0xFF)
-                        j = k
-                    else:  # line continuation / unknown escape
-                        j += 2
-                elif ch == 0x28:
-                    depth += 1
-                    out.append(ch)
-                    j += 1
-                elif ch == 0x29:
-                    depth -= 1
-                    if depth:
-                        out.append(ch)
-                    j += 1
-                else:
-                    out.append(ch)
-                    j += 1
-            yield ("str", out.decode("latin-1"))
+            s, j = _lit_string(stream, i)
+            yield ("str", s)
             i = j
         elif c == b"<" and stream[i + 1:i + 2] != b"<":
             j = stream.find(b">", i)
@@ -527,6 +586,49 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
     return spans
 
 
+def pdf_outlines(data: bytes) -> list[tuple[str, int]]:
+    """Walk the document outline (bookmark) tree into (title, depth)
+    pairs in pre-order — exactly the reference's dfs over
+    ``pdf.outline`` (pdf_parser.py:1022-1034, depth 0 at top level).
+    Missing/absent outlines → [] (the reference's "Miss outlines"
+    path). Cycle-safe: an item is visited once."""
+    objs = _scan_objects(data)
+    cat = next((b for b in objs.values() if b"/Catalog" in b), None)
+    if cat is None:
+        return []
+    m = re.search(rb"/Outlines\s+(\d+)\s+\d+\s+R", cat)
+    if m is None:
+        return []
+
+    def ref_of(body: bytes, key: bytes) -> int | None:
+        r = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", body)
+        return int(r.group(1)) if r else None
+
+    out: list[tuple[str, int]] = []
+    seen: set[int] = set()
+
+    def dfs(num: int | None, depth: int) -> None:
+        while num is not None and num not in seen:
+            seen.add(num)
+            body = objs.get(num)
+            if body is None:
+                return
+            t = body.find(b"/Title")
+            if t >= 0:
+                p = body.find(b"(", t)
+                if p >= 0:
+                    title, _ = _lit_string(body, p)
+                    out.append((title, depth))
+            dfs(ref_of(body, b"First"), depth + 1)
+            num = ref_of(body, b"Next")
+
+    root = objs.get(int(m.group(1)))
+    if root is None:
+        return []
+    dfs(ref_of(root, b"First"), 0)
+    return out
+
+
 def expand_pdf_spans(spans: list[dict]) -> list[dict]:
     """Replace `pdf` payload spans (base64 PDF bytes in `text`) with the
     parsed box spans; all other spans pass through. Idempotent — a span
@@ -543,7 +645,25 @@ def expand_pdf_spans(spans: list[dict]) -> list[dict]:
             out.append(s)
             continue
         try:
-            out.extend(pdf_to_boxes(base64.b64decode(s["text"])))
+            raw = base64.b64decode(s["text"])
+            boxes = pdf_to_boxes(raw)
+            # outlines ride as toc_entry metadata spans (consumed and
+            # dropped by phase B; the manual template uses them for
+            # section levels — rag/app/manual.py:196-210)
+            toc = [make_toc_span(t, lvl) for t, lvl in pdf_outlines(raw)]
+            out.extend(toc + boxes)
         except Exception:  # noqa: BLE001 — undecodable payload: keep a ref
             pass
     return finalize_offsets(out)
+
+
+def make_toc_span(title: str, lvl: int) -> dict:
+    from ..schemas import make_span
+
+    return make_span("toc_entry", json.dumps(
+        {"t": title, "lvl": int(lvl)}, ensure_ascii=False, sort_keys=True))
+
+
+def parse_toc_span(span: dict) -> tuple[str, int]:
+    d = json.loads(span["text"])
+    return d["t"], int(d["lvl"])

@@ -32,7 +32,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.49, "pdf"), (0.59, "book"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 19
+CORPUS_VERSION = 20
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -574,6 +574,11 @@ def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
 
     n_pages = r.randint(1, 6)
     header = ("Jrnl of " + _words(r, 2).title())[:40]
+    # ~40% of pdf docs carry a document outline (bookmarks) whose titles
+    # are the per-page chapter headings — the manual template's outline
+    # pivot path (rag/app/manual.py:196-210) then sees real /Outlines
+    with_outline = r.random() < 0.4
+    outlines: list[tuple[str, int]] = []
     pages: list[list[tuple[float, float, float, str]]] = []
     for page in range(n_pages):
         lines: list[tuple[float, float, float, str]] = [
@@ -581,6 +586,10 @@ def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
         if page == 0:
             # below the 8% header band (functions/pdfish._infer_layout)
             lines.append((100, 82, 18, _words(r, 5).title()))
+        elif with_outline:
+            chap = f"Chapter {page} " + _words(r, 3).title()
+            lines.append((60, 82, 14, chap))
+            outlines.append((chap, 0))
         two_col = n_pages >= 2 and r.random() < 0.3
         n_lines = r.randint(4, 12)
         if two_col:
@@ -597,7 +606,8 @@ def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
         pages.append(lines)
     payload = base64.b64encode(
         build_pdf(pages, media_box=(600.0, 1000.0),
-                  use_objstm=r.random() < 0.3)).decode("ascii")
+                  use_objstm=r.random() < 0.3,
+                  outlines=outlines or None)).decode("ascii")
     return [make_span("pdf", payload)]
 
 

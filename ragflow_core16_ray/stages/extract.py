@@ -282,6 +282,12 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
         return _tag_from_rows(
             [s["text"] for s in spans if s["kind"] == "row"])
     if template == "pdfish":
+        # outline metadata spans (from PDF bookmarks) pass through phase
+        # A untouched — extract_pdfish's box walk would drop them; phase
+        # B consumes them for manual-template levels and strips them
+        toc = [s for s in spans if s["kind"] == "toc_entry"]
+        if toc:
+            spans = [s for s in spans if s["kind"] != "toc_entry"]
         if cfg.layout_recognize == "plain":
             # "Plain Text" mode (rag/app/naive.py:282-299 PlainParser via
             # layout_recognize): raw text lines in input order — no
@@ -299,9 +305,9 @@ def phase_a(template: str, spans: list[dict], cfg: ExtractConfig) -> list[dict]:
                     continue
                 if t:
                     out.append(make_span("section", t))
-            return out
+            return out + toc
         return extract_pdfish(spans, page_height=cfg.page_height,
-                              keep_positions=cfg.keep_positions)
+                              keep_positions=cfg.keep_positions) + toc
     if template == "table":
         rows = [s["text"] for s in spans if s["kind"] == "row"]
         if cfg.html4excel:
@@ -618,18 +624,41 @@ def _paper_merge(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
     return finalize_offsets(out)
 
 
-def _manual_merge(spans: list[dict], cfg: ExtractConfig) -> list[dict]:
+def _manual_merge(spans: list[dict], cfg: ExtractConfig,
+                  toc: list[tuple[str, int]] | None = None) -> list[dict]:
     """Manual template (rag/app/manual.py:214-258 semantics): pick the most
     frequent heading level as the pivot, assign a section id that advances
     at every pivot-level heading, then greedily pack consecutive sections —
     always glue while a chunk holds <32 tokens, keep gluing to 1024 tokens
-    while the section id is unchanged."""
+    while the section id is unchanged.
+
+    When the doc carries a PDF outline covering >3% of its sections,
+    levels come from the outline instead of bullet frequency: each
+    section takes the level of the first outline title whose
+    character-bigram set overlaps its text >0.8 (Jaccard over the larger
+    set), unmatched lines rank below every outline level — the
+    reference's outline pivot path (rag/app/manual.py:196-210)."""
     num_tokens = _counter_for(cfg)
 
     texts = [s["text"] for s in spans if s["kind"] in ("section", "title")]
     others = [s for s in spans if s["kind"] not in ("section", "title")]
-    fam = bullets_category(texts)
-    most, levels = title_frequency(texts, fam)
+    if texts and toc and len(toc) / len(texts) > 0.03:
+        max_lvl = max(lvl for _, lvl in toc)
+        most = max(0, max_lvl - 1)
+        levels = []
+        for txt in texts:
+            for t, lvl in toc:
+                tks = {t[i] + t[i + 1] for i in range(len(t) - 1)}
+                tks_ = {txt[i] + txt[i + 1]
+                        for i in range(min(len(t), len(txt) - 1))}
+                if len(tks & tks_) / max(len(tks), len(tks_), 1) > 0.8:
+                    levels.append(lvl)
+                    break
+            else:
+                levels.append(max_lvl + 1)
+    else:
+        fam = bullets_category(texts)
+        most, levels = title_frequency(texts, fam)
     # content lines rank below every heading (reference: max_lvl + 1,
     # manual.py:209-210)
     deep = 1 << 10
@@ -667,10 +696,19 @@ def phase_b(template: str, spans: list[dict], cfg: ExtractConfig,
         from ..functions.pdfish import render_table_cells
 
         spans = render_table_cells(spans)
+    # outline metadata (PDF bookmarks) never reaches the output span
+    # stream; the manual template consumes it for section levels
+    toc_pairs: list[tuple[str, int]] = []
+    if any(s["kind"] == "toc_entry" for s in spans):
+        from ..functions.pdf_bytes import parse_toc_span
+
+        toc_pairs = [parse_toc_span(s) for s in spans
+                     if s["kind"] == "toc_entry"]
+        spans = [s for s in spans if s["kind"] != "toc_entry"]
     if template == "paper":
         return _paper_merge(spans, cfg)
     if template == "manual":
-        return _manual_merge(spans, cfg)
+        return _manual_merge(spans, cfg, toc=toc_pairs)
     if template == "laws":
         # like book but strictly hierarchical: a doc with no recognizable
         # bullet family yields no text chunks (rag/app/laws.py:200-208

@@ -154,3 +154,80 @@ def test_objstm_layout_parses_identically():
                    ("Page two body.", 1)]
     assert [(json.loads(b["text"])["t"], json.loads(b["text"])["page"])
             for b in objstm] == key
+
+
+def _outline_pdf(objstm=False):
+    # two chapters whose headings match the outline titles; bodies long
+    # enough (>32 tokens) that manual packing does not glue everything
+    body1 = " ".join(f"alpha{i}" for i in range(40))
+    body2 = " ".join(f"beta{i}" for i in range(40))
+    pages = [[(72, 80, 16, "Chapter One Overview"),
+              (72, 120, 10, body1)],
+             [(72, 80, 16, "Chapter Two Details"),
+              (72, 120, 10, body2)]]
+    ol = [("Chapter One Overview", 0), ("Chapter Two Details", 0)]
+    return build_pdf(pages, use_objstm=objstm, outlines=ol), ol
+
+
+def test_outline_roundtrip_nested_and_escaped():
+    from ragflow_core16_ray.functions.pdf_bytes import pdf_outlines
+
+    pages = [[(72, 80, 12, "x")]]
+    ol = [("Top (one)", 0), ("Child \\ two", 1), ("Grand", 2),
+          ("Top2", 0)]
+    for objstm in (False, True):
+        data = build_pdf(pages, use_objstm=objstm, outlines=ol)
+        assert pdf_outlines(data) == ol
+    assert pdf_outlines(build_pdf(pages)) == []
+
+
+def test_expand_emits_toc_spans_and_phaseb_strips_them():
+    import base64 as b64
+
+    from ragflow_core16_ray.functions.pdf_bytes import expand_pdf_spans
+
+    data, ol = _outline_pdf()
+    spans = finalize_offsets([make_span("pdf",
+                                        b64.b64encode(data).decode())])
+    expanded = expand_pdf_spans(spans)
+    toc = [s for s in expanded if s["kind"] == "toc_entry"]
+    assert len(toc) == 2
+    tmpl, out, _ = extract_doc(spans)
+    assert all(s["kind"] != "toc_entry" for s in out)
+
+
+def test_manual_template_uses_outline_levels():
+    import base64 as b64
+
+    data, ol = _outline_pdf()
+    spans = finalize_offsets([make_span("pdf",
+                                        b64.b64encode(data).decode())])
+    from ragflow_core16_ray.config import ExtractConfig
+
+    tmpl, out, _ = extract_doc(
+        spans, ExtractConfig(template_override="manual"))
+    assert tmpl == "manual"
+    secs = [s["text"] for s in out if s["kind"] == "section"]
+    # outline pivot: each chapter heading starts its own chunk
+    assert len(secs) == 2
+    assert secs[0].startswith("Chapter One Overview")
+    assert secs[1].startswith("Chapter Two Details")
+    assert "toc_entry" not in {s["kind"] for s in out}
+
+
+def test_manual_outline_sharded_equals_fused():
+    import base64 as b64
+
+    from ragflow_core16_ray.config import ExtractConfig
+
+    data, ol = _outline_pdf(objstm=True)
+    spans = finalize_offsets([make_span("pdf",
+                                        b64.b64encode(data).decode())])
+    cfg_small = ExtractConfig(template_override="manual",
+                              shard_span_threshold=2, task_page_size=1)
+    t1, out1, n1 = extract_doc(spans, cfg_small)
+    t2, out2, n2 = extract_doc(
+        spans, ExtractConfig(template_override="manual"))
+    assert n1 > 1 and n2 == 1
+    assert [(s["kind"], s["text"]) for s in out1] \
+        == [(s["kind"], s["text"]) for s in out2]
