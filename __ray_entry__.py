@@ -487,6 +487,16 @@ def _link_graph(sf_dir: str):
     return link_graph(rd.read_parquet(corpus, columns=["doc_id", "spans"]))
 
 
+def _anchor_text_index(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import anchor_text_index
+
+    corpus = _corpus_for(sf_dir)
+    return anchor_text_index(
+        rd.read_parquet(corpus, columns=["doc_id", "spans"]))
+
+
 def _image_dup_verified_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -674,6 +684,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: text_analysis.encoding_quality(sf),
         "copurchase_pairs":
             lambda sf: relational.copurchase_pairs(sf),
+        # anchor-text aggregation over the outlink graph (rows-only:
+        # markup lives in the interleaved corpus, not the documents
+        # table; fixture pytest pins hand counts)
+        "anchor_text_index": _anchor_text_index,
         # Arrow IPC (feather v2) source/sink round-trip proof
         "ipc_token_counts": _ipc_token_counts,
         "order_priority_check":

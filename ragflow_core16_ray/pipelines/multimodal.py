@@ -881,3 +881,59 @@ def image_dup_verified_pairs(extracted: rd.Dataset, max_hamming: int = 6,
     df["mae_q"] = df["mae_q"].astype("int64")
     return (df.sort_values(["doc_a", "ref_a", "doc_b", "ref_b"])
             .reset_index(drop=True))
+
+
+def anchor_text_index(extracted_corpus: rd.Dataset,
+                      k: int = 20, top_words: int = 3) -> pd.DataFrame:
+    """Anchor-text aggregation — the classic web-search relevance
+    signal: for each outlink target, which words do OTHER documents use
+    when linking to it (Google's original anchor trick; also the
+    cleanest boilerplate tell — chrome links carry the same one or two
+    words everywhere). For the ``k`` most-linked hrefs, the
+    ``top_words`` most frequent whitespace-lowercased anchor words with
+    counts, ties broken lexically.
+
+    Scale shape: anchor harvesting is the same streaming pass as
+    link_graph; (href, word, n) partials ride the combiner tree; the
+    driver ranks within the (outlink-vocabulary bounded) merged table —
+    at open-web scale the final combine flips to mode='shuffle' on the
+    href hash, the documented escape hatch."""
+    from ..functions.html_extract import extract_links
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict = {}
+        for spans in batch["spans"]:
+            if spans is None:
+                continue
+            for s in spans:
+                if s["kind"] != "html":
+                    continue
+                for href, text in extract_links(s["text"]):
+                    for w in text.lower().split():
+                        key = (href, w)
+                        counts[key] = counts.get(key, 0) + 1
+        return pd.DataFrame({
+            "href": [h for h, _ in counts],
+            "word": [w for _, w in counts],
+            "n": pd.array(list(counts.values()), dtype="int64")})
+
+    hist = combine_partials(
+        extracted_corpus.map_batches(partial, batch_format="pandas"),
+        ["href", "word"], {"n": "sum"}).to_pandas()
+    if hist.empty or "href" not in hist.columns:
+        return pd.DataFrame({"href": pd.array([], dtype="string"),
+                             "word": pd.array([], dtype="string"),
+                             "n": pd.array([], dtype="int64")})
+    by_href = (hist.groupby("href")["n"].sum()
+               .sort_values(ascending=False))
+    keep = sorted(by_href.head(k).index)
+    rows = []
+    for href in keep:
+        g = (hist[hist["href"] == href]
+             .sort_values(["n", "word"], ascending=[False, True])
+             .head(top_words))
+        rows.append(g)
+    out = pd.concat(rows, ignore_index=True) if rows else hist.iloc[:0]
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)

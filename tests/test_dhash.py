@@ -209,3 +209,26 @@ def test_image_dup_verified_pairs(ray_session):
     # the JPEG re-encode is a verified NEAR dup: not exact, small MAE
     e13, m13 = by[("d1", "d3")]
     assert e13 == 0 and 0 < m13 <= 8_000_000
+
+
+def test_anchor_text_index_hand(ray_session):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import anchor_text_index
+
+    rows = [
+        {"doc_id": "h1", "spans": [make_span(
+            "html", '<a href="/a">ray data engine</a>'
+                    '<a href="/b">home</a>')]},
+        {"doc_id": "h2", "spans": [make_span(
+            "html", '<a href="/a">ray engine docs</a>'
+                    '<a href="/b">home</a>')]},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA))
+    got = anchor_text_index(ds, k=5, top_words=2)
+    by = {(r.href, r.word): r.n for r in got.itertuples()}
+    # /a anchors: ray x2, engine x2, data 1, docs 1 -> top-2 = engine,
+    # ray (tie 2-2 broken lexically)
+    a_rows = [(r.word, r.n) for r in got.itertuples() if r.href == "/a"]
+    assert a_rows == [("engine", 2), ("ray", 2)]
+    assert by[("/b", "home")] == 2

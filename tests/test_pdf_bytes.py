@@ -231,3 +231,23 @@ def test_manual_outline_sharded_equals_fused():
     assert n1 > 1 and n2 == 1
     assert [(s["kind"], s["text"]) for s in out1] \
         == [(s["kind"], s["text"]) for s in out2]
+
+
+def test_outline_cycle_terminates():
+    from ragflow_core16_ray.functions.pdf_bytes import pdf_outlines
+
+    # hand-built PDF whose outline items /Next each other in a cycle —
+    # the walk must visit each once and stop
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>"
+            b"\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Count 0 /Kids [] >>\nendobj\n"
+            b"5 0 obj\n<< /Type /Outlines /First 6 0 R >>\nendobj\n"
+            b"6 0 obj\n<< /Title (A) /Parent 5 0 R /Next 7 0 R >>\nendobj\n"
+            b"7 0 obj\n<< /Title (B) /Parent 5 0 R /Next 6 0 R >>\nendobj\n"
+            b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    assert pdf_outlines(body) == [("A", 0), ("B", 0)]
+    # self-referential /First: child loop also terminates
+    body2 = body.replace(b"<< /Title (A) /Parent 5 0 R /Next 7 0 R >>",
+                         b"<< /Title (A) /Parent 5 0 R /First 6 0 R >>")
+    assert pdf_outlines(body2) == [("A", 0)]
