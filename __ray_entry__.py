@@ -361,6 +361,44 @@ def _warc_main_content(sf_dir: str):
     return read_warc(out_dir).map_batches(fn, batch_format="pandas")
 
 
+def _chunk_tags(sf_dir: str):
+    """Chunk↔tag-KB assignment (the §2.4 tag lookup): the KB is the
+    cached tag-template extraction of this corpus ((tag, tag_kwd) span
+    pairs), broadcast once; the documents table is the chunk stream.
+    Rows-only (the KB side is template extraction, not SQL-shaped);
+    the scoring replica is pinned in pytest."""
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.tagging import chunk_tags
+    from ragflow_core16_ray.schemas import explode_spans
+
+    # reuse (or build) the cached tag-override extraction
+    _extract_override(sf_dir, "tag")
+    corpus = _corpus_for(sf_dir)
+    out_dir = corpus + "_out_tag_" + _src_digest()
+    def kb_rows(b):
+        df = explode_spans(b).select(["kind", "text"]).to_pandas()
+        # prune to KB pairs before anything leaves the task
+        return df[df["kind"].isin(("tag", "tag_kwd"))]
+
+    flat = (rd.read_parquet(os.path.join(out_dir, "docs"))
+            .map_batches(kb_rows, batch_format="pyarrow").to_pandas())
+    pairs: list[tuple[str, list[str]]] = []
+    pending = None
+    for kind, text in zip(flat["kind"], flat["text"]):
+        if kind == "tag":
+            pending = text
+        elif kind == "tag_kwd" and pending is not None:
+            pairs.append((pending, [t for t in text.split(",") if t]))
+            pending = None
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    # keep_zero: the soup corpus legitimately clears no scoring bar (the
+    # reference would fall to its LLM); the candidates' exact match
+    # counts are the driver evidence
+    return chunk_tags(docs, pairs, keep_zero=True)
+
+
 def _extract_override(sf_dir: str, template: str):
     """Template-override run: whole corpus through one forced chunking
     template — per-(template,kind) span counts PLUS an order-independent
@@ -688,6 +726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # markup lives in the interleaved corpus, not the documents
         # table; fixture pytest pins hand counts)
         "anchor_text_index": _anchor_text_index,
+        # chunk↔tag-KB retrieval-based assignment (search.py:458-469,
+        # the non-LLM tagging path) — rows-only, replica in pytest
+        "chunk_tags": _chunk_tags,
         # Arrow IPC (feather v2) source/sink round-trip proof
         "ipc_token_counts": _ipc_token_counts,
         "order_priority_check":
