@@ -115,3 +115,19 @@ def chunk_tags(docs: rd.Dataset,
         return pa.Table.from_pylist(rows, schema=schema)
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def tag_query(question: str, kb_pairs: list[tuple[str, list[str]]],
+              topn_tags: int = 3, S: int = 1000) -> dict[str, int]:
+    """Query-side tag inference (search.py:471-485 ``tag_query``): the
+    SAME retrieval + scoring as chunk tagging, but for a user question
+    at serving time, and with the reference's floor — every kept tag
+    scores at least 1 (``max(1, c)``), because a query must always land
+    somewhere. Driver-side by nature (one question, KB is a broadcast
+    dimension)."""
+    prior = build_tag_prior(kb_pairs, S)
+    toks = [frozenset(_toks(c)) for c, _ in kb_pairs]
+    tags = [t for _, t in kb_pairs]
+    feats = tag_one(question, toks, tags, prior,
+                    topn_tags=topn_tags, keywords_topn=10 ** 9, S=S)
+    return {a: max(1, s) for a, s, _, _ in feats}

@@ -63,3 +63,15 @@ def test_chunk_tags_empty_kb(ray_session):
     # dataset's driver-side schema, but each block is explicit Arrow)
     assert [f.name for f in ds_out.schema().base_schema] \
         == ["doc_id", "tag", "score", "c", "cnt"]
+
+
+def test_tag_query_floors_scores_at_one():
+    from ragflow_core16_ray.pipelines.tagging import tag_query
+
+    kb = _kb()
+    # same match as the chunk case, S=1000: raw score rounds to 0 but
+    # the query-side contract floors kept tags at 1 (search.py:485)
+    got = tag_query("ray data engine pipeline", kb, S=1000)
+    assert got == {"infra": 1}
+    # fully disjoint question -> no tags at all
+    assert tag_query("qqq www eee", kb, S=10) == {}
