@@ -62,25 +62,68 @@ def build_pdf(pages: list[list[tuple[float, float, float, str]]],
     objs.append(f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] "
                 f">>".encode())
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # non-latin text routes through a Type0 /Identity-H CID font whose
+    # ToUnicode CMap the parser must actually read — the real-PDF shape
+    # for CJK (CIDs here = BMP code points, written as UTF-16BE hex
+    # strings; astral chars degrade to U+FFFD)
+    def _is_latin(t: str) -> bool:
+        try:
+            t.encode("latin-1")
+            return True
+        except UnicodeEncodeError:
+            return False
+
+    needs_cid = any(not _is_latin(text) for lines in pages
+                    for _, _, _, text in lines)
+    f2_num = 4 + 2 * n_pages          # first object after pages/contents
+    font_res = "<< /F1 3 0 R >>" if not needs_cid else (
+        f"<< /F1 3 0 R /F2 {f2_num} 0 R >>")
     for i, lines in enumerate(pages):
         content_id = page_ids[i] + 1
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w:g} {h:g}] "
-            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Resources << /Font {font_res} >> "
             f"/Contents {content_id} 0 R >>".encode())
         parts = [b"BT"]
         for x, top, size, text in lines:
             y = h - top - size  # top-down → bottom-up baseline
-            esc = (text.replace("\\", r"\\")
-                   .replace("(", r"\(").replace(")", r"\)"))
-            parts.append(f"/F1 {size:g} Tf {x:g} {y:g} Td".encode())
-            parts.append(b"(" + esc.encode("latin-1", "replace") + b") Tj")
+            if _is_latin(text):
+                parts.append(f"/F1 {size:g} Tf {x:g} {y:g} Td".encode())
+                parts.append(b"(" + _esc_lit(text) + b") Tj")
+            else:
+                units = "".join(
+                    f"{ord(c):04X}" if ord(c) <= 0xFFFF else "FFFD"
+                    for c in text)
+                parts.append(f"/F2 {size:g} Tf {x:g} {y:g} Td".encode())
+                parts.append(b"<" + units.encode("ascii") + b"> Tj")
             # reset to absolute positioning for the next line
             parts.append(f"{-x:g} {-y:g} Td".encode())
         parts.append(b"ET")
         stream = zlib.compress(b"\n".join(parts), 6)
         objs.append(b"<< /Length " + str(len(stream)).encode()
                     + b" /Filter /FlateDecode >>\nstream\n" + stream
+                    + b"\nendstream")
+    if needs_cid:
+        assert len(objs) + 1 == f2_num
+        desc_num, tou_num = f2_num + 1, f2_num + 2
+        objs.append(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCJK "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+            f"/ToUnicode {tou_num} 0 R >>".encode())
+        objs.append(b"<< /Type /Font /Subtype /CIDFontType2 "
+                    b"/BaseFont /GraftCJK /CIDSystemInfo "
+                    b"<< /Registry (Adobe) /Ordering (Identity) "
+                    b"/Supplement 0 >> >>")
+        cmap = (b"/CIDInit /ProcSet findresource begin\n"
+                b"12 dict begin\nbegincmap\n"
+                b"1 begincodespacerange\n<0000> <FFFF>\n"
+                b"endcodespacerange\n"
+                b"1 beginbfrange\n<0000> <FFFF> <0000>\nendbfrange\n"
+                b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+                b"end\nend\n")
+        z = zlib.compress(cmap, 6)
+        objs.append(b"<< /Length " + str(len(z)).encode()
+                    + b" /Filter /FlateDecode >>\nstream\n" + z
                     + b"\nendstream")
     if outlines:
         # outline tree: root object, then one item per entry; parent =
@@ -474,18 +517,132 @@ def _mat_mul(a, b):  # 2x3 affine as (a,b,c,d,e,f)
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
-def _interpret(stream: bytes) -> list[tuple[float, float, float, str]]:
+_HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _parse_cmap(data: bytes):
+    """ToUnicode CMap → (bfchar dict, bfrange list of (lo, hi, base or
+    [targets])). Handles the two mapping block forms of the CMap spec;
+    destination hex may be multi-code-unit (UTF-16BE)."""
+    chars: dict[int, str] = {}
+    ranges: list[tuple[int, int, object]] = []
+
+    def _hex_int(h: bytes) -> int:
+        return int(re.sub(rb"\s", b"", h) or b"0", 16)
+
+    def _hex_str(h: bytes) -> str:
+        hs = re.sub(rb"\s", b"", h).decode("ascii")
+        if len(hs) % 4:
+            hs = hs.ljust((len(hs) + 3) // 4 * 4, "0")
+        return "".join(chr(int(hs[i:i + 4], 16))
+                       for i in range(0, len(hs), 4))
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _HEX_PAIR_RE.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            chars[_hex_int(toks[i])] = _hex_str(toks[i + 1])
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        # array form: <lo> <hi> [<d1> <d2> ...]
+        pos = 0
+        while True:
+            am = re.search(
+                rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*"
+                rb"(\[(?:\s*<[0-9A-Fa-f\s]*>)*\s*\]|<[0-9A-Fa-f\s]*>)",
+                body[pos:])
+            if not am:
+                break
+            lo, hi = _hex_int(am.group(1)), _hex_int(am.group(2))
+            dst = am.group(3)
+            if dst.startswith(b"["):
+                targets = [_hex_str(t) for t in
+                           _HEX_PAIR_RE.findall(dst)]
+                ranges.append((lo, hi, targets))
+            else:
+                ranges.append((lo, hi, _hex_int(dst[1:-1])))
+            pos += am.end()
+    return chars, ranges
+
+
+def _cmap_decoder(chars: dict, ranges: list):
+    """Callable decoding a 2-byte-CID string (latin-1-carried bytes)
+    through the CMap; unmapped CIDs become U+FFFD."""
+
+    def dec(s: str) -> str:
+        b = s.encode("latin-1")
+        out = []
+        for i in range(0, len(b) - 1, 2):
+            cid = (b[i] << 8) | b[i + 1]
+            if cid in chars:
+                out.append(chars[cid])
+                continue
+            for lo, hi, dst in ranges:
+                if lo <= cid <= hi:
+                    if isinstance(dst, list):
+                        out.append(dst[cid - lo] if cid - lo < len(dst)
+                                   else "�")
+                    else:
+                        out.append(chr(dst + (cid - lo)))
+                    break
+            else:
+                out.append("�")
+        return "".join(out)
+
+    return dec
+
+
+_FONT_REF_RE = re.compile(rb"/([A-Za-z0-9.+-]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
+    """Per-page font-name → string decoder for fonts carrying a
+    /ToUnicode CMap (the Type0/Identity-H CJK path); simple fonts get
+    no entry and their literal text passes through unchanged."""
+    fm = re.search(rb"/Font\s*<<(.*?)>>", page_body, re.S)
+    if not fm:
+        return {}
+    out = {}
+    for name, num in _FONT_REF_RE.findall(fm.group(1)):
+        body = objs.get(int(num))
+        if body is None or b"/ToUnicode" not in body:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+        if not tm:
+            continue
+        tou = objs.get(int(tm.group(1)))
+        if tou is None:
+            continue
+        payload = _stream_payload(tou)
+        if payload is None:
+            continue
+        if re.search(rb"/FlateDecode\b", tou[:tou.find(b"stream")]):
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                continue
+        chars, ranges = _parse_cmap(payload)
+        out[name.decode("latin-1")] = _cmap_decoder(chars, ranges)
+    return out
+
+
+def _interpret(stream: bytes,
+               decoders: dict | None = None
+               ) -> list[tuple[float, float, float, str]]:
     """Text-showing ops → (x, baseline_y, effective_size, text) in PDF
-    (bottom-up) device space."""
+    (bottom-up) device space. ``decoders`` maps font resource names to
+    string decoders (CID fonts); the current font follows Tf."""
     shows: list[tuple[float, float, float, str]] = []
     ctm, stack = _ID, []
     tm = tlm = _ID
     size, leading = 0.0, 0.0
+    font = ""
     operands: list = []
     arr: list | None = None
 
     def show(txt: str) -> None:
         nonlocal tm
+        if decoders and font in decoders:
+            txt = decoders[font](txt)
         if not txt:
             return
         trm = _mat_mul(tm, ctm)
@@ -523,6 +680,8 @@ def _interpret(stream: bytes) -> list[tuple[float, float, float, str]]:
                 tm = tlm = _ID
             elif op == "Tf" and operands:
                 size = float(operands[-1])
+                if len(operands) >= 2:
+                    font = str(operands[-2])
             elif op == "TL" and operands:
                 leading = float(operands[-1])
             elif op == "Td" and len(operands) >= 2:
@@ -570,7 +729,9 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             pw = float(mb.group(3)) - float(mb.group(1))
             ph = float(mb.group(4)) - float(mb.group(2))
         scale = _TARGET_H / (ph or 792.0)
-        for x, y, eff, txt in _interpret(_content_of(objs, body)):
+        decoders = _font_decoders(objs, body)
+        for x, y, eff, txt in _interpret(_content_of(objs, body),
+                                         decoders):
             txt = txt.strip()
             if not txt:
                 continue

@@ -32,7 +32,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.49, "pdf"), (0.59, "book"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 20
+CORPUS_VERSION = 21
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -566,8 +566,9 @@ def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
     the pipeline as a base64 `pdf` payload span and the content-stream
     parser recovers the boxes — the raw-binary entry point the reference
     gets from pdfplumber (pdf_parser.py:994-1113). A 600x1000 media box
-    keeps coordinates in the box-IR convention. ASCII-only text: the
-    builder writes latin-1 literal strings (no CID/ToUnicode machinery)."""
+    keeps coordinates in the box-IR convention. Mixed-language text:
+    latin lines are literal strings, CJK lines ride the Type0/Identity-H
+    CID font + ToUnicode CMap path (functions/pdf_bytes)."""
     import base64
 
     from ..functions.pdf_bytes import build_pdf
@@ -599,9 +600,11 @@ def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
                 y = 120 + 55 * (i if i < half else i - half)
                 lines.append((colx, y, 10, _words(r, r.randint(4, 8))))
         else:
+            # mixed-language body (same _sentence mix as the pdfish
+            # archetype): CJK lines ride the Type0/Identity-H CID font
+            # with a ToUnicode CMap — real CJK-in-PDF bytes end to end
             for i in range(n_lines):
-                lines.append((60, 120 + 55 * i, 10,
-                              _words(r, r.randint(5, 10)) + "."))
+                lines.append((60, 120 + 55 * i, 10, _sentence(r)))
         lines.append((270, 965, 8, f"page {page + 1}/{n_pages}"))
         pages.append(lines)
     payload = base64.b64encode(

@@ -251,3 +251,40 @@ def test_outline_cycle_terminates():
     body2 = body.replace(b"<< /Title (A) /Parent 5 0 R /Next 7 0 R >>",
                          b"<< /Title (A) /Parent 5 0 R /First 6 0 R >>")
     assert pdf_outlines(body2) == [("A", 0)]
+
+
+def test_cid_font_cjk_roundtrip():
+    import json as _json
+
+    pages = [[(72, 80, 14, "Latin Heading"),
+              (72, 120, 10, "数据流处理引擎的核心组件"),
+              (72, 160, 10, "mixed 中文 and ascii")]]
+    for objstm in (False, True):
+        data = build_pdf(pages, use_objstm=objstm)
+        texts = [_json.loads(b["text"])["t"] for b in pdf_to_boxes(data)]
+        assert texts == ["Latin Heading", "数据流处理引擎的核心组件",
+                         "mixed 中文 and ascii"], objstm
+    # astral chars degrade to U+FFFD (2-byte CID limit), latin survives
+    data = build_pdf([[(72, 80, 10, "emoji 🙂 x")]])
+    t = _json.loads(pdf_to_boxes(data)[0]["text"])["t"]
+    assert t == "emoji � x"
+
+
+def test_cmap_bfchar_and_both_bfrange_forms():
+    from ragflow_core16_ray.functions.pdf_bytes import (_cmap_decoder,
+                                                        _parse_cmap)
+
+    cm = (b"2 beginbfchar\n<0001> <4E2D>\n<0002> <6587>\nendbfchar\n"
+          b"1 beginbfrange\n<0010> <0012> [<0041> <0042> <0043>]\n"
+          b"endbfrange\n"
+          b"1 beginbfrange\n<0100> <0102> <0061>\nendbfrange\n")
+    chars, ranges = _parse_cmap(cm)
+    dec = _cmap_decoder(chars, ranges)
+    src = ("".join(chr(0) + chr(c) for c in (1, 2, 0x10, 0x11, 0x12))
+           + chr(1) + chr(0) + chr(1) + chr(2) + chr(0) + chr(0xFF))
+    # bfchar hits, array range A/B/C, offset range a..c, unmapped FFFD
+    assert dec(src) == "中文ABCac�"
+    # multi-code-unit destination (surrogate-free BMP pair)
+    chars2, _ = _parse_cmap(b"1 beginbfchar\n<0003> <00480049>\n"
+                            b"endbfchar\n")
+    assert _cmap_decoder(chars2, [])(chr(0) + chr(3)) == "HI"
