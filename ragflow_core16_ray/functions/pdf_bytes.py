@@ -719,6 +719,12 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
 
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
+        # encrypted document: strings/streams are ciphertext — silently
+        # yielding garbage or [] would masquerade as a scanned page, so
+        # refuse loudly; expand_pdf_spans catches and keeps the ref
+        # (the reference's pdfplumber raises similarly)
+        raise ValueError("encrypted PDF (/Encrypt present)")
     objs = _scan_objects(data)
     spans: list[dict] = []
     for page_no, num in enumerate(_page_order(objs)):

@@ -288,3 +288,21 @@ def test_cmap_bfchar_and_both_bfrange_forms():
     chars2, _ = _parse_cmap(b"1 beginbfchar\n<0003> <00480049>\n"
                             b"endbfchar\n")
     assert _cmap_decoder(chars2, [])(chr(0) + chr(3)) == "HI"
+
+
+def test_encrypted_pdf_refused_loudly_and_contained():
+    import base64 as b64
+
+    import pytest as _pt
+
+    from ragflow_core16_ray.functions.pdf_bytes import expand_pdf_spans
+
+    data = build_pdf([[(72, 80, 10, "secret")]])
+    enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with _pt.raises(ValueError, match="encrypted"):
+        pdf_to_boxes(enc)
+    # poison containment: the payload span degrades to nothing rather
+    # than crashing the doc (same path as undecodable bytes)
+    spans = finalize_offsets([make_span("pdf",
+                                        b64.b64encode(enc).decode())])
+    assert expand_pdf_spans(spans) == []
