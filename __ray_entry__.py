@@ -734,6 +734,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chunk↔tag-KB retrieval-based assignment (search.py:458-469,
         # the non-LLM tagging path) — rows-only, replica in pytest
         "chunk_tags": _chunk_tags,
+        # MMR diversity rerank over the brute shortlist — rows-only
+        # (inherently iterative; integer-exact replica in pytest)
+        "emb_mmr_topk": lambda sf: similarity.mmr_topk(sf),
         # Arrow IPC (feather v2) source/sink round-trip proof
         "ipc_token_counts": _ipc_token_counts,
         "order_priority_check":

@@ -1298,3 +1298,79 @@ def pq_distortion_stats(sf_dir: str, m_sub: int = 8, n_codes: int = 16,
                                           + 0.5))], dtype="int64"),
         "rms_q": pd.array([int(np.floor(rms * 1e6 + 0.5))],
                           dtype="int64")})
+
+
+def mmr_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+             n_candidates: int = 50, lam_num: int = 7,
+             lam_den: int = 10) -> pd.DataFrame:
+    """Maximal-marginal-relevance diversity rerank (Carbonell & Goldstein
+    1998) over the brute top-``n_candidates`` shortlist — the standard
+    post-retrieval step that trades raw relevance against redundancy:
+    greedily pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s).
+
+    Exactness: similarities quantize to floor(1e6·cos + 0.5) once, then
+    every MMR comparison is pure integer arithmetic with λ = lam_num/
+    lam_den applied by cross-multiplication (score = lam_num·rel_q −
+    (lam_den−lam_num)·maxpair_q), ties broken by vec_id — rerun- and
+    partition-stable with no float contract.
+
+    Scale: stage 1 is the distributed per-batch partial top-M (only
+    M·n_blocks candidate rows reach the driver); stage 2 fetches the M
+    candidate VECTORS (a broadcast-sized slice, M ≪ corpus) and runs
+    the O(k·M) greedy loop driver-side — the right split because MMR is
+    inherently sequential in k. Output: (rank, vec_id, rel_q, score_q)."""
+    q = load_query(sf_dir, query_vec_id)
+    q = q / np.linalg.norm(q)
+    q_ref = ray.put(q)
+    M = n_candidates
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        sims = m @ qv
+        order = np.lexsort((batch["vec_id"].to_numpy(), -sims))[:M]
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()[order],
+                             "sim": sims[order]})
+
+    cand = (_emb(sf_dir).map_batches(partial_topk, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["sim", "vec_id"], ascending=[False, True])
+            .head(M).reset_index(drop=True))
+    ids = cand["vec_id"].to_numpy(np.int64)
+    # fetch the shortlist's vectors (M rows — broadcast-sized)
+    want = set(int(v) for v in ids)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        m_ = batch[batch["vec_id"].isin(want)]
+        return m_[["vec_id", "embedding"]]
+
+    vecs = (_emb(sf_dir).map_batches(pick, batch_format="pandas")
+            .to_pandas().set_index("vec_id").loc[ids])
+    V = _norm(np.stack(vecs["embedding"].to_numpy()).astype(np.float64))
+    rel_q = np.floor(1e6 * (V @ q) + 0.5).astype(np.int64)
+    pair_q = np.floor(1e6 * (V @ V.T) + 0.5).astype(np.int64)
+
+    chosen: list[int] = []
+    remaining = list(range(len(ids)))   # corpus may hold fewer than M
+    while remaining and len(chosen) < k:
+        best, best_key = None, None
+        for i in remaining:
+            maxpair = (max(int(pair_q[i, j]) for j in chosen)
+                       if chosen else 0)
+            score = lam_num * int(rel_q[i]) \
+                - (lam_den - lam_num) * maxpair
+            key = (-score, int(ids[i]))
+            if best_key is None or key < best_key:
+                best, best_key = i, key
+        chosen.append(best)
+        remaining.remove(best)
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(chosen) + 1), dtype="int64"),
+        "vec_id": pd.array([int(ids[i]) for i in chosen], dtype="int64"),
+        "rel_q": pd.array([int(rel_q[i]) for i in chosen], dtype="int64"),
+        "score_q": pd.array(
+            [lam_num * int(rel_q[i])
+             - (lam_den - lam_num)
+             * (max(int(pair_q[i, j]) for j in chosen[:n]) if n else 0)
+             for n, i in enumerate(chosen)], dtype="int64"),
+    })

@@ -1184,3 +1184,48 @@ def test_pq_distortion_replica_and_monotonicity(ray_session):
     # more codes -> lower (or equal) mean distortion
     got32 = pq_distortion_stats(SF, n_codes=32)
     assert int(got32["mean_q"][0]) <= int(got16["mean_q"][0])
+
+
+def test_mmr_topk_replica_and_diversity(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from ragflow_core16_ray.pipelines.similarity import mmr_topk
+
+    # equal-relevance candidates along DIFFERENT residual directions,
+    # plus a near-twin of candidate 1: pure relevance cannot separate
+    # them, MMR must skip the twin in favor of the fresh directions
+    vecs = np.array([
+        [1.0, 0.0, 0.0, 0.0],      # 0: the query
+        [0.8, 0.6, 0.0, 0.0],      # 1: direction A
+        [0.8, 0.5999, 0.012, 0.0],  # 2: near-twin of 1
+        [0.8, 0.0, 0.6, 0.0],      # 3: direction B
+        [0.8, 0.0, 0.0, 0.6],      # 4: direction C
+        [0.0, 1.0, 0.0, 0.0],      # 5: irrelevant
+    ])
+    tbl = pa_.table({
+        "vec_id": pa_.array(range(6), type=pa_.int64()),
+        "embedding": pa_.array([list(map(float, v)) for v in vecs],
+                               type=pa_.list_(pa_.float32())),
+        "label": pa_.array([0] * 6, type=pa_.int32())})
+    pq_.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = mmr_topk(str(tmp_path), query_vec_id=0, k=4)
+    order = list(got["vec_id"])
+    # query first; then direction A (tie-break by id), then the FRESH
+    # directions — the near-twin 2 is excluded despite equal relevance
+    assert order == [0, 1, 3, 4]
+    # replica: integer-exact greedy over the quantized sims
+    V = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    rel = np.floor(1e6 * (V @ V[0]) + 0.5).astype(np.int64)
+    pair = np.floor(1e6 * (V @ V.T) + 0.5).astype(np.int64)
+    chosen, rem = [], list(range(6))
+    for _ in range(4):
+        key = min(((-(7 * int(rel[i]) - 3 * (max(int(pair[i][j])
+                    for j in chosen) if chosen else 0)), i)
+                   for i in rem))
+        chosen.append(key[1]); rem.remove(key[1])
+    assert order == chosen
+    # deterministic across runs
+    got2 = mmr_topk(str(tmp_path), query_vec_id=0, k=4)
+    assert list(got2["vec_id"]) == order
