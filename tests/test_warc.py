@@ -153,3 +153,40 @@ def test_warc_html_mode_bodies_are_wrapped(ray_session, tmp_path):
     body = df.iloc[0]["body"].decode("utf-8")
     assert body.startswith("<html>") and "footer" in body
     assert df.iloc[0]["mime"].startswith("text/html")
+
+
+def test_warc_job_driver_end_to_end_and_resume(tmp_path):
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "sf")
+    os.makedirs(src, exist_ok=True)
+    import pyarrow as pa_
+    pq.write_table(pa_.Table.from_pandas(_docs_df(),
+                                         preserve_index=False),
+                   os.path.join(src, "documents.parquet"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, "tools", "warc_job.py"),
+           "--synth", src, "--input", str(tmp_path / "warc"),
+           "--output", str(tmp_path / "out"), "--num-cpus", "4"]
+    env = dict(os.environ, RAY_ADDRESS="")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    m1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert m1["n_processed"] > 0 and m1["n_skipped"] == 0
+    # the html-wrapped docs extract back to their paragraph text
+    import glob as _glob
+    parts = _glob.glob(str(tmp_path / "out" / "part_*" / "*.parquet"))
+    df = pq.read_table(parts[0]).to_pandas()
+    assert {"target_uri", "text", "n_sections",
+            "content_hash"} <= set(df.columns)
+    # resume: second run skips every shard
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    m2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m2["n_processed"] == 0
+    assert m2["n_skipped"] == m1["n_processed"]
