@@ -737,6 +737,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MMR diversity rerank over the brute shortlist — rows-only
         # (inherently iterative; integer-exact replica in pytest)
         "emb_mmr_topk": lambda sf: similarity.mmr_topk(sf),
+        "user_activity_span":
+            lambda sf: relational.user_activity_span(sf),
+        "monthly_revenue_growth":
+            lambda sf: relational.monthly_revenue_growth(sf),
+        "supplier_balance_deciles":
+            lambda sf: relational.supplier_balance_deciles(sf),
         # Arrow IPC (feather v2) source/sink round-trip proof
         "ipc_token_counts": _ipc_token_counts,
         "order_priority_check":
@@ -3314,6 +3320,43 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY source
                      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
           FROM documents) WHERE rk <= 12
+    """
+    out["user_activity_span"] = r"""
+        SELECT user_id,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)
+                   AS span_us
+        FROM events GROUP BY user_id
+    """
+    out["monthly_revenue_growth"] = r"""
+        WITH m AS (
+          SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS ym,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) AS revenue_c
+          FROM orders GROUP BY 1
+        )
+        SELECT ym, revenue_c,
+               CAST(revenue_c - COALESCE(
+                   LAG(revenue_c) OVER (ORDER BY ym), revenue_c)
+                   AS BIGINT) AS growth_c
+        FROM m
+    """
+    out["supplier_balance_deciles"] = r"""
+        WITH h AS (
+          SELECT CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS v,
+                 COUNT(*) AS c
+          FROM supplier GROUP BY v
+        ), cum AS (
+          SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM h
+        ), t AS (SELECT COUNT(*) AS n FROM supplier),
+        qs AS (SELECT unnest(range(10, 101, 10)) AS q)
+        SELECT CAST(qs.q AS BIGINT) AS q,
+               CAST((SELECT MIN(v) FROM cum
+                     WHERE cc >= CEIL(qs.q * t.n / 100.0)) AS BIGINT)
+                   AS bal_c
+        FROM t, qs
     """
     out["copurchase_pairs"] = r"""
         WITH pp AS (

@@ -2417,3 +2417,97 @@ def rfm_segments(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+def user_activity_span(sf_dir: str) -> pd.DataFrame:
+    """Per-user lifetime summary: first/last event timestamp (int64 µs),
+    event count, and span — the user-table rollup every event warehouse
+    materializes. Per-batch (user, min, max, n) partials collapse the
+    event stream to user-sized rows before the shuffle; the combine uses
+    mode='shuffle' because the user key-space is corpus-scale (the
+    documented combiner escape hatch), so no single task ever holds the
+    full user table."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts"].astype("int64")
+        g = (pd.DataFrame({"user_id": batch["user_id"].values, "ts": ts})
+             .groupby("user_id", sort=False)["ts"]
+             .agg(first_us="min", last_us="max", n_events="size")
+             .reset_index())
+        for c in ("user_id", "first_us", "last_us", "n_events"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    out = combine_partials(
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"first_us": "min", "last_us": "max",
+                      "n_events": "sum"}, mode="shuffle").to_pandas()
+    out["span_us"] = (out["last_us"] - out["first_us"]).astype("int64")
+    for c in ("user_id", "first_us", "last_us", "n_events"):
+        out[c] = out[c].astype("int64")
+    return (out[["user_id", "first_us", "last_us", "n_events", "span_us"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue delta in exact integer cents (the
+    growth-curve audit): per-batch (yyyymm, cents) partials ride the
+    combiner tree (months are a tiny key space), the driver diffs the
+    ordered month series. First month's delta is 0 by convention —
+    COALESCE(lag, cents) both sides."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(batch["o_orderdate"])
+        ym = (d.year * 100 + d.month).astype("int64")
+        cents = np.rint(batch["o_totalprice"].values * 100).astype("int64")
+        g = (pd.DataFrame({"ym": ym, "revenue_c": cents})
+             .groupby("ym", sort=False)["revenue_c"].sum().reset_index())
+        g["revenue_c"] = g["revenue_c"].astype("int64")
+        return g
+
+    hist = combine_partials(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas"),
+        ["ym"], {"revenue_c": "sum"}).to_pandas()
+    hist = hist.sort_values("ym").reset_index(drop=True)
+    hist["ym"] = hist["ym"].astype("int64")
+    hist["revenue_c"] = hist["revenue_c"].astype("int64")
+    prev = hist["revenue_c"].shift(1).fillna(0).astype("int64")
+    growth = hist["revenue_c"] - prev
+    growth.iloc[:1] = 0
+    hist["growth_c"] = growth.astype("int64")
+    return hist
+
+
+def supplier_balance_deciles(sf_dir: str) -> pd.DataFrame:
+    """Exact supplier account-balance deciles in integer cents — the
+    lower-rule histogram trick (value_quantiles over a dimension table):
+    per-batch (cents, n) partials, the decile scan runs on the merged
+    histogram. Negative balances keep exact cent values via rint."""
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(batch["s_acctbal"].values * 100).astype("int64")
+        g = (pd.DataFrame({"v": cents}).groupby("v")
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    hist = combine_partials(
+        _t(sf_dir, "supplier", ["s_acctbal"])
+        .map_batches(partial, batch_format="pandas"),
+        ["v"], {"n": "sum"}).to_pandas().sort_values("v")
+    cum = hist["n"].astype("int64").cumsum().to_numpy()
+    total = int(cum[-1])
+    vs = hist["v"].to_numpy()
+    rows = []
+    for q in range(10, 101, 10):
+        need = -(-q * total // 100)
+        rows.append({"q": q, "bal_c": int(vs[(cum >= need).argmax()])})
+    out = pd.DataFrame(rows)
+    out["q"] = out["q"].astype("int64")
+    out["bal_c"] = out["bal_c"].astype("int64")
+    return out

@@ -1099,3 +1099,34 @@ def test_copurchase_pairs_hand(ray_session, tmp_path):
     pairs = [(r.pa, r.pb, r.n) for r in got.itertuples()]
     # (10,20) x3 tops; ties (10,30) and (20,30) order by (pa, pb)
     assert pairs == [(10, 20, 3), (10, 30, 1), (20, 30, 1)]
+
+
+def test_monthly_revenue_growth_first_month_convention(ray_session,
+                                                       tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragflow_core16_ray.pipelines.relational import \
+        monthly_revenue_growth
+
+    os.makedirs(str(tmp_path), exist_ok=True)
+    rows = [("2024-01-05", 100.00), ("2024-01-20", 50.00),
+            ("2024-02-01", 200.00), ("2024-04-09", 80.00)]  # March gap
+    df = pd.DataFrame({
+        "o_orderkey": pd.array(range(len(rows)), dtype="int64"),
+        "o_custkey": pd.array([1] * len(rows), dtype="int64"),
+        "o_orderstatus": ["F"] * len(rows),
+        "o_totalprice": [r[1] for r in rows],
+        "o_orderdate": pd.to_datetime([r[0] for r in rows])
+        .astype("datetime64[us]"),
+        "o_orderpriority": ["1-URGENT"] * len(rows)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+    got = monthly_revenue_growth(str(tmp_path))
+    assert list(zip(got["ym"], got["revenue_c"], got["growth_c"])) == [
+        (202401, 15000, 0),        # first month: growth 0 by convention
+        (202402, 20000, 5000),
+        (202404, 8000, -12000)]    # gap months simply absent
