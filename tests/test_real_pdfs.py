@@ -68,3 +68,43 @@ def test_reference_pdf_through_full_extraction():
     assert tmpl == "pdfish"
     secs = [s for s in out if s["kind"] in ("section", "title")]
     assert len(secs) >= 5              # real chunks out of a real PDF
+
+
+XLSX = "/root/reference/noodle/output/reports/result.xlsx"
+
+
+@pytest.mark.skipif(not os.path.exists(XLSX), reason="no reference xlsx")
+def test_reference_xlsx_reads_and_extracts():
+    import base64
+
+    from ragflow_core16_ray.functions.xlsx import read_xlsx
+    from ragflow_core16_ray.schemas import finalize_offsets, make_span
+    from ragflow_core16_ray.stages.extract import extract_doc
+
+    data = open(XLSX, "rb").read()
+    sheets = read_xlsx(data)
+    assert len(sheets) == 1
+    name, rows = sheets[0]
+    assert rows and rows[0][0] == "회사명"     # real sharedStrings decode
+    payload = base64.b64encode(data).decode("ascii")
+    tmpl, out, _ = extract_doc(
+        finalize_offsets([make_span("xlsx", payload)]))
+    assert tmpl == "table"
+    assert len(out) >= 1
+
+
+README = "/root/reference/README.md"
+
+
+@pytest.mark.skipif(not os.path.exists(README), reason="no reference md")
+def test_reference_readme_markdown_extracts():
+    from ragflow_core16_ray.schemas import finalize_offsets, make_span
+    from ragflow_core16_ray.stages.extract import extract_doc
+
+    text = open(README, encoding="utf-8").read()
+    tmpl, out, _ = extract_doc(
+        finalize_offsets([make_span("md", text)]))
+    assert tmpl == "md"
+    secs = [s["text"] for s in out if s["kind"] == "section"]
+    assert len(secs) >= 3
+    assert any("RAGFlow" in s for s in secs)
