@@ -591,18 +591,36 @@ def _cmap_decoder(chars: dict, ranges: list):
     return dec
 
 
-_FONT_REF_RE = re.compile(rb"/([A-Za-z0-9.+-]+)\s+(\d+)\s+\d+\s+R")
+_FONT_REF_RE = re.compile(rb"/([A-Za-z0-9._+-]+)\s+(\d+)\s+\d+\s+R")
 
 
 def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
     """Per-page font-name → string decoder for fonts carrying a
     /ToUnicode CMap (the Type0/Identity-H CJK path); simple fonts get
     no entry and their literal text passes through unchanged."""
-    fm = re.search(rb"/Font\s*<<(.*?)>>", page_body, re.S)
-    if not fm:
+    def _font_dict(body: bytes) -> bytes | None:
+        m = re.search(rb"/Font\s*<<(.*?)>>", body, re.S)
+        if m:
+            return m.group(1)
+        m = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", body)
+        if m:                       # /Font itself indirect
+            sub = objs.get(int(m.group(1)))
+            if sub is not None:
+                dm = re.search(rb"<<(.*?)>>", sub, re.S)
+                return dm.group(1) if dm else sub
+        return None
+
+    fd = _font_dict(page_body)
+    if fd is None:                  # /Resources N 0 R — follow it
+        rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
+        if rm:
+            res = objs.get(int(rm.group(1)))
+            if res is not None:
+                fd = _font_dict(res)
+    if fd is None:
         return {}
     out = {}
-    for name, num in _FONT_REF_RE.findall(fm.group(1)):
+    for name, num in _FONT_REF_RE.findall(fd):
         body = objs.get(int(num))
         if body is None or b"/ToUnicode" not in body:
             continue

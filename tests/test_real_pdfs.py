@@ -39,9 +39,10 @@ def test_every_reference_pdf_parses_with_substance():
         if hangul >= 500:
             hangul_rich += 1
     assert total_boxes >= 15_000
-    # most docs decode real Korean through their ToUnicode CMaps (a few
-    # embed fonts without usable CMaps — those still yield latin/digits)
-    assert hangul_rich >= 20
+    # 27/29 decode real Korean through their ToUnicode CMaps (incl.
+    # indirect /Resources and underscore font names); the two misses
+    # render their Korean as raster images — OCR territory, out of scope
+    assert hangul_rich >= 26
 
 
 def test_reference_pdf_known_content_recovered():
