@@ -754,21 +754,60 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             ph = float(mb.group(4)) - float(mb.group(2))
         scale = _TARGET_H / (ph or 792.0)
         decoders = _font_decoders(objs, body)
-        for x, y, eff, txt in _interpret(_content_of(objs, body),
-                                         decoders):
+        shows = [(x, y, eff, t) for x, y, eff, t
+                 in _interpret(_content_of(objs, body), decoders)
+                 if t.strip()]
+        for x, y, eff, txt in _assemble_lines(shows):
             txt = txt.strip()
             if not txt:
                 continue
             top = (ph - y - eff) * scale
             d = {"t": txt,
                  "x0": round(x * scale, 2),
-                 "x1": round((x + _AVG_ADVANCE * eff * len(txt)) * scale, 2),
+                 "x1": round((x + _adv(txt, eff)) * scale, 2),
                  "top": round(top, 2),
                  "bot": round(top + eff * scale, 2),
                  "page": page_no}
             spans.append(make_span(
                 "box", json.dumps(d, ensure_ascii=False, sort_keys=True)))
     return spans
+
+
+def _adv(txt: str, size: float) -> float:
+    """Width estimate: CJK glyphs advance ~1 em, latin ~0.5 em."""
+    return size * sum(1.0 if ord(c) > 0x2E7F else _AVG_ADVANCE
+                      for c in txt)
+
+
+def _assemble_lines(shows: list[tuple[float, float, float, str]]
+                    ) -> list[tuple[float, float, float, str]]:
+    """pdfplumber-style line assembly (role of pdf_parser's line-level
+    input): real-world generators emit one Tj per word/styled run, so a
+    visual line arrives as many fragments sharing a baseline. Cluster by
+    baseline (±20% of size), sort by x, and merge runs whose horizontal
+    gap is under one em — inserting a space when the gap is at least a
+    quarter em (a word break), concatenating otherwise (an intra-word
+    style/kern split). Column gaps are several ems and never merge.
+    Single-show lines (the synthetic corpus) pass through unchanged."""
+    if len(shows) <= 1:
+        return shows
+    shows = sorted(shows, key=lambda s: (-s[1], s[0]))
+    out: list[list] = []
+    for x, y, eff, txt in shows:
+        if out:
+            lx, ly, leff, ltxt, lend = out[-1]
+            same_line = abs(y - ly) <= 0.2 * max(eff, leff, 1.0)
+            gap = x - lend
+            if same_line and -0.5 * eff <= gap <= 1.0 * max(eff, leff):
+                sep = " " if (gap >= 0.25 * max(eff, leff)
+                              and not ltxt.endswith(" ")
+                              and not txt.startswith(" ")) else ""
+                out[-1][3] = ltxt + sep + txt
+                out[-1][2] = max(eff, leff)
+                out[-1][4] = x + _adv(txt, eff)
+                continue
+        out.append([x, y, eff, txt, x + _adv(txt, eff)])
+    return [(x, y, eff, txt) for x, y, eff, txt, _ in out]
 
 
 def pdf_outlines(data: bytes) -> list[tuple[str, int]]:

@@ -70,8 +70,10 @@ ET"""
            + b" /Filter /FlateDecode >>\nstream\n" + stream
            + b"\nendstream\nendobj\n")
     texts = _texts(pdf_to_boxes(pdf))
-    assert texts == ["first line", "second via quote", "kerned array",
-                     "via Tm", "after Tstar", "hex!", "octal AB"]
+    # line assembly: shows continuing at the pen position on one
+    # baseline are ONE visual line (zero gap → no space inserted)
+    assert texts == ["first line", "second via quotekerned array",
+                     "via Tm", "after Tstarhex!octal AB"]
 
 
 def test_quote_advances_line():

