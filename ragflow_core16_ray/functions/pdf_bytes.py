@@ -594,29 +594,38 @@ def _cmap_decoder(chars: dict, ranges: list):
 _FONT_REF_RE = re.compile(rb"/([A-Za-z0-9._+-]+)\s+(\d+)\s+\d+\s+R")
 
 
-def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
-    """Per-page font-name → string decoder for fonts carrying a
-    /ToUnicode CMap (the Type0/Identity-H CJK path); simple fonts get
-    no entry and their literal text passes through unchanged."""
-    def _font_dict(body: bytes) -> bytes | None:
-        m = re.search(rb"/Font\s*<<(.*?)>>", body, re.S)
+def _resource_dict(objs: dict[int, bytes], page_body: bytes,
+                   key: bytes) -> bytes | None:
+    """Inner bytes of a page's /<key> resource sub-dict (e.g. /Font,
+    /XObject) — inline, indirect sub-dict, or behind an indirect
+    /Resources reference."""
+    def _sub(body: bytes) -> bytes | None:
+        m = re.search(rb"/" + key + rb"\s*<<(.*?)>>", body, re.S)
         if m:
             return m.group(1)
-        m = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", body)
-        if m:                       # /Font itself indirect
+        m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", body)
+        if m:                       # the sub-dict itself indirect
             sub = objs.get(int(m.group(1)))
             if sub is not None:
                 dm = re.search(rb"<<(.*?)>>", sub, re.S)
                 return dm.group(1) if dm else sub
         return None
 
-    fd = _font_dict(page_body)
-    if fd is None:                  # /Resources N 0 R — follow it
+    found = _sub(page_body)
+    if found is None:               # /Resources N 0 R — follow it
         rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
         if rm:
             res = objs.get(int(rm.group(1)))
             if res is not None:
-                fd = _font_dict(res)
+                found = _sub(res)
+    return found
+
+
+def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
+    """Per-page font-name → string decoder for fonts carrying a
+    /ToUnicode CMap (the Type0/Identity-H CJK path); simple fonts get
+    no entry and their literal text passes through unchanged."""
+    fd = _resource_dict(objs, page_body, b"Font")
     if fd is None:
         return {}
     out = {}
@@ -644,11 +653,15 @@ def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
 
 
 def _interpret(stream: bytes,
-               decoders: dict | None = None
+               decoders: dict | None = None,
+               places: list | None = None
                ) -> list[tuple[float, float, float, str]]:
     """Text-showing ops → (x, baseline_y, effective_size, text) in PDF
     (bottom-up) device space. ``decoders`` maps font resource names to
-    string decoders (CID fonts); the current font follows Tf."""
+    string decoders (CID fonts); the current font follows Tf. When
+    ``places`` is a list, XObject invocations (``/Name Do``) append
+    (name, ctm) to it — the unit square maps through the CTM, so the
+    placement rectangle is (e, f, a, d) for the axis-aligned case."""
     shows: list[tuple[float, float, float, str]] = []
     ctm, stack = _ID, []
     tm = tlm = _ID
@@ -722,6 +735,8 @@ def _interpret(stream: bytes,
             elif op == "TJ" and operands and isinstance(operands[-1], list):
                 parts = [v for v in operands[-1] if isinstance(v, str)]
                 show("".join(parts))
+            elif op == "Do" and operands and places is not None:
+                places.append((str(operands[-1]), ctm))
         except (TypeError, ValueError):
             pass  # malformed operand run: skip the op, keep scanning
         operands = []
@@ -754,9 +769,39 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             ph = float(mb.group(4)) - float(mb.group(2))
         scale = _TARGET_H / (ph or 792.0)
         decoders = _font_decoders(objs, body)
+        places: list[tuple[str, tuple]] = []
         shows = [(x, y, eff, t) for x, y, eff, t
-                 in _interpret(_content_of(objs, body), decoders)
+                 in _interpret(_content_of(objs, body), decoders, places)
                  if t.strip()]
+        # embedded images: each /Name Do placement becomes a figure box
+        # (unit square through the CTM) + an image span whose payload the
+        # in-house JPEG/PNG codecs can really decode (role of the
+        # reference's pdfplumber image crops, pdf_parser.py:1129-1208)
+        xod = _resource_dict(objs, body, b"XObject")
+        xmap = ({n.decode("latin-1"): int(v) for n, v
+                 in _FONT_REF_RE.findall(xod)} if xod else {})
+        for name, ctm in places:
+            num = xmap.get(name)
+            if num is None:
+                continue
+            a, _b, _c, d, e, f = ctm
+            iw, ih = abs(a), abs(d)
+            if iw < 1 or ih < 1:
+                continue
+            payload, note = _image_payload(objs, num)
+            if note in ("not-an-image", "no-dims", "no-stream"):
+                continue
+            top = (ph - f - ih) * scale
+            spans.append(make_span("box", json.dumps(
+                {"t": "", "x0": round(e * scale, 2),
+                 "x1": round((e + iw) * scale, 2),
+                 "top": round(top, 2),
+                 "bot": round((ph - f) * scale, 2),
+                 "page": page_no, "lay": "figure"},
+                ensure_ascii=False, sort_keys=True)))
+            spans.append(make_span(
+                "image", payload,
+                media_ref=f"pdf://{page_no}/{name}"))
         for x, y, eff, txt in _assemble_lines(shows):
             txt = txt.strip()
             if not txt:
@@ -771,6 +816,52 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             spans.append(make_span(
                 "box", json.dumps(d, ensure_ascii=False, sort_keys=True)))
     return spans
+
+
+def _image_payload(objs: dict[int, bytes], num: int) -> tuple[str, str]:
+    """(base64 payload, note) for an /Image XObject. DCTDecode streams
+    ARE JPEG files — they pass through for the in-house JPEG decoder;
+    8-bit Flate/raw DeviceGray/DeviceRGB bitmaps inflate and transcode
+    to PNG via the in-house codec; anything else (CMYK, masks,
+    predictors, CCITT…) stays a reference-only figure."""
+    import base64
+
+    body = objs.get(num)
+    if body is None or not re.search(rb"/Subtype\s*/Image", body):
+        return "", "not-an-image"
+    wm = re.search(rb"/Width\s+(\d+)", body)
+    hm = re.search(rb"/Height\s+(\d+)", body)
+    if not (wm and hm):
+        return "", "no-dims"
+    w, h = int(wm.group(1)), int(hm.group(1))
+    payload = _stream_payload(body)
+    if payload is None:
+        return "", "no-stream"
+    if re.search(rb"/DCTDecode\b", body):
+        return base64.b64encode(payload).decode("ascii"), "jpeg"
+    if re.search(rb"/DecodeParms\b|/SMask\b|/ImageMask\b", body):
+        return "", "unsupported-params"
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", body)
+    if not bm or int(bm.group(1)) != 8:
+        return "", "unsupported-depth"
+    if re.search(rb"/FlateDecode\b", body):
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            return "", "bad-deflate"
+    import numpy as np
+
+    from .png import encode_png
+
+    if re.search(rb"/DeviceRGB\b", body) and len(payload) >= w * h * 3:
+        arr = np.frombuffer(payload[:w * h * 3],
+                            dtype=np.uint8).reshape(h, w, 3)
+    elif re.search(rb"/DeviceGray\b", body) and len(payload) >= w * h:
+        arr = np.frombuffer(payload[:w * h],
+                            dtype=np.uint8).reshape(h, w)
+    else:
+        return "", "unsupported-colorspace"
+    return base64.b64encode(encode_png(arr)).decode("ascii"), "png"
 
 
 def _adv(txt: str, size: float) -> float:

@@ -30,7 +30,8 @@ def test_every_reference_pdf_parses_with_substance():
     total_boxes = 0
     hangul_rich = 0
     for p in pdfs:
-        boxes = pdf_to_boxes(open(p, "rb").read())
+        boxes = [b for b in pdf_to_boxes(open(p, "rb").read())
+                 if b["kind"] == "box"]
         assert len(boxes) >= 100, p     # every cover page has a text layer
         total_boxes += len(boxes)
         hangul = sum(1 for b in boxes
@@ -51,7 +52,8 @@ def test_reference_pdf_known_content_recovered():
     target = [p for p in _pdfs() if "4Q24_Review" in p]
     assert target
     boxes = pdf_to_boxes(open(target[0], "rb").read())
-    text = "".join(json.loads(b["text"])["t"] for b in boxes)
+    text = "".join(json.loads(b["text"])["t"] for b in boxes
+                   if b["kind"] == "box")
     assert "조선" in text               # sector label on the cover
     assert "orea" in text              # 'Korea' split across Tj runs
 
@@ -109,3 +111,25 @@ def test_reference_readme_markdown_extracts():
     secs = [s["text"] for s in out if s["kind"] == "section"]
     assert len(secs) >= 3
     assert any("RAGFlow" in s for s in secs)
+
+
+def test_reference_pdfs_yield_decodable_embedded_images():
+    import base64
+
+    from ragflow_core16_ray.functions.image_ops import decode_image
+    from ragflow_core16_ray.functions.pdf_bytes import pdf_to_boxes
+
+    decoded = 0
+    found = 0
+    for p in _pdfs()[:10]:
+        boxes = pdf_to_boxes(open(p, "rb").read())
+        for b in boxes:
+            if b["kind"] != "image":
+                continue
+            found += 1
+            if b["text"]:
+                arr = decode_image(base64.b64decode(b["text"]))
+                assert arr.ndim in (2, 3) and arr.shape[0] >= 1
+                decoded += 1
+    assert found >= 15       # real embedded figures surface
+    assert decoded >= 10     # most carry in-house-decodable payloads
