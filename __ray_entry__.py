@@ -743,6 +743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.monthly_revenue_growth(sf),
         "supplier_balance_deciles":
             lambda sf: relational.supplier_balance_deciles(sf),
+        "length_ks_by_source":
+            lambda sf: text_analysis.length_ks_by_source(sf),
         # Arrow IPC (feather v2) source/sink round-trip proof
         "ipc_token_counts": _ipc_token_counts,
         "order_priority_check":
@@ -3320,6 +3322,31 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY source
                      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
           FROM documents) WHERE rk <= 12
+    """
+    out["length_ks_by_source"] = r"""
+        WITH l AS (
+          SELECT source, length(text) AS len FROM documents
+        ), sup AS (SELECT DISTINCT len FROM l),
+        ns AS (SELECT source, count(*) AS n FROM l GROUP BY source),
+        ng AS (SELECT count(*) AS n FROM l),
+        cs AS (
+          SELECT s.source, p.len,
+                 (SELECT count(*) FROM l
+                  WHERE l.source = s.source AND l.len <= p.len) AS c
+          FROM (SELECT DISTINCT source FROM l) s, sup p
+        ), cg AS (
+          SELECT p.len,
+                 (SELECT count(*) FROM l WHERE l.len <= p.len) AS c
+          FROM sup p
+        )
+        SELECT cs.source,
+               CAST(ns.n AS BIGINT) AS ns,
+               CAST(ng.n AS BIGINT) AS ng,
+               CAST(MAX(ABS(cs.c * ng.n - cg.c * ns.n)) AS BIGINT)
+                   AS ks_num
+        FROM cs JOIN cg USING (len)
+        JOIN ns ON ns.source = cs.source, ng
+        GROUP BY cs.source, ns.n, ng.n
     """
     out["user_activity_span"] = r"""
         SELECT user_id,

@@ -2411,3 +2411,52 @@ def encoding_quality(sf_dir: str) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas")
+
+
+def length_ks_by_source(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor: per source, the exact
+    Kolmogorov–Smirnov distance between its doc-length distribution and
+    the corpus-wide one — the screen that catches a source whose
+    scraping/truncation behavior silently changed. EXACT integers: with
+    cs/cg the cumulative counts at a support point and ns/ng the totals,
+    D = max |cs/ns − cg/ng| = max |cs·ng − cg·ns| / (ns·ng); the output
+    carries the numerator ks_num plus ns and ng, so no division exists
+    on either side of the oracle.
+
+    Scale: per-batch (source, len, n) histogram partials ride the
+    combiner tree; the driver scans the merged histogram (distinct
+    lengths × sources — statistics-sized, not corpus-sized)."""
+    import numpy as np
+
+    from ..stages.agg import combine_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"source": batch["source"].values,
+                           "len": batch["text"].str.len()
+                           .astype("int64").values})
+             .groupby(["source", "len"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    hist = combine_partials(
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pandas"),
+        ["source", "len"], {"n": "sum"}).to_pandas()
+    support = np.sort(hist["len"].unique())
+    glob = (hist.groupby("len")["n"].sum()
+            .reindex(support, fill_value=0).cumsum().to_numpy())
+    ng = int(glob[-1])
+    rows = []
+    for src, g in hist.groupby("source"):
+        cs = (g.set_index("len")["n"].reindex(support, fill_value=0)
+              .cumsum().to_numpy())
+        ns = int(cs[-1])
+        ks_num = int(np.max(np.abs(cs.astype(object) * ng
+                                   - glob.astype(object) * ns)))
+        rows.append({"source": src, "ns": ns, "ng": ng,
+                     "ks_num": ks_num})
+    out = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    for c in ("ns", "ng", "ks_num"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -1422,3 +1422,19 @@ def test_run_clean_screen_stage_drops_and_counts(ray_session, tmp_path):
     kept = set(final["doc_id"])
     assert 1 not in kept and 2 not in kept and 3 not in kept
     assert {0, 4} <= kept or len(kept) >= 1  # survivors pass gopher too
+
+
+def test_length_ks_by_source_hand(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.text_analysis import \
+        length_ks_by_source
+
+    # A: lengths {1,2}; B: lengths {8,9,10}; global n=5
+    sf = _write_corpus(tmp_path, ["a", "bb", "12345678", "123456789",
+                                  "1234567890"],
+                       sources=["A", "A", "B", "B", "B"])
+    got = length_ks_by_source(sf)
+    by = {r.source: (r.ns, r.ng, r.ks_num) for r in got.itertuples()}
+    # at len=2: cs_A=2, cg=2, ns=2, ng=5 -> |2*5 - 2*2| = 6 (max for A)
+    assert by["A"] == (2, 5, 6)
+    # B mirrors: at len=2 cs_B=0, cg=2 -> |0*5 - 2*3| = 6
+    assert by["B"] == (3, 5, 6)
