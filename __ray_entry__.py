@@ -330,20 +330,19 @@ def _warc_main_content(sf_dir: str):
     chrome, shipped as text/html WARC responses, read back through the
     streaming WARC source, and boilerplate-stripped by the SAME
     extract_html density scorer the html template uses. Output per doc:
-    (doc_id, n_sections, content_hash) where content_hash is the sum of
-    per-section hash64 masked to int63 — any chrome leaking into the
-    main content shows as a hash diff. Rows-only for the driver (DOM
-    extraction is not SQL-shaped); pytest pins exact paragraph recovery
-    on fixtures."""
-    import numpy as np
+    (doc_id, n_sections, content_md5) where content_md5 hashes the
+    blank-line-joined recovered sections. HASH-STRICT against a SQL
+    oracle that recomputes the original paragraph split — i.e. the
+    driver proves the density scorer strips EXACTLY the injected chrome
+    and returns EXACTLY the source paragraphs, per document."""
+    import hashlib
+
     import pandas as pd
 
-    from ragflow_core16_ray.functions.hashing import hash64
     from ragflow_core16_ray.functions.html_extract import extract_html
     from ragflow_core16_ray.sources.warc import read_warc
 
     out_dir = _warc_cache(sf_dir, as_html=True)
-    mask = (1 << 63) - 1
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -351,14 +350,15 @@ def _warc_main_content(sf_dir: str):
             if r["warc_type"] != "response" or r["http_status"] != 200:
                 continue
             doc = extract_html(r["body"].decode("utf-8"))
+            joined = "\n\n".join(doc.sections)
             rows.append({
                 "doc_id": int(r["doc_id"]),
                 "n_sections": len(doc.sections),
-                "content_hash": np.int64(
-                    sum(hash64(s) & mask for s in doc.sections) & mask),
+                "content_md5": hashlib.md5(
+                    joined.encode("utf-8")).hexdigest(),
             })
         return pd.DataFrame(rows, columns=["doc_id", "n_sections",
-                                           "content_hash"])
+                                           "content_md5"])
 
     return read_warc(out_dir).map_batches(fn, batch_format="pandas")
 
@@ -1021,6 +1021,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\s+')) END
                        AS n_tokens
             FROM documents
+        """,
+        # boilerplate-strip EXACTNESS: the extractor must return exactly
+        # the source paragraphs after the chrome wrap round-trip
+        "warc_main_content": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         string_split(text, chr(10) || chr(10)),
+                         x -> trim(x)), x -> x <> '') AS paras
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(paras) AS BIGINT) AS n_sections,
+                   md5(array_to_string(paras, chr(10) || chr(10)))
+                       AS content_md5
+            FROM p
         """,
         # same proof for the WARC source/sink (Common Crawl wire format)
         "warc_token_counts": r"""
