@@ -163,9 +163,6 @@ def _parse_records(data: bytes, path: str) -> list[dict]:
     return rows
 
 
-_SCHEMA_STR = ("warc_file", "warc_type", "target_uri", "mime")
-
-
 def read_warc(path: str | list[str]) -> rd.Dataset:
     """Streaming read of .warc[.gz] shards into typed columns
     (warc_file, rec_idx, warc_type, target_uri, http_status, mime,
