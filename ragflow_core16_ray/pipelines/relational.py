@@ -1127,17 +1127,22 @@ def copurchase_pairs(sf_dir: str, k: int = 20,
             out[c] = out[c].astype("int64")
         return out
 
-    from ..stages.agg import combine_partials
+    from ..stages.agg import combine_partials, local_topk
 
+    # the distinct-pair key space scales with the catalog squared —
+    # too large for the combine tree's final single task, so the pair
+    # counts aggregate in shuffle mode and the top-k comes from
+    # per-block partials + a k-sized driver merge (local_topk)
     counts = combine_partials(
         _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
         .map_batches(dedup_keys, batch_format="pandas")
         .repartition(max(1, n_buckets // 4))
         .groupby("bucket").map_groups(expand, batch_format="pandas"),
-        ["pa", "pb"], {"n": "sum"}).to_pandas()
-    out = (counts.sort_values(["n", "pa", "pb"],
-                              ascending=[False, True, True])
-           .head(k).reset_index(drop=True))
+        ["pa", "pb"], {"n": "sum"}, mode="shuffle")
+    out = local_topk(counts, ["n", "pa", "pb"],
+                     [False, True, True], k)
+    for c in ("pa", "pb", "n"):
+        out[c] = out[c].astype("int64")
     return out[["pa", "pb", "n"]]
 
 
