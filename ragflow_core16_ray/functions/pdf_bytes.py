@@ -933,6 +933,11 @@ def pdf_outlines(data: bytes) -> list[tuple[str, int]]:
                 p = body.find(b"(", t)
                 if p >= 0:
                     title, _ = _lit_string(body, p)
+                    # real-world outlines write non-ASCII titles as
+                    # UTF-16BE with a BOM (PDF 32000-1 §7.9.2.2)
+                    if title.startswith("\xfe\xff"):
+                        title = (title.encode("latin-1")[2:]
+                                 .decode("utf-16-be", "replace"))
                     out.append((title, depth))
             dfs(ref_of(body, b"First"), depth + 1)
             num = ref_of(body, b"Next")

@@ -346,3 +346,22 @@ def test_embedded_image_xobject_extracts_and_decodes():
     assert arr.shape == (2, 4, 3)
     assert bytes(np.asarray(arr, dtype=np.uint8).tobytes()) == pix
     assert boxes[1]["media_ref"] == "pdf://0/Im1"
+
+
+def test_outline_utf16be_titles_decode():
+    from ragflow_core16_ray.functions.pdf_bytes import pdf_outlines
+
+    # real-world writers emit non-ASCII outline titles as UTF-16BE with
+    # a BOM inside the literal string
+    title = "제1장 개요"
+    lit = b"\xfe\xff" + title.encode("utf-16-be")
+    esc = lit.replace(b"\\", rb"\\").replace(b"(", rb"\(") \
+             .replace(b")", rb"\)")
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>"
+            b"\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Count 0 /Kids [] >>\nendobj\n"
+            b"5 0 obj\n<< /Type /Outlines /First 6 0 R >>\nendobj\n"
+            b"6 0 obj\n<< /Title (" + esc + b") /Parent 5 0 R >>"
+            b"\nendobj\ntrailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    assert pdf_outlines(body) == [(title, 0)]
