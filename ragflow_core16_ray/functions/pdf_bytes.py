@@ -25,10 +25,25 @@ import json
 import re
 import zlib
 
-# average Helvetica advance as a fraction of font size — only used for
-# x1 estimates (column detection); exact metrics need the font program
+# average Helvetica advance as a fraction of font size — the FALLBACK
+# for fonts that carry no /Widths (x1 estimates / column detection);
+# fonts with real metrics use _font_widths below
 _AVG_ADVANCE = 0.5
 _TARGET_H = 1000.0
+
+# Helvetica advance widths for chars 32..126 in glyph-space units
+# (1/1000 em) — the Adobe core-14 AFM values (public metrics). The
+# builder stamps these on its /F1 font and the parser reads them back
+# through the same /FirstChar + /Widths path real simple fonts use.
+_HELV_WIDTHS = [
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278,
+    333, 278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556,
+    278, 278, 584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611,
+    778, 722, 278, 500, 667, 556, 833, 722, 778, 667, 778, 722, 667,
+    611, 722, 667, 944, 667, 667, 611, 278, 278, 278, 469, 556, 333,
+    556, 556, 500, 556, 556, 278, 556, 556, 222, 222, 500, 222, 833,
+    556, 556, 556, 556, 333, 500, 278, 556, 500, 722, 500, 500, 500,
+    334, 260, 334, 584]
 
 
 # ------------------------------------------------------------ builder ----
@@ -61,7 +76,10 @@ def build_pdf(pages: list[list[tuple[float, float, float, str]]],
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] "
                 f">>".encode())
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    helv_w = " ".join(str(w) for w in _HELV_WIDTHS)
+    objs.append(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                f"/FirstChar 32 /LastChar 126 /Widths [{helv_w}] "
+                f">>".encode())
     # non-latin text routes through a Type0 /Identity-H CID font whose
     # ToUnicode CMap the parser must actually read — the real-PDF shape
     # for CJK (CIDs here = BMP code points, written as UTF-16BE hex
@@ -89,7 +107,17 @@ def build_pdf(pages: list[list[tuple[float, float, float, str]]],
             y = h - top - size  # top-down → bottom-up baseline
             if _is_latin(text):
                 parts.append(f"/F1 {size:g} Tf {x:g} {y:g} Td".encode())
-                parts.append(b"(" + _esc_lit(text) + b") Tj")
+                if len(text) >= 8 and zlib.crc32(text.encode()) % 4 == 0:
+                    # kerned TJ split (real-world generators emit one
+                    # array per line with inter-run kern numbers); the
+                    # parser re-joins the pieces through /Widths-exact
+                    # advances, so the tiny 15/1000-em kern never reads
+                    # as a word gap
+                    cut = len(text) // 2
+                    parts.append(b"[ (" + _esc_lit(text[:cut]) + b") 15 ("
+                                 + _esc_lit(text[cut:]) + b") ] TJ")
+                else:
+                    parts.append(b"(" + _esc_lit(text) + b") Tj")
             else:
                 units = "".join(
                     f"{ord(c):04X}" if ord(c) <= 0xFFFF else "FFFD"
@@ -113,7 +141,8 @@ def build_pdf(pages: list[list[tuple[float, float, float, str]]],
         objs.append(b"<< /Type /Font /Subtype /CIDFontType2 "
                     b"/BaseFont /GraftCJK /CIDSystemInfo "
                     b"<< /Registry (Adobe) /Ordering (Identity) "
-                    b"/Supplement 0 >> >>")
+                    b"/Supplement 0 >> /DW 1000 "
+                    b"/W [ 32 126 500 ] >>")
         cmap = (b"/CIDInit /ProcSet findresource begin\n"
                 b"12 dict begin\nbegincmap\n"
                 b"1 begincodespacerange\n<0000> <FFFF>\n"
@@ -621,17 +650,156 @@ def _resource_dict(objs: dict[int, bytes], page_body: bytes,
     return found
 
 
+# Adobe Glyph List subset: the names simple-font /Differences arrays
+# re-map in practice (ASCII + Latin-1 + the publishing set). Unlisted
+# names degrade to U+FFFD; uniXXXX/uXXXX names parse directly.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "acute": "´",
+    "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾",
+    "questiondown": "¿", "multiply": "×", "divide": "÷",
+    "AE": "Æ", "ae": "æ", "Oslash": "Ø", "oslash":
+    "ø", "germandbls": "ß", "Thorn": "Þ", "thorn":
+    "þ", "Eth": "Ð", "eth": "ð",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "dagger": "†", "daggerdbl": "‡", "bullet": "•",
+    "ellipsis": "…", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "endash": "–", "emdash": "—", "trademark": "™",
+    "fi": "ﬁ", "fl": "ﬂ", "fraction": "⁄",
+    "florin": "ƒ", "circumflex": "ˆ", "caron": "ˇ",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "tilde": "˜", "hungarumlaut": "˝",
+    "minus": "−", "Euro": "€", "Scaron": "Š",
+    "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "OE": "Œ", "oe": "œ", "Ydieresis": "Ÿ",
+    "dotlessi": "ı", "nbspace": " ",
+}
+# accented Latin letters follow a regular <letter><accent> glyph-name
+# form (Agrave, ntilde, Ccedilla, ...): compose via NFC and keep only
+# combinations that exist as single precomposed chars
+import unicodedata as _ud
+
+for _acc_name, _comb in (("grave", "̀"), ("acute", "́"),
+                         ("circumflex", "̂"), ("tilde", "̃"),
+                         ("dieresis", "̈"), ("ring", "̊"),
+                         ("cedilla", "̧")):
+    for _ch in "AEIOUYNCaeiouync":
+        _comp = _ud.normalize("NFC", _ch + _comb)
+        if len(_comp) == 1:
+            _AGL.setdefault(_ch + _acc_name, _comp)
+del _ud
+
+
+def _glyph_char(name: str) -> str:
+    if name in _AGL:
+        return _AGL[name]
+    if len(name) == 1:
+        return name                      # A..Z a..z 0..9 map to selves
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})|u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        try:
+            return chr(int(m.group(1) or m.group(2), 16))
+        except ValueError:
+            pass
+    return "�"
+
+
+def _base_table(enc_name: bytes | None) -> list[str]:
+    """256-entry code→char table for a named base encoding."""
+    if enc_name == b"WinAnsiEncoding":
+        return [bytes([i]).decode("cp1252", "replace") for i in range(256)]
+    if enc_name == b"MacRomanEncoding":
+        return [bytes([i]).decode("mac_roman", "replace")
+                for i in range(256)]
+    # StandardEncoding / absent: latin-1 identity is the best stand-in
+    return [chr(i) for i in range(256)]
+
+
+def _encoding_decoder(objs: dict[int, bytes], body: bytes):
+    """Decoder for a simple font's /Encoding — named base encoding
+    (WinAnsi/MacRoman) or an encoding dict with /BaseEncoding +
+    /Differences [code /glyphname ...]. None when the font carries no
+    /Encoding (latin-1 passthrough is already correct)."""
+    m = re.search(rb"/Encoding\s*(/[A-Za-z]+|\d+\s+\d+\s+R|<<)", body)
+    if not m:
+        return None
+    val = m.group(1)
+    if val.startswith(b"/"):
+        table = _base_table(val[1:])
+        diffs = b""
+    else:
+        if val == b"<<":
+            d = _dict_of(body[m.start(1):])
+        else:
+            d = objs.get(int(val.split()[0]), b"")
+        bm = re.search(rb"/BaseEncoding\s*/([A-Za-z]+)", d)
+        table = _base_table(bm.group(1) if bm else None)
+        diffs = _value_of(_dict_of(d) or d, b"/Differences")
+    if diffs:
+        pos = 0
+        for tok in re.findall(rb"/([^\s/\[\]<>()]+)|(\d+)", diffs):
+            name, num = tok
+            if num:
+                pos = int(num)
+            elif 0 <= pos < 256:
+                table[pos] = _glyph_char(name.decode("latin-1",
+                                                     "replace"))
+                pos += 1
+    tbl = "".join(table)
+
+    def dec(s: str) -> str:
+        return "".join(tbl[ord(c)] if ord(c) < 256 else c for c in s)
+
+    return dec
+
+
 def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
-    """Per-page font-name → string decoder for fonts carrying a
-    /ToUnicode CMap (the Type0/Identity-H CJK path); simple fonts get
-    no entry and their literal text passes through unchanged."""
+    """Per-page font-name → string decoder. Fonts carrying a /ToUnicode
+    CMap (the Type0/Identity-H CJK path) decode through it; simple fonts
+    with a /Encoding (WinAnsiEncoding on virtually every Office/HWP
+    export, or a /Differences dict) decode through the encoding table;
+    fonts with neither pass latin-1 text through unchanged."""
     fd = _resource_dict(objs, page_body, b"Font")
     if fd is None:
         return {}
     out = {}
     for name, num in _FONT_REF_RE.findall(fd):
         body = objs.get(int(num))
-        if body is None or b"/ToUnicode" not in body:
+        if body is None:
+            continue
+        if b"/ToUnicode" not in body:
+            if re.search(rb"/Subtype\s*/Type0\b", body):
+                # Identity-H/V with no ToUnicode: the 2-byte codes are
+                # private glyph IDs with no text mapping — decoding them
+                # as latin-1 pairs yields mojibake, so degrade each code
+                # to U+FFFD (honest undecodable marker, geometry kept)
+                out[name.decode("latin-1")] = (
+                    lambda s: "�" * (len(s) // 2))
+            else:
+                enc = _encoding_decoder(objs, body)
+                if enc is not None:
+                    out[name.decode("latin-1")] = enc
             continue
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
         if not tm:
@@ -652,35 +820,145 @@ def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
     return out
 
 
+def _arr_of(objs: dict[int, bytes], body: bytes, key: bytes) -> bytes:
+    """Raw bytes of an array-valued dict entry, following one level of
+    indirection (``/Widths 9 0 R`` → the array object's body)."""
+    d = _dict_of(body) or body
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", d)
+    if m:
+        return objs.get(int(m.group(1)), b"")
+    return _value_of(d, key)
+
+
+_WTOK_RE = re.compile(rb"[\[\]]|[-+]?\d+(?:\.\d+)?")
+
+
+def _parse_w_array(raw: bytes) -> dict[int, float]:
+    """CIDFont /W array → {cid: width}. Both PDF 32000-1 9.7.4.3 forms:
+    ``c [w1 … wn]`` (consecutive from c) and ``c1 c2 w`` (range)."""
+    out: dict[int, float] = {}
+    pend: list[float] = []
+    in_list, base = False, 0
+    for tok in _WTOK_RE.findall(raw):
+        if tok == b"[":
+            if not in_list and pend:
+                base, pend = int(pend[-1]), []
+                in_list = True
+            continue
+        if tok == b"]":
+            in_list = False
+            continue
+        v = float(tok)
+        if in_list:
+            out[base] = v
+            base += 1
+        else:
+            pend.append(v)
+            if len(pend) == 3:
+                c1, c2, w = pend
+                for c in range(int(c1), min(int(c2), int(c1) + 65535) + 1):
+                    out[c] = w
+                pend = []
+    return out
+
+
+def _font_widths(objs: dict[int, bytes], page_body: bytes) -> dict:
+    """Per-page font-name → ("cid"|"simple", {code: width}, default)
+    glyph-advance metrics, in 1/1000-em units. Simple fonts read
+    /FirstChar + /Widths (inline or indirect array); Type0 fonts read
+    /DW + /W off the descendant CIDFont (role of pdfplumber's width
+    tables feeding pdf_parser.py char geometry). Fonts with no metrics
+    get no entry and fall back to the _AVG_ADVANCE estimate."""
+    fd = _resource_dict(objs, page_body, b"Font")
+    if fd is None:
+        return {}
+    out = {}
+    for name, num in _FONT_REF_RE.findall(fd):
+        body = objs.get(int(num))
+        if body is None:
+            continue
+        if re.search(rb"/Subtype\s*/Type0\b", body):
+            dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R",
+                           body)
+            desc = objs.get(int(dm.group(1))) if dm else None
+            if desc is None:
+                continue
+            dwm = re.search(rb"/DW\s+([\d.]+)", desc)
+            dw = float(dwm.group(1)) if dwm else 1000.0
+            wmap = _parse_w_array(_arr_of(objs, desc, b"/W"))
+            out[name.decode("latin-1")] = ("cid", wmap, dw)
+        else:
+            fc = re.search(rb"/FirstChar\s+(\d+)", body)
+            raw = _arr_of(objs, body, b"/Widths")
+            if not fc or not raw:
+                continue
+            first = int(fc.group(1))
+            vals = [float(t) for t in
+                    re.findall(rb"[-+]?\d+(?:\.\d+)?", raw)]
+            wmap = {first + i: w for i, w in enumerate(vals)}
+            out[name.decode("latin-1")] = ("simple", wmap,
+                                           _AVG_ADVANCE * 1000.0)
+    return out
+
+
 def _interpret(stream: bytes,
                decoders: dict | None = None,
-               places: list | None = None
-               ) -> list[tuple[float, float, float, str]]:
-    """Text-showing ops → (x, baseline_y, effective_size, text) in PDF
-    (bottom-up) device space. ``decoders`` maps font resource names to
-    string decoders (CID fonts); the current font follows Tf. When
-    ``places`` is a list, XObject invocations (``/Name Do``) append
-    (name, ctm) to it — the unit square maps through the CTM, so the
-    placement rectangle is (e, f, a, d) for the axis-aligned case."""
-    shows: list[tuple[float, float, float, str]] = []
+               places: list | None = None,
+               widths: dict | None = None
+               ) -> list[tuple[float, float, float, str, float]]:
+    """Text-showing ops → (x, baseline_y, effective_size, text, x_end)
+    in PDF (bottom-up) device space. ``decoders`` maps font resource
+    names to string decoders (CID fonts); ``widths`` maps them to
+    _font_widths metrics — when present, advances (and so x_end and TJ
+    kern placement) are glyph-exact incl. Tc/Tw/Tz spacing; otherwise
+    the _AVG_ADVANCE/CJK estimate stands in. The current font follows
+    Tf. When ``places`` is a list, XObject invocations (``/Name Do``)
+    append (name, ctm) to it — the unit square maps through the CTM, so
+    the placement rectangle is (e, f, a, d) for the axis-aligned case."""
+    shows: list[tuple[float, float, float, str, float]] = []
     ctm, stack = _ID, []
     tm = tlm = _ID
     size, leading = 0.0, 0.0
+    char_sp, word_sp, hscale = 0.0, 0.0, 1.0
     font = ""
     operands: list = []
     arr: list | None = None
 
+    def _advance(raw: str, decoded: str) -> float:
+        # text-space advance of one shown string, PDF 32000-1 9.4.4
+        met = widths.get(font) if widths else None
+        if met is None:
+            base = _adv(decoded, size)
+            n_sp = decoded.count(" ")
+            return (base + char_sp * len(decoded)
+                    + word_sp * n_sp) * hscale
+        kind, wmap, dw = met
+        if kind == "cid":
+            codes = [(ord(raw[i]) << 8) | ord(raw[i + 1])
+                     for i in range(0, len(raw) - 1, 2)]
+            wsp = 0.0      # Tw applies to 1-byte code 32 only (9.3.3)
+        else:
+            codes = [ord(c) for c in raw]
+            wsp = word_sp
+        adv = 0.0
+        for c in codes:
+            adv += (wmap.get(c, dw) / 1000.0 * size + char_sp
+                    + (wsp if c == 32 else 0.0))
+        return adv * hscale
+
     def show(txt: str) -> None:
         nonlocal tm
+        raw = txt
         if decoders and font in decoders:
             txt = decoders[font](txt)
         if not txt:
             return
+        adv = _advance(raw, txt)
         trm = _mat_mul(tm, ctm)
-        eff = abs(size * trm[3]) or size
-        shows.append((trm[4], trm[5], eff, txt))
-        adv = _AVG_ADVANCE * size * len(txt)
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+        eff = abs(size * trm[3]) or size
+        xe = _mat_mul(tm, ctm)[4]
+        shows.append((trm[4], trm[5], eff, txt, xe))
 
     def next_line(tx: float, ty: float) -> None:
         nonlocal tm, tlm
@@ -715,6 +993,12 @@ def _interpret(stream: bytes,
                     font = str(operands[-2])
             elif op == "TL" and operands:
                 leading = float(operands[-1])
+            elif op == "Tc" and operands:
+                char_sp = float(operands[-1])
+            elif op == "Tw" and operands:
+                word_sp = float(operands[-1])
+            elif op == "Tz" and operands:
+                hscale = float(operands[-1]) / 100.0
             elif op == "Td" and len(operands) >= 2:
                 next_line(float(operands[-2]), float(operands[-1]))
             elif op == "TD" and len(operands) >= 2:
@@ -730,11 +1014,19 @@ def _interpret(stream: bytes,
                 next_line(0.0, -leading)
                 show(str(operands[-1]))
             elif op == '"' and len(operands) >= 3:
+                word_sp = float(operands[-3])
+                char_sp = float(operands[-2])
                 next_line(0.0, -leading)
                 show(str(operands[-1]))
             elif op == "TJ" and operands and isinstance(operands[-1], list):
-                parts = [v for v in operands[-1] if isinstance(v, str)]
-                show("".join(parts))
+                # element-wise: each number kerns tm by -n/1000·size·Th,
+                # each string shows at its own (metric-exact) position
+                for el in operands[-1]:
+                    if isinstance(el, str):
+                        show(el)
+                    else:
+                        kern = -float(el) / 1000.0 * size * hscale
+                        tm = _mat_mul((1, 0, 0, 1, kern, 0), tm)
             elif op == "Do" and operands and places is not None:
                 places.append((str(operands[-1]), ctm))
         except (TypeError, ValueError):
@@ -769,10 +1061,11 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             ph = float(mb.group(4)) - float(mb.group(2))
         scale = _TARGET_H / (ph or 792.0)
         decoders = _font_decoders(objs, body)
+        widths = _font_widths(objs, body)
         places: list[tuple[str, tuple]] = []
-        shows = [(x, y, eff, t) for x, y, eff, t
-                 in _interpret(_content_of(objs, body), decoders, places)
-                 if t.strip()]
+        shows = [s for s in _interpret(_content_of(objs, body), decoders,
+                                       places, widths)
+                 if s[3].strip()]
         # embedded images: each /Name Do placement becomes a figure box
         # (unit square through the CTM) + an image span whose payload the
         # in-house JPEG/PNG codecs can really decode (role of the
@@ -802,14 +1095,14 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             spans.append(make_span(
                 "image", payload,
                 media_ref=f"pdf://{page_no}/{name}"))
-        for x, y, eff, txt in _assemble_lines(shows):
+        for x, y, eff, txt, xe in _assemble_lines(shows):
             txt = txt.strip()
             if not txt:
                 continue
             top = (ph - y - eff) * scale
             d = {"t": txt,
                  "x0": round(x * scale, 2),
-                 "x1": round((x + _adv(txt, eff)) * scale, 2),
+                 "x1": round(max(xe, x + eff * 0.1) * scale, 2),
                  "top": round(top, 2),
                  "bot": round(top + eff * scale, 2),
                  "page": page_no}
@@ -870,8 +1163,8 @@ def _adv(txt: str, size: float) -> float:
                       for c in txt)
 
 
-def _assemble_lines(shows: list[tuple[float, float, float, str]]
-                    ) -> list[tuple[float, float, float, str]]:
+def _assemble_lines(shows: list[tuple[float, float, float, str, float]]
+                    ) -> list[tuple[float, float, float, str, float]]:
     """pdfplumber-style line assembly (role of pdf_parser's line-level
     input): real-world generators emit one Tj per word/styled run, so a
     visual line arrives as many fragments sharing a baseline. Cluster by
@@ -879,12 +1172,13 @@ def _assemble_lines(shows: list[tuple[float, float, float, str]]
     gap is under one em — inserting a space when the gap is at least a
     quarter em (a word break), concatenating otherwise (an intra-word
     style/kern split). Column gaps are several ems and never merge.
-    Single-show lines (the synthetic corpus) pass through unchanged."""
+    Fragment end-x comes from the interpreter (glyph-exact when the
+    font carries /Widths). Single-show lines pass through unchanged."""
     if len(shows) <= 1:
         return shows
     shows = sorted(shows, key=lambda s: (-s[1], s[0]))
     out: list[list] = []
-    for x, y, eff, txt in shows:
+    for x, y, eff, txt, xe in shows:
         if out:
             lx, ly, leff, ltxt, lend = out[-1]
             same_line = abs(y - ly) <= 0.2 * max(eff, leff, 1.0)
@@ -895,10 +1189,10 @@ def _assemble_lines(shows: list[tuple[float, float, float, str]]
                               and not txt.startswith(" ")) else ""
                 out[-1][3] = ltxt + sep + txt
                 out[-1][2] = max(eff, leff)
-                out[-1][4] = x + _adv(txt, eff)
+                out[-1][4] = max(lend, xe)
                 continue
-        out.append([x, y, eff, txt, x + _adv(txt, eff)])
-    return [(x, y, eff, txt) for x, y, eff, txt, _ in out]
+        out.append([x, y, eff, txt, xe])
+    return [tuple(r) for r in out]
 
 
 def pdf_outlines(data: bytes) -> list[tuple[str, int]]:

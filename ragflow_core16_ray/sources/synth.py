@@ -32,7 +32,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.49, "pdf"), (0.59, "book"),
         (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 21
+CORPUS_VERSION = 22
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "

@@ -32,14 +32,17 @@ def test_every_reference_pdf_parses_with_substance():
     for p in pdfs:
         boxes = [b for b in pdf_to_boxes(open(p, "rb").read())
                  if b["kind"] == "box"]
-        assert len(boxes) >= 100, p     # every cover page has a text layer
+        # every cover page has a text layer; /Widths-exact advances make
+        # line assembly merge whole visual lines, so the floor is lines,
+        # not fragments (min observed 57/doc)
+        assert len(boxes) >= 50, p
         total_boxes += len(boxes)
         hangul = sum(1 for b in boxes
                      for ch in json.loads(b["text"])["t"]
                      if "가" <= ch <= "힣")
         if hangul >= 500:
             hangul_rich += 1
-    assert total_boxes >= 5_000
+    assert total_boxes >= 8_000
     # 27/29 decode real Korean through their ToUnicode CMaps (incl.
     # indirect /Resources and underscore font names); the two misses
     # render their Korean as raster images — OCR territory, out of scope
