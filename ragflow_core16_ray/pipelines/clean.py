@@ -189,7 +189,7 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
         dfs = combine_partials(
             _read(screen_path).map_batches(line_partials,
                                         batch_format="pandas"),
-            ["lkey"], {"df": "sum"}, mode="shuffle")
+            ["lkey"], {"df": "sum"}, mode="bucket")
         hot = dfs.filter(expr=f"df >= {boiler_max_df}").to_pandas()
         hot_ref = ray.put(frozenset(hot["lkey"])
                           if "lkey" in hot.columns else frozenset())

@@ -842,13 +842,13 @@ def boilerplate_removal(sf_dir: str, max_df: int = 3,
                              "df": pd.array(list(counts.values()),
                                             dtype="int64")})
 
-    # mode="shuffle": line-key cardinality is corpus-sized (does not fit
+    # mode="bucket": line-key cardinality is corpus-sized (does not fit
     # one combine task at 10^12 docs); the groupby moves only (key, int)
     # rows. The df >= max_df survivors are the broadcastable heavy hitters.
     dfs = combine_partials(
         _docs(sf_dir, ["text"]).map_batches(line_partials,
                                             batch_format="pandas"),
-        ["lkey"], {"df": "sum"}, mode="shuffle")
+        ["lkey"], {"df": "sum"}, mode="bucket")
     hot = dfs.filter(expr=f"df >= {max_df}").to_pandas()
     # an empty filter result comes back schemaless from to_pandas
     hot_ref = ray.put(frozenset(hot["lkey"]) if "lkey" in hot.columns

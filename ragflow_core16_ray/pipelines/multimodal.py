@@ -650,7 +650,7 @@ def link_graph(extracted_corpus: rd.Dataset, k: int = 50) -> pd.DataFrame:
     html spans (regex per span, pure per-doc work); per-batch
     (href, docs, hits) partials ride the combiner tree; the driver sees
     the merged href table (distinct-outlink bounded — at open-web scale
-    swap the tree's final stage for mode='shuffle' on an href-hash
+    swap the tree's final stage for mode='bucket' on an href-hash
     key, the documented combiner escape hatch)."""
     from ..functions.html_extract import extract_links
     from ..stages.agg import combine_partials
@@ -896,7 +896,7 @@ def anchor_text_index(extracted_corpus: rd.Dataset,
     Scale shape: anchor harvesting is the same streaming pass as
     link_graph; (href, word, n) partials ride the combiner tree; the
     driver ranks within the (outlink-vocabulary bounded) merged table —
-    at open-web scale the final combine flips to mode='shuffle' on the
+    at open-web scale the final combine flips to mode='bucket' on the
     href hash, the documented escape hatch."""
     from ..functions.html_extract import extract_links
     from ..stages.agg import combine_partials

@@ -603,7 +603,7 @@ def hourly_active_users(sf_dir: str) -> pd.DataFrame:
     deduped = combine_partials(
         _t(sf_dir, "events", ["ts", "user_id"])
         .map_batches(pairs, batch_format="pandas"),
-        ["hour", "user_id"], {"one": "min"}, mode="shuffle")
+        ["hour", "user_id"], {"one": "min"}, mode="bucket")
 
     def recount(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("hour", sort=False).size().reset_index(name="n")
@@ -1097,9 +1097,16 @@ def copurchase_pairs(sf_dir: str, k: int = 20,
     lines, so C(lines,2) is bounded — and it runs bucket-locally:
     lineitem pre-reduces to DISTINCT (orderkey, partkey) inside each
     batch, co-partitions by an orderkey bucket, and each bucket expands
-    its own orders into (pa<pb) pairs and pre-counts them, so the
-    combine tree sees per-bucket pair partials, never raw pairs. Total
-    order (n DESC, pa, pb) makes the top-k deterministic under ties."""
+    its own orders into (pa<pb) pairs and pre-counts them. The global
+    pair sum then co-partitions by a PAIR-hash bucket — each pair lives
+    in exactly one bucket, so every bucket can sum its own pairs and
+    emit an exact per-bucket top-k partial; the driver merges only
+    buckets×k rows. (A generic groupby().aggregate() over the distinct
+    pair space measured ~60× slower than this two-bucket shape at
+    sf0.01 — the pair keyspace scales with the catalog squared, so
+    neither a tree-combine final task nor a full sort shuffle fits.)
+    Total order (n DESC, pa, pb) makes the top-k deterministic under
+    ties."""
 
     def dedup_keys(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch[["l_orderkey", "l_partkey"]].drop_duplicates()
@@ -1119,28 +1126,38 @@ def copurchase_pairs(sf_dir: str, k: int = 20,
         if not rows:
             return pd.DataFrame({"pa": pd.array([], dtype="int64"),
                                  "pb": pd.array([], dtype="int64"),
-                                 "n": pd.array([], dtype="int64")})
+                                 "n": pd.array([], dtype="int64"),
+                                 "pbucket": pd.array([], dtype="int64")})
         out = (pd.DataFrame(rows, columns=["pa", "pb"])
                .groupby(["pa", "pb"], sort=False).size()
                .reset_index(name="n"))
         for c in ("pa", "pb", "n"):
             out[c] = out[c].astype("int64")
+        # the pair's home bucket: every (pa, pb) occurrence — from any
+        # order bucket — hashes to the same pbucket, so bucket-local
+        # sums and top-ks are globally exact
+        out["pbucket"] = ((out["pa"] * np.int64(2654435761) + out["pb"])
+                          % np.int64(n_buckets)).astype("int64")
         return out
 
-    from ..stages.agg import combine_partials, local_topk
+    def sum_and_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["pa", "pb"], sort=False)["n"].sum()
+               .reset_index()
+               .sort_values(["n", "pa", "pb"],
+                            ascending=[False, True, True]).head(k))
+        for c in ("pa", "pb", "n"):
+            out[c] = out[c].astype("int64")
+        return out[["pa", "pb", "n"]]
 
-    # the distinct-pair key space scales with the catalog squared —
-    # too large for the combine tree's final single task, so the pair
-    # counts aggregate in shuffle mode and the top-k comes from
-    # per-block partials + a k-sized driver merge (local_topk)
-    counts = combine_partials(
-        _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        .map_batches(dedup_keys, batch_format="pandas")
-        .repartition(max(1, n_buckets // 4))
-        .groupby("bucket").map_groups(expand, batch_format="pandas"),
-        ["pa", "pb"], {"n": "sum"}, mode="shuffle")
-    out = local_topk(counts, ["n", "pa", "pb"],
-                     [False, True, True], k)
+    parts = (_t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+             .map_batches(dedup_keys, batch_format="pandas")
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(expand, batch_format="pandas")
+             .groupby("pbucket").map_groups(sum_and_topk,
+                                            batch_format="pandas"))
+    out = (parts.to_pandas()        # ≤ n_buckets·k rows
+           .sort_values(["n", "pa", "pb"], ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
     for c in ("pa", "pb", "n"):
         out[c] = out[c].astype("int64")
     return out[["pa", "pb", "n"]]
@@ -2429,7 +2446,7 @@ def user_activity_span(sf_dir: str) -> pd.DataFrame:
     event count, and span — the user-table rollup every event warehouse
     materializes. Per-batch (user, min, max, n) partials collapse the
     event stream to user-sized rows before the shuffle; the combine uses
-    mode='shuffle' because the user key-space is corpus-scale (the
+    mode='bucket' because the user key-space is corpus-scale (the
     documented combiner escape hatch), so no single task ever holds the
     full user table."""
     from ..stages.agg import combine_partials
@@ -2448,7 +2465,7 @@ def user_activity_span(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "events", ["user_id", "ts"])
         .map_batches(partial, batch_format="pandas"),
         ["user_id"], {"first_us": "min", "last_us": "max",
-                      "n_events": "sum"}, mode="shuffle").to_pandas()
+                      "n_events": "sum"}, mode="bucket").to_pandas()
     out["span_us"] = (out["last_us"] - out["first_us"]).astype("int64")
     for c in ("user_id", "first_us", "last_us", "n_events"):
         out[c] = out[c].astype("int64")

@@ -2329,7 +2329,7 @@ def source_jaccard_matrix(sf_dir: str) -> pd.DataFrame:
     no per-pair joins. Jaccard quantizes with pure integer arithmetic
     (2e6*inter + uni) // (2*uni). Scale bound: the deduped pair table is
     vocab x n_sources on one task — fine while sources stay a dimension
-    (tens); a web-scale vocab flips the dedup to mode="shuffle" with the
+    (tens); a web-scale vocab flips the dedup to mode="bucket" with the
     same mask fold per shard."""
     import numpy as np
 
