@@ -418,6 +418,106 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     return order
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode, PDF 32000-1 7.4.4: 9→12-bit growing codes, clear=256,
+    EOD=257, EarlyChange=1 (the default; code width grows one code
+    early)."""
+    table = {i: bytes([i]) for i in range(256)}
+    next_code, bits = 258, 9
+    buf = nbits = 0
+    prev: bytes | None = None
+    out = bytearray()
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            code = (buf >> (nbits - bits)) & ((1 << bits) - 1)
+            nbits -= bits
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, bits, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("LZW: bad first code")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW: code out of range")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            if next_code + 1 >= (1 << bits) and bits < 12:
+                bits += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode, PDF 32000-1 7.4.5."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i:i + ln + 1]
+            i += ln + 1
+        else:
+            out += data[i:i + 1] * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _apply_filters(body: bytes, raw: bytes) -> bytes | None:
+    """Run a stream's /Filter chain (name or array). Text-bearing
+    filters: Flate, LZW, ASCII85, ASCIIHex, RunLength. Image codecs
+    (DCT/JPX/CCITT/JBIG2) and unknown filters return None — the caller
+    treats the stream as non-text. No /Filter passes through."""
+    import base64 as _b64
+
+    head = body[:max(body.find(b"stream"), 0)]
+    m = _FILTER_RE.search(head)
+    if not m:
+        return raw
+    for nm in re.findall(rb"/([A-Za-z0-9]+)", m.group(1)):
+        try:
+            if nm == b"FlateDecode" or nm == b"Fl":
+                raw = zlib.decompress(raw)
+            elif nm == b"LZWDecode" or nm == b"LZW":
+                raw = _lzw_decode(raw)
+            elif nm == b"ASCII85Decode" or nm == b"A85":
+                s = raw.strip()
+                if not s.startswith(b"<~"):
+                    s = b"<~" + s
+                if not s.endswith(b"~>"):
+                    s += b"~>"
+                raw = _b64.a85decode(s, adobe=True)
+            elif nm == b"ASCIIHexDecode" or nm == b"AHx":
+                h = re.sub(rb"\s", b"", raw.split(b">", 1)[0])
+                if len(h) % 2:
+                    h += b"0"
+                raw = bytes.fromhex(h.decode("ascii"))
+            elif nm == b"RunLengthDecode" or nm == b"RL":
+                raw = _rle_decode(raw)
+            else:
+                return None         # image codec / crypt / unknown
+        except (ValueError, zlib.error, UnicodeDecodeError):
+            return None
+    return raw
+
+
 def _content_of(objs: dict[int, bytes], page_body: bytes) -> bytes:
     streams: list[bytes] = []
     cv = _value_of(_dict_of(page_body), b"/Contents")
@@ -426,11 +526,9 @@ def _content_of(objs: dict[int, bytes], page_body: bytes) -> bytes:
         raw = _stream_payload(body)
         if raw is None:
             continue
-        if re.search(rb"/FlateDecode\b", body[:body.find(b"stream")]):
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                continue
+        raw = _apply_filters(body, raw)
+        if raw is None:
+            continue
         streams.append(raw)
     return b"\n".join(streams)
 
@@ -528,6 +626,23 @@ def _lex(stream: bytes):
                     and stream[j:j + 1] not in _DELIM:
                 j += 1
             tok = stream[i:j]
+            if tok == b"ID":
+                # inline image (BI … ID <binary> EI): the raw sample
+                # data would derail the lexer — skip to the delimited EI
+                k = j
+                while True:
+                    k = stream.find(b"EI", k + 1)
+                    if k == -1:
+                        i = n
+                        break
+                    before = stream[k - 1:k]
+                    after = stream[k + 2:k + 3]
+                    if (before in _WS and
+                            (after == b"" or after in _WS
+                             or after in _DELIM)):
+                        i = k + 2
+                        break
+                continue
             try:
                 yield ("num", float(tok))
             except ValueError:
@@ -810,11 +925,9 @@ def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
         payload = _stream_payload(tou)
         if payload is None:
             continue
-        if re.search(rb"/FlateDecode\b", tou[:tou.find(b"stream")]):
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error:
-                continue
+        payload = _apply_filters(tou, payload)
+        if payload is None:
+            continue
         chars, ranges = _parse_cmap(payload)
         out[name.decode("latin-1")] = _cmap_decoder(chars, ranges)
     return out

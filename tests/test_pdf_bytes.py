@@ -538,3 +538,108 @@ def test_identity_h_without_tounicode_degrades_to_fffd():
            b"6 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
            b"/Priv /DW 1000 >>\nendobj\n")
     assert _texts(pdf_to_boxes(pdf)) == ["��"]
+
+
+# ------------------------------------------------- stream filters ----
+
+def _filtered_pdf(stream: bytes, filt: bytes) -> bytes:
+    return _one_page_pdf_stream(stream, filt)
+
+
+def _one_page_pdf_stream(stream: bytes, filt: bytes) -> bytes:
+    return (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /MediaBox [0 0 600 1000] "
+            b"/Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+            + b" " + filt + b" >>\nstream\n" + stream
+            + b"\nendstream\nendobj\n")
+
+
+CONTENT = b"BT /F1 10 Tf 50 900 Td (filtered text) Tj ET"
+
+
+def test_ascii85_and_asciihex_filters():
+    import base64 as b64
+    a85 = b64.a85encode(CONTENT, adobe=True)
+    assert _texts(pdf_to_boxes(_filtered_pdf(
+        a85, b"/Filter /ASCII85Decode"))) == ["filtered text"]
+    ahx = CONTENT.hex().encode() + b">"
+    assert _texts(pdf_to_boxes(_filtered_pdf(
+        ahx, b"/Filter /ASCIIHexDecode"))) == ["filtered text"]
+
+
+def test_runlength_and_chained_filters():
+    # RunLength-encode: literal runs only (len <= 128)
+    rle = b""
+    for i in range(0, len(CONTENT), 100):
+        chunk = CONTENT[i:i + 100]
+        rle += bytes([len(chunk) - 1]) + chunk
+    rle += b"\x80"
+    assert _texts(pdf_to_boxes(_filtered_pdf(
+        rle, b"/Filter /RunLengthDecode"))) == ["filtered text"]
+    # chained: RunLength THEN ASCIIHex on the wire = decode AHx first
+    chained = rle.hex().encode() + b">"
+    assert _texts(pdf_to_boxes(_filtered_pdf(
+        chained,
+        b"/Filter [ /ASCIIHexDecode /RunLengthDecode ]"))) \
+        == ["filtered text"]
+
+
+def test_lzw_filter_roundtrip():
+    from ragflow_core16_ray.functions.pdf_bytes import _lzw_decode
+
+    # hand-build an LZW encoder (PDF variant) to prove the decoder
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code, bits = 258, 9
+        out, buf, nbits = bytearray(), 0, 0
+
+        def emit(code):
+            nonlocal buf, nbits
+            buf = (buf << bits) | code
+            nbits += bits
+            while nbits >= 8:
+                out.append((buf >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        emit(256)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            if next_code + 1 >= (1 << bits) and bits < 12:
+                bits += 1
+            w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(257)
+        if nbits:
+            out.append((buf << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    payload = CONTENT * 3
+    assert _lzw_decode(lzw_encode(payload)) == payload
+    assert _texts(pdf_to_boxes(_filtered_pdf(
+        lzw_encode(CONTENT), b"/Filter /LZWDecode"))) == ["filtered text"]
+
+
+def test_unknown_filter_yields_no_text_not_crash():
+    assert pdf_to_boxes(_filtered_pdf(
+        b"\x00\x01\x02", b"/Filter /CCITTFaxDecode")) == []
+
+
+def test_inline_image_data_skipped():
+    # BI…ID <binary with ( and Tj lookalikes> EI must not derail the
+    # lexer; text after EI still parses
+    content = (b"BT /F1 10 Tf 50 900 Td (before) Tj ET\n"
+               b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00(\xffTj(\x9d EI\n"
+               b"BT /F1 10 Tf 50 800 Td (after) Tj ET")
+    pdf = _one_page_pdf_stream(content, b"")
+    assert _texts(pdf_to_boxes(pdf)) == ["before", "after"]
