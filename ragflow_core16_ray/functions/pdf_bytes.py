@@ -418,6 +418,27 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     return order
 
 
+def _owner_of(objs: dict[int, bytes], num: int, key: bytes,
+              max_up: int = 16) -> bytes | None:
+    """Body of the nearest node (the page or an ancestor /Pages node)
+    whose dict defines ``key`` — the inheritable-page-attribute walk of
+    PDF 32000-1 7.7.3.4 (/MediaBox and /Resources are inherited from
+    parent Pages nodes in many real-world files)."""
+    seen: set[int] = set()
+    while num in objs and num not in seen and max_up:
+        seen.add(num)
+        body = objs[num]
+        d = _dict_of(body)
+        if re.search(re.escape(key) + rb"\b", d):
+            return body
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", d)
+        if not pm:
+            return None
+        num = int(pm.group(1))
+        max_up -= 1
+    return None
+
+
 def _lzw_decode(data: bytes) -> bytes:
     """LZWDecode, PDF 32000-1 7.4.4: 9→12-bit growing codes, clear=256,
     EOD=257, EarlyChange=1 (the default; code width grows one code
@@ -1167,14 +1188,17 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
     spans: list[dict] = []
     for page_no, num in enumerate(_page_order(objs)):
         body = objs[num]
-        mb = _MBOX_RE.search(body)
+        mb = _MBOX_RE.search(_owner_of(objs, num, b"/MediaBox") or body)
         pw, ph = (612.0, 792.0)
         if mb:
             pw = float(mb.group(3)) - float(mb.group(1))
             ph = float(mb.group(4)) - float(mb.group(2))
         scale = _TARGET_H / (ph or 792.0)
-        decoders = _font_decoders(objs, body)
-        widths = _font_widths(objs, body)
+        # /Resources may be inherited from an ancestor /Pages node
+        res_body = (_owner_of(objs, num, b"/Resources") or body
+                    if b"/Resources" not in body else body)
+        decoders = _font_decoders(objs, res_body)
+        widths = _font_widths(objs, res_body)
         places: list[tuple[str, tuple]] = []
         shows = [s for s in _interpret(_content_of(objs, body), decoders,
                                        places, widths)
@@ -1183,7 +1207,7 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
         # (unit square through the CTM) + an image span whose payload the
         # in-house JPEG/PNG codecs can really decode (role of the
         # reference's pdfplumber image crops, pdf_parser.py:1129-1208)
-        xod = _resource_dict(objs, body, b"XObject")
+        xod = _resource_dict(objs, res_body, b"XObject")
         xmap = ({n.decode("latin-1"): int(v) for n, v
                  in _FONT_REF_RE.findall(xod)} if xod else {})
         for name, ctm in places:

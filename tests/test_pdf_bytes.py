@@ -643,3 +643,29 @@ def test_inline_image_data_skipped():
                b"BT /F1 10 Tf 50 800 Td (after) Tj ET")
     pdf = _one_page_pdf_stream(content, b"")
     assert _texts(pdf_to_boxes(pdf)) == ["before", "after"]
+
+
+def test_inherited_mediabox_and_resources():
+    # the page node carries neither /MediaBox nor /Resources — both
+    # inherit from the /Pages ancestor (PDF 32000-1 7.7.3.4)
+    content = b"BT /F1 10 Tf 50 900 Td (inherited) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] "
+           b"/MediaBox [0 0 600 1000] "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+           b"/Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+           b" /FirstChar 97 /LastChar 122 /Widths [" + b" ".join(
+               [b"500"] * 26) + b"] >>\nendobj\n")
+    boxes = pdf_to_boxes(pdf)
+    d = json.loads(boxes[0]["text"])
+    assert d["t"] == "inherited"
+    # inherited 1000-high MediaBox → unscaled coords (top = 1000-900-10)
+    assert d["top"] == pytest.approx(90, abs=0.5)
+    # inherited /Resources → /Widths metrics drive x1 (9 glyphs x 0.5em;
+    # 'inherited' = 9 lowercase letters @ 500 units @ 10pt)
+    assert d["x1"] - d["x0"] == pytest.approx(45.0, abs=0.1)
