@@ -282,18 +282,33 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
 _INT_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
 
 
-def _stream_payload(body: bytes) -> bytes | None:
+def _stream_payload(body: bytes,
+                    objs: dict[int, bytes] | None = None) -> bytes | None:
     """Raw stream bytes of an object body. A direct /Length is
     authoritative (PDF 32000-1 §7.3.8.2 — the only way to slice exactly,
     since deflate bytes can themselves look like EOLs or ``endstream``);
-    without one, fall back to the last ``endstream`` with a single-EOL
-    strip (§7.3.8.1 allows at most one EOL before the keyword)."""
+    an INDIRECT /Length (``N 0 R`` — the common shape when the writer
+    streams before it knows the size) resolves through ``objs`` when
+    given; without a usable length, fall back to the last ``endstream``
+    with a single-EOL strip (§7.3.8.1 allows at most one EOL before the
+    keyword)."""
     sm = re.compile(rb"\bstream\r?\n").search(body)
     if not sm:
         return None
-    lm = _LEN_RE.search(body, 0, sm.start())
-    if lm:
-        return body[sm.end():sm.end() + int(lm.group(1))]
+    length: int | None = None
+    im = re.search(rb"/Length\s+(\d+)\s+\d+\s+R\b", body[:sm.start()])
+    if im:
+        if objs is not None:
+            lo = objs.get(int(im.group(1)), b"")
+            dm = re.search(rb"-?\d+", lo)
+            if dm:
+                length = max(0, int(dm.group(0)))
+    else:
+        lm = _LEN_RE.search(body, 0, sm.start())
+        if lm:
+            length = int(lm.group(1))
+    if length is not None:
+        return body[sm.end():sm.end() + length]
     end = body.rfind(b"endstream")
     raw = body[sm.end():end if end != -1 else len(body)]
     if raw.endswith(b"\r\n"):
@@ -544,7 +559,7 @@ def _content_of(objs: dict[int, bytes], page_body: bytes) -> bytes:
     cv = _value_of(_dict_of(page_body), b"/Contents")
     for r in _REF_RE.finditer(cv):
         body = objs.get(int(r.group(1)), b"")
-        raw = _stream_payload(body)
+        raw = _stream_payload(body, objs)
         if raw is None:
             continue
         raw = _apply_filters(body, raw)
@@ -943,7 +958,7 @@ def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
         tou = objs.get(int(tm.group(1)))
         if tou is None:
             continue
-        payload = _stream_payload(tou)
+        payload = _stream_payload(tou, objs)
         if payload is None:
             continue
         payload = _apply_filters(tou, payload)
@@ -1264,7 +1279,7 @@ def _image_payload(objs: dict[int, bytes], num: int) -> tuple[str, str]:
     if not (wm and hm):
         return "", "no-dims"
     w, h = int(wm.group(1)), int(hm.group(1))
-    payload = _stream_payload(body)
+    payload = _stream_payload(body, objs)
     if payload is None:
         return "", "no-stream"
     if re.search(rb"/DCTDecode\b", body):

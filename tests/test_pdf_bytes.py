@@ -669,3 +669,18 @@ def test_inherited_mediabox_and_resources():
     # inherited /Resources → /Widths metrics drive x1 (9 glyphs x 0.5em;
     # 'inherited' = 9 lowercase letters @ 500 units @ 10pt)
     assert d["x1"] - d["x0"] == pytest.approx(45.0, abs=0.1)
+
+
+def test_indirect_length_resolves():
+    # /Length N 0 R — the writer streamed before knowing the size; the
+    # trailing garbage after the real payload must not leak in
+    content = b"BT /F1 10 Tf 50 900 Td (sized) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /MediaBox [0 0 600 1000] "
+           b"/Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length 6 0 R >>\nstream\n" + content
+           + b" (garbage) Tj\nendstream\nendobj\n"
+           b"6 0 obj\n" + str(len(content)).encode() + b"\nendobj\n")
+    assert _texts(pdf_to_boxes(pdf)) == ["sized"]
