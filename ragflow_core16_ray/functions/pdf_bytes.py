@@ -551,6 +551,34 @@ def _apply_filters(body: bytes, raw: bytes) -> bytes | None:
                 return None         # image codec / crypt / unknown
         except (ValueError, zlib.error, UnicodeDecodeError):
             return None
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    if pm and raw:
+        pred = int(pm.group(1))
+        if pred >= 10:              # PNG row predictors (7.4.4.4)
+            import numpy as np
+
+            from .png import _unfilter
+
+            def _ival(key: bytes, default: int) -> int:
+                m2 = re.search(key + rb"\s+(\d+)", head)
+                return int(m2.group(1)) if m2 else default
+
+            cols = _ival(rb"/Columns", 1)
+            colors = _ival(rb"/Colors", 1)
+            bpc = _ival(rb"/BitsPerComponent", 8)
+            stride = (cols * colors * bpc + 7) // 8
+            bpp = max(1, colors * bpc // 8)
+            h = len(raw) // (stride + 1)
+            if h < 1:
+                return None
+            try:
+                raw = _unfilter(
+                    np.frombuffer(raw[:h * (stride + 1)], np.uint8),
+                    h, stride, bpp).tobytes()
+            except ValueError:
+                return None
+        elif pred > 1:
+            return None             # TIFF predictor: not text-bearing
     return raw
 
 

@@ -684,3 +684,27 @@ def test_indirect_length_resolves():
            + b" (garbage) Tj\nendstream\nendobj\n"
            b"6 0 obj\n" + str(len(content)).encode() + b"\nendobj\n")
     assert _texts(pdf_to_boxes(pdf)) == ["sized"]
+
+
+def test_flate_png_predictor_decodes():
+    # Flate + /Predictor 12 (PNG Up) over fixed-width rows — the layout
+    # xref/ObjStm writers emit; here on a content stream for coverage
+    import numpy as np
+    content = b"BT /F1 10 Tf 50 900 Td (predicted) Tj ET"
+    cols = 20
+    pad = (-len(content)) % cols
+    data = np.frombuffer(content + b" " * pad, np.uint8).reshape(-1, cols)
+    # PNG Up filter: row - prev_row, filter byte 2 per row
+    filtered = bytearray()
+    prev = np.zeros(cols, np.uint8)
+    for row in data:
+        filtered.append(2)
+        filtered += ((row.astype(np.int16) - prev) % 256).astype(
+            np.uint8).tobytes()
+        prev = row
+    stream = zlib.compress(bytes(filtered))
+    pdf = _one_page_pdf_stream(
+        stream,
+        f"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+        f"/Columns {cols} >>".encode())
+    assert _texts(pdf_to_boxes(pdf)) == ["predicted"]
