@@ -487,3 +487,23 @@ def test_warc_build_parse_roundtrip_bodies(recs):
                               path)
     assert [r["body"] for r in rows] == [r["payload"] for r in clean]
     assert all(r["warc_type"] == "response" for r in rows)
+
+
+@given(st.binary(min_size=0, max_size=400),
+       st.sampled_from([b"/Filter /FlateDecode", b"/Filter /LZWDecode",
+                        b"/Filter /ASCII85Decode",
+                        b"/Filter /ASCIIHexDecode",
+                        b"/Filter /RunLengthDecode",
+                        b"/Filter [ /ASCIIHexDecode /FlateDecode ]",
+                        b"/Filter /FlateDecode /DecodeParms "
+                        b"<< /Predictor 12 /Columns 5 >>"]))
+@settings(max_examples=80, deadline=None)
+def test_filter_chain_never_crashes_on_garbage(raw, filt):
+    # arbitrary stream bytes through any filter chain: decoded bytes or
+    # None (treated as no-text), never an exception
+    from ragflow_core16_ray.functions.pdf_bytes import _apply_filters
+
+    body = b"<< /Length " + str(len(raw)).encode() + b" " + filt \
+        + b" >>\nstream\n" + raw + b"\nendstream"
+    out = _apply_filters(body, raw)
+    assert out is None or isinstance(out, bytes)
