@@ -1082,9 +1082,9 @@ def _interpret(stream: bytes,
                decoders: dict | None = None,
                places: list | None = None,
                widths: dict | None = None
-               ) -> list[tuple[float, float, float, str, float]]:
-    """Text-showing ops → (x, baseline_y, effective_size, text, x_end)
-    in PDF (bottom-up) device space. ``decoders`` maps font resource
+               ) -> list[tuple[float, float, float, str, float, float]]:
+    """Text-showing ops → (x, baseline_y, effective_size, text, x_end,
+    y_end) in PDF (bottom-up) device space. ``decoders`` maps font resource
     names to string decoders (CID fonts); ``widths`` maps them to
     _font_widths metrics — when present, advances (and so x_end and TJ
     kern placement) are glyph-exact incl. Tc/Tw/Tz spacing; otherwise
@@ -1092,7 +1092,7 @@ def _interpret(stream: bytes,
     Tf. When ``places`` is a list, XObject invocations (``/Name Do``)
     append (name, ctm) to it — the unit square maps through the CTM, so
     the placement rectangle is (e, f, a, d) for the axis-aligned case."""
-    shows: list[tuple[float, float, float, str, float]] = []
+    shows: list[tuple[float, float, float, str, float, float]] = []
     ctm, stack = _ID, []
     tm = tlm = _ID
     size, leading = 0.0, 0.0
@@ -1134,8 +1134,8 @@ def _interpret(stream: bytes,
         trm = _mat_mul(tm, ctm)
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
         eff = abs(size * trm[3]) or size
-        xe = _mat_mul(tm, ctm)[4]
-        shows.append((trm[4], trm[5], eff, txt, xe))
+        trm2 = _mat_mul(tm, ctm)
+        shows.append((trm[4], trm[5], eff, txt, trm2[4], trm2[5]))
 
     def next_line(tx: float, ty: float) -> None:
         nonlocal tm, tlm
@@ -1236,16 +1236,44 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
         if mb:
             pw = float(mb.group(3)) - float(mb.group(1))
             ph = float(mb.group(4)) - float(mb.group(2))
-        scale = _TARGET_H / (ph or 792.0)
+        # /Rotate (inheritable): normalize device coords to DISPLAY
+        # (reading) space so baselines are horizontal again — the role
+        # of pdfplumber's page.rotation handling
+        rot = 0
+        rb = _owner_of(objs, num, b"/Rotate")
+        if rb is not None:
+            rm = re.search(rb"/Rotate\s+(-?\d+)", _dict_of(rb))
+            if rm:
+                rot = int(rm.group(1)) % 360
+
+        pw0, ph0 = pw, ph           # device dims (pre-rotation)
+
+        def disp(px: float, py: float) -> tuple[float, float]:
+            if rot == 90:       # page displays rotated 90° clockwise
+                return (py, pw0 - px)
+            if rot == 180:
+                return (pw0 - px, ph0 - py)
+            if rot == 270:
+                return (ph0 - py, px)
+            return (px, py)
+
         # /Resources may be inherited from an ancestor /Pages node
         res_body = (_owner_of(objs, num, b"/Resources") or body
                     if b"/Resources" not in body else body)
         decoders = _font_decoders(objs, res_body)
         widths = _font_widths(objs, res_body)
         places: list[tuple[str, tuple]] = []
-        shows = [s for s in _interpret(_content_of(objs, body), decoders,
-                                       places, widths)
-                 if s[3].strip()]
+        shows = []
+        for x, y, eff, t, xe, ye in _interpret(_content_of(objs, body),
+                                               decoders, places, widths):
+            if not t.strip():
+                continue
+            dx, dy = disp(x, y)
+            dxe, _dye = disp(xe, ye)
+            shows.append((dx, dy, eff, t, dxe))
+        if rot in (90, 270):
+            pw, ph = ph, pw
+        scale = _TARGET_H / (ph or 792.0)
         # embedded images: each /Name Do placement becomes a figure box
         # (unit square through the CTM) + an image span whose payload the
         # in-house JPEG/PNG codecs can really decode (role of the
@@ -1264,12 +1292,15 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             payload, note = _image_payload(objs, num)
             if note in ("not-an-image", "no-dims", "no-stream"):
                 continue
-            top = (ph - f - ih) * scale
+            # placement rect corners through the display transform
+            (cx0, cy0), (cx1, cy1) = disp(e, f), disp(e + iw, f + ih)
+            x0d, x1d = min(cx0, cx1), max(cx0, cx1)
+            y0d, y1d = min(cy0, cy1), max(cy0, cy1)
             spans.append(make_span("box", json.dumps(
-                {"t": "", "x0": round(e * scale, 2),
-                 "x1": round((e + iw) * scale, 2),
-                 "top": round(top, 2),
-                 "bot": round((ph - f) * scale, 2),
+                {"t": "", "x0": round(x0d * scale, 2),
+                 "x1": round(x1d * scale, 2),
+                 "top": round((ph - y1d) * scale, 2),
+                 "bot": round((ph - y0d) * scale, 2),
                  "page": page_no, "lay": "figure"},
                 ensure_ascii=False, sort_keys=True)))
             spans.append(make_span(

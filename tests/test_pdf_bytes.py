@@ -708,3 +708,27 @@ def test_flate_png_predictor_decodes():
         f"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
         f"/Columns {cols} >>".encode())
     assert _texts(pdf_to_boxes(pdf)) == ["predicted"]
+
+
+def test_rotated_page_normalizes_to_reading_space():
+    # /Rotate 90 page (displays rotated clockwise): text written going UP
+    # the device page (Tm = 90° CCW rotation) reads horizontally after
+    # normalization; two fragments on the rotated baseline must assemble
+    # into one line with sane reading-space geometry
+    content = (b"BT /F1 10 Tf"
+               b" 0 1 -1 0 500 100 Tm (rotated ) Tj"
+               b" 0 1 -1 0 500 150 Tm (line) Tj ET")
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Rotate 90 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+           b"/MediaBox [0 0 600 1000] /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    boxes = pdf_to_boxes(pdf)
+    assert _texts(boxes) == ["rotated line"]
+    d = json.loads(boxes[0]["text"])
+    # display page is 1000 wide x 600 high; scale = 1000/600
+    # device (500,100) -> display (100, 600-500=100): x0 = 100*1000/600
+    assert d["x0"] == pytest.approx(100 * 1000 / 600, abs=1.0)
+    assert d["top"] == pytest.approx((600 - 100 - 10) * 1000 / 600, abs=2.0)
