@@ -287,7 +287,7 @@ def _ipc_token_counts(sf_dir: str):
     return token_counts(sf_dir, docs=read_documents_ipc(out_dir))
 
 
-def _warc_cache(sf_dir: str, as_html: bool) -> str:
+def _warc_cache(sf_dir: str, as_html: bool, messy: bool = False) -> str:
     """Write the sf documents table ONCE as .warc.gz shards (cache keyed
     by a content digest of the parquet, never the path basename)."""
     import hashlib
@@ -297,15 +297,48 @@ def _warc_cache(sf_dir: str, as_html: bool) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     with open(src, "rb") as f:
         digest = hashlib.md5(f.read()).hexdigest()[:12]
-    kind = "html" if as_html else "plain"
+    kind = "html" if as_html else ("messy" if messy else "plain")
     out_dir = f"/tmp/graft_warc_{kind}_{digest}"
     marker = os.path.join(out_dir, "_GRAFT_DONE")
     if not os.path.exists(marker):
         import ray.data as rd
         write_documents_warc(rd.read_parquet(src), out_dir,
-                             as_html=as_html)
+                             as_html=as_html, messy_urls=messy)
         open(marker, "w").close()
     return out_dir
+
+
+def _warc_url_dedup(sf_dir: str):
+    """URL-canonicalization dedup over the crawl wire format: documents
+    ship as WARC responses under four real-crawl URL variants (mixed
+    case, explicit default port, dot-segments, fragments, tracking
+    params; 25% of docs fetched TWICE under different variants — the
+    crawler-frontier duplicate). Each record's WARC-Target-URI runs
+    through functions/url.py::canonical_url inside map_batches and
+    fetch counts aggregate per (doc_id, canonical URL) through the
+    bucket combine. HASH-STRICT: the oracle rebuilds the canonical URL
+    from (source, doc_id) directly and replays the md5 re-fetch rule —
+    i.e. the driver proves canonicalization collapses every variant to
+    exactly the canonical form, never merging distinct docs."""
+    import pandas as pd
+
+    from ragflow_core16_ray.functions.url import canonical_url
+    from ragflow_core16_ray.sources.warc import read_warc
+    from ragflow_core16_ray.stages.agg import combine_partials
+
+    out_dir = _warc_cache(sf_dir, as_html=False, messy=True)
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[(batch["warc_type"] == "response")
+                  & (batch["http_status"] == 200)]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "canon_url": [canonical_url(u) for u in b["target_uri"]],
+            "n_fetches": pd.array([1] * len(b), dtype="int64")})
+
+    return combine_partials(
+        read_warc(out_dir).map_batches(canon, batch_format="pandas"),
+        ["doc_id", "canon_url"], {"n_fetches": "sum"}, mode="bucket")
 
 
 def _warc_token_counts(sf_dir: str):
@@ -712,6 +745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle; main-content extraction over the crawl wire format
         "warc_token_counts": _warc_token_counts,
         "warc_main_content": _warc_main_content,
+        # URL-canonicalization dedup over messy crawl URIs — hash-strict
+        "warc_url_dedup": _warc_url_dedup,
         # Benford first-digit audit over order totals — hash-strict
         "benford_digits": lambda sf: relational.benford_digits(sf),
         # C4-style token blocklist + per-domain quota cap — hash-strict
@@ -1037,6 +1072,18 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(paras, chr(10) || chr(10)))
                        AS content_md5
             FROM p
+        """,
+        # URL canonicalization collapses every crawl variant to the
+        # canonical form; the md5 re-fetch rule replays the writer's
+        "warc_url_dedup": r"""
+            SELECT doc_id,
+                   'https://graft.example/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS canon_url,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             < '4'
+                        THEN CAST(2 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) END AS n_fetches
+            FROM documents
         """,
         # same proof for the WARC source/sink (Common Crawl wire format)
         "warc_token_counts": r"""

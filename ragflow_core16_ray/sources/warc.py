@@ -220,14 +220,36 @@ def read_warc(path: str | list[str]) -> rd.Dataset:
         parse, batch_format="pyarrow")
 
 
+def _messy_uri(source: str, doc_id: int, variant: int) -> str:
+    """One of four real-crawl URL forms of the same page — mixed case,
+    explicit default port, dot-segments, fragments, tracking params.
+    All four canonicalize to https://graft.example/{source}/{doc_id}
+    (functions/url.py::canonical_url)."""
+    base = f"graft.example/{source}/{doc_id}"
+    return [
+        f"HTTPS://GRAFT.EXAMPLE:443/{source}/{doc_id}",
+        f"https://{base}".replace(f"/{doc_id}", f"/./{doc_id}#frag-2"),
+        f"https://graft.example/{source}/x/../{doc_id}"
+        f"?utm_source=rss&fbclid=x{doc_id % 7}",
+        f"https://graft.example:443/{source}/{doc_id}?utm_campaign=w",
+    ][variant % 4]
+
+
 def write_documents_warc(docs: rd.Dataset, out_dir: str,
-                         n_files: int = 8, as_html: bool = False) -> pd.DataFrame:
+                         n_files: int = 8, as_html: bool = False,
+                         messy_urls: bool = False) -> pd.DataFrame:
     """Write a documents-schema Dataset as ``n_files`` .warc.gz shards of
     HTTP response records (text/plain body = the doc text verbatim; with
     ``as_html`` the body is the text wrapped in deterministic nav/footer
     boilerplate — the input shape for the main-content extraction
     proof). lang/source ride WARC-Graft-* extension headers. Same
-    deterministic bucket-by-doc_id layout as the jsonl/csv sinks."""
+    deterministic bucket-by-doc_id layout as the jsonl/csv sinks.
+
+    ``messy_urls`` emits each record under a deterministic real-crawl
+    URL variant of the canonical URI, and re-fetches docs whose
+    md5(doc_id) first hex digit is < '4' a second time under a
+    different variant — the input shape for the URL-canonicalization
+    dedup proof (the md5 rule is replayed verbatim by the SQL oracle)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -243,15 +265,27 @@ def write_documents_warc(docs: rd.Dataset, out_dir: str,
             text = row.text
             if as_html:
                 text = wrap_boilerplate(text, int(row.doc_id))
-            recs.append({
-                "uri": f"https://graft.example/{row.source}/{row.doc_id}",
+            base = {
                 "payload": text.encode("utf-8"),
                 "mime": ("text/html; charset=utf-8" if as_html
                          else "text/plain; charset=utf-8"),
                 "extra": [("WARC-Graft-Doc-Id", str(row.doc_id)),
                           ("WARC-Graft-Lang", row.lang),
                           ("WARC-Graft-Source", row.source)],
-            })
+            }
+            if not messy_urls:
+                recs.append(dict(
+                    base,
+                    uri=f"https://graft.example/{row.source}/"
+                        f"{row.doc_id}"))
+                continue
+            did = int(row.doc_id)
+            h = hashlib.md5(str(did).encode()).hexdigest()
+            v = int(h[1], 16)
+            recs.append(dict(base, uri=_messy_uri(row.source, did, v)))
+            if h[0] < "4":      # 25% of docs: a second crawl fetch
+                recs.append(dict(base,
+                                 uri=_messy_uri(row.source, did, v + 1)))
         path = os.path.join(out_dir, f"part-{bk:05d}.warc.gz")
         build_warc_gz(recs, path)
         return pd.DataFrame({"path": [path],
