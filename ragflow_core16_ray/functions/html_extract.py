@@ -211,7 +211,13 @@ def extract_html(html: str) -> HtmlDoc:
         else:
             figures.append(payload)
     if not title and sections:
-        title = sections[0]
+        # promote the first section to title only when it LOOKS like a
+        # heading (short, no sentence-final punctuation) — a titleless
+        # page whose first block is a full paragraph keeps it as content
+        head = sections[0].strip()
+        if len(head) <= 80 and not head.endswith((".", "!", "?", "。",
+                                                  "！", "？", ";", ":")):
+            title = head
     # drop a leading section that just repeats the title (the h1)
     if sections and title and sections[0].strip() == title.strip():
         sections = sections[1:]

@@ -81,3 +81,18 @@ def test_messy_warc_roundtrip_counts(ray_session, tmp_path):
         assert canon == f"https://graft.example/web/{did}"
         h = hashlib.md5(str(did).encode()).hexdigest()
         assert n == (2 if h[0] < "4" else 1)
+
+
+def test_titleless_page_keeps_full_sentence_paragraph():
+    # regression: a titleless page whose only block is a full sentence
+    # must not lose it to title promotion
+    from ragflow_core16_ray.functions.html_extract import extract_html
+
+    d = extract_html("<html><body><p>A full sentence paragraph that "
+                     "should stay in the content body.</p></body></html>")
+    assert d.sections == ["A full sentence paragraph that should stay "
+                          "in the content body."]
+    d2 = extract_html("<html><body><p>Short Heading</p>"
+                      "<p>body text follows here.</p></body></html>")
+    assert d2.title == "Short Heading"
+    assert d2.sections == ["body text follows here."]
