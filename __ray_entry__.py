@@ -372,6 +372,7 @@ def _warc_main_content(sf_dir: str):
 
     import pandas as pd
 
+    from ragflow_core16_ray.functions.codec import decode_http_body
     from ragflow_core16_ray.functions.html_extract import extract_html
     from ragflow_core16_ray.sources.warc import read_warc
 
@@ -382,7 +383,7 @@ def _warc_main_content(sf_dir: str):
         for _, r in batch.iterrows():
             if r["warc_type"] != "response" or r["http_status"] != 200:
                 continue
-            doc = extract_html(r["body"].decode("utf-8"))
+            doc = extract_html(decode_http_body(r["body"], r["mime"]))
             joined = "\n\n".join(doc.sections)
             rows.append({
                 "doc_id": int(r["doc_id"]),

@@ -100,14 +100,30 @@ def extract_html(html: str) -> HtmlDoc:
     pbuf: list[str] = []                # current paragraph text buffer
     next_cid = 0
 
+    table_depth = 0
+    row_cells: list[str] = []
+
     def flush_para():
         nonlocal pbuf
         text = _WS_RE.sub(" ", "".join(pbuf)).strip()
         pbuf = []
         if not text:
             return
+        if table_depth:
+            row_cells.append(text)      # assembled into a row at </tr>
+            return
         for c in open_stack:
             c.paras.append(("p", text))
+
+    def flush_row():
+        nonlocal row_cells
+        cells = [c for c in row_cells if c]
+        row_cells = []
+        if not cells:
+            return
+        row = " | ".join(cells)         # one section per table ROW —
+        for c in open_stack:            # cell-per-section loses the grid
+            c.paras.append(("p", row))
 
     for m in _TOKEN_RE.finditer(html):
         if m.group(2) is None:  # text / comment / doctype
@@ -165,6 +181,20 @@ def extract_html(html: str) -> HtmlDoc:
             continue
         # block boundary (headings included: they become their own paragraphs)
         flush_para()
+        if tag == "table":
+            if closing:
+                flush_row()             # tables without a final </tr>
+                table_depth = max(0, table_depth - 1)
+            elif not selfclose:
+                table_depth += 1
+        elif table_depth:
+            # inside a table: tr delimits rows, td/th delimit cells
+            # (flush_para above moved cell text into row_cells); neither
+            # opens a container — the table itself is the scored unit.
+            # flush on OPEN too: real-world rows often omit </tr>
+            if tag == "tr":
+                flush_row()
+            continue
         if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
             continue
         if closing:

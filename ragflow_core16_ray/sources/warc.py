@@ -323,8 +323,10 @@ def warc_to_documents(ds: rd.Dataset) -> rd.Dataset:
             batch.column("http_status").to_pylist()))
             if t == "response" and s == 200]
         batch = batch.take(pa.array(keep, type=pa.int64()))
-        texts = [b.decode("utf-8")
-                 for b in batch.column("body").to_pylist()]
+        from ..functions.codec import decode_http_body
+        texts = [decode_http_body(b, m) for b, m in
+                 zip(batch.column("body").to_pylist(),
+                     batch.column("mime").to_pylist())]
         return pa.table({
             "doc_id": pa.array([int(x) for x in
                                 batch.column("doc_id").to_pylist()],

@@ -96,3 +96,23 @@ def test_titleless_page_keeps_full_sentence_paragraph():
                       "<p>body text follows here.</p></body></html>")
     assert d2.title == "Short Heading"
     assert d2.sections == ["body text follows here."]
+
+
+def test_html_tables_assemble_rowwise():
+    from ragflow_core16_ray.functions.html_extract import extract_html
+
+    h = ("<html><title>T</title><body>"
+         "<p>Intro paragraph with enough words to score.</p>"
+         "<table><tr><th>Year</th><th>Revenue</th></tr>"
+         "<tr><td>2024</td><td>1,000</td></tr></table>"
+         "<p>Closing paragraph also with plenty of words.</p>"
+         "</body></html>")
+    assert extract_html(h).sections == [
+        "Intro paragraph with enough words to score.",
+        "Year | Revenue", "2024 | 1,000",
+        "Closing paragraph also with plenty of words."]
+    # real-world rows often omit </tr>
+    h2 = ("<html><title>T</title><body><table>"
+          "<tr><td>a</td><td>b</td><tr><td>c</td><td>d</td>"
+          "</table></body></html>")
+    assert extract_html(h2).sections == ["a | b", "c | d"]

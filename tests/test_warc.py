@@ -190,3 +190,38 @@ def test_warc_job_driver_end_to_end_and_resume(tmp_path):
     m2 = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert m2["n_processed"] == 0
     assert m2["n_skipped"] == m1["n_processed"]
+
+
+def test_warc_euckr_body_decodes_via_charset(ray_session, tmp_path):
+    # a real-crawl charset: EUC-KR declared in Content-Type; the reader
+    # must honor it instead of mojibaking as utf-8/latin-1
+    import ray.data as rd
+
+    from ragflow_core16_ray.sources.warc import (build_warc_gz, read_warc,
+                                                 warc_to_documents)
+
+    text = "한국어 본문입니다. 두 번째 문장."
+    path = str(tmp_path / "kr.warc.gz")
+    build_warc_gz([{
+        "uri": "https://graft.example/web/77",
+        "payload": text.encode("euc-kr"),
+        "mime": "text/plain; charset=euc-kr",
+        "extra": [("WARC-Graft-Doc-Id", "77"),
+                  ("WARC-Graft-Lang", "zh"),
+                  ("WARC-Graft-Source", "web")],
+    }], path)
+    docs = warc_to_documents(read_warc(path)).to_pandas()
+    assert docs.loc[0, "text"] == text
+
+
+def test_decode_http_body_priority_and_fallback():
+    from ragflow_core16_ray.functions.codec import decode_http_body
+
+    kr = "가나다".encode("euc-kr")
+    # header charset wins
+    assert decode_http_body(kr, "text/html; charset=euc-kr") == "가나다"
+    # meta prescan when the header is silent
+    html = b'<meta charset="euc-kr">' + kr
+    assert decode_http_body(html, "text/html").endswith("가나다")
+    # a declared-but-wrong charset falls through to the trial cascade
+    assert decode_http_body("ü".encode(), "text/plain; charset=nope") == "ü"
