@@ -287,7 +287,8 @@ def _ipc_token_counts(sf_dir: str):
     return token_counts(sf_dir, docs=read_documents_ipc(out_dir))
 
 
-def _warc_cache(sf_dir: str, as_html: bool, messy: bool = False) -> str:
+def _warc_cache(sf_dir: str, as_html: bool, messy: bool = False,
+                crawl2: bool = False) -> str:
     """Write the sf documents table ONCE as .warc.gz shards (cache keyed
     by a content digest of the parquet, never the path basename)."""
     import hashlib
@@ -298,14 +299,83 @@ def _warc_cache(sf_dir: str, as_html: bool, messy: bool = False) -> str:
     with open(src, "rb") as f:
         digest = hashlib.md5(f.read()).hexdigest()[:12]
     kind = "html" if as_html else ("messy" if messy else "plain")
+    if crawl2:
+        kind += "2"
     out_dir = f"/tmp/graft_warc_{kind}_{digest}"
     marker = os.path.join(out_dir, "_GRAFT_DONE")
     if not os.path.exists(marker):
         import ray.data as rd
         write_documents_warc(rd.read_parquet(src), out_dir,
-                             as_html=as_html, messy_urls=messy)
+                             as_html=as_html, messy_urls=messy,
+                             crawl2=crawl2)
         open(marker, "w").close()
     return out_dir
+
+
+def _warc_crawl_delta(sf_dir: str, n_buckets: int = 32):
+    """CDX-style crawl-over-crawl delta, keyed by CANONICAL URL: crawl 1
+    and crawl 2 of the same site ship as messy-URI WARC shards (crawl 2
+    drops 1/8 of pages and updates half the rest — deterministic md5
+    rules the oracle replays); every record canonicalizes its
+    WARC-Target-URI, and one url-hash-bucket co-partition joins the two
+    crawls to classify each page changed / unchanged / removed by body
+    md5. Scale shape: bodies reduce to (bucket, canon_url, crawl,
+    doc_id, body_md5) inside the scan — text never shuffles — and each
+    bucket classifies its own URLs; output is page-dimension sized."""
+    import hashlib
+
+    import pandas as pd
+
+    from ragflow_core16_ray.functions.url import canonical_url
+    from ragflow_core16_ray.sources.warc import read_warc
+
+    dirs = {1: _warc_cache(sf_dir, as_html=False, messy=True),
+            2: _warc_cache(sf_dir, as_html=False, messy=True,
+                           crawl2=True)}
+
+    def rows_for(crawl: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[(batch["warc_type"] == "response")
+                      & (batch["http_status"] == 200)]
+            canon = [canonical_url(u) for u in b["target_uri"]]
+            return pd.DataFrame({
+                "bucket": pd.array(
+                    [int(hashlib.md5(c.encode()).hexdigest()[:8], 16)
+                     % n_buckets for c in canon], dtype="int32"),
+                "canon_url": canon,
+                "crawl": pd.array([crawl] * len(b), dtype="int8"),
+                "doc_id": b["doc_id"].astype("int64"),
+                "body_md5": [hashlib.md5(x).hexdigest()
+                             for x in b["body"]],
+            }).drop_duplicates(["canon_url", "crawl", "body_md5"])
+        return fn
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for canon, grp in g.groupby("canon_url", sort=False):
+            c1 = grp[grp["crawl"] == 1]
+            c2 = grp[grp["crawl"] == 2]
+            if c1.empty:
+                status = "added"
+            elif c2.empty:
+                status = "removed"
+            elif set(c1["body_md5"]) == set(c2["body_md5"]):
+                status = "unchanged"
+            else:
+                status = "changed"
+            out.append((int(grp["doc_id"].iloc[0]), status))
+        return pd.DataFrame(out, columns=["doc_id", "status"]) \
+            if out else pd.DataFrame({
+                "doc_id": pd.array([], dtype="int64"),
+                "status": pd.array([], dtype="string")})
+
+    ds1 = read_warc(dirs[1]).map_batches(rows_for(1),
+                                         batch_format="pandas")
+    ds2 = read_warc(dirs[2]).map_batches(rows_for(2),
+                                         batch_format="pandas")
+    return (ds1.union(ds2)
+            .groupby("bucket").map_groups(classify,
+                                          batch_format="pandas"))
 
 
 def _warc_url_dedup(sf_dir: str):
@@ -748,6 +818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_main_content": _warc_main_content,
         # URL-canonicalization dedup over messy crawl URIs — hash-strict
         "warc_url_dedup": _warc_url_dedup,
+        # crawl-over-crawl delta by canonical URL — hash-strict
+        "warc_crawl_delta": _warc_crawl_delta,
         # Benford first-digit audit over order totals — hash-strict
         "benford_digits": lambda sf: relational.benford_digits(sf),
         # C4-style token blocklist + per-domain quota cap — hash-strict
@@ -1084,6 +1156,17 @@ def oracle_sql() -> dict[str, str]:
                              < '4'
                         THEN CAST(2 AS BIGINT)
                         ELSE CAST(1 AS BIGINT) END AS n_fetches
+            FROM documents
+        """,
+        # the crawl-2 writer's md5 drop/update rules, replayed: 4th hex
+        # digit < '2' → page gone; else 3rd < '8' → content changed
+        "warc_crawl_delta": r"""
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)
+                             < '2' THEN 'removed'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)
+                             < '8' THEN 'changed'
+                        ELSE 'unchanged' END AS status
             FROM documents
         """,
         # same proof for the WARC source/sink (Common Crawl wire format)

@@ -237,7 +237,8 @@ def _messy_uri(source: str, doc_id: int, variant: int) -> str:
 
 def write_documents_warc(docs: rd.Dataset, out_dir: str,
                          n_files: int = 8, as_html: bool = False,
-                         messy_urls: bool = False) -> pd.DataFrame:
+                         messy_urls: bool = False,
+                         crawl2: bool = False) -> pd.DataFrame:
     """Write a documents-schema Dataset as ``n_files`` .warc.gz shards of
     HTTP response records (text/plain body = the doc text verbatim; with
     ``as_html`` the body is the text wrapped in deterministic nav/footer
@@ -249,7 +250,13 @@ def write_documents_warc(docs: rd.Dataset, out_dir: str,
     URL variant of the canonical URI, and re-fetches docs whose
     md5(doc_id) first hex digit is < '4' a second time under a
     different variant — the input shape for the URL-canonicalization
-    dedup proof (the md5 rule is replayed verbatim by the SQL oracle)."""
+    dedup proof (the md5 rule is replayed verbatim by the SQL oracle).
+
+    ``crawl2`` writes the SECOND crawl of the same site: docs whose
+    md5(doc_id) 4th hex digit is < '2' have disappeared (dropped
+    pages), docs whose 3rd hex digit is < '8' changed content (text +
+    ' (updated)') — the input shape for the crawl-delta proof; both
+    rules are replayed verbatim by the SQL oracle."""
     os.makedirs(out_dir, exist_ok=True)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -263,6 +270,13 @@ def write_documents_warc(docs: rd.Dataset, out_dir: str,
         recs = []
         for row in g.itertuples():
             text = row.text
+            did2 = int(row.doc_id)
+            h2 = hashlib.md5(str(did2).encode()).hexdigest()
+            if crawl2:
+                if h2[3] < "2":
+                    continue            # page gone in the second crawl
+                if h2[2] < "8":
+                    text = text + " (updated)"
             if as_html:
                 text = wrap_boilerplate(text, int(row.doc_id))
             base = {

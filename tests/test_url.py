@@ -116,3 +116,21 @@ def test_html_tables_assemble_rowwise():
           "<tr><td>a</td><td>b</td><tr><td>c</td><td>d</td>"
           "</table></body></html>")
     assert extract_html(h2).sections == ["a | b", "c | d"]
+
+
+def test_warc_crawl_delta_statuses(ray_session):
+    # integration over sf0.001: statuses replay the crawl-2 writer's md5
+    # rules exactly and cover all three classes
+    import hashlib
+
+    import __ray_entry__ as e
+
+    df = e.queries()["warc_crawl_delta"]("/root/testdata/sf0.001") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(df["status"].unique()) == {"changed", "unchanged",
+                                          "removed"}
+    for did, status in zip(df["doc_id"], df["status"]):
+        h = hashlib.md5(str(int(did)).encode()).hexdigest()
+        want = ("removed" if h[3] < "2"
+                else "changed" if h[2] < "8" else "unchanged")
+        assert status == want
