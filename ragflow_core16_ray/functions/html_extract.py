@@ -194,7 +194,23 @@ def extract_html(html: str) -> HtmlDoc:
             # flush on OPEN too: real-world rows often omit </tr>
             if tag == "tr":
                 flush_row()
-            continue
+                continue
+            if tag in ("td", "th", "thead", "tbody", "tfoot", "caption",
+                       "colgroup"):
+                continue
+            if closing and any(c.tag == tag for c in open_stack):
+                # a closing block whose matching container was opened
+                # OUTSIDE the table (</body>, the wrapping </div>…)
+                # while a table is still open = the sloppy-HTML
+                # unclosed <table>; force-close it so later content
+                # isn't swallowed into row_cells forever. (Blocks
+                # opened INSIDE cells never created containers, so
+                # their closes don't match and stay cell-local.)
+                flush_row()
+                table_depth = 0
+                # fall through to normal closing-tag handling
+            else:
+                continue    # <p>/<div> inside a cell: paragraph break
         if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
             continue
         if closing:

@@ -260,7 +260,13 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         sm = re.compile(rb"\bstream\r?\n").search(data, start)
         em = data.find(b"endobj", start)
         if sm is not None and (em == -1 or sm.start() < em):
-            lm = _LEN_RE.search(data, start, sm.start())
+            # an INDIRECT /Length (N 0 R) must not be misread as a
+            # direct length of N — the slice would cut mid-stream at
+            # any in-stream 'endobj' bytes; fall to the endstream scan
+            lm = None
+            if not re.search(rb"/Length\s+\d+\s+\d+\s+R",
+                             data[start:sm.start()]):
+                lm = _LEN_RE.search(data, start, sm.start())
             if lm:
                 body_end = data.find(b"endobj", sm.end() + int(lm.group(1)))
             else:
@@ -730,10 +736,18 @@ _HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
 def _parse_cmap(data: bytes):
     """ToUnicode CMap → (bfchar dict, bfrange list of (lo, hi, base or
-    [targets])). Handles the two mapping block forms of the CMap spec;
-    destination hex may be multi-code-unit (UTF-16BE)."""
+    [targets]), code width in BYTES). Handles the two mapping block
+    forms of the CMap spec; destination hex may be multi-code-unit
+    (UTF-16BE). Code width comes from the codespacerange (subsetted
+    simple fonts ship 1-byte ToUnicode CMaps — decoding those as
+    2-byte CIDs would mojibake whole documents), with the first
+    mapping key's hex length as fallback."""
     chars: dict[int, str] = {}
     ranges: list[tuple[int, int, object]] = []
+    wm = (re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data)
+          or re.search(rb"beginbf(?:char|range)\s*<([0-9A-Fa-f]+)>",
+                       data))
+    nbytes = max(1, len(wm.group(1)) // 2) if wm else 2
 
     def _hex_int(h: bytes) -> int:
         return int(re.sub(rb"\s", b"", h) or b"0", 16)
@@ -769,18 +783,19 @@ def _parse_cmap(data: bytes):
             else:
                 ranges.append((lo, hi, _hex_int(dst[1:-1])))
             pos += am.end()
-    return chars, ranges
+    return chars, ranges, nbytes
 
 
-def _cmap_decoder(chars: dict, ranges: list):
-    """Callable decoding a 2-byte-CID string (latin-1-carried bytes)
-    through the CMap; unmapped CIDs become U+FFFD."""
+def _cmap_decoder(chars: dict, ranges: list, nbytes: int = 2):
+    """Callable decoding a CMap-coded string (latin-1-carried bytes,
+    ``nbytes`` per code) through the CMap; unmapped codes become
+    U+FFFD."""
 
     def dec(s: str) -> str:
         b = s.encode("latin-1")
         out = []
-        for i in range(0, len(b) - 1, 2):
-            cid = (b[i] << 8) | b[i + 1]
+        for i in range(0, len(b) - (nbytes - 1), nbytes):
+            cid = int.from_bytes(b[i:i + nbytes], "big")
             if cid in chars:
                 out.append(chars[cid])
                 continue
@@ -992,8 +1007,8 @@ def _font_decoders(objs: dict[int, bytes], page_body: bytes) -> dict:
         payload = _apply_filters(tou, payload)
         if payload is None:
             continue
-        chars, ranges = _parse_cmap(payload)
-        out[name.decode("latin-1")] = _cmap_decoder(chars, ranges)
+        chars, ranges, nb = _parse_cmap(payload)
+        out[name.decode("latin-1")] = _cmap_decoder(chars, ranges, nb)
     return out
 
 

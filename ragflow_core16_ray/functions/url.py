@@ -71,9 +71,11 @@ def _remove_dot_segments(path: str) -> str:
     # re-anchor: absolute paths keep their leading ""
     if path.startswith("/") and (not out or out[0] != ""):
         out.insert(0, "")
-    # a trailing "." / ".." means the path ends in a directory
-    if path.rstrip("/").endswith((".", "..")) and (not out or
-                                                   out[-1] != ""):
+    # a trailing "." / ".." SEGMENT means the path ends in a directory
+    # (an ordinary segment that merely ends with a dot — "/wiki/Inc." —
+    # must stay file-like)
+    last = path.rstrip("/").rsplit("/", 1)[-1]
+    if last in (".", "..") and (not out or out[-1] != ""):
         out.append("")
     return "/".join(out)
 
@@ -92,15 +94,19 @@ def canonical_url(url: str) -> str:
     if not sp.scheme or not sp.netloc:
         return _norm_pct(url.strip())
     scheme = sp.scheme.lower()
-    host = sp.hostname.lower() if sp.hostname else ""
-    port = sp.port
+    try:
+        host = sp.hostname.lower() if sp.hostname else ""
+        port = sp.port          # raises ValueError on ':notaport' etc.
+    except ValueError:
+        return _norm_pct(url.strip())
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
     if sp.username:
         cred = sp.username + (f":{sp.password}" if sp.password else "")
         netloc = f"{cred}@{netloc}"
-    path = _norm_pct(_remove_dot_segments(sp.path)) or "/"
+    # %-normalize BEFORE dot-removal so %2E-encoded dot segments resolve
+    path = _remove_dot_segments(_norm_pct(sp.path)) or "/"
     pairs = [(k, v) for k, v in parse_qsl(sp.query,
                                           keep_blank_values=True)
              if k not in _TRACKING and not k.startswith("utm_")]

@@ -270,15 +270,16 @@ def write_documents_warc(docs: rd.Dataset, out_dir: str,
         recs = []
         for row in g.itertuples():
             text = row.text
-            did2 = int(row.doc_id)
-            h2 = hashlib.md5(str(did2).encode()).hexdigest()
+            did = int(row.doc_id)
+            h = (hashlib.md5(str(did).encode()).hexdigest()
+                 if (crawl2 or messy_urls) else "")
             if crawl2:
-                if h2[3] < "2":
+                if h[3] < "2":
                     continue            # page gone in the second crawl
-                if h2[2] < "8":
+                if h[2] < "8":
                     text = text + " (updated)"
             if as_html:
-                text = wrap_boilerplate(text, int(row.doc_id))
+                text = wrap_boilerplate(text, did)
             base = {
                 "payload": text.encode("utf-8"),
                 "mime": ("text/html; charset=utf-8" if as_html
@@ -293,8 +294,6 @@ def write_documents_warc(docs: rd.Dataset, out_dir: str,
                     uri=f"https://graft.example/{row.source}/"
                         f"{row.doc_id}"))
                 continue
-            did = int(row.doc_id)
-            h = hashlib.md5(str(did).encode()).hexdigest()
             v = int(h[1], 16)
             recs.append(dict(base, uri=_messy_uri(row.source, did, v)))
             if h[0] < "4":      # 25% of docs: a second crawl fetch

@@ -280,15 +280,16 @@ def test_cmap_bfchar_and_both_bfrange_forms():
           b"1 beginbfrange\n<0010> <0012> [<0041> <0042> <0043>]\n"
           b"endbfrange\n"
           b"1 beginbfrange\n<0100> <0102> <0061>\nendbfrange\n")
-    chars, ranges = _parse_cmap(cm)
-    dec = _cmap_decoder(chars, ranges)
+    chars, ranges, nb = _parse_cmap(cm)
+    assert nb == 2
+    dec = _cmap_decoder(chars, ranges, nb)
     src = ("".join(chr(0) + chr(c) for c in (1, 2, 0x10, 0x11, 0x12))
            + chr(1) + chr(0) + chr(1) + chr(2) + chr(0) + chr(0xFF))
     # bfchar hits, array range A/B/C, offset range a..c, unmapped FFFD
     assert dec(src) == "中文ABCac�"
     # multi-code-unit destination (surrogate-free BMP pair)
-    chars2, _ = _parse_cmap(b"1 beginbfchar\n<0003> <00480049>\n"
-                            b"endbfchar\n")
+    chars2, _, _nb2 = _parse_cmap(b"1 beginbfchar\n<0003> <00480049>\n"
+                                  b"endbfchar\n")
     assert _cmap_decoder(chars2, [])(chr(0) + chr(3)) == "HI"
 
 
@@ -732,3 +733,43 @@ def test_rotated_page_normalizes_to_reading_space():
     # device (500,100) -> display (100, 600-500=100): x0 = 100*1000/600
     assert d["x0"] == pytest.approx(100 * 1000 / 600, abs=1.0)
     assert d["top"] == pytest.approx((600 - 100 - 10) * 1000 / 600, abs=2.0)
+
+
+def test_one_byte_tounicode_cmap_simple_font():
+    # subsetted simple fonts ship 1-BYTE ToUnicode CMaps; decoding them
+    # as 2-byte CIDs mojibakes whole documents (reviewer-found)
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n1 begincodespacerange\n<00> <FF>\n"
+            b"endcodespacerange\n"
+            b"2 beginbfchar\n<48> <0048>\n<69> <0069>\nendbfchar\n"
+            b"endcmap\nend\n")
+    content = b"BT /F1 10 Tf 50 900 Td (Hi) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /MediaBox [0 0 600 1000] "
+           b"/Resources << /Font << /F1 5 0 R >> >> "
+           b"/Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           b"5 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /Sub "
+           b"/Encoding /WinAnsiEncoding /ToUnicode 6 0 R >>\nendobj\n"
+           b"6 0 obj\n<< /Length " + str(len(cmap)).encode()
+           + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n")
+    assert _texts(pdf_to_boxes(pdf)) == ["Hi"]
+
+
+def test_indirect_length_with_endobj_in_stream():
+    # in-stream 'endobj' bytes must not truncate an indirect-/Length
+    # object at scan time (reviewer-found)
+    content = b"BT /F1 10 Tf 50 900 Td (before) Tj ET\n% endobj\n" \
+              b"BT /F1 10 Tf 50 800 Td (after) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /MediaBox [0 0 600 1000] "
+           b"/Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length 6 0 R >>\nstream\n" + content
+           + b"\nendstream\nendobj\n"
+           b"6 0 obj\n" + str(len(content)).encode() + b"\nendobj\n")
+    assert _texts(pdf_to_boxes(pdf)) == ["before", "after"]

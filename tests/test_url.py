@@ -134,3 +134,35 @@ def test_warc_crawl_delta_statuses(ray_session):
         want = ("removed" if h[3] < "2"
                 else "changed" if h[2] < "8" else "unchanged")
         assert status == want
+
+
+def test_canonical_url_reviewer_regressions():
+    # malformed ports never raise; ordinary dot-ending segments stay
+    # file-like; %2E-encoded dot segments resolve (all reviewer-found)
+    assert canonical_url("https://example.com:notaport/a") \
+        == "https://example.com:notaport/a"
+    assert canonical_url("https://h:99999/x") == "https://h:99999/x"
+    assert canonical_url("https://x.com/wiki/Inc.") \
+        == "https://x.com/wiki/Inc."
+    assert canonical_url("https://x.com/a/%2e%2e/b") == "https://x.com/b"
+
+
+def test_unclosed_table_does_not_swallow_document():
+    # reviewer-found: missing </table> previously routed ALL later
+    # content into row_cells forever
+    from ragflow_core16_ray.functions.html_extract import extract_html
+
+    h = ("<html><title>T</title><body><p>Intro paragraph here.</p>"
+         "<table><tr><td>a</td><td>b</td>"
+         "<p>Closing paragraph with words.</p></body></html>")
+    joined = " ".join(extract_html(h).sections)
+    assert "Intro paragraph here." in joined
+    assert "Closing paragraph with words." in joined
+    assert "a | b" in joined
+    # a div opened INSIDE a cell closing must NOT end the table
+    h2 = ("<html><title>T</title><body><table>"
+          "<tr><td><div>x</div></td><td>y</td></tr>"
+          "<tr><td>z</td><td>w</td></tr></table>"
+          "<p>after paragraph words.</p></body></html>")
+    assert extract_html(h2).sections == ["x | y", "z | w",
+                                         "after paragraph words."]
