@@ -54,8 +54,10 @@ def main() -> None:
     import pandas as pd
     import ray.data as rd
 
+    from ragflow_core16_ray.functions.codec import decode_http_body
     from ragflow_core16_ray.functions.hashing import hash64
     from ragflow_core16_ray.functions.html_extract import extract_html
+    from ragflow_core16_ray.functions.url import canonical_url
     from ragflow_core16_ray.sources.warc import (read_warc,
                                                  write_documents_warc)
 
@@ -82,25 +84,36 @@ def main() -> None:
     mask = (1 << 63) - 1
 
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        # shard-local CDX-style URL dedup: the crawler re-fetches pages
+        # under URI variants; keep the FIRST record per canonical URL
+        # within this shard (cross-shard dedup is the warc_url_dedup
+        # bucket shuffle — here the shard is the resume unit, so the
+        # dedup must stay shard-local)
+        seen: set = set()
         rows = []
         for _, r in batch.iterrows():
             if r["warc_type"] != "response" or r["http_status"] != 200 \
                     or not str(r["mime"]).startswith("text/html"):
                 continue
-            doc = extract_html(r["body"].decode("utf-8", "replace"))
+            canon = canonical_url(r["target_uri"])
+            if canon in seen:
+                continue
+            seen.add(canon)
+            doc = extract_html(decode_http_body(r["body"], r["mime"]))
             text = "\n\n".join(doc.sections)
             rows.append({
                 "warc_file": os.path.basename(r["warc_file"]),
                 "rec_idx": int(r["rec_idx"]),
                 "target_uri": r["target_uri"],
+                "canon_url": canon,
                 "title": doc.title,
                 "text": text,
                 "n_sections": len(doc.sections),
                 "content_hash": hash64(text) & mask,
             })
         return pd.DataFrame(rows, columns=[
-            "warc_file", "rec_idx", "target_uri", "title", "text",
-            "n_sections", "content_hash"])
+            "warc_file", "rec_idx", "target_uri", "canon_url", "title",
+            "text", "n_sections", "content_hash"])
 
     n_docs = 0
     for shard in todo:
@@ -110,7 +123,8 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(part_tmp, ignore_errors=True)
-        ds = read_warc(shard).map_batches(extract, batch_format="pandas")
+        ds = read_warc(shard).map_batches(extract, batch_format="pandas",
+                                          batch_size=None)  # 1 block = 1 shard: dedup stays shard-exact
         ds.write_parquet(part_tmp)
         if not os.path.isdir(part_tmp) or not os.listdir(part_tmp):
             os.makedirs(part_tmp, exist_ok=True)
