@@ -169,6 +169,16 @@ def _extract_pdf_bytes(sf_dir: str):
     return _extract_bytes_counts(sf_dir, ("doc-pdf-",))
 
 
+def _extract_scanned_pdf(sf_dir: str):
+    """Scanned-PDF entry point: full-page-image pages with NO text layer,
+    read by the det/rec OCR (functions/glyphs.ocr_page via
+    pdf_to_boxes) — the role of the reference's rasterize → OCR flow
+    (pdf_parser.py:994-1113 + deepdoc/vision/ocr.py:70-398). Rows-only
+    per-(template, kind) evidence; span-sequence exactness is pinned by
+    the frozen golden + tests/test_scanned_pdf.py."""
+    return _extract_bytes_counts(sf_dir, ("doc-scan-",))
+
+
 def _extract_office_bytes(sf_dir: str):
     """Raw-office entry points: table and presentation docs, ~40% of
     which enter as real .xlsx / .pptx BYTES (functions/xlsx.py /
@@ -811,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_tag": lambda sf: _extract_override(sf, "tag"),
         "extract_picture": lambda sf: _extract_override(sf, "picture"),
         "extract_pdf_bytes": _extract_pdf_bytes,
+        # scanned pages (no text layer) through the det/rec OCR
+        "extract_scanned_pdf": _extract_scanned_pdf,
         "extract_office_bytes": _extract_office_bytes,
         # WARC source/sink: container round-trip proven by the parquet
         # oracle; main-content extraction over the crawl wire format

@@ -137,3 +137,141 @@ def ocr_glyphs(img: np.ndarray) -> str:
     while lines and not lines[-1]:
         lines.pop()
     return "\n".join(lines)
+
+
+# --------------------------------------------------- page-level det/rec ----
+# The scanned-PDF path (functions/pdf_bytes.pdf_to_boxes) needs OCR over a
+# whole page image where the text block sits at an ARBITRARY offset — the
+# fixed-grid assumption of ocr_glyphs does not hold. ocr_page is a classic
+# two-stage det/rec pipeline (the role of deepdoc/vision/ocr.py:70-398's
+# TextDetector+TextRecognizer, with template matching standing in for the
+# ONNX models the sandbox cannot host): detection finds ink-row bands
+# (lines) and ink-column runs (glyphs); recognition classifies each glyph
+# by its ink-tight pattern and reconstructs pen positions from the
+# template's tight offsets, so word spaces count exactly.
+
+def _tight(arr: np.ndarray):
+    """(pattern, top, left) of the ink-tight crop; None for blank."""
+    ys, xs = np.nonzero(arr)
+    if ys.size == 0:
+        return None
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    return arr[y0:y1, x0:x1], y0, x0
+
+
+_TIGHT_TEMPLATES: list[tuple[str, np.ndarray, int, int]] | None = None
+_TIGHT_EXACT: dict[tuple, tuple[str, int, int]] = {}
+
+
+def _tight_templates() -> list[tuple[str, np.ndarray, int, int]]:
+    global _TIGHT_TEMPLATES
+    if _TIGHT_TEMPLATES is None:
+        out = []
+        for ch, tpl in _templates():
+            t = _tight(tpl)
+            if t is None:          # the space glyph: no ink
+                continue
+            out.append((ch, t[0], t[1], t[2]))
+            _TIGHT_EXACT[(t[0].shape, t[0].tobytes())] = (ch, t[1], t[2])
+        _TIGHT_TEMPLATES = out
+    return _TIGHT_TEMPLATES
+
+
+def _classify_tight(pat: np.ndarray) -> tuple[str, int, int] | None:
+    """pattern → (char, tight_top, tight_left). Exact tight-pattern match
+    first (every font glyph has a distinct tight pattern — pinned in
+    tests; O(1) dict hit on clean renders); nearest-by-Hamming over
+    same-or-padded dims as the noisy fallback. None when the pattern
+    cannot be this font (too large)."""
+    ph, pw = pat.shape
+    if ph > CELL_H or pw > CELL_W:
+        return None
+    _tight_templates()
+    hit = _TIGHT_EXACT.get(((ph, pw), pat.tobytes()))
+    if hit is not None:
+        return hit
+    best = None
+    best_d = CELL_W * CELL_H + 1
+    for ch, tpl, tt, tl in _tight_templates():
+        th, tw = tpl.shape
+        mh, mw = max(th, ph), max(tw, pw)
+        a = np.zeros((mh, mw), dtype=np.uint8)
+        b = np.zeros((mh, mw), dtype=np.uint8)
+        a[:ph, :pw] = pat
+        b[:th, :tw] = tpl
+        d = int(np.count_nonzero(a != b))
+        if d < best_d:
+            best, best_d = (ch, tt, tl), d
+    return best
+
+
+def ocr_page(img: np.ndarray) -> list[dict]:
+    """Detect + recognize glyph-font text anywhere on a page bitmap.
+    Returns one dict per text line — {"text", "x0", "x1", "y0", "y1"} in
+    pixel coords of the full CELL-frame line box — or [] when the image
+    does not look like glyph-font text (photo/noise: some ink component
+    exceeds the 5x7 cell), so callers can keep it as a figure."""
+    if img.ndim == 3:
+        img = img.mean(axis=2).astype(np.uint8)
+    b = (img > 127).astype(np.uint8)
+    if not b.any():
+        return []
+    row_ink = b.any(axis=1)
+    # detection, vertical: contiguous ink-row bands; a ≤1-row internal
+    # blank (":"-only or "!"-only lines) merges, the ≥2-row inter-line
+    # gap (PITCH_Y - CELL_H) splits
+    bands: list[tuple[int, int]] = []
+    idx = np.flatnonzero(row_ink)
+    start = prev = int(idx[0])
+    for y in idx[1:]:
+        y = int(y)
+        if y - prev > 2:
+            bands.append((start, prev + 1))
+            start = y
+        prev = y
+    bands.append((start, prev + 1))
+    lines: list[dict] = []
+    for by0, by1 in bands:
+        if by1 - by0 > CELL_H:
+            return []          # taller than any glyph: not this font
+        band = b[by0:by1]
+        col_ink = band.any(axis=0)
+        cidx = np.flatnonzero(col_ink)
+        runs: list[tuple[int, int]] = []
+        rs = rp = int(cidx[0])
+        for x in cidx[1:]:
+            x = int(x)
+            if x - rp > 1:
+                runs.append((rs, rp + 1))
+                rs = x
+            rp = x
+        runs.append((rs, rp + 1))
+        pens: list[tuple[float, str]] = []   # (pen_x, char)
+        frame_y0 = by1                        # min over glyph candidates
+        for rx0, rx1 in runs:
+            if rx1 - rx0 > CELL_W:
+                return []      # wider than any glyph: not this font
+            t = _tight(band[:, rx0:rx1])
+            if t is None:
+                continue
+            pat, gy0, _gx0 = t
+            cls = _classify_tight(pat)
+            if cls is None:
+                return []
+            ch, tt, tl = cls
+            pens.append((rx0 - tl, ch))
+            frame_y0 = min(frame_y0, by0 + gy0 - tt)
+        if not pens:
+            continue
+        chars = [pens[0][1]]
+        for (px, ch), (qx, _c) in zip(pens[1:], pens[:-1]):
+            n_sp = int(round((px - qx) / PITCH_X)) - 1
+            chars.extend(" " * max(0, n_sp))
+            chars.append(ch)
+        lines.append({"text": "".join(chars),
+                      "x0": int(pens[0][0]),
+                      "x1": int(pens[-1][0]) + CELL_W,
+                      "y0": int(frame_y0),
+                      "y1": int(frame_y0) + CELL_H})
+    return lines

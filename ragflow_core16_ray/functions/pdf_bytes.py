@@ -234,6 +234,66 @@ def build_pdf(pages: list[list[tuple[float, float, float, str]]],
     return bytes(out)
 
 
+def build_scanned_pdf(pages: list[list[str]],
+                      media_box: tuple[float, float] = (612.0, 792.0),
+                      margin_px: int = 36) -> bytes:
+    """Scanner-output-shaped PDF: each page is ONE full-page /Image
+    XObject (Flate DeviceGray 8-bit) placed by a page-filling CTM, with
+    NO text layer — the input class the reference sends to its OCR
+    det/rec models (pdf_parser.py:994-1113 rasterize → ocr.py:70-398).
+    ``pages`` = per page a list of text lines, rendered with the
+    deterministic 5x7 glyph font (functions/glyphs.render_text) at
+    1 px/pt onto a page-sized canvas, text block at (margin_px,
+    margin_px) from the top-left. Deterministic bytes for given input."""
+    from .glyphs import render_text
+
+    w, h = media_box
+    iw, ih = int(w), int(h)
+    n_pages = len(pages)
+    objs: list[bytes] = []
+    page_ids = [3 + 3 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] "
+                f">>".encode())
+    for i, lines in enumerate(pages):
+        import numpy as np
+
+        canvas = np.zeros((ih, iw), dtype=np.uint8)
+        if lines:
+            block = render_text(list(lines))
+            bh = min(block.shape[0], ih - margin_px)
+            bw = min(block.shape[1], iw - margin_px)
+            canvas[margin_px:margin_px + bh,
+                   margin_px:margin_px + bw] = block[:bh, :bw]
+        z = zlib.compress(canvas.tobytes(), 6)
+        content = f"q {w:g} 0 0 {h:g} 0 0 cm /Im0 Do Q".encode()
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w:g} {h:g}] "
+            f"/Resources << /XObject << /Im0 {page_ids[i] + 2} 0 R >> >> "
+            f"/Contents {page_ids[i] + 1} 0 R >>".encode())
+        objs.append(b"<< /Length " + str(len(content)).encode()
+                    + b" >>\nstream\n" + content + b"\nendstream")
+        objs.append(
+            f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/Filter /FlateDecode /Length {len(z)} "
+            f">>\nstream\n".encode() + z + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 # ------------------------------------------------------------- parser ----
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
@@ -1307,6 +1367,17 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             payload, note = _image_payload(objs, num)
             if note in ("not-an-image", "no-dims", "no-stream"):
                 continue
+            if not shows:
+                # page has NO text layer: scanned-page territory — run
+                # the det/rec OCR over the placed image (the reference
+                # rasterizes and OCRs every such page, pdf_parser.py:
+                # 994-1113 + deepdoc/vision/ocr.py). Recognized lines
+                # REPLACE the figure; unreadable images stay figures.
+                ocr_boxes = _ocr_image_boxes(
+                    payload, ctm, disp, ph, scale, page_no)
+                if ocr_boxes:
+                    spans.extend(ocr_boxes)
+                    continue
             # placement rect corners through the display transform
             (cx0, cy0), (cx1, cy1) = disp(e, f), disp(e + iw, f + ih)
             x0d, x1d = min(cx0, cx1), max(cx0, cx1)
@@ -1335,6 +1406,57 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             spans.append(make_span(
                 "box", json.dumps(d, ensure_ascii=False, sort_keys=True)))
     return spans
+
+
+def _ocr_image_boxes(payload_b64: str, ctm, disp, ph: float, scale: float,
+                     page_no: int) -> list[dict]:
+    """OCR a placed image on a textless page into ordinary text-box
+    spans (same dict shape as the text-layer path, so layout inference
+    and templates downstream cannot tell a scan from a text PDF). Line
+    pixel geometry maps through the placement CTM into device points,
+    then through the page display transform. Returns [] when the image
+    does not decode or is not glyph-font text."""
+    import base64
+
+    from ..schemas import make_span
+    from .glyphs import ocr_page
+    from .image_ops import decode_image
+
+    if not payload_b64:
+        return []
+    try:
+        arr = decode_image(base64.b64decode(payload_b64))
+    except Exception:  # noqa: BLE001 — undecodable: keep as figure
+        return []
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2).astype("uint8")
+    px_h, px_w = arr.shape[:2]
+    if px_h < 1 or px_w < 1:
+        return []
+    lines = ocr_page(arr)
+    a, _b, _c, d, e, f = ctm
+    iw, ih = abs(a), abs(d)
+    out: list[dict] = []
+    for ln in lines:
+        txt = ln["text"].strip()
+        if not txt:
+            continue
+        # pixel rows count from the image TOP; device y is bottom-up
+        x0_pt = e + iw * ln["x0"] / px_w
+        x1_pt = e + iw * ln["x1"] / px_w
+        ytop_pt = f + ih * (1 - ln["y0"] / px_h)
+        ybot_pt = f + ih * (1 - ln["y1"] / px_h)
+        (dx0, dy0), (dx1, dy1) = disp(x0_pt, ybot_pt), disp(x1_pt, ytop_pt)
+        x0d, x1d = min(dx0, dx1), max(dx0, dx1)
+        y0d, y1d = min(dy0, dy1), max(dy0, dy1)
+        out.append(make_span("box", json.dumps(
+            {"t": txt, "x0": round(x0d * scale, 2),
+             "x1": round(x1d * scale, 2),
+             "top": round((ph - y1d) * scale, 2),
+             "bot": round((ph - y0d) * scale, 2),
+             "page": page_no},
+            ensure_ascii=False, sort_keys=True)))
+    return out
 
 
 def _image_payload(objs: dict[int, bytes], num: int) -> tuple[str, str]:

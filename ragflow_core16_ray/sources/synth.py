@@ -23,16 +23,18 @@ import pyarrow as pa
 
 from ..schemas import DOCUMENTS_SCHEMA, finalize_offsets, make_span
 
-ARCHETYPES = ("html", "pdfish", "pdf", "book", "md", "table", "docx", "txt",
-              "ppt", "eml", "json", "picture", "audio")
-# cumulative proportions for the seed-stable assignment
-_CUM = ((0.27, "html"), (0.47, "pdfish"), (0.49, "pdf"), (0.59, "book"),
-        (0.69, "md"), (0.79, "table"), (0.85, "docx"), (0.89, "txt"),
-        (0.93, "ppt"), (0.96, "eml"), (0.972, "json"), (0.992, "picture"),
-        (1.0, "audio"))
+ARCHETYPES = ("html", "pdfish", "pdf", "scan", "book", "md", "table",
+              "docx", "txt", "ppt", "eml", "json", "picture", "audio")
+# cumulative proportions for the seed-stable assignment. The scan band is
+# carved out of the old pdf band (0.47–0.49) so every OTHER archetype
+# assignment is unchanged across the version bump.
+_CUM = ((0.27, "html"), (0.47, "pdfish"), (0.478, "pdf"), (0.49, "scan"),
+        (0.59, "book"), (0.69, "md"), (0.79, "table"), (0.85, "docx"),
+        (0.89, "txt"), (0.93, "ppt"), (0.96, "eml"), (0.972, "json"),
+        (0.992, "picture"), (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 22
+CORPUS_VERSION = 23
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -559,6 +561,46 @@ def _gen_json(r: random.Random, doc_id: str) -> list[dict]:
                                          sort_keys=True))]
 
 
+# ---------------------------------------------------------------- scan ----
+
+def _gen_scan(r: random.Random, doc_id: str) -> list[dict]:
+    """Scanner-output PDF: every page is a full-page DeviceGray /Image
+    XObject with NO text layer (functions/pdf_bytes.build_scanned_pdf) —
+    the input class the reference rasterizes and OCRs (pdf_parser.py:
+    994-1113 + deepdoc/vision/ocr.py). The box IR is recovered by the
+    det/rec OCR in pdf_to_boxes; text is glyph-font (uppercase latin),
+    the page header sits inside the 8% furniture band and body text
+    below it, so layout inference treats a scan exactly like a text
+    PDF."""
+    import base64
+
+    from ..functions.glyphs import normalize_text
+    from ..functions.pdf_bytes import build_scanned_pdf
+
+    n_pages = r.randint(1, 4)
+    header = normalize_text("SCAN " + _words(r, 2).upper())[:38]
+    pages: list[list[str]] = []
+    for page in range(n_pages):
+        # header at ~38/1000 (inside the top-8% band); 5 blank lines push
+        # the first body line past 85/1000
+        lines: list[str] = [header, "", "", "", "", ""]
+        if page == 0:
+            lines.append(normalize_text(_words(r, 4).upper()) + ":")
+            lines.append("")
+        for _ in range(r.randint(3, 9)):
+            sent = normalize_text(_words(r, r.randint(3, 8)).upper())
+            lines.append(sent.strip() + ".")
+        # footer in the bottom margin band (top > 92%): blank-pad so the
+        # page-number line lands at pixel row 36 + 100*9 = 936
+        lines.extend([""] * (100 - len(lines)))
+        lines.append(f"PAGE {page + 1}/{n_pages}")
+        pages.append(lines)
+    payload = base64.b64encode(
+        build_scanned_pdf(pages, media_box=(600.0, 1000.0),
+                          margin_px=36)).decode("ascii")
+    return [make_span("pdf", payload)]
+
+
 # ----------------------------------------------------------------- pdf ----
 
 def _gen_pdf(r: random.Random, doc_id: str) -> list[dict]:
@@ -768,7 +810,7 @@ _GEN = {"html": _gen_html, "pdfish": _gen_pdfish, "book": _gen_book,
         "md": _gen_md, "table": _gen_table, "docx": _gen_docx,
         "txt": _gen_txt, "ppt": _gen_ppt, "eml": _gen_eml,
         "json": _gen_json, "picture": _gen_picture, "pdf": _gen_pdf,
-        "audio": _gen_audio, "mega": _gen_mega}
+        "scan": _gen_scan, "audio": _gen_audio, "mega": _gen_mega}
 
 
 def gen_doc(seed: int, idx: int, mega_every: int = 2500) -> dict:

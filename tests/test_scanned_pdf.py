@@ -1,0 +1,183 @@
+"""Scanned-PDF OCR path: full-page-image pages with no text layer are
+detected and read by the from-scratch det/rec pipeline (functions/
+glyphs.ocr_page + functions/pdf_bytes.build_scanned_pdf/pdf_to_boxes),
+the role of the reference's rasterize → OCR flow (deepdoc/parser/
+pdf_parser.py:994-1113, deepdoc/vision/ocr.py:70-398)."""
+
+import base64
+import json
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ragflow_core16_ray.config import ExtractConfig
+from ragflow_core16_ray.functions.glyphs import (CELL_H, CELL_W, PITCH_X,
+                                                 _FONT_ROWS, _tight,
+                                                 _tight_templates,
+                                                 normalize_text, ocr_page,
+                                                 render_text)
+from ragflow_core16_ray.functions.pdf_bytes import (build_pdf,
+                                                    build_scanned_pdf,
+                                                    expand_pdf_spans,
+                                                    pdf_to_boxes)
+from ragflow_core16_ray.schemas import finalize_offsets, make_span
+from ragflow_core16_ray.stages.extract import extract_doc
+
+
+def _box_texts(spans):
+    return [json.loads(s["text"])["t"] for s in spans if s["kind"] == "box"]
+
+
+# ------------------------------------------------------------ det/rec ----
+
+def test_font_tight_patterns_unique_and_connected():
+    """The classifier's exactness contract: every glyph has a DISTINCT
+    ink-tight pattern, and no glyph splits into two ink-column runs
+    (segmentation can never cut a glyph in half)."""
+    pats = [(p.shape, p.tobytes()) for _, p, _, _ in _tight_templates()]
+    assert len(set(pats)) == len(pats)
+    for ch, rows in _FONT_ROWS.items():
+        if ch == " ":
+            continue
+        t = _tight(np.array([[(r >> (CELL_W - 1 - x)) & 1
+                              for x in range(CELL_W)] for r in rows],
+                            dtype=np.uint8))
+        assert t is not None
+        assert t[0].any(axis=0).all(), f"glyph {ch!r} has a blank column"
+
+
+def test_ocr_page_arbitrary_offset():
+    img = render_text(["HELLO WORLD 42", "PUNCT: A-B, C? D!"])
+    page = np.zeros((300, 400), dtype=np.uint8)
+    page[91:91 + img.shape[0], 57:57 + img.shape[1]] = img
+    lines = ocr_page(page)
+    assert [d["text"] for d in lines] == ["HELLO WORLD 42",
+                                          "PUNCT: A-B, C? D!"]
+    # geometry: full 7-row line frames at the pasted offset
+    assert lines[0]["y0"] == 91 + 2          # render margin
+    assert lines[0]["y1"] - lines[0]["y0"] == CELL_H
+    assert lines[1]["y0"] - lines[0]["y0"] == 9  # line pitch
+
+
+def test_ocr_page_punct_only_lines_do_not_split():
+    """':' and '!' have an internal blank ROW — the band merger must not
+    read one line as two."""
+    img = render_text(["::::", "!!!!"])
+    out = ocr_page(img)
+    assert [d["text"] for d in out] == ["::::", "!!!!"]
+
+
+def test_ocr_page_rejects_non_glyph_images():
+    rng = np.random.RandomState(7)
+    noise = (rng.rand(60, 60) > 0.5).astype(np.uint8) * 255
+    assert ocr_page(noise) == []
+    assert ocr_page(np.zeros((20, 20), dtype=np.uint8)) == []
+    # a solid blob wider than a glyph cell: photo territory
+    blob = np.zeros((30, 30), dtype=np.uint8)
+    blob[10:20, 5:25] = 255
+    assert ocr_page(blob) == []
+
+
+_ALPHABET = "".join(c for c in _FONT_ROWS if c != " ")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.text(alphabet=_ALPHABET + " ", min_size=1, max_size=24),
+    min_size=1, max_size=5))
+def test_ocr_page_roundtrips_any_font_text(lines):
+    rendered = [normalize_text(ln) for ln in lines]
+    img = render_text(lines)
+    got = [d["text"] for d in ocr_page(img)]
+    exp = [ln.strip() for ln in rendered]
+    # rendering keeps leading spaces but OCR pen-reconstruction anchors
+    # at the first ink, so compare stripped; blank lines vanish
+    assert got == [e for e in (ln.strip() for ln in rendered) if e]
+
+
+# --------------------------------------------------- scanned PDF bytes ----
+
+def test_scanned_pdf_roundtrip_boxes():
+    pdf = build_scanned_pdf(
+        [["FIRST PAGE TITLE", "", "BODY LINE ONE.", "BODY LINE TWO."],
+         ["SECOND PAGE."]], media_box=(600.0, 1000.0))
+    boxes = pdf_to_boxes(pdf)
+    assert all(s["kind"] == "box" for s in boxes)
+    assert _box_texts(boxes) == ["FIRST PAGE TITLE", "BODY LINE ONE.",
+                                 "BODY LINE TWO.", "SECOND PAGE."]
+    ds = [json.loads(s["text"]) for s in boxes]
+    assert [d["page"] for d in ds] == [0, 0, 0, 1]
+    # geometry: 36px margin at 1 px/pt on a 1000-unit page → top ≈ 38
+    assert ds[0]["top"] == pytest.approx(38.0, abs=1.0)
+    assert ds[1]["top"] - ds[0]["top"] == pytest.approx(18.0, abs=1.0)
+    # tops strictly increasing within the page
+    assert ds[0]["top"] < ds[1]["top"] < ds[2]["top"]
+
+
+def test_scanned_page_with_unreadable_image_stays_figure():
+    """A textless page whose image is NOT glyph text keeps the figure +
+    image spans (OCR refuses, nothing is invented)."""
+    import zlib
+
+    # build a scanned pdf, then corrupt the image pixels into a blob
+    pdf = build_scanned_pdf([["SOME TEXT"]], media_box=(600.0, 1000.0))
+    blob = np.zeros((1000, 600), dtype=np.uint8)
+    blob[100:300, 100:500] = 255
+    z_new = zlib.compress(blob.tobytes(), 6)
+    # swap the image stream payload
+    marker = b"/Filter /FlateDecode /Length "
+    at = pdf.index(marker)
+    end = pdf.index(b" ", at + len(marker))
+    old_len = int(pdf[at + len(marker):end])
+    s0 = pdf.index(b"stream\n", at) + len(b"stream\n")
+    pdf2 = (pdf[:at + len(marker)] + str(len(z_new)).encode()
+            + pdf[end:s0] + z_new + pdf[s0 + old_len:])
+    spans = pdf_to_boxes(pdf2)
+    kinds = [s["kind"] for s in spans]
+    assert "image" in kinds
+    figs = [json.loads(s["text"]) for s in spans if s["kind"] == "box"]
+    assert figs and all(d.get("lay") == "figure" for d in figs)
+
+
+def test_mixed_doc_text_page_and_scanned_page():
+    """Text-layer pages keep the interpreter path; OCR only fires on the
+    pages with no shows."""
+    text_pdf = build_pdf([[(60, 120, 10, "Vector text line.")]],
+                         media_box=(600.0, 1000.0))
+    scan_pdf = build_scanned_pdf([["RASTER TEXT LINE."]],
+                                 media_box=(600.0, 1000.0))
+    t_boxes = _box_texts(pdf_to_boxes(text_pdf))
+    s_boxes = _box_texts(pdf_to_boxes(scan_pdf))
+    assert t_boxes == ["Vector text line."]
+    assert s_boxes == ["RASTER TEXT LINE."]
+
+
+def test_scanned_pdf_through_extract_doc():
+    body = ["INTRO HEADING:", "", "STREAM BATCH TABLE SCAN.",
+            "MERGE SORT JOIN FILTER."]
+    lines = ["DOC HEADER"] + [""] * 5 + body + [""] * 89 + ["PAGE 1/1"]
+    pdf = build_scanned_pdf([lines], media_box=(600.0, 1000.0))
+    spans = finalize_offsets(expand_pdf_spans(
+        [make_span("pdf", base64.b64encode(pdf).decode("ascii"))]))
+    tmpl, out, _ = extract_doc(spans, ExtractConfig())
+    text = " ".join(s["text"] for s in out)
+    assert "STREAM BATCH TABLE SCAN." in text
+    assert "MERGE SORT JOIN FILTER." in text
+    # furniture (header band + bottom page number) never reaches output
+    assert "DOC HEADER" not in text
+    assert "PAGE 1" not in text
+
+
+def test_scan_archetype_generates_and_extracts():
+    from ragflow_core16_ray.sources.synth import gen_doc
+
+    d = gen_doc(42, 155, mega_every=150)
+    assert d["doc_id"].startswith("doc-scan-")
+    spans = expand_pdf_spans(d["spans"])
+    assert all(s["kind"] == "box" for s in spans)
+    tmpl, out, _ = extract_doc(finalize_offsets(spans), ExtractConfig())
+    assert tmpl != "error" and len(out) >= 1
+    assert all(s["text"] == s["text"].upper() for s in out
+               if s["kind"] == "section")
