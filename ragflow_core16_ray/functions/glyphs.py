@@ -178,12 +178,19 @@ def _tight_templates() -> list[tuple[str, np.ndarray, int, int]]:
     return _TIGHT_TEMPLATES
 
 
+# worst acceptable Hamming distance (of the 35-cell frame) for the
+# noisy-glyph fallback — beyond it the pattern is NOT this font (a
+# rotated glyph, a photo fragment) and the whole page is rejected
+# rather than garbage-matched
+_MAX_HAMMING = 4
+
+
 def _classify_tight(pat: np.ndarray) -> tuple[str, int, int] | None:
     """pattern → (char, tight_top, tight_left). Exact tight-pattern match
     first (every font glyph has a distinct tight pattern — pinned in
     tests; O(1) dict hit on clean renders); nearest-by-Hamming over
-    same-or-padded dims as the noisy fallback. None when the pattern
-    cannot be this font (too large)."""
+    same-or-padded dims as the noisy fallback, capped at _MAX_HAMMING.
+    None when the pattern cannot be this font (too large / too far)."""
     ph, pw = pat.shape
     if ph > CELL_H or pw > CELL_W:
         return None
@@ -192,7 +199,7 @@ def _classify_tight(pat: np.ndarray) -> tuple[str, int, int] | None:
     if hit is not None:
         return hit
     best = None
-    best_d = CELL_W * CELL_H + 1
+    best_d = _MAX_HAMMING + 1
     for ch, tpl, tt, tl in _tight_templates():
         th, tw = tpl.shape
         mh, mw = max(th, ph), max(tw, pw)
@@ -206,15 +213,109 @@ def _classify_tight(pat: np.ndarray) -> tuple[str, int, int] | None:
     return best
 
 
+def _run_length_gcd(b: np.ndarray, cap: int = 8) -> int:
+    """Scan-resolution estimate: a k-times nearest-neighbor upscale makes
+    EVERY ink-run length (along rows and columns) a multiple of k, so the
+    gcd of all run lengths recovers k (the role of the reference's
+    zoom-factor bookkeeping around its rasterizer, pdf_parser.py:994-1113
+    — there the DPI is known because it rasterizes itself; a scanner
+    image arrives with unknown DPI). Early-outs at 1; capped."""
+    import math
+
+    g = 0
+    for arr in (b, b.T):
+        p = np.zeros((arr.shape[0], arr.shape[1] + 2), dtype=np.int8)
+        p[:, 1:-1] = arr
+        d = np.diff(p, axis=1)
+        flat = d.reshape(-1)
+        starts = np.flatnonzero(flat == 1)
+        ends = np.flatnonzero(flat == -1)
+        for ln in np.unique(ends - starts):
+            g = math.gcd(g, int(ln))
+            if g == 1:
+                return 1
+    return min(max(g, 1), cap)
+
+
+def _ocr_binary_scaled(b: np.ndarray) -> list[dict]:
+    """OCR a binary page at whatever scan resolution it arrived in:
+    estimate the integer upscale k, phase-align on the first ink pixel
+    (block boundaries of an exact upscale), sample the k-grid down to
+    the 1 px/pt frame, OCR there, and map line boxes back to FULL-frame
+    pixel coords. Falls back to k=1 when the k attempt rejects."""
+    if not b.any():
+        return []
+    k = _run_length_gcd(b)
+    for kk in ([k, 1] if k > 1 else [1]):
+        if kk == 1:
+            lines = _ocr_binary(b)
+            if lines:
+                return lines
+            continue
+        # phase-align on the first ink pixel: in an exact kk-upscale,
+        # ink always starts on a block boundary
+        ys, xs = np.nonzero(b)
+        phy, phx = int(ys.min()) % kk, int(xs.min()) % kk
+        sh = (b.shape[0] - phy) // kk
+        sw = (b.shape[1] - phx) // kk
+        if sh < 1 or sw < 1:
+            continue
+        win = b[phy:phy + sh * kk, phx:phx + sw * kk]
+        sub = np.ascontiguousarray(win[::kk, ::kk])
+        # verify the upscale hypothesis EXACTLY: every kk-block constant
+        # (a solid photo blob passes the run-length gcd but fails here)
+        if not (win.reshape(sh, kk, sw, kk)
+                == sub[:, None, :, None]).all():
+            continue
+        lines = _ocr_binary(sub)
+        if lines:
+            for ln in lines:
+                ln["x0"] = ln["x0"] * kk + phx
+                ln["x1"] = ln["x1"] * kk + phx
+                ln["y0"] = ln["y0"] * kk + phy
+                ln["y1"] = ln["y1"] * kk + phy
+            return lines
+    return []
+
+
 def ocr_page(img: np.ndarray) -> list[dict]:
-    """Detect + recognize glyph-font text anywhere on a page bitmap.
-    Returns one dict per text line — {"text", "x0", "x1", "y0", "y1"} in
-    pixel coords of the full CELL-frame line box — or [] when the image
-    does not look like glyph-font text (photo/noise: some ink component
-    exceeds the 5x7 cell), so callers can keep it as a figure."""
+    """Detect + recognize glyph-font text anywhere on a page bitmap, at
+    any integer scan resolution (1 px/pt, 2x, 3x … — scale estimated
+    from ink-run lengths). Returns one dict per text line — {"text",
+    "x0", "x1", "y0", "y1"} in pixel coords of the full CELL-frame line
+    box at the INPUT resolution — or [] when the image does not look
+    like glyph-font text (photo/noise: some ink component exceeds the
+    glyph cell, or a glyph pattern is beyond the Hamming cap), so
+    callers can keep it as a figure."""
+    if img.ndim == 3:
+        img = img.mean(axis=2).astype(np.uint8)
+    return _ocr_binary_scaled((img > 127).astype(np.uint8))
+
+
+def ocr_page_oriented(img: np.ndarray) -> tuple[list[dict], int,
+                                                tuple[int, int]]:
+    """Orientation-searching OCR for scanner feeds: try the page as-is,
+    then 180 (upside-down feed), then 90/270 (sideways feed) — the role
+    of the reference OCR's angle classifier. Returns (lines, rot,
+    (h, w)) where ``lines`` are in the CORRECTED (derotated) frame of
+    dimensions (h, w) and ``rot`` is the np.rot90 count that corrects
+    the input. Wrong orientations reject (the Hamming cap) rather than
+    read mirrored glyphs, so the search is unambiguous on real text."""
     if img.ndim == 3:
         img = img.mean(axis=2).astype(np.uint8)
     b = (img > 127).astype(np.uint8)
+    if not b.any():
+        return [], 0, b.shape
+    for rot in (0, 2, 1, 3):
+        rb = np.rot90(b, rot) if rot else b
+        lines = _ocr_binary_scaled(rb)
+        if lines:
+            return lines, rot, rb.shape
+    return [], 0, b.shape
+
+
+def _ocr_binary(b: np.ndarray) -> list[dict]:
+    """Core det/rec over a 1 px/pt binary page (see ocr_page)."""
     if not b.any():
         return []
     row_ink = b.any(axis=1)

@@ -236,19 +236,25 @@ def build_pdf(pages: list[list[tuple[float, float, float, str]]],
 
 def build_scanned_pdf(pages: list[list[str]],
                       media_box: tuple[float, float] = (612.0, 792.0),
-                      margin_px: int = 36) -> bytes:
+                      margin_px: int = 36, dpi_scale: int = 1,
+                      feed_rot: int = 0) -> bytes:
     """Scanner-output-shaped PDF: each page is ONE full-page /Image
     XObject (Flate DeviceGray 8-bit) placed by a page-filling CTM, with
     NO text layer — the input class the reference sends to its OCR
     det/rec models (pdf_parser.py:994-1113 rasterize → ocr.py:70-398).
     ``pages`` = per page a list of text lines, rendered with the
     deterministic 5x7 glyph font (functions/glyphs.render_text) at
-    1 px/pt onto a page-sized canvas, text block at (margin_px,
-    margin_px) from the top-left. Deterministic bytes for given input."""
+    ``dpi_scale`` px/pt (scanner resolution: 1 = 72 dpi, 2 = 144 dpi …)
+    onto a page-sized canvas, text block at (margin_px, margin_px)
+    pseudo-points from the top-left. ``feed_rot`` = number of CCW
+    quarter-turns the scanner fed the page at (2 = upside down; 1/3 =
+    sideways, which also swaps the stored image dims and MediaBox as a
+    real scanner would). Deterministic bytes for given input."""
     from .glyphs import render_text
 
     w, h = media_box
-    iw, ih = int(w), int(h)
+    k = max(1, int(dpi_scale))
+    iw, ih = int(w) * k, int(h) * k
     n_pages = len(pages)
     objs: list[bytes] = []
     page_ids = [3 + 3 * i for i in range(n_pages)]
@@ -262,20 +268,28 @@ def build_scanned_pdf(pages: list[list[str]],
         canvas = np.zeros((ih, iw), dtype=np.uint8)
         if lines:
             block = render_text(list(lines))
-            bh = min(block.shape[0], ih - margin_px)
-            bw = min(block.shape[1], iw - margin_px)
-            canvas[margin_px:margin_px + bh,
-                   margin_px:margin_px + bw] = block[:bh, :bw]
+            if k > 1:
+                block = np.kron(block, np.ones((k, k), dtype=np.uint8))
+            m = margin_px * k
+            bh = min(block.shape[0], ih - m)
+            bw = min(block.shape[1], iw - m)
+            canvas[m:m + bh, m:m + bw] = block[:bh, :bw]
+        if feed_rot % 4:
+            canvas = np.ascontiguousarray(np.rot90(canvas, feed_rot % 4))
+        ph_, pw_ = canvas.shape
+        pw_pt, ph_pt = (w, h) if feed_rot % 2 == 0 else (h, w)
         z = zlib.compress(canvas.tobytes(), 6)
-        content = f"q {w:g} 0 0 {h:g} 0 0 cm /Im0 Do Q".encode()
+        content = f"q {pw_pt:g} 0 0 {ph_pt:g} 0 0 cm /Im0 Do Q".encode()
         objs.append(
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w:g} {h:g}] "
+            f"<< /Type /Page /Parent 2 0 R "
+            f"/MediaBox [0 0 {pw_pt:g} {ph_pt:g}] "
             f"/Resources << /XObject << /Im0 {page_ids[i] + 2} 0 R >> >> "
             f"/Contents {page_ids[i] + 1} 0 R >>".encode())
         objs.append(b"<< /Length " + str(len(content)).encode()
                     + b" >>\nstream\n" + content + b"\nendstream")
         objs.append(
-            f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+            f"<< /Type /XObject /Subtype /Image /Width {pw_} "
+            f"/Height {ph_} "
             f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
             f"/Filter /FlateDecode /Length {len(z)} "
             f">>\nstream\n".encode() + z + b"\nendstream")
@@ -1414,12 +1428,15 @@ def _ocr_image_boxes(payload_b64: str, ctm, disp, ph: float, scale: float,
     spans (same dict shape as the text-layer path, so layout inference
     and templates downstream cannot tell a scan from a text PDF). Line
     pixel geometry maps through the placement CTM into device points,
-    then through the page display transform. Returns [] when the image
-    does not decode or is not glyph-font text."""
+    then through the page display transform. Sideways/upside-down
+    scanner feeds are detected and corrected (glyphs.ocr_page_oriented)
+    — geometry is then interpreted in the corrected frame, so reading
+    order and header/footer bands survive the feed rotation. Returns []
+    when the image does not decode or is not glyph-font text."""
     import base64
 
     from ..schemas import make_span
-    from .glyphs import ocr_page
+    from .glyphs import ocr_page_oriented
     from .image_ops import decode_image
 
     if not payload_b64:
@@ -1430,10 +1447,9 @@ def _ocr_image_boxes(payload_b64: str, ctm, disp, ph: float, scale: float,
         return []
     if arr.ndim == 3:
         arr = arr.mean(axis=2).astype("uint8")
-    px_h, px_w = arr.shape[:2]
-    if px_h < 1 or px_w < 1:
+    if arr.shape[0] < 1 or arr.shape[1] < 1:
         return []
-    lines = ocr_page(arr)
+    lines, _rot, (px_h, px_w) = ocr_page_oriented(arr)
     a, _b, _c, d, e, f = ctm
     iw, ih = abs(a), abs(d)
     out: list[dict] = []

@@ -34,7 +34,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.478, "pdf"), (0.49, "scan"),
         (0.992, "picture"), (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 23
+CORPUS_VERSION = 24
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -595,9 +595,18 @@ def _gen_scan(r: random.Random, doc_id: str) -> list[dict]:
         lines.extend([""] * (100 - len(lines)))
         lines.append(f"PAGE {page + 1}/{n_pages}")
         pages.append(lines)
+    # scanner variation: resolution 72/144/216 dpi and occasional
+    # upside-down or sideways feeds — the OCR side detects both
+    # (glyphs._run_length_gcd scale estimate + ocr_page_oriented)
+    u = r.random()
+    dpi_scale = 1 if u < 0.6 else (2 if u < 0.85 else 3)
+    v = r.random()
+    feed_rot = 0 if v < 0.80 else (2 if v < 0.92 else (1 if v < 0.96
+                                                       else 3))
     payload = base64.b64encode(
-        build_scanned_pdf(pages, media_box=(600.0, 1000.0),
-                          margin_px=36)).decode("ascii")
+        build_scanned_pdf(pages, media_box=(600.0, 1000.0), margin_px=36,
+                          dpi_scale=dpi_scale,
+                          feed_rot=feed_rot)).decode("ascii")
     return [make_span("pdf", payload)]
 
 

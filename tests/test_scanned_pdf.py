@@ -14,9 +14,11 @@ from hypothesis import strategies as st
 
 from ragflow_core16_ray.config import ExtractConfig
 from ragflow_core16_ray.functions.glyphs import (CELL_H, CELL_W, PITCH_X,
-                                                 _FONT_ROWS, _tight,
+                                                 _FONT_ROWS,
+                                                 _run_length_gcd, _tight,
                                                  _tight_templates,
                                                  normalize_text, ocr_page,
+                                                 ocr_page_oriented,
                                                  render_text)
 from ragflow_core16_ray.functions.pdf_bytes import (build_pdf,
                                                     build_scanned_pdf,
@@ -97,6 +99,52 @@ def test_ocr_page_roundtrips_any_font_text(lines):
     assert got == [e for e in (ln.strip() for ln in rendered) if e]
 
 
+# ----------------------------------------------- scale + orientation ----
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_ocr_page_reads_higher_dpi_scans(k):
+    """A k-times nearest-neighbor upscale (higher scanner DPI) reads the
+    same text; line geometry comes back in INPUT-resolution pixels."""
+    base = render_text(["HELLO WORLD 42", "SECOND LINE."])
+    img = np.kron(base, np.ones((k, k), dtype=np.uint8))
+    page = np.zeros((img.shape[0] + 50, img.shape[1] + 73), dtype=np.uint8)
+    page[31:31 + img.shape[0], 57:57 + img.shape[1]] = img
+    lines = ocr_page(page)
+    assert [d["text"] for d in lines] == ["HELLO WORLD 42", "SECOND LINE."]
+    assert lines[0]["y1"] - lines[0]["y0"] == CELL_H * k
+    assert lines[1]["y0"] - lines[0]["y0"] == 9 * k
+
+
+def test_run_length_gcd():
+    base = render_text(["MIXED RUN LENGTHS: A-B!"])
+    assert _run_length_gcd(base) == 1
+    assert _run_length_gcd(np.kron(base, np.ones((3, 3),
+                                                 dtype=np.uint8))) == 3
+
+
+@pytest.mark.parametrize("rot", [0, 1, 2, 3])
+def test_ocr_page_oriented_corrects_feed_rotation(rot):
+    img = render_text(["UPSIDE DOWN FEED?", "SECOND LINE HERE."])
+    page = np.zeros((240, 300), dtype=np.uint8)
+    page[61:61 + img.shape[0], 43:43 + img.shape[1]] = img
+    fed = np.rot90(page, -rot).copy()   # scanner rotated the page CW
+    lines, got_rot, (h, w) = ocr_page_oriented(fed)
+    assert [d["text"] for d in lines] == ["UPSIDE DOWN FEED?",
+                                          "SECOND LINE HERE."]
+    # corrected frame matches the original page dims and geometry
+    assert (h, w) == page.shape
+    assert lines[0]["y0"] == 61 + 2 and lines[1]["y0"] - lines[0]["y0"] == 9
+    if rot == 0:
+        assert got_rot == 0
+
+
+def test_rotated_text_rejected_without_orientation_search():
+    """Plain ocr_page must NOT garbage-read a rotated page — the Hamming
+    cap rejects mirrored glyph patterns outright."""
+    img = render_text(["GLYPHS DO NOT SURVIVE TURNS", "EXCEPT SYMMETRIC"])
+    assert ocr_page(np.rot90(img, 2).copy()) == []
+
+
 # --------------------------------------------------- scanned PDF bytes ----
 
 def test_scanned_pdf_roundtrip_boxes():
@@ -139,6 +187,20 @@ def test_scanned_page_with_unreadable_image_stays_figure():
     assert "image" in kinds
     figs = [json.loads(s["text"]) for s in spans if s["kind"] == "box"]
     assert figs and all(d.get("lay") == "figure" for d in figs)
+
+
+@pytest.mark.parametrize("dpi,rot", [(2, 0), (1, 2), (3, 1), (2, 3)])
+def test_scanned_pdf_dpi_and_feed_rotation(dpi, rot):
+    """Higher-DPI and rotated scanner feeds decode to the same text in
+    reading order; tops stay increasing in the corrected frame."""
+    pdf = build_scanned_pdf(
+        [["FIRST PAGE TITLE", "", "BODY LINE ONE.", "BODY LINE TWO."]],
+        media_box=(600.0, 1000.0), dpi_scale=dpi, feed_rot=rot)
+    boxes = pdf_to_boxes(pdf)
+    assert _box_texts(boxes) == ["FIRST PAGE TITLE", "BODY LINE ONE.",
+                                 "BODY LINE TWO."]
+    ds = [json.loads(s["text"]) for s in boxes]
+    assert ds[0]["top"] < ds[1]["top"] < ds[2]["top"]
 
 
 def test_mixed_doc_text_page_and_scanned_page():
