@@ -1436,7 +1436,7 @@ def _ocr_image_boxes(payload_b64: str, ctm, disp, ph: float, scale: float,
     import base64
 
     from ..schemas import make_span
-    from .glyphs import ocr_page_oriented
+    from .glyphs import CELL_H, CELL_W, PITCH_X, ocr_page_oriented
     from .image_ops import decode_image
 
     if not payload_b64:
@@ -1453,26 +1453,76 @@ def _ocr_image_boxes(payload_b64: str, ctm, disp, ph: float, scale: float,
     a, _b, _c, d, e, f = ctm
     iw, ih = abs(a), abs(d)
     out: list[dict] = []
-    for ln in lines:
-        txt = ln["text"].strip()
-        if not txt:
-            continue
+
+    def emit(txt: str, px0: float, px1: float, py0: float, py1: float,
+             lay: str | None) -> None:
         # pixel rows count from the image TOP; device y is bottom-up
-        x0_pt = e + iw * ln["x0"] / px_w
-        x1_pt = e + iw * ln["x1"] / px_w
-        ytop_pt = f + ih * (1 - ln["y0"] / px_h)
-        ybot_pt = f + ih * (1 - ln["y1"] / px_h)
+        x0_pt = e + iw * px0 / px_w
+        x1_pt = e + iw * px1 / px_w
+        ytop_pt = f + ih * (1 - py0 / px_h)
+        ybot_pt = f + ih * (1 - py1 / px_h)
         (dx0, dy0), (dx1, dy1) = disp(x0_pt, ybot_pt), disp(x1_pt, ytop_pt)
-        x0d, x1d = min(dx0, dx1), max(dx0, dx1)
-        y0d, y1d = min(dy0, dy1), max(dy0, dy1)
+        box = {"t": txt, "x0": round(min(dx0, dx1) * scale, 2),
+               "x1": round(max(dx0, dx1) * scale, 2),
+               "top": round((ph - max(dy0, dy1)) * scale, 2),
+               "bot": round((ph - min(dy0, dy1)) * scale, 2),
+               "page": page_no}
+        if lay is not None:
+            box["lay"] = lay
         out.append(make_span("box", json.dumps(
-            {"t": txt, "x0": round(x0d * scale, 2),
-             "x1": round(x1d * scale, 2),
-             "top": round((ph - y1d) * scale, 2),
-             "bot": round((ph - y0d) * scale, 2),
-             "page": page_no},
-            ensure_ascii=False, sort_keys=True)))
+            box, ensure_ascii=False, sort_keys=True)))
+
+    for ln, segs in _detect_scan_tables(lines):
+        if segs is None:
+            txt = ln["text"].strip()
+            if txt:
+                emit(txt, ln["x0"], ln["x1"], ln["y0"], ln["y1"], None)
+            continue
+        # tabular line: one box per cell segment, tagged lay=table and
+        # emitted contiguously so extract_pdfish's auto-tno run grouping
+        # keeps one table per aligned region; the char grid is monospaced
+        # (pen reconstruction), so segment x comes from the char index
+        k = max(1, (ln["y1"] - ln["y0"]) // CELL_H)
+        for i0, i1, seg in segs:
+            sx0 = ln["x0"] + i0 * PITCH_X * k
+            sx1 = ln["x0"] + (i1 - 1) * PITCH_X * k + CELL_W * k
+            emit(seg, sx0, sx1, ln["y0"], ln["y1"], "table")
     return out
+
+
+_SCAN_SEG_RE = re.compile(r"\S+(?: {1,2}\S+)*")
+
+
+def _detect_scan_tables(lines: list[dict]) -> list[tuple[dict, list | None]]:
+    """Tabular-region detection over OCR'd page lines — the role of the
+    reference's table-structure recognizer on scanned input
+    (deepdoc/vision/table_structure_recognizer.py:29-92), re-expressed
+    for the monospaced glyph frame: a line splits into cell segments at
+    runs of >=3 spaces; >=2 CONSECUTIVE lines whose segments start at
+    IDENTICAL char columns (left-aligned layout) form a table region.
+    Returns one (line, segments|None) per line — segments =
+    [(start_char, end_char, text)] for table lines, None for prose."""
+    seg_of: list[list[tuple[int, int, str]]] = []
+    for ln in lines:
+        seg_of.append([(m.start(), m.end(), m.group())
+                       for m in _SCAN_SEG_RE.finditer(ln["text"])])
+    is_table = [False] * len(lines)
+    i = 0
+    while i < len(lines):
+        starts = tuple(s[0] for s in seg_of[i])
+        if len(starts) < 2:
+            i += 1
+            continue
+        j = i + 1
+        while (j < len(lines)
+               and tuple(s[0] for s in seg_of[j]) == starts):
+            j += 1
+        if j - i >= 2:
+            for t in range(i, j):
+                is_table[t] = True
+        i = j
+    return [(ln, seg_of[ix] if is_table[ix] else None)
+            for ix, ln in enumerate(lines)]
 
 
 def _image_payload(objs: dict[int, bytes], num: int) -> tuple[str, str]:

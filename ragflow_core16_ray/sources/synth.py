@@ -34,7 +34,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.478, "pdf"), (0.49, "scan"),
         (0.992, "picture"), (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 24
+CORPUS_VERSION = 25
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -590,6 +590,21 @@ def _gen_scan(r: random.Random, doc_id: str) -> list[dict]:
         for _ in range(r.randint(3, 9)):
             sent = normalize_text(_words(r, r.randint(3, 8)).upper())
             lines.append(sent.strip() + ".")
+        if r.random() < 0.35:
+            # an aligned table block: left-justified columns separated by
+            # >=3 spaces — recovered by pdf_bytes._detect_scan_tables +
+            # grid inference into a real table chunk
+            widths = (14, 8, 8)
+            rows = [("ITEM", "QTY", "PRICE")]
+            for _ in range(r.randint(2, 5)):
+                rows.append((normalize_text(_words(r, 1).upper())[:10],
+                             str(r.randint(1, 99)),
+                             str(r.randint(100, 999))))
+            lines.append("")
+            lines.extend("".join(c.ljust(w) for c, w in
+                                 zip(row, widths)).rstrip()
+                         for row in rows)
+            lines.append("")
         # footer in the bottom margin band (top > 92%): blank-pad so the
         # page-number line lands at pixel row 36 + 100*9 = 936
         lines.extend([""] * (100 - len(lines)))

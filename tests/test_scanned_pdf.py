@@ -232,6 +232,58 @@ def test_scanned_pdf_through_extract_doc():
     assert "PAGE 1" not in text
 
 
+def test_scanned_table_recovers_cells_and_rows():
+    """An aligned multi-space column block on a scanned page comes back
+    as per-cell table boxes (lay=table) and extracts to header-keyed
+    table rows — the role of TSR over scanned input
+    (table_structure_recognizer.py:29-92)."""
+    lines = (["DOC HEADER", "", "", "", "", "",
+              "SOME BODY SENTENCE HERE.",
+              "",
+              "ITEM          QTY     PRICE",
+              "ALPHA         2       300",
+              "BETA          17      925",
+              "",
+              "MORE PROSE AFTER THE TABLE."]
+             + [""] * 87 + ["PAGE 1/1"])
+    pdf = build_scanned_pdf([lines], media_box=(600.0, 1000.0))
+    boxes = pdf_to_boxes(pdf)
+    cells = [json.loads(s["text"]) for s in boxes
+             if json.loads(s["text"]).get("lay") == "table"]
+    assert [c["t"] for c in cells] == ["ITEM", "QTY", "PRICE",
+                                       "ALPHA", "2", "300",
+                                       "BETA", "17", "925"]
+    # column alignment: same x0 within a column, distinct across
+    assert cells[0]["x0"] == cells[3]["x0"] == cells[6]["x0"]
+    assert cells[0]["x0"] < cells[1]["x0"] < cells[2]["x0"]
+    spans = finalize_offsets(expand_pdf_spans(
+        [make_span("pdf", base64.b64encode(pdf).decode("ascii"))]))
+    _tmpl, out, _ = extract_doc(spans, ExtractConfig())
+    rows = [s["text"] for s in out if s["kind"] == "table_row"]
+    assert rows == ["ITEM：ALPHA; QTY：2; PRICE：300",
+                    "ITEM：BETA; QTY：17; PRICE：925"]
+    texts = " ".join(s["text"] for s in out)
+    assert "SOME BODY SENTENCE HERE." in texts
+    assert "MORE PROSE AFTER THE TABLE." in texts
+
+
+def test_scan_table_detection_requires_aligned_run():
+    """A single multi-segment line (no aligned neighbor) stays prose;
+    misaligned multi-segment lines stay prose."""
+    from ragflow_core16_ray.functions.pdf_bytes import _detect_scan_tables
+
+    mk = lambda t, y: {"text": t, "x0": 0, "x1": 10, "y0": y, "y1": y + 7}
+    # one tabular-looking line alone
+    got = _detect_scan_tables([mk("A    B", 0), mk("PLAIN PROSE", 9)])
+    assert [s for _, s in got] == [None, None]
+    # two lines with different column starts
+    got = _detect_scan_tables([mk("AA    B", 0), mk("A    BB", 9)])
+    assert [s for _, s in got] == [None, None]
+    # two aligned lines -> both tables
+    got = _detect_scan_tables([mk("AA    B", 0), mk("XY    Z", 9)])
+    assert all(s is not None and len(s) == 2 for _, s in got)
+
+
 def test_scan_archetype_generates_and_extracts():
     from ragflow_core16_ray.sources.synth import gen_doc
 
