@@ -1378,20 +1378,24 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
             iw, ih = abs(a), abs(d)
             if iw < 1 or ih < 1:
                 continue
-            payload, note = _image_payload(objs, num)
-            if note in ("not-an-image", "no-dims", "no-stream"):
-                continue
             if not shows:
                 # page has NO text layer: scanned-page territory — run
                 # the det/rec OCR over the placed image (the reference
                 # rasterizes and OCRs every such page, pdf_parser.py:
-                # 994-1113 + deepdoc/vision/ocr.py). Recognized lines
-                # REPLACE the figure; unreadable images stay figures.
-                ocr_boxes = _ocr_image_boxes(
-                    payload, ctm, disp, ph, scale, page_no)
-                if ocr_boxes:
-                    spans.extend(ocr_boxes)
-                    continue
+                # 994-1113 + deepdoc/vision/ocr.py), decoded straight
+                # to pixels (no PNG transcode round-trip). Recognized
+                # lines REPLACE the figure; unreadable images stay
+                # figures.
+                arr, _anote = _image_array(objs, num)
+                if arr is not None:
+                    ocr_boxes = _ocr_image_boxes(
+                        arr, ctm, disp, ph, scale, page_no)
+                    if ocr_boxes:
+                        spans.extend(ocr_boxes)
+                        continue
+            payload, note = _image_payload(objs, num)
+            if note in ("not-an-image", "no-dims", "no-stream"):
+                continue
             # placement rect corners through the display transform
             (cx0, cy0), (cx1, cy1) = disp(e, f), disp(e + iw, f + ih)
             x0d, x1d = min(cx0, cx1), max(cx0, cx1)
@@ -1422,29 +1426,21 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
     return spans
 
 
-def _ocr_image_boxes(payload_b64: str, ctm, disp, ph: float, scale: float,
+def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
                      page_no: int) -> list[dict]:
-    """OCR a placed image on a textless page into ordinary text-box
-    spans (same dict shape as the text-layer path, so layout inference
-    and templates downstream cannot tell a scan from a text PDF). Line
-    pixel geometry maps through the placement CTM into device points,
-    then through the page display transform. Sideways/upside-down
-    scanner feeds are detected and corrected (glyphs.ocr_page_oriented)
-    — geometry is then interpreted in the corrected frame, so reading
-    order and header/footer bands survive the feed rotation. Returns []
-    when the image does not decode or is not glyph-font text."""
-    import base64
-
+    """OCR a placed image (decoded pixel array) on a textless page into
+    ordinary text-box spans (same dict shape as the text-layer path, so
+    layout inference and templates downstream cannot tell a scan from a
+    text PDF). Line pixel geometry maps through the placement CTM into
+    device points, then through the page display transform.
+    Sideways/upside-down scanner feeds are detected and corrected
+    (glyphs.ocr_page_oriented) — geometry is then interpreted in the
+    corrected frame, so reading order and header/footer bands survive
+    the feed rotation. Returns [] when the image is not glyph-font
+    text."""
     from ..schemas import make_span
     from .glyphs import CELL_H, CELL_W, PITCH_X, ocr_page_oriented
-    from .image_ops import decode_image
 
-    if not payload_b64:
-        return []
-    try:
-        arr = decode_image(base64.b64decode(payload_b64))
-    except Exception:  # noqa: BLE001 — undecodable: keep as figure
-        return []
     if arr.ndim == 3:
         arr = arr.mean(axis=2).astype("uint8")
     if arr.shape[0] < 1 or arr.shape[1] < 1:
@@ -1525,6 +1521,52 @@ def _detect_scan_tables(lines: list[dict]) -> list[tuple[dict, list | None]]:
             for ix, ln in enumerate(lines)]
 
 
+def _image_array(objs: dict[int, bytes], num: int):
+    """(numpy pixel array | None, note) for an /Image XObject — decoded
+    STRAIGHT to pixels, no container round-trip (the OCR path reads
+    this; transcoding to PNG and decoding it back would double the
+    cost of every scanned page). 8-bit Flate/raw DeviceGray/DeviceRGB
+    inflate + reshape; DCTDecode goes through the in-house JPEG
+    decoder; anything else returns None with the reason note."""
+    body = objs.get(num)
+    if body is None or not re.search(rb"/Subtype\s*/Image", body):
+        return None, "not-an-image"
+    wm = re.search(rb"/Width\s+(\d+)", body)
+    hm = re.search(rb"/Height\s+(\d+)", body)
+    if not (wm and hm):
+        return None, "no-dims"
+    w, h = int(wm.group(1)), int(hm.group(1))
+    payload = _stream_payload(body, objs)
+    if payload is None:
+        return None, "no-stream"
+    if re.search(rb"/DCTDecode\b", body):
+        try:
+            from .image_ops import decode_image
+
+            return decode_image(payload), "jpeg"
+        except Exception:  # noqa: BLE001 — corrupt JPEG: not decodable
+            return None, "bad-jpeg"
+    if re.search(rb"/DecodeParms\b|/SMask\b|/ImageMask\b", body):
+        return None, "unsupported-params"
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", body)
+    if not bm or int(bm.group(1)) != 8:
+        return None, "unsupported-depth"
+    if re.search(rb"/FlateDecode\b", body):
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            return None, "bad-deflate"
+    import numpy as np
+
+    if re.search(rb"/DeviceRGB\b", body) and len(payload) >= w * h * 3:
+        return np.frombuffer(payload[:w * h * 3],
+                             dtype=np.uint8).reshape(h, w, 3), "rgb"
+    if re.search(rb"/DeviceGray\b", body) and len(payload) >= w * h:
+        return np.frombuffer(payload[:w * h],
+                             dtype=np.uint8).reshape(h, w), "gray"
+    return None, "unsupported-colorspace"
+
+
 def _image_payload(objs: dict[int, bytes], num: int) -> tuple[str, str]:
     """(base64 payload, note) for an /Image XObject. DCTDecode streams
     ARE JPEG files — they pass through for the in-house JPEG decoder;
@@ -1536,38 +1578,19 @@ def _image_payload(objs: dict[int, bytes], num: int) -> tuple[str, str]:
     body = objs.get(num)
     if body is None or not re.search(rb"/Subtype\s*/Image", body):
         return "", "not-an-image"
-    wm = re.search(rb"/Width\s+(\d+)", body)
-    hm = re.search(rb"/Height\s+(\d+)", body)
-    if not (wm and hm):
+    if not (re.search(rb"/Width\s+\d+", body)
+            and re.search(rb"/Height\s+\d+", body)):
         return "", "no-dims"
-    w, h = int(wm.group(1)), int(hm.group(1))
-    payload = _stream_payload(body, objs)
-    if payload is None:
-        return "", "no-stream"
     if re.search(rb"/DCTDecode\b", body):
+        payload = _stream_payload(body, objs)
+        if payload is None:
+            return "", "no-stream"
         return base64.b64encode(payload).decode("ascii"), "jpeg"
-    if re.search(rb"/DecodeParms\b|/SMask\b|/ImageMask\b", body):
-        return "", "unsupported-params"
-    bm = re.search(rb"/BitsPerComponent\s+(\d+)", body)
-    if not bm or int(bm.group(1)) != 8:
-        return "", "unsupported-depth"
-    if re.search(rb"/FlateDecode\b", body):
-        try:
-            payload = zlib.decompress(payload)
-        except zlib.error:
-            return "", "bad-deflate"
-    import numpy as np
-
+    arr, note = _image_array(objs, num)
+    if arr is None:
+        return "", note
     from .png import encode_png
 
-    if re.search(rb"/DeviceRGB\b", body) and len(payload) >= w * h * 3:
-        arr = np.frombuffer(payload[:w * h * 3],
-                            dtype=np.uint8).reshape(h, w, 3)
-    elif re.search(rb"/DeviceGray\b", body) and len(payload) >= w * h:
-        arr = np.frombuffer(payload[:w * h],
-                            dtype=np.uint8).reshape(h, w)
-    else:
-        return "", "unsupported-colorspace"
     return base64.b64encode(encode_png(arr)).decode("ascii"), "png"
 
 

@@ -138,6 +138,16 @@ def test_ocr_page_oriented_corrects_feed_rotation(rot):
         assert got_rot == 0
 
 
+def test_ocr_page_tolerates_small_glyph_noise():
+    """A pixel flipped ON strictly inside a glyph's tight frame stays
+    within the Hamming cap — the line still reads correctly."""
+    img = render_text(["HELLO WORLD"]).copy()
+    # the hollow center of the 'O' (5th char: cell x0=2+4*6, mid row/col)
+    assert img[5, 28] == 0
+    img[5, 28] = 255
+    assert [d["text"] for d in ocr_page(img)] == ["HELLO WORLD"]
+
+
 def test_rotated_text_rejected_without_orientation_search():
     """Plain ocr_page must NOT garbage-read a rotated page — the Hamming
     cap rejects mirrored glyph patterns outright."""
