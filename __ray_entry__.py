@@ -847,6 +847,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: text_analysis.encoding_quality(sf),
         "copurchase_pairs":
             lambda sf: relational.copurchase_pairs(sf),
+        # iterative graph algorithm as Pregel supersteps over Dataset
+        # shuffles (weighted PageRank on the co-purchase graph)
+        "copurchase_pagerank":
+            lambda sf: relational.copurchase_pagerank(sf),
         # anchor-text aggregation over the outlink graph (rows-only:
         # markup lives in the interleaved corpus, not the documents
         # table; fixture pytest pins hand counts)
@@ -3557,6 +3561,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
                CAST(n AS BIGINT) AS n
         FROM pr ORDER BY n DESC, pa, pb LIMIT 20
+    """
+    out["copurchase_pagerank"] = r"""
+        WITH lp AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), pp AS (
+          SELECT a.pk AS src, b.pk AS dst
+          FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk
+        ), edges AS (
+          SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM pp GROUP BY 1, 2
+        ), deg AS (
+          SELECT src, SUM(w) AS wd FROM edges GROUP BY 1
+        ), ew AS (
+          SELECT e.src, e.dst, e.w / d.wd AS f
+          FROM edges e JOIN deg d ON d.src = e.src
+        ), nodes AS (
+          SELECT DISTINCT src AS pk FROM edges
+        ), r0 AS (
+          SELECT pk, CAST(1.0 AS DOUBLE) AS r FROM nodes
+        ), c1 AS (
+          SELECT ew.dst AS pk, SUM(ew.f * r0.r) AS s
+          FROM ew JOIN r0 ON r0.pk = ew.src GROUP BY ew.dst
+        ), r1 AS (
+          SELECT n.pk, CAST(0.15 AS DOUBLE)
+                 + CAST(0.85 AS DOUBLE) * COALESCE(c1.s, 0) AS r
+          FROM nodes n LEFT JOIN c1 ON c1.pk = n.pk
+        ), c2 AS (
+          SELECT ew.dst AS pk, SUM(ew.f * r1.r) AS s
+          FROM ew JOIN r1 ON r1.pk = ew.src GROUP BY ew.dst
+        ), r2 AS (
+          SELECT n.pk, CAST(0.15 AS DOUBLE)
+                 + CAST(0.85 AS DOUBLE) * COALESCE(c2.s, 0) AS r
+          FROM nodes n LEFT JOIN c2 ON c2.pk = n.pk
+        ), c3 AS (
+          SELECT ew.dst AS pk, SUM(ew.f * r2.r) AS s
+          FROM ew JOIN r2 ON r2.pk = ew.src GROUP BY ew.dst
+        ), r3 AS (
+          SELECT n.pk, CAST(0.15 AS DOUBLE)
+                 + CAST(0.85 AS DOUBLE) * COALESCE(c3.s, 0) AS r
+          FROM nodes n LEFT JOIN c3 ON c3.pk = n.pk
+        ), c4 AS (
+          SELECT ew.dst AS pk, SUM(ew.f * r3.r) AS s
+          FROM ew JOIN r3 ON r3.pk = ew.src GROUP BY ew.dst
+        ), r4 AS (
+          SELECT n.pk, CAST(0.15 AS DOUBLE)
+                 + CAST(0.85 AS DOUBLE) * COALESCE(c4.s, 0) AS r
+          FROM nodes n LEFT JOIN c4 ON c4.pk = n.pk
+        ), c5 AS (
+          SELECT ew.dst AS pk, SUM(ew.f * r4.r) AS s
+          FROM ew JOIN r4 ON r4.pk = ew.src GROUP BY ew.dst
+        ), r5 AS (
+          SELECT n.pk, CAST(0.15 AS DOUBLE)
+                 + CAST(0.85 AS DOUBLE) * COALESCE(c5.s, 0) AS r
+          FROM nodes n LEFT JOIN c5 ON c5.pk = n.pk
+        )
+        SELECT CAST(pk AS BIGINT) AS l_partkey,
+               CAST(FLOOR(r * 1e6 + 0.5) AS BIGINT) AS rank_q
+        FROM r5 ORDER BY rank_q DESC, l_partkey LIMIT 100
     """
     out["encoding_quality"] = r"""
         SELECT doc_id,

@@ -1163,6 +1163,151 @@ def copurchase_pairs(sf_dir: str, k: int = 20,
     return out[["pa", "pb", "n"]]
 
 
+def copurchase_pagerank(sf_dir: str, iters: int = 5,
+                        damping: float = 0.85, k: int = 100,
+                        n_buckets: int = 32) -> pd.DataFrame:
+    """Weighted PageRank over the co-purchase graph (nodes = parts,
+    edge weight = number of orders carrying both parts) — the iterative
+    item-centrality step of a recommendation pipeline, and the repo's
+    iterative-graph-algorithm exemplar alongside the label-propagation
+    CC in dedup.py.
+
+    Scale shape (Pregel supersteps as Dataset ops, no driver graph
+    state): edges build bucket-locally like copurchase_pairs (per-order
+    distinct-pair expansion inside an orderkey bucket, pair sums inside
+    a pair-hash bucket), then normalize to per-edge weight fractions
+    f = w / out_strength(src) inside a SRC-hash bucket — materialized
+    ONCE and re-read every superstep. Each iteration is two hash
+    shuffles: (1) ranks co-partition with edges on the src bucket and
+    each group emits (dst, f·r) contribution partials plus a zero row
+    per node (the dangling/unlinked guard), (2) contributions
+    co-partition on the dst bucket and each group folds
+    r' = (1-d) + d·Σ. The rank state between supersteps is a
+    node-table-sized Dataset, never a driver dict. Result: top-``k``
+    parts by rank, quantized floor(r·1e6+0.5) for the hash-strict
+    oracle, ties broken by partkey."""
+
+    def dedup_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[["l_orderkey", "l_partkey"]].drop_duplicates()
+        okey = g["l_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "bucket": okey % np.int64(n_buckets),
+            "okey": okey,
+            "part": g["l_partkey"].astype("int64")})
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-order pair expansion: self-merge on the order
+        # key (both directions fall out of the product), drop the
+        # diagonal, pre-count bucket-locally (~6x the Python pair loop)
+        d = g[["okey", "part"]].drop_duplicates()
+        m = d.merge(d, on="okey")
+        m = m[m["part_x"] != m["part_y"]]
+        out = (m.groupby(["part_x", "part_y"], sort=False).size()
+               .reset_index(name="w")
+               .rename(columns={"part_x": "src", "part_y": "dst"}))
+        if out.empty:
+            return pd.DataFrame({"src": pd.array([], dtype="int64"),
+                                 "dst": pd.array([], dtype="int64"),
+                                 "w": pd.array([], dtype="int64"),
+                                 "sbucket": pd.array([], dtype="int64")})
+        for c in ("src", "dst", "w"):
+            out[c] = out[c].astype("int64")
+        out["sbucket"] = (out["src"] % np.int64(n_buckets)).astype("int64")
+        return out
+
+    def normalize(g: pd.DataFrame) -> pd.DataFrame:
+        # all edges of these srcs are here (src-hash co-partition):
+        # exact out-strength and weight fractions, bucket-locally
+        ew = (g.groupby(["src", "dst"], sort=False)["w"].sum()
+              .reset_index())
+        wd = ew.groupby("src", sort=False)["w"].transform("sum")
+        return pd.DataFrame({
+            "bucket": (ew["src"] % np.int64(n_buckets)).astype("int64"),
+            "pk": ew["src"].astype("int64"),
+            "dst": ew["dst"].astype("int64"),
+            "f": (ew["w"] / wd).astype("float64"),
+            "r": pd.array([0.0] * len(ew), dtype="float64"),
+            "edge": pd.array([True] * len(ew), dtype="bool")})
+
+    edges = (_t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+             .map_batches(dedup_keys, batch_format="pandas")
+             .repartition(max(1, n_buckets // 4))
+             .groupby("bucket").map_groups(expand, batch_format="pandas")
+             .groupby("sbucket").map_groups(normalize,
+                                            batch_format="pandas")
+             ).materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"l_partkey": pd.array([], dtype="int64"),
+                             "rank_q": pd.array([], dtype="int64")})
+
+    def init_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(g["pk"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "bucket": pk % np.int64(n_buckets),
+            "pk": pd.array(pk, dtype="int64"),
+            "dst": pd.array([-1] * len(pk), dtype="int64"),
+            "f": pd.array([0.0] * len(pk), dtype="float64"),
+            "r": pd.array([1.0] * len(pk), dtype="float64"),
+            "edge": pd.array([False] * len(pk), dtype="bool")})
+
+    ranks = (edges.groupby("bucket")
+             .map_groups(init_ranks, batch_format="pandas")).materialize()
+
+    def contribs(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["edge"]]
+        rk = g[~g["edge"]][["pk", "r"]]
+        m = e.merge(rk, on="pk", how="inner", suffixes=("", "_src"))
+        dst = m["dst"].to_numpy(np.int64)
+        out_d = pd.DataFrame({
+            "bucket": dst % np.int64(n_buckets), "pk": dst,
+            "c": (m["f"] * m["r_src"]).astype("float64")})
+        # zero row per node: keeps inbound-less nodes in the rank table
+        out_n = pd.DataFrame({
+            "bucket": rk["pk"].to_numpy(np.int64) % np.int64(n_buckets),
+            "pk": rk["pk"].astype("int64"),
+            "c": pd.array([0.0] * len(rk), dtype="float64")})
+        return pd.concat([out_d, out_n], ignore_index=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pk", sort=False)["c"].sum().reset_index()
+        pk = s["pk"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": pk % np.int64(n_buckets),
+            "pk": pd.array(pk, dtype="int64"),
+            "dst": pd.array([-1] * len(s), dtype="int64"),
+            "f": pd.array([0.0] * len(s), dtype="float64"),
+            "r": ((1.0 - damping) + damping * s["c"]).astype("float64"),
+            "edge": pd.array([False] * len(s), dtype="bool")})
+
+    # supersteps chain LAZILY — one streaming execution runs all
+    # iterations back to back (edges re-read from the materialized
+    # copy each superstep); only the per-iteration shuffle barriers
+    # synchronize, no driver-side materialization between steps
+    for _ in range(iters):
+        ranks = (edges.union(ranks)
+                 .groupby("bucket").map_groups(contribs,
+                                               batch_format="pandas")
+                 .groupby("bucket").map_groups(fold,
+                                               batch_format="pandas"))
+
+    def topk_partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "l_partkey": g["pk"].astype("int64"),
+            "rank_q": np.floor(g["r"].to_numpy(np.float64) * 1e6
+                               + 0.5).astype("int64")})
+        return (out.sort_values(["rank_q", "l_partkey"],
+                                ascending=[False, True]).head(k))
+
+    out = (ranks.groupby("bucket")
+           .map_groups(topk_partial, batch_format="pandas")
+           .to_pandas()               # ≤ n_buckets·k rows
+           .sort_values(["rank_q", "l_partkey"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    for c in ("l_partkey", "rank_q"):
+        out[c] = out[c].astype("int64")
+    return out[["l_partkey", "rank_q"]]
+
+
 def customer_order_dist(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     """TPC-H Q13-shaped OUTER-JOIN DISTRIBUTION: histogram of
     per-customer order counts, zero-order customers included (the LEFT

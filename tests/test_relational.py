@@ -1130,3 +1130,72 @@ def test_monthly_revenue_growth_first_month_convention(ray_session,
         (202401, 15000, 0),        # first month: growth 0 by convention
         (202402, 20000, 5000),
         (202404, 8000, -12000)]    # gap months simply absent
+
+
+def test_copurchase_pagerank_matches_numpy_replica(ray_session):
+    """The 5-superstep distributed PageRank equals a dense numpy power
+    iteration computed driver-side from the same lineitem table."""
+    import numpy as np
+
+    from ragflow_core16_ray.pipelines.relational import copurchase_pagerank
+
+    got = copurchase_pagerank(SF, iters=5, k=100)
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    d = li.drop_duplicates()
+    m = d.merge(d, on="l_orderkey")
+    m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+    w = (m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+         .reset_index(name="w"))
+    nodes = np.sort(w["l_partkey_x"].unique())
+    idx = {p: i for i, p in enumerate(nodes)}
+    mat = np.zeros((len(nodes), len(nodes)))
+    for r in w.itertuples():
+        mat[idx[r.l_partkey_x], idx[r.l_partkey_y]] = r.w
+    frac = mat / mat.sum(axis=1, keepdims=True)
+    rank = np.ones(len(nodes))
+    for _ in range(5):
+        rank = 0.15 + 0.85 * (frac.T @ rank)
+    q = np.floor(rank * 1e6 + 0.5).astype("int64")
+    rep = (pd.DataFrame({"l_partkey": nodes, "rank_q": q})
+           .sort_values(["rank_q", "l_partkey"], ascending=[False, True])
+           .head(100).reset_index(drop=True))
+    assert got.to_dict("records") == rep.to_dict("records")
+
+
+def test_copurchase_pagerank_hand(ray_session, tmp_path):
+    """Hand-traced 2-iteration star graph: center co-purchased with two
+    leaves; leaves funnel all weight back to the center."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(1, 10), (1, 20), (2, 10), (2, 30)]
+    li = pd.DataFrame({
+        "l_orderkey": pd.array([r[0] for r in rows], dtype="int64"),
+        "l_partkey": pd.array([r[1] for r in rows], dtype="int64"),
+        "l_suppkey": pd.array([1] * len(rows), dtype="int64"),
+        "l_linenumber": pd.array(range(len(rows)), dtype="int32"),
+        "l_quantity": [1.0] * len(rows),
+        "l_extendedprice": [1.0] * len(rows),
+        "l_discount": [0.0] * len(rows),
+        "l_tax": [0.0] * len(rows),
+        "l_returnflag": ["N"] * len(rows),
+        "l_linestatus": ["O"] * len(rows),
+        "l_shipdate": pd.to_datetime(["2024-01-02"] * len(rows))
+        .astype("datetime64[us]"),
+    })
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   str(tmp_path / "lineitem.parquet"))
+    from ragflow_core16_ray.pipelines.relational import copurchase_pagerank
+
+    got = copurchase_pagerank(str(tmp_path), iters=2, k=10)
+    # edges: 10<->20 (w1), 10<->30 (w1); f(10->20)=f(10->30)=0.5,
+    # f(20->10)=f(30->10)=1. r0=1 each.
+    # iter1: r(10)=0.15+0.85*(1+1)=1.85; r(20)=r(30)=0.15+0.85*0.5=0.575
+    # iter2: r(10)=0.15+0.85*(0.575+0.575)=1.1275
+    #        r(20)=r(30)=0.15+0.85*(1.85*0.5)=0.93625
+    assert got.to_dict("records") == [
+        {"l_partkey": 10, "rank_q": 1127500},
+        {"l_partkey": 20, "rank_q": 936250},
+        {"l_partkey": 30, "rank_q": 936250}]
