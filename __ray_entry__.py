@@ -705,6 +705,28 @@ def _audio_segments(sf_dir: str):
     return audio_segments(extracted)
 
 
+def _video_scene_cuts(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import video_scene_cuts
+
+    out_dir = _extract_out(sf_dir)
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"),
+                                columns=["doc_id", "spans"])
+    return video_scene_cuts(extracted)
+
+
+def _audio_vad_segments(sf_dir: str):
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.multimodal import audio_vad_segments
+
+    out_dir = _extract_out(sf_dir)
+    extracted = rd.read_parquet(os.path.join(out_dir, "docs"),
+                                columns=["doc_id", "spans"])
+    return audio_vad_segments(extracted)
+
+
 def _media_collage(sf_dir: str):
     import ray.data as rd
 
@@ -941,6 +963,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-integer motion energy over REAL decoded frame sequences
         # (no-oracle: decode isn't SQL; fixture pins hand-built fades)
         "frame_motion_stats": _frame_motion_stats,
+        # shot-boundary list per animated payload (actor-pool, no
+        # pixel shuffle); energy-VAD speech segments per WAV payload
+        "video_scene_cuts": _video_scene_cuts,
+        "audio_vad_segments": _audio_vad_segments,
         # session-gap calibration curve (sessions per candidate
         # inactivity threshold, one co-partition pass) — hash-strict
         "session_gap_sweep":

@@ -637,6 +637,178 @@ def frame_motion_stats(extracted: rd.Dataset, batch_size: int = 32,
                             concurrency=concurrency or _default_pool())
 
 
+class SceneCuts:
+    """Actor-pool stage: animated in-band payloads → one row per HARD
+    CUT (shot boundary) — the pre-sampling step of a video training
+    pipeline: frames should be drawn per shot, not uniformly across a
+    cut. A transition is a cut when its per-pixel jump dwarfs the
+    clip's own baseline: jump_q ≥ ``ratio`` × (lower-median jump) AND
+    jump_q ≥ ``floor_q`` (≈``floor_q``/1e6 intensity levels per pixel —
+    the absolute guard that keeps lossy-codec shimmer from counting).
+    Exact integer arithmetic throughout; corrupt payloads cost one
+    sentinel row (frame_index −1), never a failed task."""
+
+    def __init__(self, ratio: int = 4, floor_q: int = 5_000_000):
+        self.ratio = ratio
+        self.floor_q = floor_q
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import base64
+
+        from ..functions.image_ops import decode_image_frames
+
+        rows = {"doc_id": [], "media_ref": [], "cut_index": [],
+                "frame_index": [], "t_ms": [], "jump_q": []}
+
+        def add(did, ref, ci, fi, t, j):
+            rows["doc_id"].append(did)
+            rows["media_ref"].append(ref)
+            rows["cut_index"].append(ci)
+            rows["frame_index"].append(fi)
+            rows["t_ms"].append(t)
+            rows["jump_q"].append(j)
+
+        for did, ref, payload in zip(batch["doc_id"], batch["media_ref"],
+                                     batch["payload"]):
+            if not payload:
+                continue          # ref-only media: no pixels to analyze
+            try:
+                delays, frames = decode_image_frames(
+                    base64.b64decode(payload))
+            except Exception:  # noqa: BLE001 — poison containment
+                add(did, ref, -1, -1, -1, -1)
+                continue
+            if len(frames) < 2:
+                continue
+            size = frames[0].size
+            jumps = []
+            for a, b in zip(frames, frames[1:]):
+                tot = int(np.abs(a.astype(np.int64)
+                                 - b.astype(np.int64)).sum())
+                jumps.append((tot * 1_000_000 + size // 2) // size)
+            med = sorted(jumps)[(len(jumps) - 1) // 2]   # lower median
+            ci = 0
+            t_ms = 0
+            for t, j in enumerate(jumps):
+                t_ms += int(delays[t])
+                if j >= self.floor_q and j >= self.ratio * med:
+                    add(did, ref, ci, t + 1, t_ms, j)
+                    ci += 1
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"], "media_ref": rows["media_ref"],
+            "cut_index": pd.array(rows["cut_index"], dtype="int32"),
+            "frame_index": pd.array(rows["frame_index"], dtype="int32"),
+            "t_ms": pd.array(rows["t_ms"], dtype="int64"),
+            "jump_q": pd.array(rows["jump_q"], dtype="int64")})
+
+
+def video_scene_cuts(extracted: rd.Dataset, batch_size: int = 32,
+                     concurrency=None) -> rd.Dataset:
+    """One row per detected hard cut across every animated in-band
+    payload (see SceneCuts). Pixels never shuffle — each clip reduces
+    to its cut list in place on the actor pool."""
+    def explode(batch):
+        return _explode_payload(batch, ("image",), ("image",))
+
+    refs = extracted.map_batches(explode, batch_format="pyarrow")
+    return refs.map_batches(SceneCuts, batch_format="pandas",
+                            batch_size=batch_size,
+                            concurrency=concurrency or _default_pool())
+
+
+class VadSegmenter:
+    """Actor-pool stage: in-band WAV payloads → speech-activity
+    segments by frame energy (the classic energy VAD an ASR pipeline
+    runs before transcription, replacing AudioSegmenter's fixed grid
+    with content-aware boundaries): ``frame_ms`` frames, a frame is
+    ACTIVE when its integer RMS ≥ max(clip RMS / ``thr_div``, 1), and
+    maximal active runs of ≥ ``min_speech_ms`` become segments carrying
+    their own mean frame-RMS. Exact integer output; corrupt payloads
+    cost one sentinel row (seg_index −1); ref-only media skip (energy
+    needs samples)."""
+
+    def __init__(self, frame_ms: int = 20, min_speech_ms: int = 200,
+                 thr_div: int = 4):
+        self.frame_ms = frame_ms
+        self.min_speech_ms = min_speech_ms
+        self.thr_div = thr_div
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import base64
+
+        from ..functions.wav import decode_wav, rms_of
+
+        rows = {"doc_id": [], "media_ref": [], "seg_index": [],
+                "start_ms": [], "end_ms": [], "mean_rms": []}
+
+        def add(did, ref, si, s, e, m):
+            rows["doc_id"].append(did)
+            rows["media_ref"].append(ref)
+            rows["seg_index"].append(si)
+            rows["start_ms"].append(s)
+            rows["end_ms"].append(e)
+            rows["mean_rms"].append(m)
+
+        min_frames = max(1, self.min_speech_ms // self.frame_ms)
+        for did, ref, payload in zip(batch["doc_id"], batch["media_ref"],
+                                     batch["payload"]):
+            if not payload:
+                continue
+            try:
+                rate, samples = decode_wav(base64.b64decode(payload))
+            except Exception:  # noqa: BLE001 — poison containment
+                add(did, ref, -1, -1, -1, -1)
+                continue
+            flen = max(1, rate * self.frame_ms // 1000)
+            n_f = len(samples) // flen
+            if n_f == 0:
+                continue
+            f = samples[:n_f * flen].astype(np.float64).reshape(n_f, flen)
+            frame_rms = np.floor(
+                np.sqrt((f * f).mean(axis=1)) + 0.5).astype(np.int64)
+            thr = max(rms_of(samples) // self.thr_div, 1)
+            active = frame_rms >= thr
+            si = 0
+            i = 0
+            while i < n_f:
+                if not active[i]:
+                    i += 1
+                    continue
+                j = i
+                while j < n_f and active[j]:
+                    j += 1
+                if j - i >= min_frames:
+                    add(did, ref, si, i * self.frame_ms,
+                        j * self.frame_ms,
+                        int(frame_rms[i:j].sum()) // (j - i))
+                    si += 1
+                i = j
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"], "media_ref": rows["media_ref"],
+            "seg_index": pd.array(rows["seg_index"], dtype="int32"),
+            "start_ms": pd.array(rows["start_ms"], dtype="int64"),
+            "end_ms": pd.array(rows["end_ms"], dtype="int64"),
+            "mean_rms": pd.array(rows["mean_rms"], dtype="int64")})
+
+
+def audio_vad_segments(extracted: rd.Dataset, frame_ms: int = 20,
+                       min_speech_ms: int = 200, thr_div: int = 4,
+                       concurrency=None,
+                       batch_size: int = 16) -> rd.Dataset:
+    """Energy-VAD speech segments for every in-band audio payload (see
+    VadSegmenter) — content-aware boundaries next to audio_segments'
+    fixed ASR framing grid."""
+    def explode(batch):
+        return _explode_payload(batch, ("figure", "audio"), ("audio",))
+
+    refs = extracted.map_batches(explode, batch_format="pyarrow")
+    return refs.map_batches(VadSegmenter,
+                            fn_constructor_args=(frame_ms, min_speech_ms,
+                                                 thr_div),
+                            batch_format="pandas", batch_size=batch_size,
+                            concurrency=concurrency or _default_pool())
+
+
 def link_graph(extracted_corpus: rd.Dataset, k: int = 50) -> pd.DataFrame:
     """OUTLINK harvest over the raw HTML spans of the interleaved
     corpus: per distinct href, how many documents link to it and the

@@ -34,7 +34,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.478, "pdf"), (0.49, "scan"),
         (0.992, "picture"), (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 25
+CORPUS_VERSION = 26
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -750,11 +750,20 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
 
         fades = [((img.astype(np.int32) * (4 - k)) // 4).astype(np.uint8)
                  for k in range(1, r.randint(2, 5))]
+        frames = [img] + fades
+        if r.random() < 0.40:
+            # second SHOT: a hard cut to the inverted render then one
+            # fade — the planted ground truth for shot-boundary
+            # detection (multimodal.SceneCuts); frame 0 still carries
+            # the OCR text
+            inv = (255 - img).astype(np.uint8)
+            frames += [inv, ((inv.astype(np.int32) * 3) // 4)
+                       .astype(np.uint8)]
         delay = r.choice([40, 80, 120])
         if use_gif:
             from ..functions.gif import encode_gif_animated
 
-            raw = encode_gif_animated([img] + fades, delay_ms=delay)
+            raw = encode_gif_animated(frames, delay_ms=delay)
         elif fmt < 0.60:
             # real VIDEO container: Motion-JPEG in AVI. fps must DIVIDE
             # 1000 (encode_avi_mjpeg's exact-timing contract — 1000//80
@@ -764,11 +773,11 @@ def _gen_picture(r: random.Random, doc_id: str) -> list[dict]:
             from ..functions.avi import encode_avi_mjpeg
 
             fps = {40: 25, 80: 10, 120: 5}[delay]
-            raw = encode_avi_mjpeg([img] + fades, fps=fps)
+            raw = encode_avi_mjpeg(frames, fps=fps)
         else:
             from ..functions.png import encode_apng
 
-            raw = encode_apng([img] + fades, delay_ms=delay)
+            raw = encode_apng(frames, delay_ms=delay)
         payload = base64.b64encode(raw).decode("ascii")
     elif use_gif:
         from ..functions.gif import encode_gif
