@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     # round-4 session-3 additions
     "warc_token_counts", "source_jaccard_matrix", "copurchase_pairs",
     "domain_quota_sample", "encoding_quality",
+    # round-4 session-5 additions
+    "copurchase_pagerank", "video_scene_cuts", "audio_vad_segments",
 ]
 
 

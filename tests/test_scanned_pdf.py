@@ -99,6 +99,33 @@ def test_ocr_page_roundtrips_any_font_text(lines):
     assert got == [e for e in (ln.strip() for ln in rendered) if e]
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet=_ALPHABET + " ", min_size=1,
+                        max_size=16), min_size=1, max_size=3),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=0, max_value=3))
+def test_ocr_oriented_roundtrips_any_dpi_and_rotation(lines, k, rot):
+    """Det/rec is exact under the full scanner-variation product:
+    any font text × any integer DPI × any quarter-turn feed. A fixed
+    asymmetric header line anchors the orientation — a page of ONLY
+    180°-symmetric glyphs ('1' vs 'I', 'O', 'X') is genuinely
+    orientation-ambiguous, and real scans always carry furniture."""
+    lines = ["THE QUICK 2345."] + lines
+    img = render_text(lines)
+    if k > 1:
+        img = np.kron(img, np.ones((k, k), dtype=np.uint8))
+    page = np.zeros((img.shape[0] + 2 * k + 11,
+                     img.shape[1] + 2 * k + 17), dtype=np.uint8)
+    page[2 * k + 4:2 * k + 4 + img.shape[0],
+         k + 6:k + 6 + img.shape[1]] = img
+    fed = np.rot90(page, -rot).copy()
+    got, _r, shape = ocr_page_oriented(fed)
+    exp = [e for e in (normalize_text(ln).strip() for ln in lines) if e]
+    assert [d["text"] for d in got] == exp
+    if exp:
+        assert shape == page.shape
+
+
 # ----------------------------------------------- scale + orientation ----
 
 @pytest.mark.parametrize("k", [2, 3, 4])
