@@ -873,6 +873,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffles (weighted PageRank on the co-purchase graph)
         "copurchase_pagerank":
             lambda sf: relational.copurchase_pagerank(sf),
+        # streaming tumbling windows with per-partition watermarks and
+        # bounded lateness, replayed deterministically in batch
+        "events_watermark_hourly":
+            lambda sf: relational.events_watermark_hourly(sf),
         # anchor-text aggregation over the outlink graph (rows-only:
         # markup lives in the interleaved corpus, not the documents
         # table; fixture pytest pins hand counts)
@@ -3587,6 +3591,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
                CAST(n AS BIGINT) AS n
         FROM pr ORDER BY n DESC, pa, pb LIMIT 20
+    """
+    out["events_watermark_hourly"] = r"""
+        WITH e AS (
+          SELECT epoch_us(ts) AS t, user_id % 64 AS bucket,
+                 epoch_us(ts) + (event_id * 2654435761) % 1800000000
+                     - 900000000 AS arr,
+                 event_id
+          FROM events
+        ), w AS (
+          SELECT t,
+                 MAX(t) OVER (PARTITION BY bucket ORDER BY arr, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS wm
+          FROM e
+        )
+        SELECT CAST(t // 3600000000 AS BIGINT) AS hour_epoch,
+               CAST(COUNT(*) FILTER (WHERE wm IS NULL
+                                     OR t >= wm - 600000000)
+                    AS BIGINT) AS n_on_time,
+               CAST(COUNT(*) FILTER (WHERE wm IS NOT NULL
+                                     AND t < wm - 600000000)
+                    AS BIGINT) AS n_late
+        FROM w GROUP BY 1
     """
     out["copurchase_pagerank"] = r"""
         WITH lp AS (

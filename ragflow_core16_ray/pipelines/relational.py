@@ -1163,6 +1163,69 @@ def copurchase_pairs(sf_dir: str, k: int = 20,
     return out[["pa", "pb", "n"]]
 
 
+def events_watermark_hourly(sf_dir: str, lateness_min: int = 10,
+                            n_buckets: int = 64) -> pd.DataFrame:
+    """STREAMING-WINDOW semantics over the event table: tumbling 1-hour
+    event-time windows processed in ARRIVAL order with a per-partition
+    low watermark and bounded lateness — the Beam/Flink window
+    discipline a batch engine must reproduce to backfill a streaming
+    job's output. Arrival time is the event time plus a deterministic
+    ±15-minute jitter (a multiplicative hash of the event id), the
+    realistic transport-disorder model — most events arrive near their
+    event time, a tail arrives out of order; the watermark at an
+    event's arrival is the max event-time seen EARLIER in its
+    partition; an event is LATE (dropped from its window, counted in
+    ``n_late``) when its event time lags the watermark by more than
+    ``lateness_min``. Output per window: on-time count + late-drop
+    count — exact integer microsecond math.
+
+    Scale shape: one pass annotates arrival keys (streaming
+    map_batches), one hash co-partition on the user-bucket brings each
+    partition's stream together, the running max is a vectorized
+    cumulative max after an in-bucket sort, and per-window partials ride
+    the combiner tree. Watermarks are per-partition exactly as a real
+    streaming shard's would be."""
+    lateness_us = lateness_min * 60_000_000
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        t = (batch["ts"].astype("datetime64[us]").astype("int64")
+             .to_numpy(np.int64))
+        uid = batch["user_id"].to_numpy(np.int64)
+        eid = batch["event_id"].astype("int64").to_numpy(np.int64)
+        jitter = (eid * np.int64(2654435761)) % np.int64(1_800_000_000) \
+            - np.int64(900_000_000)
+        return pd.DataFrame({
+            "bucket": uid % np.int64(n_buckets),
+            "arr": t + jitter,
+            "event_id": eid,
+            "t": t})
+
+    def stream(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["arr", "event_id"])
+        t = g["t"].to_numpy(np.int64)
+        wm_prev = np.concatenate((
+            np.array([-(2**62)], dtype=np.int64),
+            np.maximum.accumulate(t)[:-1]))
+        late = t < wm_prev - lateness_us
+        d = pd.DataFrame({
+            "hour_epoch": t // 3_600_000_000,
+            "n_on_time": (~late).astype("int64"),
+            "n_late": late.astype("int64")})
+        return (d.groupby("hour_epoch", sort=False)[
+            ["n_on_time", "n_late"]].sum().reset_index())
+
+    parts = (_t(sf_dir, "events", ["event_id", "ts", "user_id"])
+             .map_batches(prep, batch_format="pandas")
+             .groupby("bucket").map_groups(stream, batch_format="pandas"))
+    out = combine_partials(parts, ["hour_epoch"],
+                           {"n_on_time": "sum", "n_late": "sum"}
+                           ).to_pandas()
+    out = out.sort_values("hour_epoch").reset_index(drop=True)
+    for c in ("hour_epoch", "n_on_time", "n_late"):
+        out[c] = out[c].astype("int64")
+    return out[["hour_epoch", "n_on_time", "n_late"]]
+
+
 def copurchase_pagerank(sf_dir: str, iters: int = 5,
                         damping: float = 0.85, k: int = 100,
                         n_buckets: int = 32) -> pd.DataFrame:

@@ -1199,3 +1199,76 @@ def test_copurchase_pagerank_hand(ray_session, tmp_path):
         {"l_partkey": 10, "rank_q": 1127500},
         {"l_partkey": 20, "rank_q": 936250},
         {"l_partkey": 30, "rank_q": 936250}]
+
+
+def test_events_watermark_hourly_matches_sequential_replay(ray_session):
+    """Distributed watermark windows == a per-bucket sequential replay
+    (the semantics a streaming engine would produce shard by shard)."""
+    import numpy as np
+
+    from ragflow_core16_ray.pipelines.relational import (
+        events_watermark_hourly)
+
+    got = events_watermark_hourly(SF)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    t = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    eid = ev["event_id"].astype("int64").to_numpy()
+    arr = t + (eid * np.int64(2654435761)) % np.int64(1_800_000_000) \
+        - np.int64(900_000_000)
+    df = pd.DataFrame({"bucket": ev["user_id"].astype("int64") % 64,
+                       "arr": arr, "event_id": eid, "t": t})
+    rows = {}
+    for _, g in df.groupby("bucket"):
+        wm = -(2**62)
+        for r in g.sort_values(["arr", "event_id"]).itertuples():
+            hour = r.t // 3_600_000_000
+            on, late = rows.get(hour, (0, 0))
+            if r.t < wm - 600_000_000:
+                rows[hour] = (on, late + 1)
+            else:
+                rows[hour] = (on + 1, late)
+            wm = max(wm, r.t)
+    rep = (pd.DataFrame(
+        [(h, o, l) for h, (o, l) in rows.items()],
+        columns=["hour_epoch", "n_on_time", "n_late"])
+        .sort_values("hour_epoch").reset_index(drop=True))
+    assert got.to_dict("records") == rep.to_dict("records")
+    assert got["n_late"].sum() > 0          # disorder actually exercised
+
+
+def test_events_watermark_hourly_hand_late_event(ray_session, tmp_path):
+    """A crafted pair in one partition: the high-ts event arrives first
+    (jitter), pushing the watermark past the low-ts event's window
+    tolerance — the low-ts event must drop as late."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def jit(e):
+        return (e * 2654435761) % 1_800_000_000 - 900_000_000
+
+    # find ids: b arrives ≥ 21 min before its event time relative to a
+    a = next(e for e in range(1, 10**6) if jit(e) > 840_000_000)
+    b = next(e for e in range(1, 10**6)
+             if e != a and jit(e) < -840_000_000)
+    # ts_b = ts_a + 25 min → arrival_b < arrival_a (jitter gap > 28 min);
+    # at a's arrival the watermark is ts_b, and ts_a < ts_b - 10 min
+    t0 = pd.Timestamp("2024-01-01 05:00:00")
+    df = pd.DataFrame({
+        "event_id": pd.array([a, b], dtype="int64"),
+        "ts": pd.to_datetime([t0, t0 + pd.Timedelta(minutes=25)])
+        .astype("datetime64[us]"),
+        "user_id": pd.array([7, 7], dtype="int64"),
+        "event_type": ["x", "x"],
+        "value": [1.0, 1.0],
+        "props": ["{}", "{}"]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    from ragflow_core16_ray.pipelines.relational import (
+        events_watermark_hourly)
+
+    got = events_watermark_hourly(str(tmp_path))
+    assert got.to_dict("records") == [
+        {"hour_epoch": 473357, "n_on_time": 1, "n_late": 1}]
