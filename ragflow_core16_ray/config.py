@@ -28,6 +28,12 @@ class ExtractConfig:
     # before the parse stage (skew leveling); docs at/below this bypass the
     # reassembly shuffle entirely.
     shard_span_threshold: int = 2048
+    # page count at/above which a raw-PDF doc's PARSE (content-stream
+    # interpretation + scanned-page OCR) fans out into page-range shard
+    # tasks instead of parsing whole in one task — the reference's
+    # from_page/to_page task unit (task_service.py:321-327). The blob is
+    # staged ONCE; shard rows carry only a (path, range) ref.
+    pdf_page_shard_min: int = 48
     # synthetic page height used for cumulative-Y reading order
     # (the reference uses real rasterized page heights, pdf_parser.py:1110)
     page_height: int = 1000

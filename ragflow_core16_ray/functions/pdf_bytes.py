@@ -1301,11 +1301,28 @@ def _interpret(stream: bytes,
     return shows
 
 
-def pdf_to_boxes(data: bytes) -> list[dict]:
+def pdf_page_count(data: bytes) -> int:
+    """Page count from the page-tree walk alone — NO content-stream
+    interpretation, no OCR: the cheap metadata probe the parse-stage
+    page-range fan-out sizes its shards with (role of the reference's
+    PdfReader(...).pages length probe, task_service.py:321-327)."""
+    if not data.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    return len(_page_order(_scan_objects(data)))
+
+
+def pdf_to_boxes(data: bytes, from_page: int = 0,
+                 to_page: int | None = None) -> list[dict]:
     """PDF bytes → untagged box spans (the pdfish input IR), top-down
     coords scaled to the 1000-unit page height. Raises ValueError on
     non-PDF input; a PDF with no recoverable text layer (scanned pages)
-    yields [] — the reference's OCR fallback territory."""
+    yields [] — the reference's OCR fallback territory.
+
+    ``from_page``/``to_page`` restrict interpretation (and OCR) to the
+    half-open page range — the parse-stage fan-out unit (the reference's
+    from_page/to_page task arguments, task_service.py:321-327); page
+    numbers in the emitted boxes stay GLOBAL, so range outputs
+    concatenate into exactly the whole-document parse."""
     from ..schemas import make_span
 
     if not data.startswith(b"%PDF"):
@@ -1319,6 +1336,10 @@ def pdf_to_boxes(data: bytes) -> list[dict]:
     objs = _scan_objects(data)
     spans: list[dict] = []
     for page_no, num in enumerate(_page_order(objs)):
+        if page_no < from_page:
+            continue
+        if to_page is not None and page_no >= to_page:
+            break
         body = objs[num]
         mb = _MBOX_RE.search(_owner_of(objs, num, b"/MediaBox") or body)
         pw, ph = (612.0, 792.0)
@@ -1680,10 +1701,14 @@ def pdf_outlines(data: bytes) -> list[tuple[str, int]]:
     return out
 
 
-def expand_pdf_spans(spans: list[dict]) -> list[dict]:
+def expand_pdf_spans(spans: list[dict], from_page: int = 0,
+                     to_page: int | None = None) -> list[dict]:
     """Replace `pdf` payload spans (base64 PDF bytes in `text`) with the
     parsed box spans; all other spans pass through. Idempotent — a span
-    list with no `pdf` kind is returned as-is (same object)."""
+    list with no `pdf` kind is returned as-is (same object).
+    ``from_page``/``to_page`` restrict the parse to a page range (the
+    parse-shard unit); doc-level outline spans ride only with the first
+    range so range concatenation equals the whole-doc expansion."""
     if not any(s["kind"] == "pdf" for s in spans):
         return spans
     import base64
@@ -1697,11 +1722,13 @@ def expand_pdf_spans(spans: list[dict]) -> list[dict]:
             continue
         try:
             raw = base64.b64decode(s["text"])
-            boxes = pdf_to_boxes(raw)
+            boxes = pdf_to_boxes(raw, from_page, to_page)
             # outlines ride as toc_entry metadata spans (consumed and
             # dropped by phase B; the manual template uses them for
             # section levels — rag/app/manual.py:196-210)
-            toc = [make_toc_span(t, lvl) for t, lvl in pdf_outlines(raw)]
+            toc = ([make_toc_span(t, lvl)
+                    for t, lvl in pdf_outlines(raw)]
+                   if from_page == 0 else [])
             out.extend(toc + boxes)
         except Exception:  # noqa: BLE001 — undecodable payload: keep a ref
             pass

@@ -73,6 +73,18 @@ class ExtractRouter:
         for doc_id, spans in zip(batch["doc_id"].to_pylist(),
                                  spans_column_to_pylists(batch["spans"])):
             try:
+                # a BIG raw PDF (≥ pdf_page_shard_min pages, metadata
+                # probe only) fans its PARSE out into page-range shard
+                # tasks — content interpretation + scanned-page OCR are
+                # the dominant cost, and one 10k-page scan must not
+                # hot-spot one worker (the reference's from_page/to_page
+                # tasks, task_service.py:321-327). The blob stages ONCE
+                # next to the shard parquet; shard rows carry a
+                # (path, range) ref that ExtractShard expands.
+                pr = self._maybe_stage_pdf_ranges(doc_id, spans)
+                if pr is not None:
+                    staged_rows.extend(pr)
+                    continue
                 # raw-binary payloads expand BEFORE the shard decision so
                 # a many-page PDF page-range-shards like any pdfish doc, a
                 # big workbook row-shards like any table doc and a deck
@@ -108,6 +120,53 @@ class ExtractRouter:
             name = staged_rows[0]["doc_id"]
             pq.write_table(tbl, os.path.join(self.staging, f"{name}.parquet"))
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+
+    def _maybe_stage_pdf_ranges(self, doc_id: str,
+                                spans: list) -> list | None:
+        """Page-range parse fan-out for big raw PDFs: stage the blob once
+        (idempotent write: <staging>_blobs/<doc_id>.pdf), route the
+        template from the FIRST range's parse, and emit one shard row per
+        ``task_page_size`` pages whose single ``pdf_ref`` span carries
+        only (path, from, to). Returns None when the doc is not a
+        big-PDF candidate (any other span mix parses in pass 1)."""
+        import base64
+        import json as _json
+
+        from ..functions.pdf_bytes import (expand_pdf_spans,
+                                           pdf_page_count)
+        from ..schemas import make_span
+        from ..stages.extract import route_template
+
+        if len(spans) != 1 or spans[0]["kind"] != "pdf":
+            return None
+        try:
+            raw = base64.b64decode(spans[0]["text"])
+            n_pages = pdf_page_count(raw)
+        except Exception:  # noqa: BLE001 — not probeable: normal path
+            return None
+        if n_pages < self.cfg.pdf_page_shard_min:
+            return None
+        blob_dir = self.staging + "_blobs"
+        os.makedirs(blob_dir, exist_ok=True)
+        blob_path = os.path.join(blob_dir, f"{doc_id}.pdf")
+        tmp = blob_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, blob_path)
+        step = self.cfg.task_page_size
+        ranges = [(a, min(a + step, n_pages))
+                  for a in range(0, n_pages, step)]
+        # template from the first range only — cheap, and the shard rows
+        # must agree (the reassembler reads shard 0's template)
+        first = expand_pdf_spans(spans, 0, ranges[0][1])
+        template = route_template(first)
+        return [{
+            "doc_id": doc_id, "template": template, "shard_id": si,
+            "n_shards": len(ranges), "n_input_spans": 1,
+            "spans": [make_span("pdf_ref", _json.dumps(
+                {"path": blob_path, "from": a, "to": b},
+                sort_keys=True))],
+        } for si, (a, b) in enumerate(ranges)]
 
 
 def extract_dataset(input_uri: str, staging_dir: str,

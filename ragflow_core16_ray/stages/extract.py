@@ -860,6 +860,29 @@ class ExtractFused:
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
 
 
+def _expand_pdf_ref(spans: list[dict]) -> list[dict]:
+    """Expand a page-range parse shard: a single ``pdf_ref`` span
+    carrying (path, from, to) loads the staged blob and parses ONLY its
+    page range (boxes keep global page numbers, so shard concatenation
+    equals the whole-doc parse; outlines ride with range 0 only).
+    Non-ref shard rows pass through unchanged."""
+    if len(spans) != 1 or spans[0]["kind"] != "pdf_ref":
+        return spans
+    import json as _json
+
+    from ..functions.pdf_bytes import (make_toc_span, pdf_outlines,
+                                       pdf_to_boxes)
+    from ..schemas import finalize_offsets
+
+    d = _json.loads(spans[0]["text"])
+    with open(d["path"], "rb") as f:
+        raw = f.read()
+    boxes = pdf_to_boxes(raw, d["from"], d["to"])
+    toc = ([make_toc_span(t, lvl) for t, lvl in pdf_outlines(raw)]
+           if d["from"] == 0 else [])
+    return finalize_offsets(toc + boxes)
+
+
 class ExtractShard:
     """Phase A over shard rows (SHARD_SCHEMA in/out); phase B happens after
     the groupby(doc_id) reassembly."""
@@ -874,6 +897,7 @@ class ExtractShard:
         for template, spans in zip(batch["template"].to_pylist(),
                                    spans_column_to_pylists(batch["spans"])):
             try:
+                spans = _expand_pdf_ref(spans)
                 out_spans.append(phase_a(template, spans, self.cfg))
             except Exception:  # noqa: BLE001 — poison-shard containment
                 # same contract as pass 1 (ExtractRouter): one malformed

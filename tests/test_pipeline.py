@@ -78,3 +78,69 @@ def test_auto_batch_size_clamps(ray_session, tmp_path):
     # non-parquet layout: not cheaply knowable -> the large-batch cap
     assert _auto_batch_size(str(tmp_path / "nothing_here")) == 128
     assert _auto_batch_size(["x.lance"]) == 128
+
+
+def test_big_pdf_page_range_parse_sharding(ray_session, tmp_path):
+    """A raw PDF at/above pdf_page_shard_min pages must fan its PARSE
+    into page-range shard tasks (blob staged once, shard rows carry a
+    (path, range) ref) and reassemble to EXACTLY the fused single-task
+    result — for both a text-layer PDF and a scanned (OCR) PDF."""
+    import base64
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ragflow_core16_ray.config import ExtractConfig
+    from ragflow_core16_ray.functions.pdf_bytes import (build_pdf,
+                                                        build_scanned_pdf,
+                                                        expand_pdf_spans)
+    from ragflow_core16_ray.pipelines.extract import run_extract
+    from ragflow_core16_ray.schemas import (DOCUMENTS_SCHEMA,
+                                            finalize_offsets, make_span)
+    from ragflow_core16_ray.stages.extract import extract_doc
+
+    n_pages = 60
+    text_pdf = build_pdf(
+        [[(60, 900, 10, f"Page {p} line {i} of the running text.")
+          for i in range(4)] for p in range(n_pages)],
+        media_box=(600.0, 1000.0))
+    scan_pages = []
+    for p in range(n_pages):
+        scan_pages.append(
+            ["BIG SCAN HEADER"] + [""] * 5
+            + [f"SCANNED PAGE {p} BODY LINE {i}." for i in range(3)]
+            + [""] * 89 + [f"PAGE {p + 1}/{n_pages}"])
+    scan_pdf = build_scanned_pdf(scan_pages, media_box=(600.0, 1000.0))
+
+    docs = [
+        {"doc_id": "doc-bigpdf-text", "spans": finalize_offsets(
+            [make_span("pdf", base64.b64encode(text_pdf).decode())])},
+        {"doc_id": "doc-bigpdf-scan", "spans": finalize_offsets(
+            [make_span("pdf", base64.b64encode(scan_pdf).decode())])},
+    ]
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(corpus, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(docs, schema=DOCUMENTS_SCHEMA),
+                   os.path.join(corpus, "part0.parquet"))
+    cfg = ExtractConfig()
+    run_extract(corpus, out, cfg=cfg)
+    got = rd.read_parquet(os.path.join(out, "docs")).to_pandas()
+    got = got.set_index("doc_id")
+    assert int(got.loc["doc-bigpdf-text", "n_shards"]) == 5  # 60/12
+    assert int(got.loc["doc-bigpdf-scan", "n_shards"]) == 5
+    # blob staged once per doc, not per shard
+    blob_dir = os.path.join(out, "_staging_blobs")
+    assert sorted(os.listdir(blob_dir)) == ["doc-bigpdf-scan.pdf",
+                                            "doc-bigpdf-text.pdf"]
+    # sharded output == fused single-task extraction, span for span
+    for d in docs:
+        tmpl, fused, _ = extract_doc(
+            finalize_offsets(expand_pdf_spans(d["spans"])), cfg)
+        row = got.loc[d["doc_id"]]
+        assert row["template"] == tmpl
+        got_spans = [(s["kind"], s["text"]) for s in row["spans"]]
+        assert got_spans == [(s["kind"], s["text"]) for s in fused]
