@@ -245,37 +245,39 @@ def _ocr_binary_scaled(b: np.ndarray) -> list[dict]:
     pixel coords. Falls back to k=1 when the k attempt rejects."""
     if not b.any():
         return []
-    k = _run_length_gcd(b)
-    for kk in ([k, 1] if k > 1 else [1]):
-        if kk == 1:
-            lines = _ocr_binary(b)
-            if lines:
-                return lines
-            continue
-        # phase-align on the first ink pixel: in an exact kk-upscale,
-        # ink always starts on a block boundary
-        ys, xs = np.nonzero(b)
-        phy, phx = int(ys.min()) % kk, int(xs.min()) % kk
-        sh = (b.shape[0] - phy) // kk
-        sw = (b.shape[1] - phx) // kk
-        if sh < 1 or sw < 1:
-            continue
-        win = b[phy:phy + sh * kk, phx:phx + sw * kk]
-        sub = np.ascontiguousarray(win[::kk, ::kk])
-        # verify the upscale hypothesis EXACTLY: every kk-block constant
-        # (a solid photo blob passes the run-length gcd but fails here)
-        if not (win.reshape(sh, kk, sw, kk)
-                == sub[:, None, :, None]).all():
-            continue
-        lines = _ocr_binary(sub)
-        if lines:
-            for ln in lines:
-                ln["x0"] = ln["x0"] * kk + phx
-                ln["x1"] = ln["x1"] * kk + phx
-                ln["y0"] = ln["y0"] * kk + phy
-                ln["y1"] = ln["y1"] * kk + phy
-            return lines
-    return []
+    # 1 px/pt first: the common case, and a cheap reject for scaled
+    # pages (their first full-height band exceeds the glyph cell), so
+    # the run-length gcd is only ever computed for genuinely scaled or
+    # non-text input
+    lines = _ocr_binary(b)
+    if lines:
+        return lines
+    kk = _run_length_gcd(b)
+    if kk <= 1:
+        return []
+    # phase-align on the first ink pixel (argmax of the any-profiles —
+    # no full nonzero materialization): in an exact kk-upscale, ink
+    # always starts on a block boundary
+    phy = int(b.any(axis=1).argmax()) % kk
+    phx = int(b.any(axis=0).argmax()) % kk
+    sh = (b.shape[0] - phy) // kk
+    sw = (b.shape[1] - phx) // kk
+    if sh < 1 or sw < 1:
+        return []
+    win = b[phy:phy + sh * kk, phx:phx + sw * kk]
+    sub = np.ascontiguousarray(win[::kk, ::kk])
+    # verify the upscale hypothesis EXACTLY: every kk-block constant
+    # (a solid photo blob passes the run-length gcd but fails here)
+    if not (win.reshape(sh, kk, sw, kk)
+            == sub[:, None, :, None]).all():
+        return []
+    lines = _ocr_binary(sub)
+    for ln in lines:
+        ln["x0"] = ln["x0"] * kk + phx
+        ln["x1"] = ln["x1"] * kk + phx
+        ln["y0"] = ln["y0"] * kk + phy
+        ln["y1"] = ln["y1"] * kk + phy
+    return lines
 
 
 def ocr_page(img: np.ndarray) -> list[dict]:
@@ -348,15 +350,23 @@ def _ocr_binary(b: np.ndarray) -> list[dict]:
                 rs = x
             rp = x
         runs.append((rs, rp + 1))
+        # band-level tight bounds, vectorized: a run's x-extent is
+        # ink-tight by construction (run edges ARE ink columns); its
+        # y-extent is the min/max of per-column first/last ink rows —
+        # two argmax passes for the whole band instead of a nonzero per
+        # glyph (the recognition hot path)
+        bh = band.shape[0]
+        col_top = np.where(col_ink, band.argmax(axis=0), bh)
+        col_bot = np.where(col_ink,
+                           bh - band[::-1].argmax(axis=0), 0)
         pens: list[tuple[float, str]] = []   # (pen_x, char)
         frame_y0 = by1                        # min over glyph candidates
         for rx0, rx1 in runs:
             if rx1 - rx0 > CELL_W:
                 return []      # wider than any glyph: not this font
-            t = _tight(band[:, rx0:rx1])
-            if t is None:
-                continue
-            pat, gy0, _gx0 = t
+            gy0 = int(col_top[rx0:rx1].min())
+            gy1 = int(col_bot[rx0:rx1].max())
+            pat = np.ascontiguousarray(band[gy0:gy1, rx0:rx1])
             cls = _classify_tight(pat)
             if cls is None:
                 return []

@@ -34,7 +34,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.478, "pdf"), (0.49, "scan"),
         (0.992, "picture"), (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 26
+CORPUS_VERSION = 27
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -829,13 +829,36 @@ def _gen_audio(r: random.Random, doc_id: str) -> list[dict]:
 # ---------------------------------------------------------------- mega ----
 
 def _gen_mega(r: random.Random, doc_id: str) -> list[dict]:
-    """Skewed mega-doc: a long pdfish (hundreds of pages) or a huge book /
-    table — exercises shard-explode → parse → groupby(doc_id) reassembly."""
-    kind = r.choice(["pdfish", "book", "table"])
+    """Skewed mega-doc: a long pdfish (hundreds of pages), a huge book /
+    table, or a many-page SCANNED PDF — exercises shard-explode → parse
+    → groupby(doc_id) reassembly, and for the scan the parse-stage
+    page-range fan-out (blob staged once, per-range OCR tasks)."""
+    kind = r.choice(["pdfish", "book", "table", "scanpdf"])
     if kind == "pdfish":
         return _gen_pdfish(r, doc_id, n_pages=r.randint(60, 160))
     if kind == "book":
         return _gen_book(r, doc_id, n_chapters=r.randint(40, 90))
+    if kind == "scanpdf":
+        import base64
+
+        from ..functions.glyphs import normalize_text
+        from ..functions.pdf_bytes import build_scanned_pdf
+
+        n_pages = r.randint(50, 90)
+        header = normalize_text("MEGA SCAN " + _words(r, 2).upper())[:38]
+        pages = []
+        for page in range(n_pages):
+            lines = [header, "", "", "", "", ""]
+            for _ in range(r.randint(3, 7)):
+                lines.append(normalize_text(
+                    _words(r, r.randint(3, 8)).upper()).strip() + ".")
+            lines.extend([""] * (100 - len(lines)))
+            lines.append(f"PAGE {page + 1}/{n_pages}")
+            pages.append(lines)
+        payload = base64.b64encode(build_scanned_pdf(
+            pages, media_box=(600.0, 1000.0),
+            margin_px=36)).decode("ascii")
+        return [make_span("pdf", payload)]
     return _gen_table(r, doc_id, n_rows=r.randint(6000, 12000))
 
 
