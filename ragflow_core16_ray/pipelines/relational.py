@@ -1238,17 +1238,22 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
     Scale shape (Pregel supersteps as Dataset ops, no driver graph
     state): edges build bucket-locally like copurchase_pairs (per-order
     distinct-pair expansion inside an orderkey bucket, pair sums inside
-    a pair-hash bucket), then normalize to per-edge weight fractions
-    f = w / out_strength(src) inside a SRC-hash bucket — materialized
-    ONCE and re-read every superstep. Each iteration is two hash
-    shuffles: (1) ranks co-partition with edges on the src bucket and
-    each group emits (dst, f·r) contribution partials plus a zero row
-    per node (the dangling/unlinked guard), (2) contributions
-    co-partition on the dst bucket and each group folds
-    r' = (1-d) + d·Σ. The rank state between supersteps is a
-    node-table-sized Dataset, never a driver dict. Result: top-``k``
-    parts by rank, quantized floor(r·1e6+0.5) for the hash-strict
-    oracle, ties broken by partkey."""
+    a pair-hash bucket), normalize to per-edge weight fractions
+    f = w / out_strength(src) inside a SRC-hash bucket, and SPILL one
+    parquet per src bucket (the ivf_topk_indexed pattern) — so the
+    EDGE table never re-shuffles: each superstep, only the NODE-sized
+    rank table moves. Iteration = (1) ranks co-partition on the src
+    bucket, each group joins its own spilled edge partition and emits
+    (dst, f·r) contributions PRE-AGGREGATED by destination (the
+    combiner move — shuffle rows bounded by distinct dsts per bucket,
+    not edges) plus a zero row per node (the dangling/unlinked guard);
+    (2) contributions co-partition on the dst bucket, each group folds
+    r' = (1-d) + d·Σ. On a multi-node cluster the spill dir must be
+    shared storage — the same contract as the extract staging dir.
+    Result: top-``k`` parts by rank, quantized floor(r·1e6+0.5) for
+    the hash-strict oracle, ties broken by partkey."""
+    import shutil
+    import tempfile
 
     def dedup_keys(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch[["l_orderkey", "l_partkey"]].drop_duplicates()
@@ -1278,78 +1283,75 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
         out["sbucket"] = (out["src"] % np.int64(n_buckets)).astype("int64")
         return out
 
-    def normalize(g: pd.DataFrame) -> pd.DataFrame:
+    edge_dir = tempfile.mkdtemp(prefix="graft_pagerank_edges_")
+
+    def normalize_and_spill(g: pd.DataFrame) -> pd.DataFrame:
         # all edges of these srcs are here (src-hash co-partition):
-        # exact out-strength and weight fractions, bucket-locally
+        # exact out-strength and weight fractions, bucket-locally;
+        # the partition spills to ITS OWN parquet (re-read every
+        # superstep instead of re-shuffled) and emits the bucket's
+        # initial rank rows
         ew = (g.groupby(["src", "dst"], sort=False)["w"].sum()
               .reset_index())
         wd = ew.groupby("src", sort=False)["w"].transform("sum")
+        b = int(g["sbucket"].iloc[0])
+        pd.DataFrame({"pk": ew["src"].astype("int64"),
+                      "dst": ew["dst"].astype("int64"),
+                      "f": (ew["w"] / wd).astype("float64")}
+                     ).to_parquet(os.path.join(edge_dir, f"{b}.parquet"),
+                                  index=False)
+        pk = np.unique(ew["src"].to_numpy(np.int64))
         return pd.DataFrame({
-            "bucket": (ew["src"] % np.int64(n_buckets)).astype("int64"),
-            "pk": ew["src"].astype("int64"),
-            "dst": ew["dst"].astype("int64"),
-            "f": (ew["w"] / wd).astype("float64"),
-            "r": pd.array([0.0] * len(ew), dtype="float64"),
-            "edge": pd.array([True] * len(ew), dtype="bool")})
+            "bucket": pd.array([b] * len(pk), dtype="int64"),
+            "pk": pd.array(pk, dtype="int64"),
+            "r": pd.array([1.0] * len(pk), dtype="float64")})
 
-    edges = (_t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    ranks = (_t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
              .map_batches(dedup_keys, batch_format="pandas")
              .repartition(max(1, n_buckets // 4))
              .groupby("bucket").map_groups(expand, batch_format="pandas")
-             .groupby("sbucket").map_groups(normalize,
+             .groupby("sbucket").map_groups(normalize_and_spill,
                                             batch_format="pandas")
              ).materialize()
-    if edges.count() == 0:
+    if ranks.count() == 0:
+        shutil.rmtree(edge_dir, ignore_errors=True)
         return pd.DataFrame({"l_partkey": pd.array([], dtype="int64"),
                              "rank_q": pd.array([], dtype="int64")})
 
-    def init_ranks(g: pd.DataFrame) -> pd.DataFrame:
-        pk = np.unique(g["pk"].to_numpy(np.int64))
-        return pd.DataFrame({
-            "bucket": pk % np.int64(n_buckets),
-            "pk": pd.array(pk, dtype="int64"),
-            "dst": pd.array([-1] * len(pk), dtype="int64"),
-            "f": pd.array([0.0] * len(pk), dtype="float64"),
-            "r": pd.array([1.0] * len(pk), dtype="float64"),
-            "edge": pd.array([False] * len(pk), dtype="bool")})
-
-    ranks = (edges.groupby("bucket")
-             .map_groups(init_ranks, batch_format="pandas")).materialize()
-
     def contribs(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["edge"]]
-        rk = g[~g["edge"]][["pk", "r"]]
-        m = e.merge(rk, on="pk", how="inner", suffixes=("", "_src"))
-        dst = m["dst"].to_numpy(np.int64)
-        out_d = pd.DataFrame({
-            "bucket": dst % np.int64(n_buckets), "pk": dst,
-            "c": (m["f"] * m["r_src"]).astype("float64")})
+        b = int(g["bucket"].iloc[0])
+        e = pd.read_parquet(os.path.join(edge_dir, f"{b}.parquet"))
+        m = e.merge(g[["pk", "r"]], on="pk", how="inner")
+        m["c"] = m["f"] * m["r"]
+        # combiner: pre-sum per destination BEFORE the dst shuffle —
+        # rows out ≤ distinct dsts in this bucket, not edges
+        out_d = (m.groupby("dst", sort=False)["c"].sum().reset_index()
+                 .rename(columns={"dst": "pk"}))
+        out_d["bucket"] = (out_d["pk"].to_numpy(np.int64)
+                           % np.int64(n_buckets))
         # zero row per node: keeps inbound-less nodes in the rank table
         out_n = pd.DataFrame({
-            "bucket": rk["pk"].to_numpy(np.int64) % np.int64(n_buckets),
-            "pk": rk["pk"].astype("int64"),
-            "c": pd.array([0.0] * len(rk), dtype="float64")})
-        return pd.concat([out_d, out_n], ignore_index=True)
+            "pk": g["pk"].astype("int64"),
+            "c": pd.array([0.0] * len(g), dtype="float64"),
+            "bucket": g["bucket"].astype("int64")})
+        return pd.concat([out_d[["bucket", "pk", "c"]],
+                          out_n[["bucket", "pk", "c"]]],
+                         ignore_index=True)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("pk", sort=False)["c"].sum().reset_index()
-        pk = s["pk"].to_numpy(np.int64)
         return pd.DataFrame({
-            "bucket": pk % np.int64(n_buckets),
-            "pk": pd.array(pk, dtype="int64"),
-            "dst": pd.array([-1] * len(s), dtype="int64"),
-            "f": pd.array([0.0] * len(s), dtype="float64"),
-            "r": ((1.0 - damping) + damping * s["c"]).astype("float64"),
-            "edge": pd.array([False] * len(s), dtype="bool")})
+            "bucket": s["pk"].to_numpy(np.int64) % np.int64(n_buckets),
+            "pk": s["pk"].astype("int64"),
+            "r": ((1.0 - damping)
+                  + damping * s["c"]).astype("float64")})
 
     # supersteps chain LAZILY — one streaming execution runs all
-    # iterations back to back (edges re-read from the materialized
-    # copy each superstep); only the per-iteration shuffle barriers
-    # synchronize, no driver-side materialization between steps
+    # iterations back to back; only the node-sized rank table shuffles,
+    # edges stream from their spilled partitions
     for _ in range(iters):
-        ranks = (edges.union(ranks)
-                 .groupby("bucket").map_groups(contribs,
-                                               batch_format="pandas")
+        ranks = (ranks.groupby("bucket")
+                 .map_groups(contribs, batch_format="pandas")
                  .groupby("bucket").map_groups(fold,
                                                batch_format="pandas"))
 
@@ -1361,11 +1363,15 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
         return (out.sort_values(["rank_q", "l_partkey"],
                                 ascending=[False, True]).head(k))
 
-    out = (ranks.groupby("bucket")
-           .map_groups(topk_partial, batch_format="pandas")
-           .to_pandas()               # ≤ n_buckets·k rows
-           .sort_values(["rank_q", "l_partkey"], ascending=[False, True])
-           .head(k).reset_index(drop=True))
+    try:
+        out = (ranks.groupby("bucket")
+               .map_groups(topk_partial, batch_format="pandas")
+               .to_pandas()            # ≤ n_buckets·k rows
+               .sort_values(["rank_q", "l_partkey"],
+                            ascending=[False, True])
+               .head(k).reset_index(drop=True))
+    finally:
+        shutil.rmtree(edge_dir, ignore_errors=True)
     for c in ("l_partkey", "rank_q"):
         out[c] = out[c].astype("int64")
     return out[["l_partkey", "rank_q"]]
