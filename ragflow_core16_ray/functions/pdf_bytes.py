@@ -1305,9 +1305,14 @@ def pdf_page_count(data: bytes) -> int:
     """Page count from the page-tree walk alone — NO content-stream
     interpretation, no OCR: the cheap metadata probe the parse-stage
     page-range fan-out sizes its shards with (role of the reference's
-    PdfReader(...).pages length probe, task_service.py:321-327)."""
+    PdfReader(...).pages length probe, task_service.py:321-327).
+    Refuses encrypted PDFs like pdf_to_boxes does — an encrypted doc
+    must take the (contained) single-task refusal path, not burn a
+    fan-out of shard tasks that each refuse."""
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
+        raise ValueError("encrypted PDF (/Encrypt present)")
     return len(_page_order(_scan_objects(data)))
 
 

@@ -773,3 +773,20 @@ def test_indirect_length_with_endobj_in_stream():
            + b"\nendstream\nendobj\n"
            b"6 0 obj\n" + str(len(content)).encode() + b"\nendobj\n")
     assert _texts(pdf_to_boxes(pdf)) == ["before", "after"]
+
+
+def test_encrypted_big_pdf_not_page_range_staged():
+    """pdf_page_count refuses encrypted PDFs, so a big encrypted doc
+    takes the single-task contained-refusal path instead of fanning out
+    shard tasks that would each refuse."""
+    import pytest as _pt
+
+    from ragflow_core16_ray.functions.pdf_bytes import (build_pdf,
+                                                        pdf_page_count)
+
+    pdf = build_pdf([[(60, 900, 10, "line")] for _ in range(60)],
+                    media_box=(600.0, 1000.0))
+    assert pdf_page_count(pdf) == 60
+    enc = pdf.replace(b"trailer\n<<", b"trailer\n<< /Encrypt 9 0 R", 1)
+    with _pt.raises(ValueError, match="encrypted"):
+        pdf_page_count(enc)
