@@ -3595,7 +3595,9 @@ def oracle_sql() -> dict[str, str]:
     out["events_watermark_hourly"] = r"""
         WITH e AS (
           SELECT epoch_us(ts) AS t, user_id % 64 AS bucket,
-                 epoch_us(ts) + (event_id * 2654435761) % 1800000000
+                 epoch_us(ts)
+                     + ((event_id % 1800000000) * 854435761)
+                       % 1800000000
                      - 900000000 AS arr,
                  event_id
           FROM events

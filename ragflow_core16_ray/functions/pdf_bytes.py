@@ -1404,6 +1404,7 @@ def pdf_to_boxes(data: bytes, from_page: int = 0,
             iw, ih = abs(a), abs(d)
             if iw < 1 or ih < 1:
                 continue
+            arr = anote = None
             if not shows:
                 # page has NO text layer: scanned-page territory — run
                 # the det/rec OCR over the placed image (the reference
@@ -1412,14 +1413,25 @@ def pdf_to_boxes(data: bytes, from_page: int = 0,
                 # to pixels (no PNG transcode round-trip). Recognized
                 # lines REPLACE the figure; unreadable images stay
                 # figures.
-                arr, _anote = _image_array(objs, num)
+                arr, anote = _image_array(objs, num)
                 if arr is not None:
                     ocr_boxes = _ocr_image_boxes(
                         arr, ctm, disp, ph, scale, page_no)
                     if ocr_boxes:
                         spans.extend(ocr_boxes)
                         continue
-            payload, note = _image_payload(objs, num)
+            if arr is not None and anote in ("rgb", "gray"):
+                # OCR refused but the pixels are already decoded: build
+                # the figure payload from them directly instead of
+                # re-inflating the stream inside _image_payload
+                import base64
+
+                from .png import encode_png
+
+                payload, note = (base64.b64encode(encode_png(arr))
+                                 .decode("ascii"), "png")
+            else:
+                payload, note = _image_payload(objs, num)
             if note in ("not-an-image", "no-dims", "no-stream"):
                 continue
             # placement rect corners through the display transform
@@ -1467,10 +1479,9 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
     from ..schemas import make_span
     from .glyphs import CELL_H, CELL_W, PITCH_X, ocr_page_oriented
 
-    if arr.ndim == 3:
-        arr = arr.mean(axis=2).astype("uint8")
     if arr.shape[0] < 1 or arr.shape[1] < 1:
         return []
+    # luma conversion happens inside ocr_page_oriented
     lines, _rot, (px_h, px_w) = ocr_page_oriented(arr)
     a, _b, _c, d, e, f = ctm
     iw, ih = abs(a), abs(d)

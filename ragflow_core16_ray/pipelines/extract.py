@@ -139,6 +139,13 @@ class ExtractRouter:
 
         if len(spans) != 1 or spans[0]["kind"] != "pdf":
             return None
+        # size gate before the page-tree probe: a payload too small to
+        # hold pdf_page_shard_min pages (~160 B of objects per page at
+        # minimum) skips the object scan entirely — the 97% small-PDF
+        # case costs one length check
+        if len(spans[0]["text"]) * 3 // 4 \
+                < 160 * self.cfg.pdf_page_shard_min:
+            return None
         try:
             raw = base64.b64decode(spans[0]["text"])
             n_pages = pdf_page_count(raw)
@@ -156,16 +163,28 @@ class ExtractRouter:
         step = self.cfg.task_page_size
         ranges = [(a, min(a + step, n_pages))
                   for a in range(0, n_pages, step)]
-        # template from the first range only — cheap, and the shard rows
-        # must agree (the reassembler reads shard 0's template)
-        first = expand_pdf_spans(spans, 0, ranges[0][1])
-        template = route_template(first)
+        # route from the first NON-EMPTY range — equivalent to whole-doc
+        # routing because any non-empty PDF range yields box spans
+        # (blank cover pages yield nothing and must not route the doc
+        # to 'naive'); the probed ranges' spans are staged as-is so the
+        # probe parse is never repeated by a shard task
+        pre: dict[int, list] = {}
+        template = None
+        for si, (a, b) in enumerate(ranges):
+            got = expand_pdf_spans(spans, a, b)
+            pre[si] = got
+            if got:
+                template = route_template(got)
+                break
+        if template is None:
+            return None     # fully blank doc: the normal path handles it
         return [{
             "doc_id": doc_id, "template": template, "shard_id": si,
             "n_shards": len(ranges), "n_input_spans": 1,
-            "spans": [make_span("pdf_ref", _json.dumps(
-                {"path": blob_path, "from": a, "to": b},
-                sort_keys=True))],
+            "spans": (pre[si] if si in pre else
+                      [make_span("pdf_ref", _json.dumps(
+                          {"path": blob_path, "from": a, "to": b},
+                          sort_keys=True))]),
         } for si, (a, b) in enumerate(ranges)]
 
 
@@ -278,6 +297,7 @@ def run_extract(input_uri: str, output_dir: str,
     # the job of state/lineage.py, which skips completed partitions BEFORE
     # calling this
     shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(staging + "_blobs", ignore_errors=True)
     shutil.rmtree(docs_dir, ignore_errors=True)
     pass1 = extract_dataset(input_uri, staging, cfg, runtime)
     pass1.write_parquet(docs_dir)

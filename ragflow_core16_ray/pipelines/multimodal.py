@@ -642,11 +642,16 @@ class SceneCuts:
     CUT (shot boundary) — the pre-sampling step of a video training
     pipeline: frames should be drawn per shot, not uniformly across a
     cut. A transition is a cut when its per-pixel jump dwarfs the
-    clip's own baseline: jump_q ≥ ``ratio`` × (lower-median jump) AND
-    jump_q ≥ ``floor_q`` (≈``floor_q``/1e6 intensity levels per pixel —
-    the absolute guard that keeps lossy-codec shimmer from counting).
-    Exact integer arithmetic throughout; corrupt payloads cost one
-    sentinel row (frame_index −1), never a failed task."""
+    clip's own baseline: jump_q ≥ ``ratio`` × (lower median of the
+    OTHER transitions' jumps — leave-one-out, so a 2-frame clip's lone
+    cut still registers and the cut's own magnitude never inflates its
+    baseline) AND jump_q ≥ ``floor_q`` (≈``floor_q``/1e6 intensity
+    levels per pixel — the absolute guard that keeps lossy-codec
+    shimmer from counting). A clip where EVERY transition is a cut
+    (consecutive-cut slideshow) reads as high motion, not cuts — that
+    case is frame_motion_stats territory. Exact integer arithmetic;
+    corrupt payloads cost one sentinel row (frame_index −1), never a
+    failed task."""
 
     def __init__(self, ratio: int = 4, floor_q: int = 5_000_000):
         self.ratio = ratio
@@ -686,11 +691,12 @@ class SceneCuts:
                 tot = int(np.abs(a.astype(np.int64)
                                  - b.astype(np.int64)).sum())
                 jumps.append((tot * 1_000_000 + size // 2) // size)
-            med = sorted(jumps)[(len(jumps) - 1) // 2]   # lower median
             ci = 0
             t_ms = 0
             for t, j in enumerate(jumps):
                 t_ms += int(delays[t])
+                others = sorted(jumps[:t] + jumps[t + 1:])
+                med = others[(len(others) - 1) // 2] if others else 0
                 if j >= self.floor_q and j >= self.ratio * med:
                     add(did, ref, ci, t + 1, t_ms, j)
                     ci += 1

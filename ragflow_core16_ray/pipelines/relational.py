@@ -1192,7 +1192,13 @@ def events_watermark_hourly(sf_dir: str, lateness_min: int = 10,
              .to_numpy(np.int64))
         uid = batch["user_id"].to_numpy(np.int64)
         eid = batch["event_id"].astype("int64").to_numpy(np.int64)
-        jitter = (eid * np.int64(2654435761)) % np.int64(1_800_000_000) \
+        # overflow-safe modular hash: (eid * 2654435761) mod 1.8e9
+        # computed as ((eid mod m) * (2654435761 mod m)) mod m so the
+        # intermediate stays < 1.8e9 * 8.6e8 < 2^63 for ANY int64 id
+        # (a direct multiply wraps past id ~3.47e9 — and DuckDB's
+        # BIGINT multiply would error rather than wrap)
+        jitter = ((eid % np.int64(1_800_000_000))
+                  * np.int64(854_435_761)) % np.int64(1_800_000_000) \
             - np.int64(900_000_000)
         return pd.DataFrame({
             "bucket": uid % np.int64(n_buckets),

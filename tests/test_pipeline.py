@@ -105,6 +105,13 @@ def test_big_pdf_page_range_parse_sharding(ray_session, tmp_path):
         [[(60, 900, 10, f"Page {p} line {i} of the running text.")
           for i in range(4)] for p in range(n_pages)],
         media_box=(600.0, 1000.0))
+    # first 14 pages BLANK: template routing must probe past empty
+    # ranges (a blank cover must not route the doc to 'naive')
+    blank_lead_pdf = build_pdf(
+        [[] if p < 14 else
+         [(60, 900, 10, f"Late page {p} line {i}.") for i in range(4)]
+         for p in range(n_pages)],
+        media_box=(600.0, 1000.0))
     scan_pages = []
     for p in range(n_pages):
         scan_pages.append(
@@ -118,6 +125,9 @@ def test_big_pdf_page_range_parse_sharding(ray_session, tmp_path):
             [make_span("pdf", base64.b64encode(text_pdf).decode())])},
         {"doc_id": "doc-bigpdf-scan", "spans": finalize_offsets(
             [make_span("pdf", base64.b64encode(scan_pdf).decode())])},
+        {"doc_id": "doc-bigpdf-blanklead", "spans": finalize_offsets(
+            [make_span("pdf",
+                       base64.b64encode(blank_lead_pdf).decode())])},
     ]
     corpus = str(tmp_path / "corpus")
     out = str(tmp_path / "out")
@@ -132,9 +142,11 @@ def test_big_pdf_page_range_parse_sharding(ray_session, tmp_path):
     got = got.set_index("doc_id")
     assert int(got.loc["doc-bigpdf-text", "n_shards"]) == 5  # 60/12
     assert int(got.loc["doc-bigpdf-scan", "n_shards"]) == 5
+    assert got.loc["doc-bigpdf-blanklead", "template"] == "pdfish"
     # blob staged once per doc, not per shard
     blob_dir = os.path.join(out, "_staging_blobs")
-    assert sorted(os.listdir(blob_dir)) == ["doc-bigpdf-scan.pdf",
+    assert sorted(os.listdir(blob_dir)) == ["doc-bigpdf-blanklead.pdf",
+                                            "doc-bigpdf-scan.pdf",
                                             "doc-bigpdf-text.pdf"]
     # sharded output == fused single-task extraction, span for span
     for d in docs:

@@ -1215,7 +1215,8 @@ def test_events_watermark_hourly_matches_sequential_replay(ray_session):
                          columns=["event_id", "ts", "user_id"])
     t = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
     eid = ev["event_id"].astype("int64").to_numpy()
-    arr = t + (eid * np.int64(2654435761)) % np.int64(1_800_000_000) \
+    arr = t + ((eid % np.int64(1_800_000_000))
+           * np.int64(854_435_761)) % np.int64(1_800_000_000) \
         - np.int64(900_000_000)
     df = pd.DataFrame({"bucket": ev["user_id"].astype("int64") % 64,
                        "arr": arr, "event_id": eid, "t": t})
@@ -1247,7 +1248,8 @@ def test_events_watermark_hourly_hand_late_event(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     def jit(e):
-        return (e * 2654435761) % 1_800_000_000 - 900_000_000
+        return ((e % 1_800_000_000)
+                * 854_435_761) % 1_800_000_000 - 900_000_000
 
     # find ids: b arrives ≥ 21 min before its event time relative to a
     a = next(e for e in range(1, 10**6) if jit(e) > 840_000_000)

@@ -42,6 +42,17 @@ def test_scene_cuts_two_cuts_and_indexing():
     assert list(out["t_ms"]) == [200, 400]
 
 
+def test_scene_cuts_two_frame_clip():
+    """A 2-frame clip's lone hard cut registers: the leave-one-out
+    baseline is empty (0), so the absolute floor alone gates it."""
+    a = np.zeros((8, 8), dtype=np.uint8)
+    b = np.full((8, 8), 255, dtype=np.uint8)
+    out = SceneCuts()(_batch(encode_gif_animated([a, b], delay_ms=50)))
+    assert out.to_dict("records") == [{
+        "doc_id": "d1", "media_ref": "m1", "cut_index": 0,
+        "frame_index": 1, "t_ms": 50, "jump_q": 255_000_000}]
+
+
 def test_scene_cuts_ignores_shimmer_below_floor():
     """Lossy-codec-level noise (small per-pixel deltas) is not a cut."""
     frames = [np.full((16, 16), 100 + i, dtype=np.uint8)
