@@ -1506,24 +1506,37 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
             box, ensure_ascii=False, sort_keys=True)))
 
     for ln, segs in _detect_scan_tables(lines):
+        k = max(1, (ln["y1"] - ln["y0"]) // CELL_H)
+
+        def seg_x(i0: int, i1: int) -> tuple[float, float]:
+            # the char grid is monospaced (pen reconstruction), so
+            # segment x comes straight from the char index
+            return (ln["x0"] + i0 * PITCH_X * k,
+                    ln["x0"] + (i1 - 1) * PITCH_X * k + CELL_W * k)
+
         if segs is None:
-            txt = ln["text"].strip()
-            if txt:
-                emit(txt, ln["x0"], ln["x1"], ln["y0"], ln["y1"], None)
+            # prose line — but a gutter-wide gap means two-COLUMN text:
+            # one box per column block, so pdfish's two-column ordering
+            # sees scanned columns exactly like text-PDF columns
+            for m in _SCAN_COL_RE.finditer(ln["text"]):
+                sx0, sx1 = seg_x(m.start(), m.end())
+                emit(m.group(), sx0, sx1, ln["y0"], ln["y1"], None)
             continue
         # tabular line: one box per cell segment, tagged lay=table and
         # emitted contiguously so extract_pdfish's auto-tno run grouping
-        # keeps one table per aligned region; the char grid is monospaced
-        # (pen reconstruction), so segment x comes from the char index
-        k = max(1, (ln["y1"] - ln["y0"]) // CELL_H)
+        # keeps one table per aligned region
         for i0, i1, seg in segs:
-            sx0 = ln["x0"] + i0 * PITCH_X * k
-            sx1 = ln["x0"] + (i1 - 1) * PITCH_X * k + CELL_W * k
+            sx0, sx1 = seg_x(i0, i1)
             emit(seg, sx0, sx1, ln["y0"], ln["y1"], "table")
     return out
 
 
 _SCAN_SEG_RE = re.compile(r"\S+(?: {1,2}\S+)*")
+# a two-column page gutter: at least this many blank char cells between
+# text blocks on one OCR line (table cell gaps are 3–7; prose never
+# reconstructs runs this wide)
+_SCAN_GUTTER = 8
+_SCAN_COL_RE = re.compile(r"\S+(?: {1,%d}\S+)*" % (_SCAN_GUTTER - 1))
 
 
 def _detect_scan_tables(lines: list[dict]) -> list[tuple[dict, list | None]]:
@@ -1531,8 +1544,12 @@ def _detect_scan_tables(lines: list[dict]) -> list[tuple[dict, list | None]]:
     reference's table-structure recognizer on scanned input
     (deepdoc/vision/table_structure_recognizer.py:29-92), re-expressed
     for the monospaced glyph frame: a line splits into cell segments at
-    runs of >=3 spaces; >=2 CONSECUTIVE lines whose segments start at
-    IDENTICAL char columns (left-aligned layout) form a table region.
+    runs of >=3 spaces; >=2 CONSECUTIVE lines whose >=3 segments start
+    at IDENTICAL char columns (left-aligned layout) form a table
+    region. Exactly-2-segment aligned runs are NOT tables — that shape
+    is two-COLUMN text (both columns left-aligned at the same gutter),
+    which the caller splits into per-column boxes instead; a genuine
+    2-column table reads as two text columns, the documented ambiguity.
     Returns one (line, segments|None) per line — segments =
     [(start_char, end_char, text)] for table lines, None for prose."""
     seg_of: list[list[tuple[int, int, str]]] = []
@@ -1543,7 +1560,7 @@ def _detect_scan_tables(lines: list[dict]) -> list[tuple[dict, list | None]]:
     i = 0
     while i < len(lines):
         starts = tuple(s[0] for s in seg_of[i])
-        if len(starts) < 2:
+        if len(starts) < 3:
             i += 1
             continue
         j = i + 1

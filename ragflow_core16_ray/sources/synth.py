@@ -34,7 +34,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.478, "pdf"), (0.49, "scan"),
         (0.992, "picture"), (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 27
+CORPUS_VERSION = 28
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -587,9 +587,20 @@ def _gen_scan(r: random.Random, doc_id: str) -> list[dict]:
         if page == 0:
             lines.append(normalize_text(_words(r, 4).upper()) + ":")
             lines.append("")
-        for _ in range(r.randint(3, 9)):
-            sent = normalize_text(_words(r, r.randint(3, 8)).upper())
-            lines.append(sent.strip() + ".")
+        if page > 0 and r.random() < 0.25:
+            # two-column page: left-aligned columns with a >=10-char
+            # gutter — pdf_bytes splits the OCR lines at the gutter and
+            # pdfish's two-column ordering reads left column first
+            for _ in range(r.randint(3, 6)):
+                lt = (normalize_text(_words(r, r.randint(2, 4)).upper())
+                      .strip() + ".")[:26]
+                rt = (normalize_text(_words(r, r.randint(2, 4)).upper())
+                      .strip() + ".")[:26]
+                lines.append(lt.ljust(30) + "          " + rt)
+        else:
+            for _ in range(r.randint(3, 9)):
+                sent = normalize_text(_words(r, r.randint(3, 8)).upper())
+                lines.append(sent.strip() + ".")
         if r.random() < 0.35:
             # an aligned table block: left-justified columns separated by
             # >=3 spaces — recovered by pdf_bytes._detect_scan_tables +

@@ -306,19 +306,56 @@ def test_scanned_table_recovers_cells_and_rows():
 
 def test_scan_table_detection_requires_aligned_run():
     """A single multi-segment line (no aligned neighbor) stays prose;
-    misaligned multi-segment lines stay prose."""
+    misaligned multi-segment lines stay prose; 2-segment aligned runs
+    are COLUMNS (not tables) — table regions need >=3 segments."""
     from ragflow_core16_ray.functions.pdf_bytes import _detect_scan_tables
 
     mk = lambda t, y: {"text": t, "x0": 0, "x1": 10, "y0": y, "y1": y + 7}
     # one tabular-looking line alone
-    got = _detect_scan_tables([mk("A    B", 0), mk("PLAIN PROSE", 9)])
+    got = _detect_scan_tables([mk("A    B    C", 0),
+                               mk("PLAIN PROSE", 9)])
     assert [s for _, s in got] == [None, None]
     # two lines with different column starts
-    got = _detect_scan_tables([mk("AA    B", 0), mk("A    BB", 9)])
+    got = _detect_scan_tables([mk("AA    B    C", 0),
+                               mk("A    BB    C", 9)])
     assert [s for _, s in got] == [None, None]
-    # two aligned lines -> both tables
+    # two aligned 3-segment lines -> both tables
+    got = _detect_scan_tables([mk("AA    B    C", 0),
+                               mk("XY    Z    W", 9)])
+    assert all(s is not None and len(s) == 3 for _, s in got)
+    # two aligned 2-SEGMENT lines: two-column text, not a table
     got = _detect_scan_tables([mk("AA    B", 0), mk("XY    Z", 9)])
-    assert all(s is not None and len(s) == 2 for _, s in got)
+    assert [s for _, s in got] == [None, None]
+
+
+def test_scanned_two_column_page_splits_and_orders():
+    """A two-column scanned page emits one box per column block, and
+    pdfish's two-column ordering reads the LEFT column fully before the
+    right — the text-PDF column contract, now from scans."""
+    left = ["LEFT ONE FIRST LINE HERE.", "LEFT TWO SECOND LINE NOW.",
+            "LEFT THREE GOES ON MORE.", "LEFT FOUR KEEPS GOING TOO.",
+            "LEFT FIVE STILL MORE TEXT.", "LEFT SIX ALMOST DONE NOW.",
+            "LEFT SEVEN LAST OF COLUMN."]
+    right = ["RIGHT ONE STARTS COLUMN B.", "RIGHT TWO CONTINUES IT ON.",
+             "RIGHT THREE MORE OF THAT.", "RIGHT FOUR KEEPS FILLING.",
+             "RIGHT FIVE NEARLY THERE.", "RIGHT SIX AND THEN SOME.",
+             "RIGHT SEVEN ENDS THE PAGE."]
+    body = [(a.ljust(30) + "          " + b)
+            for a, b in zip(left, right)]
+    lines = (["DOC HEADER"] + [""] * 5 + body + [""] * 87
+             + ["PAGE 1/1"])
+    pdf = build_scanned_pdf([lines], media_box=(600.0, 1000.0))
+    boxes = [json.loads(s["text"]) for s in pdf_to_boxes(pdf)]
+    body_boxes = [b for b in boxes
+                  if b["t"].startswith(("LEFT", "RIGHT"))]
+    assert len(body_boxes) == 14        # one box per column block
+    xs = {b["t"].split()[0] for b in body_boxes if b["x0"] < 200}
+    assert xs == {"LEFT"}
+    spans = finalize_offsets(expand_pdf_spans(
+        [make_span("pdf", base64.b64encode(pdf).decode("ascii"))]))
+    _tmpl, out, _ = extract_doc(spans, ExtractConfig())
+    text = " ".join(s["text"] for s in out)
+    assert text.index("LEFT SEVEN") < text.index("RIGHT ONE")
 
 
 def test_scan_archetype_generates_and_extracts():
