@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "domain_quota_sample", "encoding_quality",
     # round-4 session-5 additions
     "copurchase_pagerank", "video_scene_cuts", "audio_vad_segments",
+    "events_watermark_hourly",
 ]
 
 

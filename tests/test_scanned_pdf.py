@@ -175,6 +175,20 @@ def test_ocr_page_tolerates_small_glyph_noise():
     assert [d["text"] for d in ocr_page(img)] == ["HELLO WORLD"]
 
 
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=60),
+       st.integers(min_value=1, max_value=60),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_ocr_never_crashes_on_arbitrary_bitmaps(h, w, seed):
+    """Crash-safety fuzz: ANY uint8 bitmap either reads or returns [] —
+    never raises (the poison-containment contract of the scan path)."""
+    rng = np.random.RandomState(seed)
+    img = (rng.rand(h, w) * 255).astype(np.uint8)
+    assert isinstance(ocr_page(img), list)
+    lines, rot, shape = ocr_page_oriented(img)
+    assert isinstance(lines, list) and rot in (0, 1, 2, 3)
+
+
 def test_rotated_text_rejected_without_orientation_search():
     """Plain ocr_page must NOT garbage-read a rotated page — the Hamming
     cap rejects mirrored glyph patterns outright."""
