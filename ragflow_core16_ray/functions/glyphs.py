@@ -245,16 +245,22 @@ def _ocr_binary_scaled(b: np.ndarray) -> list[dict]:
     pixel coords. Falls back to k=1 when the k attempt rejects."""
     if not b.any():
         return []
-    # 1 px/pt first: the common case, and a cheap reject for scaled
-    # pages (their first full-height band exceeds the glyph cell), so
-    # the run-length gcd is only ever computed for genuinely scaled or
-    # non-text input
-    lines = _ocr_binary(b)
-    if lines:
-        return lines
+    def text_chars(lines: list[dict]) -> int:
+        return sum(len(ln["text"]) for ln in lines if not ln.get("fig"))
+
+    # 1 px/pt first: the common case. A CLEAN all-text parse wins
+    # outright; otherwise (figure bands present — a scaled page reads
+    # as mostly figures, a mixed page as text+figures) the gcd-scale
+    # parse competes by recognized-character count, so a 2x page's
+    # stray dot-sized fragments can never beat its real text.
+    lines1 = _ocr_binary(b)
+    score1 = text_chars(lines1)
+    if score1 and not any(ln.get("fig") for ln in lines1):
+        return lines1
+    fallback = lines1 if score1 else []
     kk = _run_length_gcd(b)
     if kk <= 1:
-        return []
+        return fallback
     # phase-align on the first ink pixel (argmax of the any-profiles —
     # no full nonzero materialization): in an exact kk-upscale, ink
     # always starts on a block boundary
@@ -263,15 +269,17 @@ def _ocr_binary_scaled(b: np.ndarray) -> list[dict]:
     sh = (b.shape[0] - phy) // kk
     sw = (b.shape[1] - phx) // kk
     if sh < 1 or sw < 1:
-        return []
+        return fallback
     win = b[phy:phy + sh * kk, phx:phx + sw * kk]
     sub = np.ascontiguousarray(win[::kk, ::kk])
     # verify the upscale hypothesis EXACTLY: every kk-block constant
     # (a solid photo blob passes the run-length gcd but fails here)
     if not (win.reshape(sh, kk, sw, kk)
             == sub[:, None, :, None]).all():
-        return []
+        return fallback
     lines = _ocr_binary(sub)
+    if text_chars(lines) <= score1:
+        return fallback
     for ln in lines:
         ln["x0"] = ln["x0"] * kk + phx
         ln["x1"] = ln["x1"] * kk + phx
@@ -308,16 +316,41 @@ def ocr_page_oriented(img: np.ndarray) -> tuple[list[dict], int,
     b = (img > 127).astype(np.uint8)
     if not b.any():
         return [], 0, b.shape
+    # fast path: the un-rotated parse reads as PURE text (no figure
+    # bands) — overwhelmingly the common case, no other rotation tried.
+    # Otherwise score every rotation by recognized characters: figure
+    # bands tolerate local junk, so a wrong rotation can emit a stray
+    # symmetric glyph — the real orientation wins by text volume.
+    best: tuple[list[dict], int, tuple[int, int]] = ([], 0, b.shape)
+    best_score = 0
     for rot in (0, 2, 1, 3):
         rb = np.rot90(b, rot) if rot else b
         lines = _ocr_binary_scaled(rb)
-        if lines:
-            return lines, rot, rb.shape
-    return [], 0, b.shape
+        if not lines:
+            continue
+        score = sum(len(ln["text"]) for ln in lines
+                    if not ln.get("fig"))
+        if rot == 0 and score and not any(ln.get("fig")
+                                          for ln in lines):
+            return lines, 0, rb.shape
+        if score > best_score:
+            best, best_score = (lines, rot, rb.shape), score
+    return best
+
+
+def _has_text(lines: list[dict]) -> bool:
+    return any(not ln.get("fig") for ln in lines)
 
 
 def _ocr_binary(b: np.ndarray) -> list[dict]:
-    """Core det/rec over a 1 px/pt binary page (see ocr_page)."""
+    """Core det/rec over a 1 px/pt binary page (see ocr_page). Bands
+    that cannot be this font — taller than a glyph cell, a run wider
+    than a cell, or a pattern beyond the Hamming cap — become FIGURE
+    bands ({"fig": True} with the band's ink bbox) instead of rejecting
+    the whole page: a real scan mixes photos with text, and the text
+    must still read (the reference's layout model splits regions the
+    same way). Callers gate on _has_text — a page with ONLY figure
+    bands is not glyph text at this scale/orientation."""
     if not b.any():
         return []
     row_ink = b.any(axis=1)
@@ -336,11 +369,18 @@ def _ocr_binary(b: np.ndarray) -> list[dict]:
     bands.append((start, prev + 1))
     lines: list[dict] = []
     for by0, by1 in bands:
-        if by1 - by0 > CELL_H:
-            return []          # taller than any glyph: not this font
         band = b[by0:by1]
         col_ink = band.any(axis=0)
         cidx = np.flatnonzero(col_ink)
+
+        def fig_band() -> dict:
+            return {"text": "", "fig": True,
+                    "x0": int(cidx[0]), "x1": int(cidx[-1]) + 1,
+                    "y0": int(by0), "y1": int(by1)}
+
+        if by1 - by0 > CELL_H:
+            lines.append(fig_band())   # taller than any glyph: a photo
+            continue
         runs: list[tuple[int, int]] = []
         rs = rp = int(cidx[0])
         for x in cidx[1:]:
@@ -361,18 +401,24 @@ def _ocr_binary(b: np.ndarray) -> list[dict]:
                            bh - band[::-1].argmax(axis=0), 0)
         pens: list[tuple[float, str]] = []   # (pen_x, char)
         frame_y0 = by1                        # min over glyph candidates
+        bad = False
         for rx0, rx1 in runs:
             if rx1 - rx0 > CELL_W:
-                return []      # wider than any glyph: not this font
+                bad = True     # wider than any glyph
+                break
             gy0 = int(col_top[rx0:rx1].min())
             gy1 = int(col_bot[rx0:rx1].max())
             pat = np.ascontiguousarray(band[gy0:gy1, rx0:rx1])
             cls = _classify_tight(pat)
             if cls is None:
-                return []
+                bad = True     # beyond the Hamming cap
+                break
             ch, tt, tl = cls
             pens.append((rx0 - tl, ch))
             frame_y0 = min(frame_y0, by0 + gy0 - tt)
+        if bad:
+            lines.append(fig_band())
+            continue
         if not pens:
             continue
         chars = [pens[0][1]]

@@ -237,7 +237,8 @@ def build_pdf(pages: list[list[tuple[float, float, float, str]]],
 def build_scanned_pdf(pages: list[list[str]],
                       media_box: tuple[float, float] = (612.0, 792.0),
                       margin_px: int = 36, dpi_scale: int = 1,
-                      feed_rot: int = 0) -> bytes:
+                      feed_rot: int = 0,
+                      photos: list[list[tuple]] | None = None) -> bytes:
     """Scanner-output-shaped PDF: each page is ONE full-page /Image
     XObject (Flate DeviceGray 8-bit) placed by a page-filling CTM, with
     NO text layer — the input class the reference sends to its OCR
@@ -249,12 +250,18 @@ def build_scanned_pdf(pages: list[list[str]],
     pseudo-points from the top-left. ``feed_rot`` = number of CCW
     quarter-turns the scanner fed the page at (2 = upside down; 1/3 =
     sideways, which also swaps the stored image dims and MediaBox as a
-    real scanner would). Deterministic bytes for given input."""
+    real scanner would). ``photos`` (optional, per page): deterministic
+    dithered PHOTO blocks as (y, x, h, w, seed) in base pixels — mixed
+    text+photo pages, the layout-split input class (photo regions come
+    back as figure crops, text still reads). The base canvas (text +
+    photos) upscales as ONE image, exactly as a scanner sampling the
+    whole sheet at its DPI would. Deterministic bytes for given
+    input."""
     from .glyphs import render_text
 
     w, h = media_box
     k = max(1, int(dpi_scale))
-    iw, ih = int(w) * k, int(h) * k
+    iw, ih = int(w), int(h)
     n_pages = len(pages)
     objs: list[bytes] = []
     page_ids = [3 + 3 * i for i in range(n_pages)]
@@ -268,12 +275,16 @@ def build_scanned_pdf(pages: list[list[str]],
         canvas = np.zeros((ih, iw), dtype=np.uint8)
         if lines:
             block = render_text(list(lines))
-            if k > 1:
-                block = np.kron(block, np.ones((k, k), dtype=np.uint8))
-            m = margin_px * k
-            bh = min(block.shape[0], ih - m)
-            bw = min(block.shape[1], iw - m)
-            canvas[m:m + bh, m:m + bw] = block[:bh, :bw]
+            bh = min(block.shape[0], ih - margin_px)
+            bw = min(block.shape[1], iw - margin_px)
+            canvas[margin_px:margin_px + bh,
+                   margin_px:margin_px + bw] = block[:bh, :bw]
+        for (py, px, bh, bw, seed) in (photos[i] if photos else ()):
+            rng = np.random.RandomState(int(seed) & 0xFFFFFFFF)
+            canvas[py:py + bh, px:px + bw] = \
+                (rng.rand(bh, bw) > 0.5).astype(np.uint8) * 255
+        if k > 1:
+            canvas = np.kron(canvas, np.ones((k, k), dtype=np.uint8))
         if feed_rot % 4:
             canvas = np.ascontiguousarray(np.rot90(canvas, feed_rot % 4))
         ph_, pw_ = canvas.shape
@@ -1482,7 +1493,7 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
     if arr.shape[0] < 1 or arr.shape[1] < 1:
         return []
     # luma conversion happens inside ocr_page_oriented
-    lines, _rot, (px_h, px_w) = ocr_page_oriented(arr)
+    lines, rot, (px_h, px_w) = ocr_page_oriented(arr)
     a, _b, _c, d, e, f = ctm
     iw, ih = abs(a), abs(d)
     out: list[dict] = []
@@ -1505,7 +1516,9 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
         out.append(make_span("box", json.dumps(
             box, ensure_ascii=False, sort_keys=True)))
 
-    for ln, segs in _detect_scan_tables(lines):
+    n_fig = 0
+    for ln, segs in _detect_scan_tables([l for l in lines
+                                         if not l.get("fig")]):
         k = max(1, (ln["y1"] - ln["y0"]) // CELL_H)
 
         def seg_x(i0: int, i1: int) -> tuple[float, float]:
@@ -1528,6 +1541,31 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
         for i0, i1, seg in segs:
             sx0, sx1 = seg_x(i0, i1)
             emit(seg, sx0, sx1, ln["y0"], ln["y1"], "table")
+    # photo regions amid the text (figure bands): a lay=figure box at
+    # the band's ink bbox + an image span carrying the REAL pixel crop
+    # — the role of the reference's figure-region crops from layout
+    # output (pdf_parser.py:1129-1208). Geometry keeps ordering; the
+    # image span must directly follow its box (caption attachment).
+    figs = [l for l in lines if l.get("fig")]
+    if figs:
+        import base64
+
+        from .png import encode_png
+
+        gray = (arr.mean(axis=2).astype("uint8") if arr.ndim == 3
+                else arr)
+        if rot:
+            import numpy as _np
+
+            gray = _np.ascontiguousarray(_np.rot90(gray, rot))
+        for ln in figs:
+            emit("", ln["x0"], ln["x1"], ln["y0"], ln["y1"], "figure")
+            crop = gray[ln["y0"]:ln["y1"], ln["x0"]:ln["x1"]]
+            out.append(make_span(
+                "image",
+                base64.b64encode(encode_png(crop)).decode("ascii"),
+                media_ref=f"pdf://{page_no}/scanfig{n_fig}"))
+            n_fig += 1
     return out
 
 

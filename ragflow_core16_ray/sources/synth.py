@@ -34,7 +34,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.478, "pdf"), (0.49, "scan"),
         (0.992, "picture"), (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 28
+CORPUS_VERSION = 29
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -580,7 +580,9 @@ def _gen_scan(r: random.Random, doc_id: str) -> list[dict]:
     n_pages = r.randint(1, 4)
     header = normalize_text("SCAN " + _words(r, 2).upper())[:38]
     pages: list[list[str]] = []
+    photos: list[list[tuple]] = []
     for page in range(n_pages):
+        page_photos: list[tuple] = []
         # header at ~38/1000 (inside the top-8% band); 5 blank lines push
         # the first body line past 85/1000
         lines: list[str] = [header, "", "", "", "", ""]
@@ -616,11 +618,22 @@ def _gen_scan(r: random.Random, doc_id: str) -> list[dict]:
                                  zip(row, widths)).rstrip()
                          for row in rows)
             lines.append("")
+        if r.random() < 0.18:
+            # a PHOTO region amid the text (dithered block): OCR keeps
+            # the text and crops the photo into a figure span
+            y_px = 36 + (len(lines) + 1) * 9 + 4
+            bh = r.randint(36, 81)
+            if y_px + bh < 900:
+                page_photos.append((y_px, r.randint(60, 180), bh,
+                                    r.randint(140, 340),
+                                    r.randrange(2**31)))
+                lines.extend([""] * ((bh + 17) // 9 + 2))
         # footer in the bottom margin band (top > 92%): blank-pad so the
         # page-number line lands at pixel row 36 + 100*9 = 936
         lines.extend([""] * (100 - len(lines)))
         lines.append(f"PAGE {page + 1}/{n_pages}")
         pages.append(lines)
+        photos.append(page_photos)
     # scanner variation: resolution 72/144/216 dpi and occasional
     # upside-down or sideways feeds — the OCR side detects both
     # (glyphs._run_length_gcd scale estimate + ocr_page_oriented)
@@ -631,8 +644,8 @@ def _gen_scan(r: random.Random, doc_id: str) -> list[dict]:
                                                        else 3))
     payload = base64.b64encode(
         build_scanned_pdf(pages, media_box=(600.0, 1000.0), margin_px=36,
-                          dpi_scale=dpi_scale,
-                          feed_rot=feed_rot)).decode("ascii")
+                          dpi_scale=dpi_scale, feed_rot=feed_rot,
+                          photos=photos)).decode("ascii")
     return [make_span("pdf", payload)]
 
 

@@ -372,13 +372,64 @@ def test_scanned_two_column_page_splits_and_orders():
     assert text.index("LEFT SEVEN") < text.index("RIGHT ONE")
 
 
+def test_scanned_mixed_text_and_photo_page():
+    """A photo region amid scanned text: the text still reads, the
+    photo band comes back as a lay=figure box plus an image span whose
+    payload is the REAL pixel crop of the region."""
+    from ragflow_core16_ray.functions.image_ops import decode_image
+
+    lines = (["DOC HEADER", "", "", "", "", "",
+              "TEXT ABOVE THE PHOTO."]
+             + [""] * 8 + ["TEXT BELOW THE PHOTO."]
+             + [""] * 83 + ["PAGE 1/1"])
+    pdf = build_scanned_pdf([lines], media_box=(600.0, 1000.0),
+                            photos=[[(110, 100, 60, 300, 3)]])
+    spans = pdf_to_boxes(pdf)
+    texts = _box_texts(spans)
+    assert "TEXT ABOVE THE PHOTO." in texts
+    assert "TEXT BELOW THE PHOTO." in texts
+    figs = [json.loads(s["text"]) for s in spans
+            if s["kind"] == "box"
+            and json.loads(s["text"]).get("lay") == "figure"]
+    assert len(figs) == 1
+    assert figs[0]["top"] == pytest.approx(110.0, abs=1.0)
+    imgs = [s for s in spans if s["kind"] == "image"]
+    assert len(imgs) == 1 and imgs[0]["media_ref"] == "pdf://0/scanfig0"
+    crop = decode_image(base64.b64decode(imgs[0]["text"]))
+    assert crop.shape == (60, 300)
+    # extraction: sections + a figure, photo pixels never become text
+    doc = finalize_offsets(expand_pdf_spans(
+        [make_span("pdf", base64.b64encode(pdf).decode("ascii"))]))
+    _tmpl, out, _ = extract_doc(doc, ExtractConfig())
+    text = " ".join(s["text"] for s in out)
+    assert "TEXT ABOVE THE PHOTO." in text
+    assert "TEXT BELOW THE PHOTO." in text
+    assert any(s["kind"] == "figure" for s in out)
+
+
+def test_scanned_mixed_page_at_higher_dpi():
+    """The photo region and text both survive a 2x-DPI scan — the
+    whole sheet (photo included) samples at the scanner DPI, and the
+    scale detector's block-constancy check still accepts the page."""
+    lines = (["DOC HEADER", "", "", "", "", "",
+              "TEXT NEXT TO A PHOTO."] + [""] * 93 + ["PAGE 1/1"])
+    pdf = build_scanned_pdf([lines], media_box=(600.0, 1000.0),
+                            dpi_scale=2,
+                            photos=[[(140, 80, 40, 200, 9)]])
+    spans = pdf_to_boxes(pdf)
+    assert "TEXT NEXT TO A PHOTO." in _box_texts(spans)
+    assert any(s["kind"] == "image" for s in spans)
+
+
 def test_scan_archetype_generates_and_extracts():
     from ragflow_core16_ray.sources.synth import gen_doc
 
     d = gen_doc(42, 155, mega_every=150)
     assert d["doc_id"].startswith("doc-scan-")
     spans = expand_pdf_spans(d["spans"])
-    assert all(s["kind"] == "box" for s in spans)
+    # boxes plus (for pages with a photo region) real image crops
+    assert {s["kind"] for s in spans} <= {"box", "image"}
+    assert any(s["kind"] == "box" for s in spans)
     tmpl, out, _ = extract_doc(finalize_offsets(spans), ExtractConfig())
     assert tmpl != "error" and len(out) >= 1
     assert all(s["text"] == s["text"].upper() for s in out
