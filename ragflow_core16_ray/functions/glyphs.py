@@ -302,6 +302,49 @@ def ocr_page(img: np.ndarray) -> list[dict]:
     return _ocr_binary_scaled((img > 127).astype(np.uint8))
 
 
+def _estimate_shear(b: np.ndarray, max_slope: float = 0.05,
+                    steps: int = 101) -> float:
+    """Skew estimate for a scanned page, in the small-angle shear model
+    (each pixel column shifted vertically by round(x·slope) — how a
+    slightly rotated sheet samples onto the scanner grid): pick the
+    slope whose unshear concentrates ink into the fewest rows (maximum
+    sum-of-squares of the row profile — the classic projection-profile
+    deskew). The grid is i/1000 for |i| ≤ 50; ties prefer the smaller
+    |slope|, so an unskewed page estimates exactly 0."""
+    ys, xs = np.nonzero(b)
+    if ys.size == 0:
+        return 0.0
+    ys = ys.astype(np.int64)
+    xs = xs.astype(np.int64)
+    best, best_score = 0.0, -1
+    for slope in np.linspace(-max_slope, max_slope, steps):
+        yy = ys - np.round(xs * slope).astype(np.int64)
+        prof = np.bincount(yy - yy.min())
+        score = int((prof.astype(np.int64) ** 2).sum())
+        if score > best_score or (score == best_score
+                                  and abs(slope) < abs(best)):
+            best, best_score = round(float(slope), 6), score
+    return best
+
+
+def _unshear(b: np.ndarray, slope: float) -> np.ndarray:
+    """Invert the column shear: column x shifts UP by round(x·slope)
+    (exact integer shifts — the inverse of the scanner-skew model, so
+    glyph patterns come back bit-identical when the slope is right)."""
+    if not slope:
+        return b
+    h, w = b.shape
+    d = np.round(np.arange(w) * slope).astype(np.int64)
+    out = np.zeros_like(b)
+    for dv in np.unique(d):
+        cols = d == dv
+        if dv >= 0:
+            out[:h - dv, cols] = b[dv:, cols]
+        else:
+            out[-dv:, cols] = b[:h + dv, cols]
+    return out
+
+
 def ocr_page_oriented(img: np.ndarray) -> tuple[list[dict], int,
                                                 tuple[int, int]]:
     """Orientation-searching OCR for scanner feeds: try the page as-is,
@@ -335,6 +378,23 @@ def ocr_page_oriented(img: np.ndarray) -> tuple[list[dict], int,
             return lines, 0, rb.shape
         if score > best_score:
             best, best_score = (lines, rot, rb.shape), score
+    if best_score < 8:
+        # nothing substantial at any quarter turn (a skewed page often
+        # still yields a stray glyph or two — hence a threshold, not
+        # zero): try DESKEW — estimate the small-angle shear per
+        # rotation, unshear, re-parse. Geometry comes back in the
+        # DESKEWED frame (shifts are bounded by |slope|·width, well
+        # inside the margins).
+        for rot in (0, 2, 1, 3):
+            rb = np.rot90(b, rot) if rot else b
+            slope = _estimate_shear(rb)
+            if not slope:
+                continue
+            lines = _ocr_binary_scaled(_unshear(rb, slope))
+            score = sum(len(ln["text"]) for ln in lines
+                        if not ln.get("fig"))
+            if score > best_score:
+                best, best_score = (lines, rot, rb.shape), score
     return best
 
 

@@ -238,7 +238,8 @@ def build_scanned_pdf(pages: list[list[str]],
                       media_box: tuple[float, float] = (612.0, 792.0),
                       margin_px: int = 36, dpi_scale: int = 1,
                       feed_rot: int = 0,
-                      photos: list[list[tuple]] | None = None) -> bytes:
+                      photos: list[list[tuple]] | None = None,
+                      skew_slope: float = 0.0) -> bytes:
     """Scanner-output-shaped PDF: each page is ONE full-page /Image
     XObject (Flate DeviceGray 8-bit) placed by a page-filling CTM, with
     NO text layer — the input class the reference sends to its OCR
@@ -285,6 +286,21 @@ def build_scanned_pdf(pages: list[list[str]],
                 (rng.rand(bh, bw) > 0.5).astype(np.uint8) * 255
         if k > 1:
             canvas = np.kron(canvas, np.ones((k, k), dtype=np.uint8))
+        if skew_slope:
+            # scanner skew in the small-angle shear model: column x
+            # shifts DOWN by round(x·slope) at scan resolution — the
+            # exact inverse of glyphs._unshear, so deskew recovers the
+            # page bit-identically
+            hh, ww = canvas.shape
+            d = np.round(np.arange(ww) * skew_slope).astype(np.int64)
+            sheared = np.zeros_like(canvas)
+            for dv in np.unique(d):
+                cols = d == dv
+                if dv >= 0:
+                    sheared[dv:, cols] = canvas[:hh - dv, cols]
+                else:
+                    sheared[:hh + dv, cols] = canvas[-dv:, cols]
+            canvas = sheared
         if feed_rot % 4:
             canvas = np.ascontiguousarray(np.rot90(canvas, feed_rot % 4))
         ph_, pw_ = canvas.shape

@@ -34,7 +34,7 @@ _CUM = ((0.27, "html"), (0.47, "pdfish"), (0.478, "pdf"), (0.49, "scan"),
         (0.992, "picture"), (1.0, "audio"))
 
 # bump when generator output changes so cached corpora regenerate
-CORPUS_VERSION = 29
+CORPUS_VERSION = 30
 
 _EN_WORDS = (
     "stream batch table scan merge sort join filter window group key value "
@@ -642,10 +642,15 @@ def _gen_scan(r: random.Random, doc_id: str) -> list[dict]:
     v = r.random()
     feed_rot = 0 if v < 0.80 else (2 if v < 0.92 else (1 if v < 0.96
                                                        else 3))
+    # small-angle scanner skew (shear model) on ~15% of scans — the
+    # deskew estimator's grid is i/1000, so draw from the same grid
+    skew = (r.choice([-1, 1]) * r.randint(8, 40) / 1000
+            if r.random() < 0.15 else 0.0)
     payload = base64.b64encode(
         build_scanned_pdf(pages, media_box=(600.0, 1000.0), margin_px=36,
                           dpi_scale=dpi_scale, feed_rot=feed_rot,
-                          photos=photos)).decode("ascii")
+                          photos=photos,
+                          skew_slope=skew)).decode("ascii")
     return [make_span("pdf", payload)]
 
 

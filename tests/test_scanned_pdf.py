@@ -434,3 +434,31 @@ def test_scan_archetype_generates_and_extracts():
     assert tmpl != "error" and len(out) >= 1
     assert all(s["text"] == s["text"].upper() for s in out
                if s["kind"] == "section")
+
+
+@pytest.mark.parametrize("kw", [
+    {"skew_slope": 0.013}, {"skew_slope": -0.027},
+    {"skew_slope": 0.04}, {"skew_slope": 0.02, "dpi_scale": 2},
+    {"skew_slope": 0.02, "feed_rot": 2},
+    {"skew_slope": -0.015, "dpi_scale": 3, "feed_rot": 1}])
+def test_scanned_pdf_deskew(kw):
+    """Small-angle scanner skew (integer column-shear model) deskews
+    exactly — alone and combined with DPI scaling and feed rotation."""
+    lines = (["DOC HEADER", "", "", "", "", "",
+              "SKEWED BODY LINE ONE.", "SKEWED BODY LINE TWO.",
+              "AND A THIRD LINE HERE."] + [""] * 88 + ["PAGE 1/1"])
+    pdf = build_scanned_pdf([lines], media_box=(600.0, 1000.0), **kw)
+    texts = _box_texts(pdf_to_boxes(pdf))
+    assert texts == ["DOC HEADER", "SKEWED BODY LINE ONE.",
+                     "SKEWED BODY LINE TWO.", "AND A THIRD LINE HERE.",
+                     "PAGE 1 1"]
+
+
+def test_shear_estimator_zero_on_straight_pages():
+    from ragflow_core16_ray.functions.glyphs import (_estimate_shear,
+                                                     _unshear)
+
+    img = render_text(["A PERFECTLY STRAIGHT LINE.", "AND ANOTHER ONE."])
+    b = (img > 127).astype(np.uint8)
+    assert _estimate_shear(b) == 0.0
+    assert _unshear(b, 0.0) is b
