@@ -378,7 +378,11 @@ def ocr_page_oriented(img: np.ndarray) -> tuple[list[dict], int,
             return lines, 0, rb.shape
         if score > best_score:
             best, best_score = (lines, rot, rb.shape), score
-    if best_score < 8:
+    # glyph text inks a few percent of the page; a dense image (photo,
+    # dithered art) can never be skewed text — don't spend 4 shear
+    # estimates rejecting it
+    sparse = b.mean() <= 0.20
+    if best_score < 8 and sparse:
         # nothing substantial at any quarter turn (a skewed page often
         # still yields a stray glyph or two — hence a threshold, not
         # zero): try DESKEW — estimate the small-angle shear per
