@@ -345,44 +345,53 @@ def _unshear(b: np.ndarray, slope: float) -> np.ndarray:
     return out
 
 
+# a parse must recognize at least this many characters for the page to
+# count as text at all — one or two stray glyph-shaped marks on a photo
+# or line-art image must NOT convert the whole image into "text"
+_MIN_PAGE_CHARS = 8
+
+
 def ocr_page_oriented(img: np.ndarray) -> tuple[list[dict], int,
-                                                tuple[int, int]]:
+                                                tuple[int, int], float]:
     """Orientation-searching OCR for scanner feeds: try the page as-is,
     then 180 (upside-down feed), then 90/270 (sideways feed) — the role
-    of the reference OCR's angle classifier. Returns (lines, rot,
-    (h, w)) where ``lines`` are in the CORRECTED (derotated) frame of
-    dimensions (h, w) and ``rot`` is the np.rot90 count that corrects
-    the input. Wrong orientations reject (the Hamming cap) rather than
-    read mirrored glyphs, so the search is unambiguous on real text."""
+    of the reference OCR's angle classifier — with a small-angle DESKEW
+    fallback. Returns (lines, rot, (h, w), slope): ``lines`` in the
+    CORRECTED (derotated + unsheared) frame of dimensions (h, w),
+    ``rot`` the np.rot90 count and ``slope`` the shear that correct the
+    input (apply rot90 then _unshear to map raw pixels into the
+    corrected frame). Wrong orientations reject (the Hamming cap +
+    _MIN_PAGE_CHARS) rather than read mirrored glyphs. A clean pure-
+    text parse at ANY rotation returns immediately — wrong rotations
+    never parse clean, so the first clean one is the answer."""
     if img.ndim == 3:
         img = img.mean(axis=2).astype(np.uint8)
     b = (img > 127).astype(np.uint8)
     if not b.any():
-        return [], 0, b.shape
-    # fast path: the un-rotated parse reads as PURE text (no figure
-    # bands) — overwhelmingly the common case, no other rotation tried.
-    # Otherwise score every rotation by recognized characters: figure
-    # bands tolerate local junk, so a wrong rotation can emit a stray
-    # symmetric glyph — the real orientation wins by text volume.
-    best: tuple[list[dict], int, tuple[int, int]] = ([], 0, b.shape)
+        return [], 0, b.shape, 0.0
+
+    def text_score(lines: list[dict]) -> int:
+        return sum(len(ln["text"]) for ln in lines if not ln.get("fig"))
+
+    best: tuple[list[dict], int, tuple[int, int], float] = \
+        ([], 0, b.shape, 0.0)
     best_score = 0
     for rot in (0, 2, 1, 3):
         rb = np.rot90(b, rot) if rot else b
         lines = _ocr_binary_scaled(rb)
         if not lines:
             continue
-        score = sum(len(ln["text"]) for ln in lines
-                    if not ln.get("fig"))
-        if rot == 0 and score and not any(ln.get("fig")
-                                          for ln in lines):
-            return lines, 0, rb.shape
+        score = text_score(lines)
+        if score >= _MIN_PAGE_CHARS \
+                and not any(ln.get("fig") for ln in lines):
+            return lines, rot, rb.shape, 0.0
         if score > best_score:
-            best, best_score = (lines, rot, rb.shape), score
+            best, best_score = (lines, rot, rb.shape, 0.0), score
     # glyph text inks a few percent of the page; a dense image (photo,
     # dithered art) can never be skewed text — don't spend 4 shear
     # estimates rejecting it
     sparse = b.mean() <= 0.20
-    if best_score < 8 and sparse:
+    if best_score < _MIN_PAGE_CHARS and sparse:
         # nothing substantial at any quarter turn (a skewed page often
         # still yields a stray glyph or two — hence a threshold, not
         # zero): try DESKEW — estimate the small-angle shear per
@@ -395,15 +404,15 @@ def ocr_page_oriented(img: np.ndarray) -> tuple[list[dict], int,
             if not slope:
                 continue
             lines = _ocr_binary_scaled(_unshear(rb, slope))
-            score = sum(len(ln["text"]) for ln in lines
-                        if not ln.get("fig"))
+            score = text_score(lines)
+            if score >= _MIN_PAGE_CHARS \
+                    and not any(ln.get("fig") for ln in lines):
+                return lines, rot, rb.shape, slope
             if score > best_score:
-                best, best_score = (lines, rot, rb.shape), score
+                best, best_score = (lines, rot, rb.shape, slope), score
+    if best_score < _MIN_PAGE_CHARS:
+        return [], 0, b.shape, 0.0
     return best
-
-
-def _has_text(lines: list[dict]) -> bool:
-    return any(not ln.get("fig") for ln in lines)
 
 
 def _ocr_binary(b: np.ndarray) -> list[dict]:
@@ -413,8 +422,9 @@ def _ocr_binary(b: np.ndarray) -> list[dict]:
     bands ({"fig": True} with the band's ink bbox) instead of rejecting
     the whole page: a real scan mixes photos with text, and the text
     must still read (the reference's layout model splits regions the
-    same way). Callers gate on _has_text — a page with ONLY figure
-    bands is not glyph text at this scale/orientation."""
+    same way). Callers gate on recognized-character counts — a page
+    with only figure bands (or just stray glyph-shaped marks) is not
+    glyph text at this scale/orientation."""
     if not b.any():
         return []
     row_ink = b.any(axis=1)

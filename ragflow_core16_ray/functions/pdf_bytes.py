@@ -282,25 +282,22 @@ def build_scanned_pdf(pages: list[list[str]],
                    margin_px:margin_px + bw] = block[:bh, :bw]
         for (py, px, bh, bw, seed) in (photos[i] if photos else ()):
             rng = np.random.RandomState(int(seed) & 0xFFFFFFFF)
-            canvas[py:py + bh, px:px + bw] = \
-                (rng.rand(bh, bw) > 0.5).astype(np.uint8) * 255
+            bh = min(bh, ih - py)     # clamp like the text block does
+            bw = min(bw, iw - px)
+            if bh > 0 and bw > 0:
+                canvas[py:py + bh, px:px + bw] = \
+                    (rng.rand(bh, bw) > 0.5).astype(np.uint8) * 255
         if k > 1:
             canvas = np.kron(canvas, np.ones((k, k), dtype=np.uint8))
         if skew_slope:
             # scanner skew in the small-angle shear model: column x
             # shifts DOWN by round(x·slope) at scan resolution — the
-            # exact inverse of glyphs._unshear, so deskew recovers the
-            # page bit-identically
-            hh, ww = canvas.shape
-            d = np.round(np.arange(ww) * skew_slope).astype(np.int64)
-            sheared = np.zeros_like(canvas)
-            for dv in np.unique(d):
-                cols = d == dv
-                if dv >= 0:
-                    sheared[dv:, cols] = canvas[:hh - dv, cols]
-                else:
-                    sheared[:hh + dv, cols] = canvas[-dv:, cols]
-            canvas = sheared
+            # same kernel as deskew with the sign flipped (np.round is
+            # odd-symmetric), so glyphs._unshear recovers the page
+            # bit-identically
+            from .glyphs import _unshear
+
+            canvas = _unshear(canvas, -skew_slope)
         if feed_rot % 4:
             canvas = np.ascontiguousarray(np.rot90(canvas, feed_rot % 4))
         ph_, pw_ = canvas.shape
@@ -1443,7 +1440,7 @@ def pdf_to_boxes(data: bytes, from_page: int = 0,
                 arr, anote = _image_array(objs, num)
                 if arr is not None:
                     ocr_boxes = _ocr_image_boxes(
-                        arr, ctm, disp, ph, scale, page_no)
+                        arr, ctm, disp, ph, scale, page_no, name)
                     if ocr_boxes:
                         spans.extend(ocr_boxes)
                         continue
@@ -1492,7 +1489,7 @@ def pdf_to_boxes(data: bytes, from_page: int = 0,
 
 
 def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
-                     page_no: int) -> list[dict]:
+                     page_no: int, img_name: str = "Im0") -> list[dict]:
     """OCR a placed image (decoded pixel array) on a textless page into
     ordinary text-box spans (same dict shape as the text-layer path, so
     layout inference and templates downstream cannot tell a scan from a
@@ -1509,7 +1506,7 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
     if arr.shape[0] < 1 or arr.shape[1] < 1:
         return []
     # luma conversion happens inside ocr_page_oriented
-    lines, rot, (px_h, px_w) = ocr_page_oriented(arr)
+    lines, rot, (px_h, px_w), slope = ocr_page_oriented(arr)
     a, _b, _c, d, e, f = ctm
     iw, ih = abs(a), abs(d)
     out: list[dict] = []
@@ -1533,8 +1530,16 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
             box, ensure_ascii=False, sort_keys=True)))
 
     n_fig = 0
-    for ln, segs in _detect_scan_tables([l for l in lines
-                                         if not l.get("fig")]):
+    text_lines = [l for l in lines if not l.get("fig")]
+    detected = _detect_scan_tables(text_lines)
+    # a line splits at a gutter-wide gap ONLY when a neighboring line
+    # splits too (a real column region spans many lines) — a lone
+    # title-and-date line with a wide gap must stay one box, or its
+    # right fragment would flip the page into column-major ordering
+    multi = [len(_SCAN_COL_RE.findall(ln["text"])) >= 2
+             if segs is None else False
+             for ln, segs in detected]
+    for ix, (ln, segs) in enumerate(detected):
         k = max(1, (ln["y1"] - ln["y0"]) // CELL_H)
 
         def seg_x(i0: int, i1: int) -> tuple[float, float]:
@@ -1544,12 +1549,21 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
                     ln["x0"] + (i1 - 1) * PITCH_X * k + CELL_W * k)
 
         if segs is None:
-            # prose line — but a gutter-wide gap means two-COLUMN text:
-            # one box per column block, so pdfish's two-column ordering
-            # sees scanned columns exactly like text-PDF columns
-            for m in _SCAN_COL_RE.finditer(ln["text"]):
-                sx0, sx1 = seg_x(m.start(), m.end())
-                emit(m.group(), sx0, sx1, ln["y0"], ln["y1"], None)
+            split = multi[ix] and ((ix > 0 and multi[ix - 1])
+                                   or (ix + 1 < len(multi)
+                                       and multi[ix + 1]))
+            if split:
+                # two-COLUMN text: one box per column block, so
+                # pdfish's two-column ordering sees scanned columns
+                # exactly like text-PDF columns
+                for m in _SCAN_COL_RE.finditer(ln["text"]):
+                    sx0, sx1 = seg_x(m.start(), m.end())
+                    emit(m.group(), sx0, sx1, ln["y0"], ln["y1"], None)
+            else:
+                txt = ln["text"].strip()
+                if txt:
+                    emit(txt, ln["x0"], ln["x1"], ln["y0"], ln["y1"],
+                         None)
             continue
         # tabular line: one box per cell segment, tagged lay=table and
         # emitted contiguously so extract_pdfish's auto-tno run grouping
@@ -1566,6 +1580,7 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
     if figs:
         import base64
 
+        from .glyphs import _unshear
         from .png import encode_png
 
         gray = (arr.mean(axis=2).astype("uint8") if arr.ndim == 3
@@ -1574,13 +1589,17 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
             import numpy as _np
 
             gray = _np.ascontiguousarray(_np.rot90(gray, rot))
+        # line coordinates live in the fully CORRECTED frame: apply the
+        # same deskew to the pixels before cropping, or a skewed page's
+        # figure payload would be a diagonally-torn crop
+        gray = _unshear(gray, slope)
         for ln in figs:
             emit("", ln["x0"], ln["x1"], ln["y0"], ln["y1"], "figure")
             crop = gray[ln["y0"]:ln["y1"], ln["x0"]:ln["x1"]]
             out.append(make_span(
                 "image",
                 base64.b64encode(encode_png(crop)).decode("ascii"),
-                media_ref=f"pdf://{page_no}/scanfig{n_fig}"))
+                media_ref=f"pdf://{page_no}/{img_name}/scanfig{n_fig}"))
             n_fig += 1
     return out
 

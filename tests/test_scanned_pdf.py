@@ -119,7 +119,7 @@ def test_ocr_oriented_roundtrips_any_dpi_and_rotation(lines, k, rot):
     page[2 * k + 4:2 * k + 4 + img.shape[0],
          k + 6:k + 6 + img.shape[1]] = img
     fed = np.rot90(page, -rot).copy()
-    got, _r, shape = ocr_page_oriented(fed)
+    got, _r, shape, _sl = ocr_page_oriented(fed)
     exp = [e for e in (normalize_text(ln).strip() for ln in lines) if e]
     assert [d["text"] for d in got] == exp
     if exp:
@@ -155,7 +155,7 @@ def test_ocr_page_oriented_corrects_feed_rotation(rot):
     page = np.zeros((240, 300), dtype=np.uint8)
     page[61:61 + img.shape[0], 43:43 + img.shape[1]] = img
     fed = np.rot90(page, -rot).copy()   # scanner rotated the page CW
-    lines, got_rot, (h, w) = ocr_page_oriented(fed)
+    lines, got_rot, (h, w), _sl = ocr_page_oriented(fed)
     assert [d["text"] for d in lines] == ["UPSIDE DOWN FEED?",
                                           "SECOND LINE HERE."]
     # corrected frame matches the original page dims and geometry
@@ -185,7 +185,7 @@ def test_ocr_never_crashes_on_arbitrary_bitmaps(h, w, seed):
     rng = np.random.RandomState(seed)
     img = (rng.rand(h, w) * 255).astype(np.uint8)
     assert isinstance(ocr_page(img), list)
-    lines, rot, shape = ocr_page_oriented(img)
+    lines, rot, shape, _sl = ocr_page_oriented(img)
     assert isinstance(lines, list) and rot in (0, 1, 2, 3)
 
 
@@ -394,7 +394,7 @@ def test_scanned_mixed_text_and_photo_page():
     assert len(figs) == 1
     assert figs[0]["top"] == pytest.approx(110.0, abs=1.0)
     imgs = [s for s in spans if s["kind"] == "image"]
-    assert len(imgs) == 1 and imgs[0]["media_ref"] == "pdf://0/scanfig0"
+    assert len(imgs) == 1 and imgs[0]["media_ref"] == "pdf://0/Im0/scanfig0"
     crop = decode_image(base64.b64decode(imgs[0]["text"]))
     assert crop.shape == (60, 300)
     # extraction: sections + a figure, photo pixels never become text
