@@ -1505,19 +1505,33 @@ def _ocr_image_boxes(arr, ctm, disp, ph: float, scale: float,
 
     if arr.shape[0] < 1 or arr.shape[1] < 1:
         return []
+    a, _b, _c, d, e, f = ctm
+    # a mirrored placement CTM (`w 0 0 -h 0 h cm` — producers whose
+    # image data is stored bottom-up) renders the raw array flipped;
+    # flip it into RENDERED orientation first so recognition sees what
+    # a viewer sees, then map geometry from the transformed placement
+    # corners (min/max like the figure path) instead of assuming (e, f)
+    # is the bottom-left anchor
+    import numpy as _np
+
+    if d < 0:
+        arr = _np.ascontiguousarray(arr[::-1])
+    if a < 0:
+        arr = _np.ascontiguousarray(arr[:, ::-1])
     # luma conversion happens inside ocr_page_oriented
     lines, rot, (px_h, px_w), slope = ocr_page_oriented(arr)
-    a, _b, _c, d, e, f = ctm
     iw, ih = abs(a), abs(d)
+    x_base = min(e, e + a)          # rendered-rect left edge (device pts)
+    y_base = max(f, f + d)          # rendered-rect top edge (device pts)
     out: list[dict] = []
 
     def emit(txt: str, px0: float, px1: float, py0: float, py1: float,
              lay: str | None) -> None:
-        # pixel rows count from the image TOP; device y is bottom-up
-        x0_pt = e + iw * px0 / px_w
-        x1_pt = e + iw * px1 / px_w
-        ytop_pt = f + ih * (1 - py0 / px_h)
-        ybot_pt = f + ih * (1 - py1 / px_h)
+        # pixel rows count from the RENDERED image top; device y bottom-up
+        x0_pt = x_base + iw * px0 / px_w
+        x1_pt = x_base + iw * px1 / px_w
+        ytop_pt = y_base - ih * py0 / px_h
+        ybot_pt = y_base - ih * py1 / px_h
         (dx0, dy0), (dx1, dy1) = disp(x0_pt, ybot_pt), disp(x1_pt, ytop_pt)
         box = {"t": txt, "x0": round(min(dx0, dx1) * scale, 2),
                "x1": round(max(dx0, dx1) * scale, 2),

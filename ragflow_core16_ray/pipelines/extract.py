@@ -163,17 +163,18 @@ class ExtractRouter:
         step = self.cfg.task_page_size
         ranges = [(a, min(a + step, n_pages))
                   for a in range(0, n_pages, step)]
-        # route from the first NON-EMPTY range — equivalent to whole-doc
-        # routing because any non-empty PDF range yields box spans
-        # (blank cover pages yield nothing and must not route the doc
-        # to 'naive'); the probed ranges' spans are staged as-is so the
-        # probe parse is never repeated by a shard task
+        # route from the first range with NON-TOC content — equivalent to
+        # whole-doc routing because any non-empty PDF range yields box
+        # spans (blank cover pages yield nothing — or, when the doc has
+        # outlines, only from_page==0 toc_entry spans — and neither must
+        # route the doc to 'naive'); the probed ranges' spans are staged
+        # as-is so the probe parse is never repeated by a shard task
         pre: dict[int, list] = {}
         template = None
         for si, (a, b) in enumerate(ranges):
             got = expand_pdf_spans(spans, a, b)
             pre[si] = got
-            if got:
+            if [s for s in got if s["kind"] != "toc_entry"]:
                 template = route_template(got)
                 break
         if template is None:
