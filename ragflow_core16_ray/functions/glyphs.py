@@ -219,30 +219,40 @@ def _run_length_gcd(b: np.ndarray, cap: int = 8) -> int:
     gcd of all run lengths recovers k (the role of the reference's
     zoom-factor bookkeeping around its rasterizer, pdf_parser.py:994-1113
     — there the DPI is known because it rasterizes itself; a scanner
-    image arrives with unknown DPI). Early-outs at 1; capped."""
+    image arrives with unknown DPI). Processed in row chunks with an
+    early exit at gcd 1 (exact: each row's runs are independent), so a
+    photo page — whose dithered runs hit gcd 1 within the first band —
+    costs a fraction of a full-page diff. Capped."""
     import math
 
     g = 0
     for arr in (b, b.T):
-        p = np.zeros((arr.shape[0], arr.shape[1] + 2), dtype=np.int8)
-        p[:, 1:-1] = arr
-        d = np.diff(p, axis=1)
-        flat = d.reshape(-1)
-        starts = np.flatnonzero(flat == 1)
-        ends = np.flatnonzero(flat == -1)
-        for ln in np.unique(ends - starts):
-            g = math.gcd(g, int(ln))
-            if g == 1:
-                return 1
+        n = arr.shape[0]
+        for c0 in range(0, n, 128):
+            chunk = arr[c0:c0 + 128]
+            p = np.zeros((chunk.shape[0], chunk.shape[1] + 2),
+                         dtype=np.int8)
+            p[:, 1:-1] = chunk
+            flat = np.diff(p, axis=1).reshape(-1)
+            starts = np.flatnonzero(flat == 1)
+            ends = np.flatnonzero(flat == -1)
+            for ln in np.unique(ends - starts):
+                g = math.gcd(g, int(ln))
+                if g == 1:
+                    return 1
     return min(max(g, 1), cap)
 
 
-def _ocr_binary_scaled(b: np.ndarray) -> list[dict]:
+def _ocr_binary_scaled(b: np.ndarray, kk_fn=None) -> list[dict]:
     """OCR a binary page at whatever scan resolution it arrived in:
     estimate the integer upscale k, phase-align on the first ink pixel
     (block boundaries of an exact upscale), sample the k-grid down to
     the 1 px/pt frame, OCR there, and map line boxes back to FULL-frame
-    pixel coords. Falls back to k=1 when the k attempt rejects."""
+    pixel coords. Falls back to k=1 when the k attempt rejects.
+    ``kk_fn`` optionally supplies the scale estimate (run-length gcd is
+    rotation-invariant — quarter turns swap rows and columns and reverse
+    them, preserving every run length — so orientation search computes
+    it once per page, not once per rotation)."""
     if not b.any():
         return []
     def text_chars(lines: list[dict]) -> int:
@@ -258,7 +268,7 @@ def _ocr_binary_scaled(b: np.ndarray) -> list[dict]:
     if score1 and not any(ln.get("fig") for ln in lines1):
         return lines1
     fallback = lines1 if score1 else []
-    kk = _run_length_gcd(b)
+    kk = kk_fn() if kk_fn is not None else _run_length_gcd(b)
     if kk <= 1:
         return fallback
     # phase-align on the first ink pixel (argmax of the any-profiles —
@@ -376,9 +386,19 @@ def ocr_page_oriented(img: np.ndarray) -> tuple[list[dict], int,
     best: tuple[list[dict], int, tuple[int, int], float] = \
         ([], 0, b.shape, 0.0)
     best_score = 0
+    # run-length gcd is rotation-invariant: compute at most once for all
+    # four quarter-turn attempts (the deskew path recomputes — unshear
+    # changes row runs)
+    kk_cache: list[int] = []
+
+    def kk_fn() -> int:
+        if not kk_cache:
+            kk_cache.append(_run_length_gcd(b))
+        return kk_cache[0]
+
     for rot in (0, 2, 1, 3):
         rb = np.rot90(b, rot) if rot else b
-        lines = _ocr_binary_scaled(rb)
+        lines = _ocr_binary_scaled(rb, kk_fn)
         if not lines:
             continue
         score = text_score(lines)
