@@ -124,6 +124,29 @@ def _explode_payload(batch, kinds: tuple, payload_kinds: tuple):
             .append_column("payload", payload))
 
 
+class _FusedExplode:
+    """Explode + decode fused into ONE map_batches stage.
+
+    The two-stage shape (explode task → actor pool) ships every in-band
+    media payload through the object store twice — once as the doc's
+    spans column into the explode task, once again as the explode
+    output's payload column into the decode actor. At 100 TB the second
+    shipment is pure waste (it was the r4 bench's slowest entry's cost).
+    Fusing keeps the actor-pool semantics (stage state constructed once
+    per actor) while payload bytes enter the object store exactly once,
+    at the read."""
+
+    def __init__(self, stage_cls, kinds: tuple, payload_kinds: tuple,
+                 *stage_args):
+        self.stage = stage_cls(*stage_args)
+        self.kinds = kinds
+        self.payload_kinds = payload_kinds
+
+    def __call__(self, batch) -> pd.DataFrame:
+        flat = _explode_payload(batch, self.kinds, self.payload_kinds)
+        return self.stage(flat.to_pandas())
+
+
 def _default_pool() -> tuple[int, int]:
     """Actor-pool bounds sized from the cluster, not a hard-coded cap: a
     CPU decode stage starves at (1,4) on a 32-CPU node. Production GPU
@@ -136,19 +159,21 @@ def _default_pool() -> tuple[int, int]:
 
 
 def media_features(extracted: rd.Dataset, concurrency=None,
-                   batch_size: int = 64) -> rd.Dataset:
+                   batch_size: int = 32) -> rd.Dataset:
     """Extracted-docs dataset → one row per figure span with decoded
-    metadata + features. flat-map explode happens vectorized in Arrow."""
+    metadata + features. Explode (vectorized Arrow) and decode run FUSED
+    in one actor stage — figure spans carry a ref only; image spans
+    (picture docs) carry their PNG payload in-band for the real decode,
+    and those bytes must not re-enter the object store between stages.
+    ``batch_size`` counts docs (not media rows): real payloads are MBs,
+    so batches stay small."""
     if concurrency is None:
         concurrency = _default_pool()
-    def explode(batch):
-        # figure spans carry a ref only; image spans (picture docs)
-        # carry their PNG payload in-band for the real decode
-        return _explode_payload(batch, ("figure", "image"), ("image",))
-
-    refs = extracted.map_batches(explode, batch_format="pyarrow")
-    return refs.map_batches(MediaFeatures, batch_format="pandas",
-                            batch_size=batch_size, concurrency=concurrency)
+    return extracted.map_batches(
+        _FusedExplode,
+        fn_constructor_args=(MediaFeatures, ("figure", "image"), ("image",)),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
@@ -158,29 +183,18 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     Output: one row per doc with ≥1 figure: (doc_id, n_figures,
     collage_height, collage_width).
 
-    Grouped by a coarse doc-hash bucket, NOT raw doc_id: one map_groups
-    call per bucket with all of its docs collaged in one pass (a
-    one-group-per-doc groupby is the fine-grained per-group-overhead
-    pattern the dedup/sessionization stages avoid for the same reason —
-    see events_sessions, relational.py). A doc's frames still co-locate
-    on one worker (same bucket ⇒ same group) and never cross the driver."""
-    import pyarrow as pa
-
-    from ..functions.hashing import hash64
+    NO shuffle: a doc's figure spans all live in its own input row, so
+    the collage is doc-local by construction — explode + decode + concat
+    run fused in one map_batches task and payload bytes enter the object
+    store exactly once (the earlier bucket-groupby shape paid an
+    all-to-all to co-locate rows that were never apart). ``n_buckets``
+    is retained for API compatibility; it no longer affects execution."""
     from ..functions.image_ops import maybe_rotate, resize, vertical_concat
 
-    def explode(batch: pa.Table) -> pa.Table:
-        # shared explode; the collage REAL-decodes in-band picture
-        # payloads, then adds its coarse doc bucket
-        flat = _explode_payload(batch, ("figure", "image"), ("image",))
-        bucket = pa.array([hash64(d) & (n_buckets - 1)
-                           for d in flat["doc_id"].to_pylist()],
-                          type=pa.int64())
-        return flat.append_column("bucket", bucket)
-
-    def collage_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def collage_docs(g: pd.DataFrame) -> pd.DataFrame:
         import base64
 
+        from ..functions.hashing import hash64
         from ..functions.image_ops import decode_image
 
         g = g.sort_values(["doc_id", "media_ref"], kind="stable")
@@ -220,10 +234,12 @@ def media_collage(extracted: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             "collage_height": pd.array(heights, dtype="int64"),
             "collage_width": pd.array(widths, dtype="int64")})
 
-    return (extracted.map_batches(explode, batch_format="pyarrow")
-            .repartition(max(1, n_buckets // 4))
-            .groupby("bucket").map_groups(collage_bucket,
-                                          batch_format="pandas"))
+    def per_batch(batch) -> pd.DataFrame:
+        flat = _explode_payload(batch, ("figure", "image"), ("image",))
+        return collage_docs(flat.to_pandas())
+
+    return extracted.map_batches(per_batch, batch_format="pyarrow",
+                                 batch_size=32)
 
 
 class FrameSampler:
@@ -404,15 +420,14 @@ def audio_segments(extracted: rd.Dataset, window_ms: int = 30_000,
     """Extracted docs → overlapping audio segment rows for every
     media-bearing figure span (same Arrow explode as media_features; the
     fan-out happens inside the actor — no driver loop, no shuffle)."""
-    def explode(batch):
-        # audio spans carry their WAV payload in-band for the real probe
-        return _explode_payload(batch, ("figure", "audio"), ("audio",))
-
-    refs = extracted.map_batches(explode, batch_format="pyarrow")
-    return refs.map_batches(AudioSegmenter,
-                            fn_constructor_args=(window_ms, overlap_ms),
-                            batch_format="pandas", batch_size=batch_size,
-                            concurrency=concurrency or _default_pool())
+    # audio spans carry their WAV payload in-band for the real probe;
+    # explode+segment fused so payloads enter the object store once
+    return extracted.map_batches(
+        _FusedExplode,
+        fn_constructor_args=(AudioSegmenter, ("figure", "audio"),
+                             ("audio",), window_ms, overlap_ms),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_pool())
 
 
 def frame_samples(extracted: rd.Dataset, n_frames: int = 4,
@@ -420,15 +435,15 @@ def frame_samples(extracted: rd.Dataset, n_frames: int = 4,
     """Extracted docs → sampled frame rows for every media-bearing figure
     span. Same explode as media_features; the sampler fans each ref out to
     ``n_frames`` rows inside the actor (no driver loop, no shuffle)."""
-    def explode(batch):
-        # image spans may be animated (APNG/GIF/AVI) — the sampler
-        # real-decodes the in-band payload
-        return _explode_payload(batch, ("figure", "image"), ("image",))
-
-    refs = extracted.map_batches(explode, batch_format="pyarrow")
-    return refs.map_batches(FrameSampler, fn_constructor_args=(n_frames,),
-                            batch_format="pandas", batch_size=batch_size,
-                            concurrency=concurrency or _default_pool())
+    # image spans may be animated (APNG/GIF/AVI) — the sampler
+    # real-decodes the in-band payload; explode+sample fused so payloads
+    # enter the object store once
+    return extracted.map_batches(
+        _FusedExplode,
+        fn_constructor_args=(FrameSampler, ("figure", "image"), ("image",),
+                             n_frames),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_pool())
 
 
 # ------------------------------------------------ perceptual-hash dedup ---
@@ -505,12 +520,13 @@ def image_dhash_dups(extracted: rd.Dataset, max_hamming: int = 6,
     n_pieces = max_hamming + 1
     piece_bits = 64 // n_pieces
 
-    def explode(batch):
-        return _explode_payload(batch, ("image",), ("image",))
-
-    sigs = (extracted.map_batches(explode, batch_format="pyarrow")
-            .map_batches(DHasher, batch_format="pandas", batch_size=64,
-                         concurrency=concurrency or _default_pool()))
+    # explode+hash fused: each image reduces to 8 bytes in the same
+    # actor that received it, so payload bytes never re-enter the store
+    sigs = extracted.map_batches(
+        _FusedExplode,
+        fn_constructor_args=(DHasher, ("image",), ("image",)),
+        batch_format="pyarrow", batch_size=32,
+        concurrency=concurrency or _default_pool())
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[batch["ok"]]
@@ -628,13 +644,11 @@ def frame_motion_stats(extracted: rd.Dataset, batch_size: int = 32,
     """One row per in-band image/video payload with exact-integer motion
     energy (see MotionStats). Pixels never shuffle — each clip reduces
     to three ints in place on the actor pool."""
-    def explode(batch):
-        return _explode_payload(batch, ("image",), ("image",))
-
-    refs = extracted.map_batches(explode, batch_format="pyarrow")
-    return refs.map_batches(MotionStats, batch_format="pandas",
-                            batch_size=batch_size,
-                            concurrency=concurrency or _default_pool())
+    return extracted.map_batches(
+        _FusedExplode,
+        fn_constructor_args=(MotionStats, ("image",), ("image",)),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_pool())
 
 
 class SceneCuts:
@@ -713,13 +727,11 @@ def video_scene_cuts(extracted: rd.Dataset, batch_size: int = 32,
     """One row per detected hard cut across every animated in-band
     payload (see SceneCuts). Pixels never shuffle — each clip reduces
     to its cut list in place on the actor pool."""
-    def explode(batch):
-        return _explode_payload(batch, ("image",), ("image",))
-
-    refs = extracted.map_batches(explode, batch_format="pyarrow")
-    return refs.map_batches(SceneCuts, batch_format="pandas",
-                            batch_size=batch_size,
-                            concurrency=concurrency or _default_pool())
+    return extracted.map_batches(
+        _FusedExplode,
+        fn_constructor_args=(SceneCuts, ("image",), ("image",)),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_pool())
 
 
 class VadSegmenter:
@@ -804,15 +816,12 @@ def audio_vad_segments(extracted: rd.Dataset, frame_ms: int = 20,
     """Energy-VAD speech segments for every in-band audio payload (see
     VadSegmenter) — content-aware boundaries next to audio_segments'
     fixed ASR framing grid."""
-    def explode(batch):
-        return _explode_payload(batch, ("figure", "audio"), ("audio",))
-
-    refs = extracted.map_batches(explode, batch_format="pyarrow")
-    return refs.map_batches(VadSegmenter,
-                            fn_constructor_args=(frame_ms, min_speech_ms,
-                                                 thr_div),
-                            batch_format="pandas", batch_size=batch_size,
-                            concurrency=concurrency or _default_pool())
+    return extracted.map_batches(
+        _FusedExplode,
+        fn_constructor_args=(VadSegmenter, ("figure", "audio"), ("audio",),
+                             frame_ms, min_speech_ms, thr_div),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_pool())
 
 
 def link_graph(extracted_corpus: rd.Dataset, k: int = 50) -> pd.DataFrame:
@@ -1028,10 +1037,12 @@ def image_dup_verified_pairs(extracted: rd.Dataset, max_hamming: int = 6,
             rows["thumb"].append(cells.ravel())
         return pd.DataFrame(rows)
 
-    sigs = (extracted.map_batches(
-        lambda b: _explode_payload(b, ("image",), ("image",)),
-        batch_format="pyarrow")
-        .map_batches(probe, batch_format="pandas")).to_pandas()
+    # explode+probe fused: each image reduces to a digest + 8×8 thumb in
+    # the task that received it — payload bytes enter the store once
+    sigs = extracted.map_batches(
+        lambda b: probe(
+            _explode_payload(b, ("image",), ("image",)).to_pandas()),
+        batch_format="pyarrow").to_pandas()
     meta = {(d, r): (dg, th) for d, r, dg, th in
             zip(sigs["doc_id"], sigs["media_ref"],
                 sigs["digest"], sigs["thumb"])}
