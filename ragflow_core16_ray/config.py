@@ -52,8 +52,16 @@ class ExtractConfig:
     # "deepdoc" = full layout analysis (ordering, two-column, tables,
     # ToC, header/footer); "plain" = the reference's "Plain Text"
     # layout_recognize mode (rag/app/naive.py:282-299 PlainParser): raw
-    # text lines in input order, no layout machinery at all
+    # text lines in input order, no layout machinery at all; "onnx" =
+    # deepdoc layout with the scanned-page det/rec pair loaded from
+    # ``onnx_dir`` .onnx files (functions/vision_onnx.py — the
+    # reference's det.onnx/rec.onnx slot, ocr.py:70-126), one session
+    # per actor, falling back to the rule kernels when weights are
+    # absent
     layout_recognize: str = "deepdoc"
+    # weights dir (pyarrow.fs URI ok) for layout_recognize="onnx";
+    # None reads $RAGFLOW_ONNX_DIR
+    onnx_dir: str | None = None
     # force a chunking template for all docs (role of the reference's
     # user-selected parser_id, task_executor.py:67-84): None = content
     # routing; "one" = whole-doc single chunk (rag/app/one.py); "qa" =

@@ -435,6 +435,21 @@ def ocr_page_oriented(img: np.ndarray) -> tuple[list[dict], int,
     return best
 
 
+# pluggable core recognizer: None = the rule kernels below; an
+# ONNX-backed stage (functions/vision_onnx.OnnxOcr, selected by
+# ExtractConfig.layout_recognize="onnx") installs its det/rec pair here
+# ONCE PER PROCESS/ACTOR — the reference's per-process model cache
+# (deepdoc/vision/ocr.py:70-126) in Ray-worker form. Orientation
+# search, deskew and DPI descaling above this point are shared by both
+# backends.
+_OCR_CORE = None
+
+
+def set_core_ocr(fn) -> None:
+    global _OCR_CORE
+    _OCR_CORE = fn
+
+
 def _ocr_binary(b: np.ndarray) -> list[dict]:
     """Core det/rec over a 1 px/pt binary page (see ocr_page). Bands
     that cannot be this font — taller than a glyph cell, a run wider
@@ -445,6 +460,8 @@ def _ocr_binary(b: np.ndarray) -> list[dict]:
     same way). Callers gate on recognized-character counts — a page
     with only figure bands (or just stray glyph-shaped marks) is not
     glyph text at this scale/orientation."""
+    if _OCR_CORE is not None:
+        return _OCR_CORE(b)
     if not b.any():
         return []
     row_ink = b.any(axis=1)

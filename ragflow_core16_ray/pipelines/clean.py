@@ -39,48 +39,67 @@ _TRIM = " \t\r"
 
 
 def _read(path: str) -> rd.Dataset:
-    return rd.read_parquet(path, columns=["doc_id", "text"])
+    from ..state import fsio
+
+    fs, p = fsio.resolve(path)
+    return rd.read_parquet(p, filesystem=fs, columns=["doc_id", "text"])
 
 
 def _stage_done(out_dir: str, stage: str) -> bool:
-    return os.path.exists(os.path.join(out_dir, f"_{stage}.json"))
+    from ..state import fsio
+
+    return fsio.exists(fsio.join(out_dir, f"_{stage}.json"))
 
 
 def _publish(ds: rd.Dataset, out_dir: str, stage: str, stats: dict,
              empty_schema=None) -> dict:
-    """Write a stage atomically: tmp dir → rename, then the manifest.
-    ``empty_schema``: pyarrow schema used to land a typed empty parquet
-    when the stage filtered everything out (write_parquet of an empty
-    dataset creates nothing, but downstream stages must still read)."""
+    """Write a stage atomically, then its manifest LAST (the commit
+    point a resume checks — a crash between data and manifest reruns
+    the stage). On a local filesystem the data dir additionally goes
+    through tmp → rename; object stores have no directory rename, so
+    there the manifest-last ordering carries the whole contract.
+    ``out_dir`` may be a ``pyarrow.fs`` URI. ``empty_schema``: pyarrow
+    schema used to land a typed empty parquet when the stage filtered
+    everything out (write_parquet of an empty dataset creates nothing,
+    but downstream stages must still read)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    tmp = os.path.join(out_dir, f"_tmp_{stage}")
-    final = os.path.join(out_dir, f"stage_{stage}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(final, ignore_errors=True)
-    ds.write_parquet(tmp)
-    if not os.path.isdir(tmp) or not os.listdir(tmp):
-        os.makedirs(tmp, exist_ok=True)
-        schema = empty_schema or pa.schema([("doc_id", pa.int64()),
-                                            ("text", pa.string())])
-        pq.write_table(schema.empty_table(),
-                       os.path.join(tmp, "empty.parquet"))
-    os.replace(tmp, final)
-    stats = dict(stats, stage=stage, path=final)
-    # atomic publish: a crash mid-dump must not leave a truncated manifest
-    # that _stage_done would treat as stage-complete on resume
-    mpath = os.path.join(out_dir, f"_{stage}.json")
-    with open(mpath + ".tmp", "w") as f:
-        json.dump(stats, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(mpath + ".tmp", mpath)
+    from ..state import fsio
+
+    fs, opath = fsio.resolve(out_dir)
+    local = fsio.is_local((fs, opath))
+    final_uri = fsio.join(out_dir, f"stage_{stage}")
+    schema = empty_schema or pa.schema([("doc_id", pa.int64()),
+                                        ("text", pa.string())])
+    if local:
+        tmp = os.path.join(opath, f"_tmp_{stage}")
+        final = os.path.join(opath, f"stage_{stage}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        ds.write_parquet(tmp)
+        if not os.path.isdir(tmp) or not os.listdir(tmp):
+            fsio.write_table((fs, f"{tmp}/empty.parquet"),
+                             schema.empty_table())
+        os.replace(tmp, final)
+    else:
+        final = f"{opath}/stage_{stage}"
+        fsio.rmtree((fs, final))
+        ds.write_parquet(final, filesystem=fs)
+        if not fsio.list_files((fs, final), ".parquet"):
+            fsio.write_table((fs, f"{final}/empty.parquet"),
+                             schema.empty_table())
+    stats = dict(stats, stage=stage, path=final_uri)
+    # manifest LAST, atomically: a crash mid-dump must not leave a
+    # truncated manifest that _stage_done would treat as complete
+    fsio.write_json(fsio.join(out_dir, f"_{stage}.json"), stats)
     return stats
 
 
 def _counter_sum(path: str, col: str) -> int:
-    ds = rd.read_parquet(path, columns=[col])
+    from ..state import fsio
+
+    fs, p = fsio.resolve(path)
+    ds = rd.read_parquet(p, filesystem=fs, columns=[col])
     return int(ds.sum(col) or 0)
 
 
@@ -88,8 +107,11 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
               boiler_min_len: int = 5, passage_words: int = 10,
               n_buckets: int = 64) -> dict:
     """Run (or resume) the four-stage cleaning pipeline. Returns rollup
-    metrics; the cleaned corpus lands in ``out_dir/stage_final``."""
-    os.makedirs(out_dir, exist_ok=True)
+    metrics; the cleaned corpus lands in ``out_dir/stage_final``.
+    ``out_dir`` may be a ``pyarrow.fs`` URI (shared storage)."""
+    from ..state import fsio
+
+    fsio.makedirs(out_dir)
     t0 = time.perf_counter()
 
     # ---- stage 1: PII redaction (same sequential order as pii_scrub)
@@ -114,7 +136,7 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
         _publish(docs.map_batches(redact, batch_format="pandas"),
                  out_dir, "pii", {"n_in": docs.count()})
 
-    pii_path = os.path.join(out_dir, "stage_pii")
+    pii_path = fsio.join(out_dir, "stage_pii")
 
     # ---- stage 1b: hard screens — C4 token blocklist + encoding
     # damage (U+FFFD / C0 controls / mojibake markers). A drop is a
@@ -169,7 +191,7 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                  empty_schema=pa.schema([("doc_id", pa.int64()),
                                          ("text", pa.string())]))
 
-    screen_path = os.path.join(out_dir, "stage_screen")
+    screen_path = fsio.join(out_dir, "stage_screen")
 
     # ---- stage 2: boilerplate line removal over the redacted text
     if not _stage_done(out_dir, "boiler"):
@@ -213,7 +235,7 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                                                 batch_format="pandas"),
                  out_dir, "boiler", {"n_hot_lines": len(hot)})
 
-    boiler_path = os.path.join(out_dir, "stage_boiler")
+    boiler_path = fsio.join(out_dir, "stage_boiler")
 
     # ---- stage 3: duplicated-passage removal (canonical-occurrence rule,
     # drop rows co-partitioned with the docs — same shape as
@@ -293,7 +315,7 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                                                 batch_format="pandas"),
                  out_dir, "passage", {})
 
-    passage_path = os.path.join(out_dir, "stage_passage")
+    passage_path = fsio.join(out_dir, "stage_passage")
 
     # ---- stage 4: Gopher lexical filter, then exact dedup (keep the
     # minimum doc_id per surviving text — hash-bucketed, text as payload)
@@ -346,7 +368,7 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                                                  batch_format="pandas"))
         _publish(cleaned, out_dir, "final", {})
 
-    final_path = os.path.join(out_dir, "stage_final")
+    final_path = fsio.join(out_dir, "stage_final")
 
     # per-rule Gopher attribution over the stage-3 text, so an
     # unexpected n_out (e.g. 0 on a stopword-free synthetic corpus,
@@ -374,14 +396,12 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
     ).to_pandas().iloc[0]
 
     metrics = {
-        "n_in": json.load(open(os.path.join(out_dir, "_pii.json")))["n_in"],
+        "n_in": fsio.read_json(fsio.join(out_dir, "_pii.json"))["n_in"],
         "n_pii_redactions": _counter_sum(pii_path, "n_pii"),
-        "n_badwords_dropped": json.load(
-            open(os.path.join(out_dir, "_screen.json")))
-        ["n_badwords_dropped"],
-        "n_encoding_dropped": json.load(
-            open(os.path.join(out_dir, "_screen.json")))
-        ["n_encoding_dropped"],
+        "n_badwords_dropped": fsio.read_json(
+            fsio.join(out_dir, "_screen.json"))["n_badwords_dropped"],
+        "n_encoding_dropped": fsio.read_json(
+            fsio.join(out_dir, "_screen.json"))["n_encoding_dropped"],
         "n_lines_removed": _counter_sum(boiler_path, "n_lines_removed"),
         "n_passages_removed": _counter_sum(passage_path,
                                            "n_passages_removed"),
@@ -389,9 +409,9 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
         "gopher_pass_meanlen": int(flags["pass_meanlen"]),
         "gopher_pass_alpha": int(flags["pass_alpha"]),
         "gopher_pass_stop": int(flags["pass_stop"]),
-        "n_out": rd.read_parquet(final_path).count(),
+        "n_out": _read(final_path).count(),
         "output": final_path,
         "wall_sec": round(time.perf_counter() - t0, 3),
     }
-    json.dump(metrics, open(os.path.join(out_dir, "_rollup.json"), "w"))
+    fsio.write_json(fsio.join(out_dir, "_rollup.json"), metrics)
     return metrics

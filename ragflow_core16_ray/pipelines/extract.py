@@ -31,10 +31,13 @@ Role mapping to the reference: pass-1 fusion = its unsharded tasks; the
 staging dir = its Redis/MySQL task queue for page-range tasks
 (task_service.py:292-388); the groupby = its per-doc chunk reassembly.
 
-Multi-node assumption: the staging dir, output dir and lineage manifests
-are PATHS — on a real cluster they must live on shared storage (objstore/
-NFS/S3-style). Every worker writes/reads them by name; nothing else in
-the topology is node-local.
+Multi-node storage contract: the staging dir, blob dir, output dir and
+lineage manifests are ``pyarrow.fs``-resolvable URIs (or pre-resolved
+(FileSystem, path) pairs) routed through ``state/fsio.py`` — every
+worker writes/reads them by name on shared storage (NFS or an S3-style
+object store); writes are atomic publishes. Resolution happens on the
+DRIVER; the resolved filesystem objects are pickled into the stage
+constructors, so workers never re-resolve.
 """
 
 from __future__ import annotations
@@ -42,7 +45,6 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, DEFAULT_RUNTIME, ExtractConfig, RuntimeConfig
@@ -51,17 +53,48 @@ from ..sources.interleaved import read_documents
 from ..stages.extract import (ExtractShard, extract_doc, make_reassembler,
                               route_template)
 from ..stages.shard import split_shards
+from ..state import fsio
 
 
 class ExtractRouter:
     """Pass-1 actor: fused extraction for regular docs; mega-docs staged."""
 
-    def __init__(self, cfg: ExtractConfig, staging_dir: str):
+    def __init__(self, cfg: ExtractConfig, staging_dir):
         self.cfg = cfg
-        self.staging = staging_dir
-        os.makedirs(staging_dir, exist_ok=True)
+        # resolve ONCE (driver for task pools / fn_constructor unpickle
+        # for actor pools — either way the fs object travels by pickle)
+        self.staging = fsio.resolve(staging_dir)
+        fsio.makedirs(self.staging)
+        # model-backed OCR: load the det/rec sessions ONCE per actor
+        # (the reference's per-process model cache, ocr.py:70-126) and
+        # install them as the glyph core; weights absent → rule kernels
+        # (a warning, not a failure — the rule path is golden-pinned)
+        self.ocr = None
+        if cfg.layout_recognize == "onnx":
+            weights = cfg.onnx_dir or os.environ.get("RAGFLOW_ONNX_DIR")
+            try:
+                from ..functions.vision_onnx import OnnxOcr
+
+                self.ocr = OnnxOcr(weights) if weights else None
+            except (FileNotFoundError, OSError):
+                self.ocr = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # install the model-backed OCR core for THIS batch only (tasks
+        # run sequentially within a worker, so the scope is race-free;
+        # an instance pickled to a task-pool worker installs here, not
+        # in __init__, because module globals don't travel with pickle)
+        if self.ocr is not None:
+            from ..functions.glyphs import set_core_ocr
+
+            set_core_ocr(self.ocr.ocr_binary)
+        try:
+            return self._extract_batch(batch)
+        finally:
+            if self.ocr is not None:
+                set_core_ocr(None)
+
+    def _extract_batch(self, batch: pa.Table) -> pa.Table:
         from ..schemas import spans_column_to_pylists
 
         rows = []
@@ -114,11 +147,12 @@ class ExtractRouter:
                              "n_shards": 1})
         if staged_rows:
             # deterministic name per first doc in the group ⇒ a retried
-            # task overwrites its own file instead of duplicating shards
-            os.makedirs(self.staging, exist_ok=True)
+            # task overwrites its own file instead of duplicating shards;
+            # atomic publish ⇒ pass 2 never reads a partial file
             tbl = pa.Table.from_pylist(staged_rows, schema=SHARD_SCHEMA)
             name = staged_rows[0]["doc_id"]
-            pq.write_table(tbl, os.path.join(self.staging, f"{name}.parquet"))
+            fsio.write_table(fsio.join(self.staging, f"{name}.parquet"),
+                             tbl)
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
 
     def _maybe_stage_pdf_ranges(self, doc_id: str,
@@ -153,13 +187,13 @@ class ExtractRouter:
             return None
         if n_pages < self.cfg.pdf_page_shard_min:
             return None
-        blob_dir = self.staging + "_blobs"
-        os.makedirs(blob_dir, exist_ok=True)
-        blob_path = os.path.join(blob_dir, f"{doc_id}.pdf")
-        tmp = blob_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(raw)
-        os.replace(tmp, blob_path)
+        fs, staging_path = self.staging
+        blob_dir = (fs, staging_path + "_blobs")
+        fsio.makedirs(blob_dir)
+        # atomic publish; the pdf_ref span carries the IN-FS path — the
+        # shard task gets the filesystem object from its constructor
+        blob_fs, blob_path = fsio.join(blob_dir, f"{doc_id}.pdf")
+        fsio.write_bytes((blob_fs, blob_path), raw)
         step = self.cfg.task_page_size
         ranges = [(a, min(a + step, n_pages))
                   for a in range(0, n_pages, step)]
@@ -203,16 +237,20 @@ def extract_dataset(input_uri: str, staging_dir: str,
     """
     ds = read_documents(input_uri)
     batch_size = runtime.parse_batch_size or _auto_batch_size(input_uri)
+    # resolve the staging URI HERE (on the driver — registered test
+    # schemes only exist driver-side); the (fs, path) pair pickles into
+    # the task closure / actor constructor args
+    staging = fsio.resolve(staging_dir)
     if runtime.use_actor_pool:
         return ds.map_batches(
             ExtractRouter,
-            fn_constructor_args=(cfg, staging_dir),
+            fn_constructor_args=(cfg, staging),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=runtime.parse_concurrency,
         )
     return ds.map_batches(
-        ExtractRouter(cfg, staging_dir),
+        ExtractRouter(cfg, staging),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -228,6 +266,7 @@ def _auto_batch_size(input_uri, per_core_batches: int = 4,
     every corpus is in the capped regime anyway)."""
     import glob
 
+    import pyarrow.parquet as pq
     import ray
 
     try:
@@ -253,18 +292,15 @@ def reassemble_staged(staging_dir: str,
                       runtime: RuntimeConfig = DEFAULT_RUNTIME) -> rd.Dataset | None:
     """Pass 2: distributed phase A over staged shards, then the
     groupby(doc_id) reassembly shuffle + phase B."""
-    try:
-        files = [f for f in os.listdir(staging_dir) if f.endswith(".parquet")]
-    except FileNotFoundError:
-        return None
+    fs, _spath = fsio.resolve(staging_dir)
+    files = fsio.list_files(staging_dir, ".parquet")
     if not files:
         return None
     # metadata-only shard count (no payload read) sizes the skew leveling
-    n_shards = sum(pq.read_metadata(os.path.join(staging_dir, f)).num_rows
-                   for f in files)
+    n_shards = sum(fsio.read_metadata((fs, f)).num_rows for f in files)
     # one read task per staged file — more tasks than files yields empty
     # schemaless blocks (and a noisy executor warning) on this tiny tail
-    shards = rd.read_parquet(staging_dir,
+    shards = rd.read_parquet(files, filesystem=fs,
                              override_num_blocks=min(len(files), 512))
     # spread shards of the same (huge) doc across workers before the
     # heavy parse — the explicit skew-leveling repartition. Only worth its
@@ -277,7 +313,7 @@ def reassemble_staged(staging_dir: str,
     # stateless tasks (no model state) — skips actor-pool ramp-up, which
     # otherwise dominates this small pass's wall time
     parsed = shards.map_batches(
-        ExtractShard(cfg),
+        ExtractShard(cfg, blob_fs=fs),
         batch_format="pyarrow",
         batch_size=8,
     )
@@ -289,24 +325,24 @@ def run_extract(input_uri: str, output_dir: str,
                 cfg: ExtractConfig = DEFAULT_CONFIG,
                 runtime: RuntimeConfig = DEFAULT_RUNTIME) -> dict:
     """Full two-pass run, writing partitioned parquet under
-    ``output_dir/docs``. Returns counters for lineage/metrics."""
-    import shutil
-
-    staging = os.path.join(output_dir, "_staging")
-    docs_dir = os.path.join(output_dir, "docs")
+    ``output_dir/docs``. ``output_dir`` may be a ``pyarrow.fs`` URI.
+    Returns counters for lineage/metrics."""
+    staging = fsio.join(output_dir, "_staging")
+    docs_dir = fsio.join(output_dir, "docs")
+    docs_fs, docs_path = fsio.resolve(docs_dir)
     # a naive rerun must not append duplicates; partition-level resume is
     # the job of state/lineage.py, which skips completed partitions BEFORE
     # calling this
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(staging + "_blobs", ignore_errors=True)
-    shutil.rmtree(docs_dir, ignore_errors=True)
+    fsio.rmtree(staging)
+    fsio.rmtree(staging + "_blobs")
+    fsio.rmtree(docs_dir)
     pass1 = extract_dataset(input_uri, staging, cfg, runtime)
-    pass1.write_parquet(docs_dir)
+    pass1.write_parquet(docs_path, filesystem=docs_fs)
     n1 = None  # write_parquet consumed the stream; count from output later
     pass2 = reassemble_staged(staging, cfg, runtime)
     n2 = 0
     if pass2 is not None:
-        pass2.write_parquet(docs_dir)
+        pass2.write_parquet(docs_path, filesystem=docs_fs)
         n2 = 1
     # total seconds spent INSIDE the parse UDF across all tasks: wall ×
     # cores vs this number is the scheduler-packing evidence for the

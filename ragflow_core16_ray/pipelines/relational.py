@@ -1234,7 +1234,8 @@ def events_watermark_hourly(sf_dir: str, lateness_min: int = 10,
 
 def copurchase_pagerank(sf_dir: str, iters: int = 5,
                         damping: float = 0.85, k: int = 100,
-                        n_buckets: int = 32) -> pd.DataFrame:
+                        n_buckets: int = 32,
+                        spill_dir: str | None = None) -> pd.DataFrame:
     """Weighted PageRank over the co-purchase graph (nodes = parts,
     edge weight = number of orders carrying both parts) — the iterative
     item-centrality step of a recommendation pipeline, and the repo's
@@ -1254,12 +1255,16 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
     combiner move — shuffle rows bounded by distinct dsts per bucket,
     not edges) plus a zero row per node (the dangling/unlinked guard);
     (2) contributions co-partition on the dst bucket, each group folds
-    r' = (1-d) + d·Σ. On a multi-node cluster the spill dir must be
-    shared storage — the same contract as the extract staging dir.
-    Result: top-``k`` parts by rank, quantized floor(r·1e6+0.5) for
-    the hash-strict oracle, ties broken by partkey."""
-    import shutil
+    r' = (1-d) + d·Σ. ``spill_dir`` is where the edge partitions live:
+    on a multi-node cluster pass a SHARED-storage pyarrow.fs URI (the
+    same contract as the extract staging dir — ivf_topk_indexed's
+    index_dir pattern); the default is a node-local tempdir, correct
+    only single-node. Result: top-``k`` parts by rank, quantized
+    floor(r·1e6+0.5) for the hash-strict oracle, ties broken by
+    partkey."""
     import tempfile
+
+    from ..state import fsio
 
     def dedup_keys(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch[["l_orderkey", "l_partkey"]].drop_duplicates()
@@ -1289,7 +1294,13 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
         out["sbucket"] = (out["src"] % np.int64(n_buckets)).astype("int64")
         return out
 
-    edge_dir = tempfile.mkdtemp(prefix="graft_pagerank_edges_")
+    owns_spill = spill_dir is None
+    if owns_spill:
+        spill_dir = tempfile.mkdtemp(prefix="graft_pagerank_edges_")
+    # resolve on the driver; the (fs, path) pair pickles into the
+    # superstep closures below
+    edge_fs, edge_path = fsio.resolve(spill_dir)
+    fsio.makedirs((edge_fs, edge_path))
 
     def normalize_and_spill(g: pd.DataFrame) -> pd.DataFrame:
         # all edges of these srcs are here (src-hash co-partition):
@@ -1304,8 +1315,9 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
         pd.DataFrame({"pk": ew["src"].astype("int64"),
                       "dst": ew["dst"].astype("int64"),
                       "f": (ew["w"] / wd).astype("float64")}
-                     ).to_parquet(os.path.join(edge_dir, f"{b}.parquet"),
-                                  index=False)
+                     ).pipe(lambda df: fsio.write_table(
+                         (edge_fs, f"{edge_path}/{b}.parquet"),
+                         pa.Table.from_pandas(df, preserve_index=False)))
         pk = np.unique(ew["src"].to_numpy(np.int64))
         return pd.DataFrame({
             "bucket": pd.array([b] * len(pk), dtype="int64"),
@@ -1320,13 +1332,15 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
                                             batch_format="pandas")
              ).materialize()
     if ranks.count() == 0:
-        shutil.rmtree(edge_dir, ignore_errors=True)
+        if owns_spill:
+            fsio.rmtree((edge_fs, edge_path))
         return pd.DataFrame({"l_partkey": pd.array([], dtype="int64"),
                              "rank_q": pd.array([], dtype="int64")})
 
     def contribs(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["bucket"].iloc[0])
-        e = pd.read_parquet(os.path.join(edge_dir, f"{b}.parquet"))
+        e = fsio.read_table(
+            (edge_fs, f"{edge_path}/{b}.parquet")).to_pandas()
         m = e.merge(g[["pk", "r"]], on="pk", how="inner")
         m["c"] = m["f"] * m["r"]
         # combiner: pre-sum per destination BEFORE the dst shuffle —
@@ -1377,7 +1391,8 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
                             ascending=[False, True])
                .head(k).reset_index(drop=True))
     finally:
-        shutil.rmtree(edge_dir, ignore_errors=True)
+        if owns_spill:
+            fsio.rmtree((edge_fs, edge_path))
     for c in ("l_partkey", "rank_q"):
         out[c] = out[c].astype("int64")
     return out[["l_partkey", "rank_q"]]

@@ -205,14 +205,17 @@ def ivf_build_index(sf_dir: str, index_dir: str, n_centroids: int = 16,
     the centroid matrix. A query then reads ONLY its probed partitions —
     pruning at the read, so at 100 TB a 6-of-64-cell probe ships ~9% of
     the table off storage instead of scanning it all. Idempotent: an
-    existing complete index is reused."""
-    marker = os.path.join(index_dir, "_INDEX_DONE")
-    if os.path.exists(marker):
-        return index_dir
-    import shutil
+    existing complete index is reused. ``index_dir`` may be a
+    ``pyarrow.fs`` URI (shared storage on a multi-node cluster — the
+    index is written by this job and read by every serving query)."""
+    from ..state import fsio
 
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.makedirs(index_dir, exist_ok=True)
+    ifs, ipath = fsio.resolve(index_dir)
+    marker = (ifs, f"{ipath}/_INDEX_DONE")
+    if fsio.exists(marker):
+        return index_dir
+    fsio.rmtree((ifs, ipath))
+    fsio.makedirs((ifs, ipath))
     cents = _train_from_corpus(sf_dir, n_centroids, train_sample)
     cents_ref = ray.put(cents)
 
@@ -224,9 +227,13 @@ def ivf_build_index(sf_dir: str, index_dir: str, n_centroids: int = 16,
         return batch
 
     (_emb(sf_dir).map_batches(assign, batch_format="pandas")
-     .write_parquet(index_dir, partition_cols=["cell"]))
-    np.save(os.path.join(index_dir, "centroids.npy"), cents)
-    open(marker, "w").close()
+     .write_parquet(ipath, filesystem=ifs, partition_cols=["cell"]))
+    import io as _io
+
+    buf = _io.BytesIO()
+    np.save(buf, cents)
+    fsio.write_bytes((ifs, f"{ipath}/centroids.npy"), buf.getvalue())
+    fsio.write_bytes(marker, b"")  # the commit point: data first
     return index_dir
 
 
@@ -248,17 +255,21 @@ def ivf_topk_indexed(sf_dir: str, index_dir: str | None = None,
             "/tmp", f"graft_ivf_index_{_corpus_digest(sf_dir)}"
             f"_c{n_centroids}s{train_sample}")
     ivf_build_index(sf_dir, index_dir, n_centroids, train_sample)
-    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    from ..state import fsio
+
+    ifs, ipath = fsio.resolve(index_dir)
+    import io as _io
+
+    cents = np.load(_io.BytesIO(
+        fsio.read_bytes((ifs, f"{ipath}/centroids.npy"))))
     q = load_query(sf_dir, query_vec_id)
     q = q / np.linalg.norm(q)
     probe_cells = np.argsort(-(cents @ q))[:nprobe]
-    import glob as _glob
-
     # read_parquet takes FILE paths when given a list — expand each probed
     # cell directory (empty cells simply have no directory/files)
     paths = [f for c in probe_cells
-             for f in sorted(_glob.glob(
-                 os.path.join(index_dir, f"cell={int(c)}", "*.parquet")))]
+             for f in fsio.list_files((ifs, f"{ipath}/cell={int(c)}"),
+                                      ".parquet")]
     if not paths:
         # every probed cell empty (tiny/skewed corpus): typed empty result,
         # not a read_parquet([]) crash
@@ -272,7 +283,8 @@ def ivf_topk_indexed(sf_dir: str, index_dir: str | None = None,
         rows = _topk_rows(batch, m, qv, np.ones(len(batch), dtype=bool), k)
         return pd.DataFrame(rows)
 
-    df = (rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    df = (rd.read_parquet(paths, filesystem=ifs,
+                          columns=["vec_id", "embedding"])
           .map_batches(rerank, batch_format="pandas").to_pandas())
     return _finish_topk(df, k)
 
@@ -710,17 +722,18 @@ def bm25_build_index(sf_dir: str, index_dir: str,
     a query reads ONLY its terms' partitions. Corpus stats (n_docs,
     sum_dl over nonempty docs — the same counts bm25_topk's streaming
     pass 1 computes) land in a tiny sidecar. Same digest-keyed caching
-    as ivf_build_index: content changes rebuild, never silently reuse."""
+    as ivf_build_index: content changes rebuild, never silently reuse.
+    ``index_dir`` may be a ``pyarrow.fs`` URI (shared storage on a
+    multi-node cluster)."""
     from ..functions.hashing import hash64
+    from ..state import fsio
 
-    marker = os.path.join(index_dir, "_INDEX_DONE")
-    if os.path.exists(marker):
+    ifs, ipath = fsio.resolve(index_dir)
+    marker = (ifs, f"{ipath}/_INDEX_DONE")
+    if fsio.exists(marker):
         return index_dir
-    import json
-    import shutil
-
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.makedirs(index_dir, exist_ok=True)
+    fsio.rmtree((ifs, ipath))
+    fsio.makedirs((ifs, ipath))
 
     def postings(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.strip()
@@ -750,7 +763,7 @@ def bm25_build_index(sf_dir: str, index_dir: str,
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     (docs.map_batches(postings, batch_format="pandas")
-     .write_parquet(index_dir, partition_cols=["bucket"]))
+     .write_parquet(ipath, filesystem=ifs, partition_cols=["bucket"]))
 
     def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.strip()
@@ -763,11 +776,11 @@ def bm25_build_index(sf_dir: str, index_dir: str,
 
     st = docs.map_batches(stats_partial, batch_format="pandas") \
         .to_pandas().sum()
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump({"n_docs": int(st["n_docs"]),
-                   "sum_dl": int(st["sum_dl"]),
-                   "n_buckets": n_buckets}, f)
-    open(marker, "w").close()
+    fsio.write_json((ifs, f"{ipath}/stats.json"),
+                    {"n_docs": int(st["n_docs"]),
+                     "sum_dl": int(st["sum_dl"]),
+                     "n_buckets": n_buckets})
+    fsio.write_bytes(marker, b"")  # the commit point: data first
     return index_dir
 
 
@@ -786,10 +799,8 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
     the two return identical quantized scores (asserted in tests).
     The candidate→doc rollup co-partitions by a doc-hash bucket with
     bucket-local top-k; the driver merges ≤ k·buckets rows."""
-    import glob as _glob
-    import json
-
     from ..functions.hashing import hash64
+    from ..state import fsio
 
     if index_dir is None:
         # keyed by the DOCUMENTS table's content digest (the table this
@@ -800,8 +811,8 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
             f"{_corpus_digest(sf_dir, 'documents.parquet')}"
             f"_b{n_buckets}")
     bm25_build_index(sf_dir, index_dir, n_buckets)
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        st = json.load(f)
+    ifs, ipath = fsio.resolve(index_dir)
+    st = fsio.read_json((ifs, f"{ipath}/stats.json"))
     # term→bucket hashing MUST use the bucket count the index was built
     # with — an explicit index_dir built under a different n_buckets
     # would otherwise silently miss postings
@@ -818,12 +829,12 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
                           "doc_id": pd.array([], dtype="int64"),
                           "score_q": pd.array([], dtype="int64")})
     paths = [f for bk in sorted({hash64(t) % n_buckets for t in terms})
-             for f in sorted(_glob.glob(
-                 os.path.join(index_dir, f"bucket={bk}", "*.parquet")))]
+             for f in fsio.list_files((ifs, f"{ipath}/bucket={bk}"),
+                                      ".parquet")]
     if not paths:
         return empty
-    postings = rd.read_parquet(paths, columns=["term", "doc_id",
-                                               "tf", "dl"])
+    postings = rd.read_parquet(paths, filesystem=ifs,
+                               columns=["term", "doc_id", "tf", "dl"])
 
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
         m = batch[batch["term"].isin(terms)]

@@ -860,12 +860,15 @@ class ExtractFused:
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
 
 
-def _expand_pdf_ref(spans: list[dict]) -> list[dict]:
+def _expand_pdf_ref(spans: list[dict], blob_fs=None) -> list[dict]:
     """Expand a page-range parse shard: a single ``pdf_ref`` span
-    carrying (path, from, to) loads the staged blob and parses ONLY its
-    page range (boxes keep global page numbers, so shard concatenation
-    equals the whole-doc parse; outlines ride with range 0 only).
-    Non-ref shard rows pass through unchanged."""
+    carrying (path, from, to) loads the staged blob — through the
+    staging FILESYSTEM (``blob_fs``, pickled in from the driver; local
+    when None), since the blob dir lives on shared storage on a real
+    cluster — and parses ONLY its page range (boxes keep global page
+    numbers, so shard concatenation equals the whole-doc parse;
+    outlines ride with range 0 only). Non-ref shard rows pass through
+    unchanged."""
     if len(spans) != 1 or spans[0]["kind"] != "pdf_ref":
         return spans
     import json as _json
@@ -873,10 +876,11 @@ def _expand_pdf_ref(spans: list[dict]) -> list[dict]:
     from ..functions.pdf_bytes import (make_toc_span, pdf_outlines,
                                        pdf_to_boxes)
     from ..schemas import finalize_offsets
+    from ..state import fsio
 
     d = _json.loads(spans[0]["text"])
-    with open(d["path"], "rb") as f:
-        raw = f.read()
+    raw = fsio.read_bytes((blob_fs, d["path"]) if blob_fs is not None
+                          else d["path"])
     boxes = pdf_to_boxes(raw, d["from"], d["to"])
     toc = ([make_toc_span(t, lvl) for t, lvl in pdf_outlines(raw)]
            if d["from"] == 0 else [])
@@ -887,17 +891,43 @@ class ExtractShard:
     """Phase A over shard rows (SHARD_SCHEMA in/out); phase B happens after
     the groupby(doc_id) reassembly."""
 
-    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG, blob_fs=None):
         self.cfg = cfg
+        self.blob_fs = blob_fs
+        # same model slot as pass 1 (ExtractRouter): mega scanned PDFs
+        # OCR their page ranges HERE, so the det/rec pair must be
+        # available in this stage too
+        self.ocr = None
+        if cfg.layout_recognize == "onnx":
+            import os as _os
+
+            weights = cfg.onnx_dir or _os.environ.get("RAGFLOW_ONNX_DIR")
+            try:
+                from ..functions.vision_onnx import OnnxOcr
+
+                self.ocr = OnnxOcr(weights) if weights else None
+            except (FileNotFoundError, OSError):
+                self.ocr = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.ocr is not None:
+            from ..functions.glyphs import set_core_ocr
+
+            set_core_ocr(self.ocr.ocr_binary)
+        try:
+            return self._shard_batch(batch)
+        finally:
+            if self.ocr is not None:
+                set_core_ocr(None)
+
+    def _shard_batch(self, batch: pa.Table) -> pa.Table:
         from ..schemas import spans_column_to_pylists
 
         out_spans = []
         for template, spans in zip(batch["template"].to_pylist(),
                                    spans_column_to_pylists(batch["spans"])):
             try:
-                spans = _expand_pdf_ref(spans)
+                spans = _expand_pdf_ref(spans, self.blob_fs)
                 out_spans.append(phase_a(template, spans, self.cfg))
             except Exception:  # noqa: BLE001 — poison-shard containment
                 # same contract as pass 1 (ExtractRouter): one malformed

@@ -61,42 +61,63 @@ def run_partitioned(input_uri: str, output_dir: str,
                     cfg: ExtractConfig = DEFAULT_CONFIG,
                     runtime: RuntimeConfig = DEFAULT_RUNTIME,
                     n_partitions: int = 0) -> dict:
-    """Resumable partitioned extraction. Returns rollup metrics."""
-    from ..pipelines.extract import run_extract
+    """Resumable partitioned extraction. ``output_dir`` may be a
+    ``pyarrow.fs`` URI. Returns rollup metrics.
 
-    lineage_dir = os.path.join(output_dir, "_lineage")
-    os.makedirs(lineage_dir, exist_ok=True)
+    Publish protocol: on a LOCAL filesystem the partition writes to a
+    temp dir and ``os.replace``s it into place (directory rename is
+    atomic there). Object stores have no directory rename, so the
+    non-local path writes data files straight into ``part={i}`` and
+    commits by writing the MANIFEST last — a partition is complete iff
+    its manifest exists with a matching digest, so a crash between data
+    and manifest simply reruns (after clearing the partial dir)."""
+    from ..pipelines.extract import run_extract
+    from . import fsio
+
+    local = fsio.is_local(output_dir)
+    lineage_dir = fsio.join(output_dir, "_lineage")
+    fsio.makedirs(lineage_dir)
     parts = plan_partitions(input_uri, n_partitions)
 
     n_done_prior = n_ran = 0
     for i, files in enumerate(parts):
         digest = _partition_digest(files, cfg)
-        manifest_path = os.path.join(lineage_dir, f"part-{i}.json")
-        part_dir = os.path.join(output_dir, f"part={i}")
-        if os.path.exists(manifest_path):
-            m = json.load(open(manifest_path))
-            if m.get("digest") == digest and os.path.isdir(part_dir):
+        manifest_path = fsio.join(lineage_dir, f"part-{i}.json")
+        part_dir = fsio.join(output_dir, f"part={i}")
+        if fsio.exists(manifest_path):
+            m = fsio.read_json(manifest_path)
+            if m.get("digest") == digest and fsio.exists(part_dir):
                 n_done_prior += 1
                 continue  # complete → skip (the resume path)
-        tmp_dir = os.path.join(output_dir, f"_tmp-part={i}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(part_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        run_extract(files, tmp_dir, cfg, runtime)
-        wall = time.perf_counter() - t0
         import ray.data as rd
 
-        n_docs = rd.read_parquet(os.path.join(tmp_dir, "docs")).count()
-        os.replace(os.path.join(tmp_dir, "docs"), part_dir)  # atomic publish
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        json.dump({"digest": digest, "files": [os.path.basename(f) for f in files],
-                   "n_docs": n_docs, "wall_sec": round(wall, 3),
-                   "docs_per_sec": round(n_docs / wall, 2) if wall else None},
-                  open(manifest_path, "w"))
+        if local:
+            tmp_dir = fsio.join(output_dir, f"_tmp-part={i}")
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            run_extract(files, tmp_dir, cfg, runtime)
+            wall = time.perf_counter() - t0
+            n_docs = rd.read_parquet(os.path.join(tmp_dir, "docs")).count()
+            os.replace(os.path.join(tmp_dir, "docs"), part_dir)  # atomic
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            # data first, manifest last (the commit point)
+            fsio.rmtree(part_dir)
+            run_extract(files, part_dir, cfg, runtime)
+            wall = time.perf_counter() - t0
+            fs, docs_path = fsio.resolve(fsio.join(part_dir, "docs"))
+            n_docs = rd.read_parquet(docs_path, filesystem=fs).count()
+        fsio.write_json(manifest_path, {
+            "digest": digest,
+            "files": [os.path.basename(f) for f in files],
+            "n_docs": n_docs, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 2) if wall else None})
         n_ran += 1
 
-    manifests = [json.load(open(p))
-                 for p in sorted(glob.glob(os.path.join(lineage_dir, "part-*.json")))]
+    manifests = [fsio.read_json((fsio.resolve(lineage_dir)[0], p))
+                 for p in fsio.list_files(lineage_dir, ".json")
+                 if os.path.basename(p).startswith("part-")]
     return {
         "n_partitions": len(parts),
         "n_resumed_skips": n_done_prior,
