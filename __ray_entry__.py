@@ -775,6 +775,30 @@ def _extract_positions(sf_dir: str):
     ).map_batches(tag_stats, batch_format="pyarrow")
 
 
+def _doc_embedding_sums(sf_dir: str):
+    from ragflow_core16_ray.stages.embed import doc_embedding_sums
+
+    return doc_embedding_sums(sf_dir)
+
+
+def _produced_emb_knn(sf_dir: str):
+    from ragflow_core16_ray.stages.embed import produced_emb_knn
+
+    return produced_emb_knn(sf_dir)
+
+
+def _chunk_vectors(sf_dir: str):
+    """The full production path: extract → chunk → ENCODE (q_vec per
+    chunk, actor pool, batch 16 — task_executor.py:384-426)."""
+    import os
+
+    from ragflow_core16_ray.stages.embed import embed_chunks
+    from ragflow_core16_ray.stages.enrich import chunk_docs
+
+    out_dir = _extract_out(sf_dir)
+    return embed_chunks(chunk_docs(os.path.join(out_dir, "docs")))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _extract_flat("/root/testdata/sf0.001")
@@ -791,6 +815,7 @@ def entry() -> Any:
 _R5_WINDOW = [
     # round-5 additions (oracled, by definition never driver-verified)
     # — prepended as they land
+    "doc_embedding_sums", "produced_emb_knn",
     # oracled but never hash-verified by any driver round (r1–r4)
     "user_activity_span", "monthly_revenue_growth",
     "supplier_balance_deciles", "length_ks_by_source", "ipc_token_counts",
@@ -816,6 +841,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                               text_analysis)
 
     all_q = {
+        # --- round-5: embedding production stage (stages/embed.py — the
+        # reference's encode step, task_executor.py:384-426)
+        "doc_embedding_sums": _doc_embedding_sums,
+        "produced_emb_knn": _produced_emb_knn,
+        "chunk_vectors": _chunk_vectors,
         # --- never driver-verified through r3 (dedup / retrieval at the
         # 100-TB shapes, event analytics, TPC-H joins)
         "near_dup_removal_scalable":
@@ -1188,6 +1218,61 @@ _STOPWORDS_SQL = "('the','and','of','to','is','in','that','it','for','with')"
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # feature-hash embedder probe (stages/embed.py): exact signed
+        # bucket sums — md5_hash64 == DuckDB md5_number_lower, bucket =
+        # h % 64, sign = bit 6 of h; zero buckets omitted on both sides
+        "doc_embedding_sums": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(
+                         trim(lower(text), ' ' || chr(9) || chr(10)
+                              || chr(13) || chr(12) || chr(11)),
+                         '\s+')) AS w
+              FROM documents
+            ), h AS (
+              SELECT doc_id, md5_number_lower(w) AS hv
+              FROM toks WHERE w <> ''
+            )
+            SELECT doc_id,
+                   CAST(hv % 64 AS BIGINT) AS bucket,
+                   CAST(SUM(CASE WHEN ((hv // 64) % 2) = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS v
+            FROM h GROUP BY doc_id, bucket
+            HAVING SUM(CASE WHEN ((hv // 64) % 2) = 0
+                            THEN 1 ELSE -1 END) <> 0
+        """,
+        # similarity search over PRODUCED embeddings: exact integer dot
+        # products against the min-doc_id query vector
+        "produced_emb_knn": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(
+                         trim(lower(text), ' ' || chr(9) || chr(10)
+                              || chr(13) || chr(12) || chr(11)),
+                         '\s+')) AS w
+              FROM documents
+            ), h AS (
+              SELECT doc_id, md5_number_lower(w) AS hv
+              FROM toks WHERE w <> ''
+            ), v AS (
+              SELECT doc_id,
+                     CAST(hv % 64 AS BIGINT) AS bucket,
+                     CAST(SUM(CASE WHEN ((hv // 64) % 2) = 0
+                                   THEN 1 ELSE -1 END) AS BIGINT) AS v
+              FROM h GROUP BY doc_id, bucket
+            ), q AS (
+              SELECT bucket, v FROM v
+              WHERE doc_id = (SELECT min(doc_id) FROM documents)
+            ), d AS (
+              SELECT v.doc_id,
+                     CAST(COALESCE(SUM(v.v * q.v), 0) AS BIGINT) AS dot
+              FROM v LEFT JOIN q USING (bucket)
+              WHERE v.doc_id <> (SELECT min(doc_id) FROM documents)
+              GROUP BY v.doc_id
+            )
+            SELECT doc_id, dot FROM d
+            ORDER BY dot DESC, doc_id LIMIT 10
+        """,
         # same SQL as token_counts but the Ray side reads documents
         # through the jsonl.gz round-trip — a hash match proves the
         # source/sink is byte-lossless
