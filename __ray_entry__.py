@@ -815,7 +815,7 @@ def entry() -> Any:
 _R5_WINDOW = [
     # round-5 additions (oracled, by definition never driver-verified)
     # — prepended as they land
-    "doc_embedding_sums", "produced_emb_knn",
+    "doc_embedding_sums", "produced_emb_knn", "weighted_query_bm25_topk",
     # oracled but never hash-verified by any driver round (r1–r4)
     "user_activity_span", "monthly_revenue_growth",
     "supplier_balance_deciles", "length_ks_by_source", "ipc_token_counts",
@@ -846,6 +846,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_sums": _doc_embedding_sums,
         "produced_emb_knn": _produced_emb_knn,
         "chunk_vectors": _chunk_vectors,
+        # --- round-5: query-side rewrite (functions/query_rewrite.py —
+        # FulltextQueryer + synonym Dealer, rag/nlp/{query,synonym}.py)
+        # feeding weighted BM25 retrieval
+        "weighted_query_bm25_topk":
+            lambda sf: similarity.weighted_query_bm25_topk(sf),
         # --- never driver-verified through r3 (dedup / retrieval at the
         # 100-TB shapes, event analytics, TPC-H joins)
         "near_dup_removal_scalable":
@@ -1272,6 +1277,92 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, dot FROM d
             ORDER BY dot DESC, doc_id LIMIT 10
+        """,
+        # query-rewrite retrieval: the (term/synonym/phrase, ratio)
+        # literals below are the DETERMINISTIC rewrite of the default
+        # question "what is the hash table scan" (fixture-pinned in
+        # tests/test_query_rewrite.py); weights = normalized unigram
+        # idf, synonyms at w/4, phrases at 2·max(w) — the FulltextQueryer
+        # ratios (rag/nlp/query.py:96-112)
+        "weighted_query_bm25_topk": r"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), stats AS (
+              SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d
+            ), uni AS (
+              SELECT * FROM (VALUES ('hash'), ('table'), ('scan'))
+                  AS t(term)
+            ), uw AS (
+              SELECT uni.term,
+                     ln(1.0 + ((SELECT n FROM stats)
+                               - (SELECT COUNT(*) FROM d
+                                  WHERE list_contains(d.ws, uni.term))
+                               + 0.5)
+                        / ((SELECT COUNT(*) FROM d
+                            WHERE list_contains(d.ws, uni.term)) + 0.5))
+                         AS idf
+              FROM uni
+            ), wn AS (
+              SELECT term, idf / (SELECT SUM(idf) FROM uw) AS w FROM uw
+            ), terms AS (
+              SELECT term, w FROM wn
+              UNION ALL
+              SELECT s.syn, wn.w / 4
+              FROM (VALUES ('hash', 'digest'), ('hash', 'checksum'),
+                           ('hash', 'key'), ('table', 'relation'),
+                           ('table', 'grid'), ('scan', 'sweep'),
+                           ('scan', 'read'), ('scan', 'filter'))
+                   AS s(parent, syn)
+              JOIN wn ON wn.term = s.parent
+            ), tw AS (
+              SELECT terms.term, terms.w,
+                     (SELECT COUNT(*) FROM d
+                      WHERE list_contains(d.ws, terms.term)) AS df
+              FROM terms
+            ), sc1 AS (
+              SELECT d.doc_id,
+                     SUM(tw.w
+                         * ln(1.0 + ((SELECT n FROM stats) - tw.df + 0.5)
+                              / (tw.df + 0.5))
+                         * (len(list_filter(d.ws, x -> x = tw.term))
+                            * (1.2 + 1))
+                         / (len(list_filter(d.ws, x -> x = tw.term))
+                            + 1.2 * (1 - 0.75 + 0.75 * len(d.ws)
+                                     / (SELECT avgdl FROM stats)))) AS s
+              FROM d CROSS JOIN tw
+              WHERE list_contains(d.ws, tw.term)
+              GROUP BY d.doc_id
+            ), ph AS (
+              SELECT p.phrase, 2 * greatest(a.w, b.w) AS w
+              FROM (VALUES ('hash table', 'hash', 'table'),
+                           ('table scan', 'table', 'scan'))
+                   AS p(phrase, l, r)
+              JOIN wn a ON a.term = p.l
+              JOIN wn b ON b.term = p.r
+            ), sc2 AS (
+              SELECT d.doc_id,
+                     SUM(ph.w * CAST(
+                         (len(' ' || array_to_string(d.ws, ' ') || ' ')
+                          - len(replace(
+                              ' ' || array_to_string(d.ws, ' ') || ' ',
+                              ' ' || ph.phrase || ' ', '')))
+                         / len(' ' || ph.phrase || ' ') AS DOUBLE)) AS s
+              FROM d CROSS JOIN ph
+              GROUP BY d.doc_id
+            ), tot AS (
+              SELECT doc_id, SUM(s) AS s
+              FROM (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2)
+              GROUP BY doc_id
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY round(s * 1000000) DESC, doc_id
+                   ) AS BIGINT) AS rank,
+                   doc_id,
+                   CAST(round(s * 1000000) AS BIGINT) AS score_q
+            FROM tot
+            WHERE round(s * 1000000) > 0
+            ORDER BY rank LIMIT 10
         """,
         # same SQL as token_counts but the Ray side reads documents
         # through the jsonl.gz round-trip — a hash match proves the

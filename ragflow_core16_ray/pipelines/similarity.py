@@ -402,6 +402,105 @@ def bm25_topk(sf_dir: str, query: str = "hash table scan",
     return df[["rank", "doc_id", "score_q"]]
 
 
+def weighted_query_bm25_topk(sf_dir: str,
+                             question: str = "what is the hash table scan",
+                             k: int = 10, k1: float = 1.2,
+                             b: float = 0.75) -> pd.DataFrame:
+    """BM25 retrieval driven by the QUERY-SIDE REWRITE
+    (functions/query_rewrite.py — the reference's FulltextQueryer
+    composition, rag/nlp/query.py:76-120, feeding rag/nlp/search.py's
+    match expression): interrogatives stripped, each surviving term
+    scored at its normalized corpus-idf weight, its synonyms at w/4 and
+    adjacent bigram phrases at 2·max(w) — the reference's three ratios.
+
+    Same two-pass scatter-gather shape as bm25_topk (stats partials →
+    broadcast constants → per-batch local top-k; no shuffle). Unigram
+    and synonym entries score weighted BM25; phrase entries score
+    weight × exact phrase count over the whitespace-normalized token
+    stream (the reference delegates phrase matching to its search
+    engine's positional index — a plain count is this engine's
+    deterministic, SQL-oracle-checkable equivalent). Scores quantized
+    ×1e6; ties break on doc_id."""
+    from ..functions.query_rewrite import compose, rewrite_query
+
+    rw = rewrite_query(question)
+    uni = rw.tokens
+    all_terms = list(dict.fromkeys(
+        uni + [s for t in uni for s in rw.synonyms.get(t, ())]))
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.strip()
+        nonempty = toks != ""
+        split = toks[nonempty].str.split()
+        dl = split.str.len()
+        tdf = {t: int(split.map(lambda ws, t=t: t in ws).sum())
+               for t in all_terms}
+        return pd.DataFrame({
+            "n_docs": pd.array([int(nonempty.sum())], dtype="int64"),
+            "sum_dl": pd.array([int(dl.sum())], dtype="int64"),
+            **{f"df_{i}": pd.array([tdf[t]], dtype="int64")
+               for i, t in enumerate(all_terms)}})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    st = docs.map_batches(stats_partial, batch_format="pandas") \
+        .to_pandas().sum()
+    n_docs = int(st["n_docs"])
+    avgdl = int(st["sum_dl"]) / n_docs
+    df_map = {t: int(st[f"df_{i}"]) for i, t in enumerate(all_terms)}
+
+    def idf(t: str) -> float:
+        return float(np.log(1.0 + (n_docs - df_map[t] + 0.5)
+                            / (df_map[t] + 0.5)))
+
+    plan = compose(rw, {t: idf(t) for t in uni})
+    const = ray.put((plan, {t: idf(t) for t in all_terms}, avgdl))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        plan_m, idf_m, av = ray.get(const)
+        batch = batch[batch["text"].str.strip() != ""] \
+            .reset_index(drop=True)
+        if batch.empty:
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "score_q": pd.array([], dtype="int64")})
+        split = batch["text"].str.strip().str.split()
+        dl = split.str.len().values.astype(np.float64)
+        stream = split.map(lambda ws: " " + " ".join(ws) + " ")
+        toks = split.explode()
+        toks = toks[toks.isin([t for knd, t, _w in plan_m
+                               if knd != "phrase"])]
+        tf = toks.groupby([toks.index, toks]).size()
+        s = np.zeros(len(batch))
+        for kind, term, w in plan_m:
+            if kind == "phrase":
+                pat = f" {term} "
+                s += w * stream.map(lambda x, p=pat: x.count(p)).values
+                continue
+            tft = np.zeros(len(batch))
+            sl = tf[tf.index.get_level_values(1) == term]
+            if sl.size:
+                tft[sl.index.get_level_values(0)] = sl.values
+            denom = tft + k1 * (1 - b + b * dl / av)
+            s += w * idf_m[term] * (tft * (k1 + 1)) / denom
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].values,
+            "score_q": np.round(s * 1e6).astype(np.int64)})
+        out = out[out["score_q"] > 0]
+        return out.sort_values(["score_q", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    df = docs.map_batches(score, batch_format="pandas").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"rank": pd.array([], dtype="int64"),
+                             "doc_id": pd.array([], dtype="int64"),
+                             "score_q": pd.array([], dtype="int64")})
+    df = df.sort_values(["score_q", "doc_id"],
+                        ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
+    return df[["rank", "doc_id", "score_q"]]
+
+
 def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
                     return_embeddings: bool = False) -> rd.Dataset:
     """Distributed Lloyd's k-means over the embeddings table — the
