@@ -99,6 +99,7 @@ class ExtractRouter:
 
         rows = []
         staged_rows = []
+        from ..functions.doc_legacy import expand_doc_spans
         from ..functions.pdf_bytes import expand_pdf_spans
         from ..functions.pptx import expand_pptx_spans
         from ..functions.xlsx import expand_xlsx_spans
@@ -122,8 +123,8 @@ class ExtractRouter:
                 # a many-page PDF page-range-shards like any pdfish doc, a
                 # big workbook row-shards like any table doc and a deck
                 # slide-shards like any presentation
-                spans = expand_pptx_spans(
-                    expand_xlsx_spans(expand_pdf_spans(spans)))
+                spans = expand_doc_spans(expand_pptx_spans(
+                    expand_xlsx_spans(expand_pdf_spans(spans))))
                 template = route_template(spans)
                 shards = split_shards(spans, template, self.cfg)
                 if len(shards) == 1:
