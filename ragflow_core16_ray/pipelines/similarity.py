@@ -26,6 +26,8 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -33,6 +35,26 @@ import ray.data as rd
 def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                            columns=["vec_id", "embedding"])
+
+
+def _emb_mat(batch: pa.Table, dtype=np.float64) -> np.ndarray:
+    """embedding (list<float>) column of an Arrow batch → (n, d) matrix.
+    Zero-copy flatten of the child values buffer + one reshape — the
+    Arrow-native replacement for ``np.stack(series.to_numpy())``, which
+    paid an object-array materialization per batch on every full-corpus
+    streaming pass (the r4 verdict's remaining-pandas-partials cost)."""
+    col = batch["embedding"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not isinstance(arr, (pa.ListArray, pa.LargeListArray,
+                            pa.FixedSizeListArray)):
+        # Ray's ArrowTensorArray extension (parquet written by Ray with
+        # tensor casting): to_numpy is already the (n, d) matrix
+        m = np.asarray(arr.to_numpy(zero_copy_only=False))
+        if m.ndim == 1:   # object array of rows
+            m = np.stack(m)
+        return m.astype(dtype, copy=False)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1).astype(dtype, copy=False)
 
 
 def _corpus_digest(sf_dir: str, table: str = "embeddings.parquet") -> str:
@@ -78,15 +100,15 @@ def brute_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     q = q / np.linalg.norm(q)
     q_ref = ray.put(q)
 
-    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
         qv = ray.get(q_ref)
-        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        m = _norm(_emb_mat(batch))
         sims = m @ qv
         order = np.lexsort((batch["vec_id"].to_numpy(), -sims))[:k]
         return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()[order],
                              "sim": sims[order]})
 
-    partials = _emb(sf_dir).map_batches(partial_topk, batch_format="pandas")
+    partials = _emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow")
     df = partials.to_pandas()  # ≤ k rows per batch — tiny
     df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
     return df[["vec_id"]].reset_index(drop=True)
@@ -156,15 +178,15 @@ def lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
                 ok_sigs.add(qsig ^ (1 << a) ^ (1 << b))
     state = ray.put((q / np.linalg.norm(q), planes, ok_sigs))
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+    def probe(batch: pa.Table) -> pd.DataFrame:
         qv, pl, sigs = ray.get(state)
-        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        m = _norm(_emb_mat(batch))
         sig = _signature(m, pl)
         mask = np.isin(sig, np.fromiter(sigs, dtype=np.uint32))
         rows = _topk_rows(batch, m, qv, mask, k)
         return pd.DataFrame(rows)
 
-    df = _emb(sf_dir).map_batches(probe, batch_format="pandas").to_pandas()
+    df = _emb(sf_dir).map_batches(probe, batch_format="pyarrow").to_pandas()
     return _finish_topk(df, k)
 
 
@@ -219,14 +241,14 @@ def ivf_build_index(sf_dir: str, index_dir: str, n_centroids: int = 16,
     cents = _train_from_corpus(sf_dir, n_centroids, train_sample)
     cents_ref = ray.put(cents)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         C = ray.get(cents_ref)
-        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-        batch = batch.copy()
-        batch["cell"] = np.argmax(m @ C.T, axis=1).astype("int64")
-        return batch
+        m = _norm(_emb_mat(batch))
+        cell = pa.array(np.argmax(m @ C.T, axis=1).astype(np.int64),
+                        type=pa.int64())
+        return batch.append_column("cell", cell)
 
-    (_emb(sf_dir).map_batches(assign, batch_format="pandas")
+    (_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
      .write_parquet(ipath, filesystem=ifs, partition_cols=["cell"]))
     import io as _io
 
@@ -277,15 +299,15 @@ def ivf_topk_indexed(sf_dir: str, index_dir: str | None = None,
                              "scanned": pd.array([], dtype="int64")})
     q_ref = ray.put(q)
 
-    def rerank(batch: pd.DataFrame) -> pd.DataFrame:
+    def rerank(batch: pa.Table) -> pd.DataFrame:
         qv = ray.get(q_ref)
-        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        m = _norm(_emb_mat(batch))
         rows = _topk_rows(batch, m, qv, np.ones(len(batch), dtype=bool), k)
         return pd.DataFrame(rows)
 
     df = (rd.read_parquet(paths, filesystem=ifs,
                           columns=["vec_id", "embedding"])
-          .map_batches(rerank, batch_format="pandas").to_pandas())
+          .map_batches(rerank, batch_format="pyarrow").to_pandas())
     return _finish_topk(df, k)
 
 
@@ -305,15 +327,15 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     probe_cells = np.argsort(-(cents @ q))[:nprobe]
     state = ray.put((q, cents, set(int(c) for c in probe_cells)))
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+    def probe(batch: pa.Table) -> pd.DataFrame:
         qv, C, cells = ray.get(state)
-        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        m = _norm(_emb_mat(batch))
         assign = np.argmax(m @ C.T, axis=1)
         mask = np.isin(assign, np.fromiter(cells, dtype=np.int64))
         rows = _topk_rows(batch, m, qv, mask, k)
         return pd.DataFrame(rows)
 
-    df = emb.map_batches(probe, batch_format="pandas").to_pandas()
+    df = emb.map_batches(probe, batch_format="pyarrow").to_pandas()
     return _finish_topk(df, k)
 
 
@@ -521,14 +543,14 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
     corpus-sized join)."""
 
     def make_assign(cent_ref):
-        def partial_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        def partial_sums(batch: pa.Table) -> pd.DataFrame:
             cents = ray.get(cent_ref)
-            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            m = _emb_mat(batch)
             # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 ; |x|^2 constant per row
             d2 = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
             assign = np.argmin(d2, axis=1)
             rows = []
-            bkey = int(batch["vec_id"].min())
+            bkey = int(pc.min(batch["vec_id"]).as_py())
             for c in np.unique(assign):
                 sel = m[assign == c]
                 rows.append({"cluster": int(c), "bkey": bkey,
@@ -551,7 +573,7 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
     for _ in range(iters):
         cent_ref = ray.put(cents)
         parts = emb.map_batches(
-            make_assign(cent_ref), batch_format="pandas").to_pandas()
+            make_assign(cent_ref), batch_format="pyarrow").to_pandas()
         parts = parts.sort_values(["cluster", "bkey"]).reset_index(drop=True)
         new = cents.copy()
         for c in range(k):
@@ -563,19 +585,20 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
 
     final_ref = ray.put(cents)
 
-    def assign_final(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign_final(batch: pa.Table) -> pa.Table:
         cents_ = ray.get(final_ref)
-        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m = _emb_mat(batch)
         d2 = -2.0 * (m @ cents_.T) + (cents_ * cents_).sum(axis=1)
-        out = pd.DataFrame({
-            "vec_id": batch["vec_id"].astype("int64"),
-            "cluster": np.argmin(d2, axis=1).astype("int64"),
+        out = pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64),
+                                type=pa.int64()),
         })
         if return_embeddings:
-            out["embedding"] = batch["embedding"]
+            out = out.append_column("embedding", batch["embedding"])
         return out
 
-    return emb.map_batches(assign_final, batch_format="pandas")
+    return emb.map_batches(assign_final, batch_format="pyarrow")
 
 
 def hybrid_topk(sf_dir: str, query: str = "hash table scan",
@@ -656,10 +679,9 @@ def pq_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     q_ref = ray.put(q)
     shortlist = 4 * k
 
-    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+    def scan(batch: pa.Table) -> pd.DataFrame:
         bks, tbl = ray.get(state)
-        m = _norm(np.stack(batch["embedding"].to_numpy())
-                  .astype(np.float64))
+        m = _norm(_emb_mat(batch))
         adc = np.zeros(len(m))
         for s in range(m_sub):
             x = m[:, s * subdim:(s + 1) * subdim]
@@ -676,7 +698,7 @@ def pq_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
         return pd.DataFrame({"vec_id": ids[short][order],
                              "sim": sims[order]})
 
-    df = _emb(sf_dir).map_batches(scan, batch_format="pandas").to_pandas()
+    df = _emb(sf_dir).map_batches(scan, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["sim", "vec_id"],
                         ascending=[False, True]).head(k)
     out = df[["vec_id"]].reset_index(drop=True)
@@ -698,10 +720,9 @@ def brute_topk_batch(sf_dir: str, query_vec_ids: tuple = (0, 1, 2, 3),
     Q = _norm(Q.astype(np.float64))
     q_ref = ray.put((np.asarray(query_vec_ids, dtype=np.int64), Q))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         qids, qm = ray.get(q_ref)
-        m = _norm(np.stack(batch["embedding"].to_numpy())
-                  .astype(np.float64))
+        m = _norm(_emb_mat(batch))
         sims = m @ qm.T                      # (batch, |Q|) in one matmul
         ids = batch["vec_id"].to_numpy()
         rows = {"query_vec_id": [], "vec_id": [], "sim": []}
@@ -712,7 +733,7 @@ def brute_topk_batch(sf_dir: str, query_vec_ids: tuple = (0, 1, 2, 3),
             rows["sim"].extend(sims[order, j])
         return pd.DataFrame(rows)
 
-    df = _emb(sf_dir).map_batches(partial, batch_format="pandas").to_pandas()
+    df = _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
     outs = []
     for qid in query_vec_ids:
         g = (df[df["query_vec_id"] == qid]
@@ -1079,11 +1100,11 @@ def knn_label_accuracy(sf_dir: str, k: int = 10,
     ref = ray.put((eval_ids, Qe))
     ksafe = k
 
-    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+    def partials(batch: pa.Table) -> pd.DataFrame:
         eval_ids, Qe = ray.get(ref)
-        Qb = _quantize(np.stack(batch["embedding"].to_numpy()))
-        ids_b = batch["vec_id"].to_numpy(np.int64)
-        lab_b = batch["label"].to_numpy(np.int64)
+        Qb = _quantize(_emb_mat(batch))
+        ids_b = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
+        lab_b = batch["label"].to_numpy().astype(np.int64, copy=False)
         # exact: every term integer-valued < 2^53
         d2 = ((Qe * Qe).sum(1)[:, None] + (Qb * Qb).sum(1)[None, :]
               - 2.0 * (Qe @ Qb.T))
@@ -1107,7 +1128,7 @@ def knn_label_accuracy(sf_dir: str, k: int = 10,
     cand = (rd.read_parquet(
                 os.path.join(sf_dir, "embeddings.parquet"),
                 columns=["vec_id", "embedding", "label"])
-            .map_batches(partials, batch_format="pandas")).to_pandas()
+            .map_batches(partials, batch_format="pyarrow")).to_pandas()
     # global k-NN merge: candidates are ≤ eval·k per batch
     cand = cand.sort_values(["eval_id", "d2", "nb_id"])
     top = cand.groupby("eval_id", sort=True).head(k)
@@ -1152,10 +1173,10 @@ def radius_neighbor_counts(sf_dir: str, radius: float = 1.2,
     ref = ray.put((eval_ids, Qe))
     r_q2 = float(int(np.floor(radius * _Q_SCALE + 0.5)) ** 2)
 
-    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+    def partials(batch: pa.Table) -> pd.DataFrame:
         eval_ids, Qe = ray.get(ref)
-        Qb = _quantize(np.stack(batch["embedding"].to_numpy()))
-        ids_b = batch["vec_id"].to_numpy(np.int64)
+        Qb = _quantize(_emb_mat(batch))
+        ids_b = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
         d2 = ((Qe * Qe).sum(1)[:, None] + (Qb * Qb).sum(1)[None, :]
               - 2.0 * (Qe @ Qb.T))
         within = (d2 <= r_q2) & (eval_ids[:, None] != ids_b[None, :])
@@ -1164,7 +1185,7 @@ def radius_neighbor_counts(sf_dir: str, radius: float = 1.2,
             "n_within": pd.array(within.sum(1), dtype="int64")})
 
     parts = (_emb(sf_dir)
-             .map_batches(partials, batch_format="pandas")).to_pandas()
+             .map_batches(partials, batch_format="pyarrow")).to_pandas()
     out = parts.groupby("vec_id")["n_within"].sum().reset_index()
     out["n_within"] = out["n_within"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
@@ -1188,8 +1209,8 @@ def embedding_gram(sf_dir: str) -> pd.DataFrame:
     Output (i, j, g) with 0-based i ≤ j, sorted."""
     from ..stages.agg import combine_partials
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        Q = _quantize(np.stack(batch["embedding"].to_numpy()))
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        Q = _quantize(_emb_mat(batch))
         G = (Q.T @ Q).astype(np.int64)
         iu, ju = np.triu_indices(G.shape[0])
         return pd.DataFrame({"i": pd.array(iu, dtype="int64"),
@@ -1197,7 +1218,7 @@ def embedding_gram(sf_dir: str) -> pd.DataFrame:
                              "g": pd.array(G[iu, ju], dtype="int64")})
 
     out = combine_partials(
-        _emb(sf_dir).map_batches(partial, batch_format="pandas"),
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
         ["i", "j"], {"g": "sum"}).to_pandas()
     for c in ("i", "j", "g"):
         out[c] = out[c].astype("int64")
@@ -1220,12 +1241,12 @@ def pca_spectrum(sf_dir: str) -> pd.DataFrame:
     (grid² scaled back), quantized floor(x·1e6+0.5)."""
     from ..stages.agg import combine_partials
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         # ONE corpus pass: Gram upper triangle + per-dim sums (j = -1
         # marker rows) + the row count ((-1, -1) marker) share the same
         # (i, j, g) int64 schema through one combiner tree — the probe
         # never reads the embedding column twice
-        Q = _quantize(np.stack(batch["embedding"].to_numpy()))
+        Q = _quantize(_emb_mat(batch))
         G = (Q.T @ Q).astype(np.int64)
         iu, ju = np.triu_indices(G.shape[0])
         s = Q.sum(0).astype(np.int64)
@@ -1237,7 +1258,7 @@ def pca_spectrum(sf_dir: str) -> pd.DataFrame:
                              "g": pd.array(g_all, dtype="int64")})
 
     rows = combine_partials(
-        _emb(sf_dir).map_batches(partial, batch_format="pandas"),
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
         ["i", "j"], {"g": "sum"}).to_pandas()
     n = float(rows.loc[(rows["i"] == -1) & (rows["j"] == -1),
                        "g"].sum())
@@ -1268,14 +1289,14 @@ def emb_norm_stats(sf_dir: str) -> pd.DataFrame:
     Scale: one streaming map_batches, one int per vector out.
     Output (vec_id, norm2_q), vec_id asc."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        Q = _quantize(np.stack(batch["embedding"].to_numpy()))
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        Q = _quantize(_emb_mat(batch))
         return pd.DataFrame({
-            "vec_id": batch["vec_id"].astype("int64").values,
+            "vec_id": batch["vec_id"].to_numpy().astype("int64"),
             "norm2_q": pd.array((Q * Q).sum(1).astype(np.int64),
                                 dtype="int64")})
 
-    out = (_emb(sf_dir).map_batches(fn, batch_format="pandas")
+    out = (_emb(sf_dir).map_batches(fn, batch_format="pyarrow")
            .to_pandas())
     return out.sort_values("vec_id").reset_index(drop=True)
 
@@ -1376,10 +1397,9 @@ def pq_distortion_stats(sf_dir: str, m_sub: int = 8, n_codes: int = 16,
     subdim = X.shape[1] // m_sub
     state = ray.put(books)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         bks = ray.get(state)
-        m = _norm(np.stack(batch["embedding"].to_numpy())
-                  .astype(np.float64))
+        m = _norm(_emb_mat(batch))
         err = np.zeros(len(m))
         for s in range(m_sub):
             x = m[:, s * subdim:(s + 1) * subdim]
@@ -1394,7 +1414,7 @@ def pq_distortion_stats(sf_dir: str, m_sub: int = 8, n_codes: int = 16,
                            dtype="float64")})
 
     s = combine_partials(
-        _emb(sf_dir).map_batches(partial, batch_format="pandas"),
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
         ["k"], {"n": "sum", "s1": "sum", "s2": "sum",
                 "mx": "max"}).to_pandas()
     n = int(s["n"][0])
@@ -1434,15 +1454,15 @@ def mmr_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     q_ref = ray.put(q)
     M = n_candidates
 
-    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
         qv = ray.get(q_ref)
-        m = _norm(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        m = _norm(_emb_mat(batch))
         sims = m @ qv
         order = np.lexsort((batch["vec_id"].to_numpy(), -sims))[:M]
         return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()[order],
                              "sim": sims[order]})
 
-    cand = (_emb(sf_dir).map_batches(partial_topk, batch_format="pandas")
+    cand = (_emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow")
             .to_pandas()
             .sort_values(["sim", "vec_id"], ascending=[False, True])
             .head(M).reset_index(drop=True))
@@ -1450,11 +1470,12 @@ def mmr_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     # fetch the shortlist's vectors (M rows — broadcast-sized)
     want = set(int(v) for v in ids)
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        m_ = batch[batch["vec_id"].isin(want)]
-        return m_[["vec_id", "embedding"]]
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["vec_id"],
+                        value_set=pa.array(sorted(want), type=pa.int64()))
+        return batch.select(["vec_id", "embedding"]).filter(keep)
 
-    vecs = (_emb(sf_dir).map_batches(pick, batch_format="pandas")
+    vecs = (_emb(sf_dir).map_batches(pick, batch_format="pyarrow")
             .to_pandas().set_index("vec_id").loc[ids])
     V = _norm(np.stack(vecs["embedding"].to_numpy()).astype(np.float64))
     rel_q = np.floor(1e6 * (V @ q) + 0.5).astype(np.int64)
