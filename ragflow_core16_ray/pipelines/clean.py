@@ -27,7 +27,9 @@ import shutil
 import time
 
 import re
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -36,6 +38,14 @@ from .text_analysis import (_GOPHER_STOPWORDS, _PII_EMAIL_RE, _PII_IPV4_RE,
                             _PII_PHONE_RE)
 
 _TRIM = " \t\r"
+
+
+def _np(col) -> np.ndarray:
+    """Numeric column of an Arrow batch → numpy (zero-copy when the
+    chunk layout allows)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
 
 
 def _read(path: str) -> rd.Dataset:
@@ -116,9 +126,9 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
 
     # ---- stage 1: PII redaction (same sequential order as pii_scrub)
     if not _stage_done(out_dir, "pii"):
-        def redact(batch: pd.DataFrame) -> pd.DataFrame:
+        def redact(batch: pa.Table) -> pa.Table:
             out_t, n_hits = [], []
-            for t in batch["text"]:
+            for t in batch["text"].to_pylist():
                 n = len(_PII_EMAIL_RE.findall(t))
                 t = _PII_EMAIL_RE.sub("<EMAIL>", t)
                 n += len(_PII_IPV4_RE.findall(t))
@@ -127,13 +137,14 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                 t = _PII_PHONE_RE.sub("<PHONE>", t)
                 out_t.append(t)
                 n_hits.append(n)
-            return pd.DataFrame({"doc_id": batch["doc_id"], "text": out_t,
-                                 "n_pii": pd.array(n_hits, dtype="int64")})
+            return pa.table({"doc_id": batch["doc_id"],
+                             "text": pa.array(out_t, type=pa.string()),
+                             "n_pii": pa.array(n_hits, type=pa.int64())})
 
         docs = rd.read_parquet(
             os.path.join(input_dir, "documents.parquet"),
             columns=["doc_id", "text"])
-        _publish(docs.map_batches(redact, batch_format="pandas"),
+        _publish(docs.map_batches(redact, batch_format="pyarrow"),
                  out_dir, "pii", {"n_in": docs.count()})
 
     pii_path = fsio.join(out_dir, "stage_pii")
@@ -159,32 +170,29 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                 return 2
             return 0
 
-        def cause_partial(batch: pd.DataFrame) -> pd.DataFrame:
-            cs = [_screen_cause(t) for t in batch["text"]]
-            return pd.DataFrame({
-                "k": pd.array([0], dtype="int64"),
-                "n_badwords": pd.array([sum(c == 1 for c in cs)],
-                                       dtype="int64"),
-                "n_encoding": pd.array([sum(c == 2 for c in cs)],
-                                       dtype="int64")})
+        def cause_partial(batch: pa.Table) -> pa.Table:
+            cs = [_screen_cause(t) for t in batch["text"].to_pylist()]
+            return pa.table({
+                "k": pa.array([0], type=pa.int64()),
+                "n_badwords": pa.array([sum(c == 1 for c in cs)],
+                                       type=pa.int64()),
+                "n_encoding": pa.array([sum(c == 2 for c in cs)],
+                                       type=pa.int64())})
 
         from ..stages.agg import combine_partials as _cp
 
         causes = _cp(_read(pii_path).map_batches(cause_partial,
-                                                 batch_format="pandas"),
+                                                 batch_format="pyarrow"),
                      ["k"], {"n_badwords": "sum", "n_encoding": "sum"}
                      ).to_pandas().iloc[0]
 
-        def keep_clean(batch: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
-            m = np.fromiter((_screen_cause(t) == 0 for t in batch["text"]),
-                            dtype=bool, count=len(batch))
-            return batch.loc[m, ["doc_id", "text"]]
-
-        import pyarrow as pa
+        def keep_clean(batch: pa.Table) -> pa.Table:
+            m = pa.array([_screen_cause(t) == 0
+                          for t in batch["text"].to_pylist()])
+            return batch.filter(m).select(["doc_id", "text"])
 
         _publish(_read(pii_path).map_batches(keep_clean,
-                                             batch_format="pandas"),
+                                             batch_format="pyarrow"),
                  out_dir, "screen",
                  {"n_badwords_dropped": int(causes["n_badwords"]),
                   "n_encoding_dropped": int(causes["n_encoding"])},
@@ -197,29 +205,29 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
     if not _stage_done(out_dir, "boiler"):
         from ..stages.agg import combine_partials
 
-        def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        def line_partials(batch: pa.Table) -> pa.Table:
             counts: dict[str, int] = {}
-            for t in batch["text"]:
+            for t in batch["text"].to_pylist():
                 for ln in {l for l in t.split("\n")
                            if len(l.strip(_TRIM)) >= boiler_min_len}:
                     k = md5_hex(ln)
                     counts[k] = counts.get(k, 0) + 1
-            return pd.DataFrame({"lkey": list(counts.keys()),
-                                 "df": pd.array(list(counts.values()),
-                                                dtype="int64")})
+            return pa.table({
+                "lkey": pa.array(list(counts.keys()), type=pa.string()),
+                "df": pa.array(list(counts.values()), type=pa.int64())})
 
         dfs = combine_partials(
             _read(screen_path).map_batches(line_partials,
-                                        batch_format="pandas"),
+                                        batch_format="pyarrow"),
             ["lkey"], {"df": "sum"}, mode="bucket")
         hot = dfs.filter(expr=f"df >= {boiler_max_df}").to_pandas()
         hot_ref = ray.put(frozenset(hot["lkey"])
                           if "lkey" in hot.columns else frozenset())
 
-        def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        def scrub(batch: pa.Table) -> pa.Table:
             hotset = ray.get(hot_ref)
             texts, removed = [], []
-            for t in batch["text"]:
+            for t in batch["text"].to_pylist():
                 lines = t.split("\n")
                 kept = lines if not hotset else [
                     ln for ln in lines
@@ -227,12 +235,13 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                     or md5_hex(ln) not in hotset]
                 texts.append("\n".join(kept))
                 removed.append(len(lines) - len(kept))
-            return pd.DataFrame({
-                "doc_id": batch["doc_id"], "text": texts,
-                "n_lines_removed": pd.array(removed, dtype="int64")})
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "text": pa.array(texts, type=pa.string()),
+                "n_lines_removed": pa.array(removed, type=pa.int64())})
 
         _publish(_read(screen_path).map_batches(scrub,
-                                                batch_format="pandas"),
+                                                batch_format="pyarrow"),
                  out_dir, "boiler", {"n_hot_lines": len(hot)})
 
     boiler_path = fsio.join(out_dir, "stage_boiler")
@@ -244,9 +253,10 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
         P = passage_words
         n_doc_buckets = max(1, n_buckets // 2)
 
-        def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        def explode(batch: pa.Table) -> pa.Table:
             rows = {"bucket": [], "h": [], "doc_id": [], "idx": []}
-            for did, text in zip(batch["doc_id"], batch["text"]):
+            for did, text in zip(batch["doc_id"].to_pylist(),
+                                 batch["text"].to_pylist()):
                 ws = text.split()
                 for j in range(len(ws) // P):
                     h = md5_hex(" ".join(ws[j * P:(j + 1) * P]))
@@ -254,34 +264,42 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                     rows["h"].append(h)
                     rows["doc_id"].append(did)
                     rows["idx"].append(j)
-            return pd.DataFrame({
-                "bucket": pd.array(rows["bucket"], dtype="int32"),
-                "h": rows["h"],
-                "doc_id": pd.array(rows["doc_id"], dtype="int64"),
-                "idx": pd.array(rows["idx"], dtype="int64")})
+            return pa.table({
+                "bucket": pa.array(np.asarray(rows["bucket"],
+                                              dtype=np.int32)),
+                "h": pa.array(rows["h"], type=pa.string()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "idx": pa.array(rows["idx"], type=pa.int64())})
 
-        def decide(g: pd.DataFrame) -> pd.DataFrame:
+        def decide(g: pd.DataFrame) -> pa.Table:
+            # Arrow out: unions with tag_docs' Arrow stream (Ray's sort
+            # refuses mixed pandas/Arrow block streams)
             g = g.sort_values(["h", "doc_id", "idx"])
-            out = g[g.duplicated("h", keep="first")][["doc_id", "idx"]]
-            out = out.copy()
-            out["dbucket"] = (out["doc_id"] % n_doc_buckets).astype("int32")
-            out["text"] = ""
-            out["is_doc"] = False
-            return out[["dbucket", "doc_id", "idx", "text", "is_doc"]]
+            out = g[g.duplicated("h", keep="first")]
+            dids = out["doc_id"].to_numpy(np.int64)
+            return pa.table({
+                "dbucket": pa.array((dids % n_doc_buckets)
+                                    .astype(np.int32)),
+                "doc_id": pa.array(dids),
+                "idx": pa.array(out["idx"].to_numpy(np.int64)),
+                "text": pa.array([""] * len(dids), type=pa.string()),
+                "is_doc": pa.array(np.zeros(len(dids), dtype=bool))})
 
         drops = (_read(boiler_path)
-                 .map_batches(explode, batch_format="pandas")
+                 .map_batches(explode, batch_format="pyarrow")
                  .repartition(max(1, n_buckets // 4))
                  .groupby("bucket").map_groups(decide,
                                                batch_format="pandas"))
 
-        def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "dbucket": (batch["doc_id"] % n_doc_buckets)
-                .astype("int32"),
-                "doc_id": batch["doc_id"].astype("int64"),
-                "idx": pd.array([-1] * len(batch), dtype="int64"),
-                "text": batch["text"], "is_doc": True})
+        def tag_docs(batch: pa.Table) -> pa.Table:
+            dids = _np(batch["doc_id"]).astype(np.int64, copy=False)
+            return pa.table({
+                "dbucket": pa.array((dids % n_doc_buckets)
+                                    .astype(np.int32)),
+                "doc_id": pa.array(dids),
+                "idx": pa.array(np.full(len(dids), -1, dtype=np.int64)),
+                "text": batch["text"],
+                "is_doc": pa.array(np.ones(len(dids), dtype=bool))})
 
         def rebuild(g: pd.DataFrame) -> pd.DataFrame:
             drop_by_doc: dict[int, set] = {}
@@ -308,7 +326,7 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
                 "n_passages_removed": pd.array(removed, dtype="int64")})
 
         tagged = _read(boiler_path).map_batches(tag_docs,
-                                                batch_format="pandas")
+                                                batch_format="pyarrow")
         _publish(tagged.union(drops)
                  .repartition(max(1, n_doc_buckets // 4))
                  .groupby("dbucket").map_groups(rebuild,
@@ -337,23 +355,28 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
 
     if not _stage_done(out_dir, "final"):
 
-        def gopher_keep(batch: pd.DataFrame) -> pd.DataFrame:
-            keep_rows = [(did, t)
-                         for did, t in zip(batch["doc_id"], batch["text"])
-                         if all(_gopher_flags(t))]
-            return pd.DataFrame({
-                "doc_id": pd.array([d for d, _ in keep_rows],
-                                   dtype="int64"),
-                "text": [t for _, t in keep_rows]})
+        def gopher_keep(batch: pa.Table) -> pa.Table:
+            m = pa.array([all(_gopher_flags(t))
+                          for t in batch["text"].to_pylist()])
+            return batch.filter(m).select(["doc_id", "text"])
 
-        def dedup_partial(batch: pd.DataFrame) -> pd.DataFrame:
-            g = batch.groupby("text", sort=False)["doc_id"].min()
-            h = [md5_hex(t) for t in g.index]
-            return pd.DataFrame({
-                "bucket": pd.array([int(x[:8], 16) % n_buckets for x in h],
-                                   dtype="int32"),
-                "h": h, "text": g.index.to_numpy(),
-                "doc_id": g.values})
+        def dedup_partial(batch: pa.Table) -> pa.Table:
+            mins: dict[str, int] = {}
+            for t, d in zip(batch["text"].to_pylist(),
+                            _np(batch["doc_id"]).tolist()):
+                p = mins.get(t)
+                if p is None or d < p:
+                    mins[t] = d
+            uniq = list(mins)
+            h = [md5_hex(t) for t in uniq]
+            return pa.table({
+                "bucket": pa.array(np.fromiter(
+                    (int(x[:8], 16) % n_buckets for x in h),
+                    dtype=np.int32, count=len(h))),
+                "h": pa.array(h, type=pa.string()),
+                "text": pa.array(uniq, type=pa.string()),
+                "doc_id": pa.array([mins[t] for t in uniq],
+                                   type=pa.int64())})
 
         def dedup_merge(g: pd.DataFrame) -> pd.DataFrame:
             m = (g.groupby("h", sort=False)
@@ -361,8 +384,8 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
             return m.reset_index(drop=True)[["doc_id", "text"]]
 
         cleaned = (_read(passage_path)
-                   .map_batches(gopher_keep, batch_format="pandas")
-                   .map_batches(dedup_partial, batch_format="pandas")
+                   .map_batches(gopher_keep, batch_format="pyarrow")
+                   .map_batches(dedup_partial, batch_format="pyarrow")
                    .repartition(max(1, n_buckets // 4))
                    .groupby("bucket").map_groups(dedup_merge,
                                                  batch_format="pandas"))
@@ -376,21 +399,22 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
     # self-explanatory from the rollup alone
     from ..stages.agg import combine_partials
 
-    def flag_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        fl = [_gopher_flags(t) for t in batch["text"]]
-        return pd.DataFrame({
-            "k": pd.array([0], dtype="int64"),
-            "pass_len": pd.array([sum(f[0] for f in fl)], dtype="int64"),
-            "pass_meanlen": pd.array([sum(f[1] for f in fl)],
-                                     dtype="int64"),
-            "pass_alpha": pd.array([sum(f[2] for f in fl)],
-                                   dtype="int64"),
-            "pass_stop": pd.array([sum(f[3] for f in fl)],
-                                  dtype="int64")})
+    def flag_partials(batch: pa.Table) -> pa.Table:
+        fl = [_gopher_flags(t) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "pass_len": pa.array([sum(f[0] for f in fl)],
+                                 type=pa.int64()),
+            "pass_meanlen": pa.array([sum(f[1] for f in fl)],
+                                     type=pa.int64()),
+            "pass_alpha": pa.array([sum(f[2] for f in fl)],
+                                   type=pa.int64()),
+            "pass_stop": pa.array([sum(f[3] for f in fl)],
+                                  type=pa.int64())})
 
     flags = combine_partials(
         _read(passage_path).map_batches(flag_partials,
-                                        batch_format="pandas"),
+                                        batch_format="pyarrow"),
         ["k"], {c: "sum" for c in ("pass_len", "pass_meanlen",
                                    "pass_alpha", "pass_stop")}
     ).to_pandas().iloc[0]

@@ -28,12 +28,23 @@ import zlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
 from ..functions.hashing import hash64
 
 _MERSENNE = (1 << 61) - 1
+
+
+def _np(col) -> np.ndarray:
+    """Numeric column of an Arrow batch → numpy array (zero-copy when the
+    chunk layout allows). The Arrow-native replacement for the per-batch
+    pandas Series materialization the full-corpus streaming passes used
+    to pay (r4 verdict: remaining-pandas-partials cost)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
 
 
 def _docs(sf_dir: str, columns):
@@ -71,15 +82,33 @@ def exact_dedup(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     bucket is the per-task memory bound)."""
     from ..functions.hashing import md5_hex
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("text", sort=False)["doc_id"].agg(["min", "size"])
-        texts = g.index.to_numpy()
-        h = [md5_hex(t) for t in texts]
-        return pd.DataFrame({
-            "bucket": pd.array([int(x[:8], 16) % n_buckets for x in h],
-                               dtype="int32"),
-            "h": h, "text": texts, "keep_id": g["min"].values,
-            "n_dups": g["size"].values})
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dids = _np(batch["doc_id"])
+        slot: dict[str, int] = {}
+        uniq: list[str] = []
+        mins: list[int] = []
+        cnts: list[int] = []
+        for t, d in zip(texts, dids.tolist()):
+            i = slot.get(t)
+            if i is None:
+                slot[t] = len(uniq)
+                uniq.append(t)
+                mins.append(d)
+                cnts.append(1)
+            else:
+                cnts[i] += 1
+                if d < mins[i]:
+                    mins[i] = d
+        h = [md5_hex(t) for t in uniq]
+        bucket = np.fromiter((int(x[:8], 16) % n_buckets for x in h),
+                             dtype=np.int32, count=len(h))
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "h": pa.array(h, type=pa.string()),
+            "text": pa.array(uniq, type=pa.string()),
+            "keep_id": pa.array(np.asarray(mins, dtype=np.int64)),
+            "n_dups": pa.array(np.asarray(cnts, dtype=np.int64))})
 
     def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby("h", sort=False)
@@ -88,7 +117,7 @@ def exact_dedup(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
                 .reset_index(drop=True))
 
     return (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(partial, batch_format="pandas")
+            .map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(bucket_merge, batch_format="pandas"))
 
@@ -149,32 +178,43 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
     shingle_fn = _shingles if grams == "word" else _char_grams
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch: pa.Table) -> pa.Table:
+        dids = _np(batch["doc_id"]).tolist()
+        texts = batch["text"].to_pylist()
         if wanted_ref is not None:
-            batch = batch[batch["doc_id"].isin(ray.get(wanted_ref))]
-        rows_doc, rows_sh, rows_b = [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
+            w = ray.get(wanted_ref)
+            kept = [(d, t) for d, t in zip(dids, texts) if d in w]
+            dids = [d for d, _ in kept]
+            texts = [t for _, t in kept]
+        rows_doc, rows_sh = [], []
+        for did, text in zip(dids, texts):
             for sh in shingle_fn(text, k):
                 rows_doc.append(did)
                 rows_sh.append(sh)
-                rows_b.append(zlib.crc32(sh.encode()) % n_buckets)
-        return pd.DataFrame({"bucket": pd.array(rows_b, dtype="int32"),
-                             "shingle": rows_sh, "doc_id": rows_doc})
+        rows_b = np.fromiter(
+            (zlib.crc32(s.encode()) % n_buckets for s in rows_sh),
+            dtype=np.int32, count=len(rows_sh))
+        return pa.table({
+            "bucket": pa.array(rows_b),
+            "shingle": pa.array(rows_sh, type=pa.string()),
+            "doc_id": pa.array(rows_doc, type=pa.int64())})
 
     # materialize: BOTH the size pass and the pair pass consume the
     # shingle table — without this the lazy explode runs twice. The
     # shingle blocks live in the (spillable) object store, never on the
     # driver; at extreme scale trade this for a recompute by dropping it.
     sh = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        explode, batch_format="pandas").materialize()
+        explode, batch_format="pyarrow").materialize()
 
-    # per-doc shingle counts (one int per doc)
-    def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("doc_id", sort=False).size()
-        return pd.DataFrame({"doc_id": g.index, "n": g.values})
+    # per-doc shingle counts (one int per doc) — one C-level value_counts
+    def size_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.value_counts(batch["doc_id"])
+        return pa.table({"doc_id": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
 
     sizes_ds = combine_partials(
-        sh.map_batches(size_partial, batch_format="pandas"),
+        sh.map_batches(size_partial, batch_format="pyarrow"),
         ["doc_id"], {"n": "sum"})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -240,12 +280,13 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
                  ipd["id_b"].to_numpy(np.int64)]))
             cand_ref = ray.put(frozenset(cand.tolist()))
 
-            def keep_cand(b: pd.DataFrame) -> pd.DataFrame:
+            def keep_cand(b: pa.Table) -> pa.Table:
                 w = ray.get(cand_ref)
-                return b[b["doc_id"].isin(w)]
+                mask = pa.array([d in w for d in b["doc_id"].to_pylist()])
+                return b.filter(mask)
 
             szd = sizes_ds.map_batches(
-                keep_cand, batch_format="pandas").to_pandas()
+                keep_cand, batch_format="pyarrow").to_pandas()
             sz = pd.Series(szd["n"].values, index=szd["doc_id"].values)
             a = sz.reindex(ipd["id_a"]).to_numpy(np.int64)
             b = sz.reindex(ipd["id_b"]).to_numpy(np.int64)
@@ -330,24 +371,26 @@ def winnow_matches(sf_dir: str, k: int = 16, w: int = 8,
     cap (loses only pairs whose evidence is pure boilerplate)."""
     from ..stages.agg import combine_partials
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch: pa.Table) -> pa.Table:
         cache: dict = {}
         ids, fps = [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
+        for did, text in zip(_np(batch["doc_id"]).tolist(),
+                             batch["text"].to_pylist()):
             f = winnow_fps(text, k, w, cache)
             ids.append(np.full(len(f), did, dtype=np.int64))
             fps.append(f)
         fp = (np.concatenate(fps) if fps
               else np.empty(0, dtype=np.uint64))
-        return pd.DataFrame({
-            "bucket": pd.array((fp % np.uint64(n_buckets)).astype(np.int32),
-                               dtype="int32"),
-            "fp": fp.astype(np.int64),  # reinterpret: pandas-safe 64-bit
-            "doc_id": np.concatenate(ids) if ids
-                      else np.empty(0, dtype=np.int64)})
+        return pa.table({
+            "bucket": pa.array((fp % np.uint64(n_buckets))
+                               .astype(np.int32)),
+            # reinterpret to signed: the group key stays 64-bit stable
+            "fp": pa.array(fp.astype(np.int64)),
+            "doc_id": pa.array(np.concatenate(ids) if ids
+                               else np.empty(0, dtype=np.int64))})
 
     rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        explode, batch_format="pandas")
+        explode, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         df = g[["fp", "doc_id"]]
@@ -424,9 +467,10 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, est_threshold: float = 0.5,
             "band piece empty and collide all docs)")
     rows_per_band = N_HASHES // n_bands
 
-    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def sig_batch(batch: pa.Table) -> pa.Table:
         dids, keys, sigs = [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
+        for did, text in zip(_np(batch["doc_id"]).tolist(),
+                             batch["text"].to_pylist()):
             sig = minhash_signature(_shingle_hashes31(text, k))
             sb = sig.tobytes()
             for band in range(n_bands):
@@ -435,15 +479,19 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, est_threshold: float = 0.5,
                 dids.append(did)
                 keys.append(hash64(f"{band}:") ^ hash64(piece.hex()))
                 sigs.append(sb)
-        return pd.DataFrame({
-            "bucket": pd.array([np.int32(kk % n_buckets) for kk in keys],
-                               dtype="int32"),
-            "band_key": pd.array([np.int64(kk % (1 << 62)) for kk in keys],
-                                 dtype="int64"),
-            "doc_id": dids, "sig": sigs})
+        # NB: both moduli must be np.uint64 scalars — a bare Python int
+        # promotes uint64 % int to float64 and corrupts the key
+        kk = np.asarray(keys, dtype=np.uint64)
+        return pa.table({
+            "bucket": pa.array((kk % np.uint64(n_buckets))
+                               .astype(np.int32)),
+            "band_key": pa.array((kk % np.uint64(1 << 62))
+                                 .astype(np.int64)),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "sig": pa.array(sigs, type=pa.binary())})
 
     bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        sig_batch, batch_format="pandas")
+        sig_batch, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated("band_key", keep=False)]
@@ -542,24 +590,24 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
             out.append(int((bits << weights).sum()))
         return out
 
-    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def sig_batch(batch: pa.Table) -> pa.Table:
         dids, keys, sims = [], [], []
-        hashes = _batch_simhashes(batch["text"])
-        for did, h in zip(batch["doc_id"], hashes):
+        hashes = _batch_simhashes(batch["text"].to_pylist())
+        for did, h in zip(_np(batch["doc_id"]).tolist(), hashes):
             for p in range(n_pieces):
                 piece = (h >> (p * piece_bits)) & ((1 << piece_bits) - 1)
                 dids.append(did)
                 keys.append((p << piece_bits) | piece)
                 sims.append(h)
-        return pd.DataFrame({
-            "bucket": pd.array([np.int32(kk % n_buckets) for kk in keys],
-                               dtype="int32"),
-            "piece_key": pd.array(keys, dtype="int64"),
-            "doc_id": dids,
-            "sim": pd.array(sims, dtype="uint64")})
+        kk = np.asarray(keys, dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array((kk % n_buckets).astype(np.int32)),
+            "piece_key": pa.array(kk),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "sim": pa.array(sims, type=pa.uint64())})
 
     bands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        sig_batch, batch_format="pandas")
+        sig_batch, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated("piece_key", keep=False)]
@@ -704,15 +752,17 @@ def incremental_dedup(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     locally and filters its new rows. Output: (doc_id,) admitted docs."""
     from ..functions.hashing import md5_hex
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        is_prior = [int(s[3:]) % 2 == 0 for s in batch["source"]]
-        h = [md5_hex(t) for t in batch["text"]]
-        return pd.DataFrame({
-            "bucket": pd.array([hash64(x) & (n_buckets - 1) for x in h],
-                               dtype="int64"),
-            "h": h,
-            "prior": pd.array(is_prior, dtype="bool"),
-            "doc_id": batch["doc_id"].values})
+    def tag(batch: pa.Table) -> pa.Table:
+        is_prior = [int(s[3:]) % 2 == 0
+                    for s in batch["source"].to_pylist()]
+        h = [md5_hex(t) for t in batch["text"].to_pylist()]
+        bucket = np.fromiter((hash64(x) & (n_buckets - 1) for x in h),
+                             dtype=np.int64, count=len(h))
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "h": pa.array(h, type=pa.string()),
+            "prior": pa.array(is_prior, type=pa.bool_()),
+            "doc_id": batch["doc_id"]})
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
         prior_set = set(g.loc[g["prior"], "h"])
@@ -721,7 +771,7 @@ def incremental_dedup(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
         return keep[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
     return (_docs(sf_dir, ["doc_id", "text", "source"])
-            .map_batches(tag, batch_format="pandas")
+            .map_batches(tag, batch_format="pyarrow")
             .repartition(max(1, n_buckets // 4))
             .groupby("bucket").map_groups(anti, batch_format="pandas"))
 
@@ -749,19 +799,20 @@ def dup_passage_stats(sf_dir: str, passage_words: int = 10,
 
     P = passage_words
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch: pa.Table) -> pa.Table:
         rows_b, rows_h, rows_d = [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
+        for did, text in zip(_np(batch["doc_id"]).tolist(),
+                             batch["text"].to_pylist()):
             ws = text.split()
             for j in range(len(ws) // P):
                 h = md5_hex(" ".join(ws[j * P:(j + 1) * P]))
                 rows_b.append(hash64(h) % n_buckets)
                 rows_h.append(h)
                 rows_d.append(did)
-        return pd.DataFrame({
-            "bucket": pd.array(rows_b, dtype="int32"),
-            "h": rows_h,
-            "doc_id": pd.array(rows_d, dtype="int64")})
+        return pa.table({
+            "bucket": pa.array(np.asarray(rows_b, dtype=np.int32)),
+            "h": pa.array(rows_h, type=pa.string()),
+            "doc_id": pa.array(rows_d, type=pa.int64())})
 
     def counts(g: pd.DataFrame) -> pd.DataFrame:
         dup = g.groupby("h")["doc_id"].transform("size") > 1
@@ -773,7 +824,7 @@ def dup_passage_stats(sf_dir: str, passage_words: int = 10,
         return agg
 
     partials = (_docs(sf_dir, ["doc_id", "text"])
-                .map_batches(explode, batch_format="pandas")
+                .map_batches(explode, batch_format="pyarrow")
                 .repartition(max(1, n_buckets // 4))
                 .groupby("bucket").map_groups(counts, batch_format="pandas"))
     return combine_partials(partials, ["doc_id"],
@@ -830,34 +881,34 @@ def boilerplate_removal(sf_dir: str, max_df: int = 3,
 
     _trim = " \t\r"
 
-    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    def line_partials(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
-        for t in batch["text"]:
+        for t in batch["text"].to_pylist():
             seen = {ln for ln in t.split("\n")
                     if len(ln.strip(_trim)) >= min_len}
             for ln in seen:
                 k = md5_hex(ln)
                 counts[k] = counts.get(k, 0) + 1
-        return pd.DataFrame({"lkey": list(counts.keys()),
-                             "df": pd.array(list(counts.values()),
-                                            dtype="int64")})
+        return pa.table({
+            "lkey": pa.array(list(counts.keys()), type=pa.string()),
+            "df": pa.array(list(counts.values()), type=pa.int64())})
 
     # mode="bucket": line-key cardinality is corpus-sized (does not fit
     # one combine task at 10^12 docs); the groupby moves only (key, int)
     # rows. The df >= max_df survivors are the broadcastable heavy hitters.
     dfs = combine_partials(
         _docs(sf_dir, ["text"]).map_batches(line_partials,
-                                            batch_format="pandas"),
+                                            batch_format="pyarrow"),
         ["lkey"], {"df": "sum"}, mode="bucket")
     hot = dfs.filter(expr=f"df >= {max_df}").to_pandas()
     # an empty filter result comes back schemaless from to_pandas
     hot_ref = ray.put(frozenset(hot["lkey"]) if "lkey" in hot.columns
                       else frozenset())
 
-    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+    def scrub(batch: pa.Table) -> pa.Table:
         hotset = ray.get(hot_ref)
-        doc_ids, n_lines, n_removed, fps = [], [], [], []
-        for doc_id, t in zip(batch["doc_id"], batch["text"]):
+        n_lines, n_removed, fps = [], [], []
+        for t in batch["text"].to_pylist():
             lines = t.split("\n")
             # no hot lines → skip the per-line md5 entirely (the common
             # clean-corpus fast path)
@@ -865,19 +916,18 @@ def boilerplate_removal(sf_dir: str, max_df: int = 3,
                 ln for ln in lines
                 if len(ln.strip(_trim)) < min_len
                 or md5_hex(ln) not in hotset]
-            doc_ids.append(doc_id)
             n_lines.append(len(lines))
             n_removed.append(len(lines) - len(kept))
             fps.append(md5_hex("\n".join(kept)))
-        return pd.DataFrame({
-            "doc_id": doc_ids,
-            "n_lines": pd.array(n_lines, dtype="int64"),
-            "n_removed": pd.array(n_removed, dtype="int64"),
-            "clean_fp": fps,
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "n_removed": pa.array(n_removed, type=pa.int64()),
+            "clean_fp": pa.array(fps, type=pa.string()),
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        scrub, batch_format="pandas")
+        scrub, batch_format="pyarrow")
 
 
 def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
@@ -951,9 +1001,10 @@ def dedup_passages(sf_dir: str, passage_words: int = 10,
 
     P = passage_words
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch: pa.Table) -> pa.Table:
         rows_b, rows_h, rows_d, rows_j = [], [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
+        for did, text in zip(_np(batch["doc_id"]).tolist(),
+                             batch["text"].to_pylist()):
             ws = text.split()
             for j in range(len(ws) // P):
                 h = md5_hex(" ".join(ws[j * P:(j + 1) * P]))
@@ -961,36 +1012,42 @@ def dedup_passages(sf_dir: str, passage_words: int = 10,
                 rows_h.append(h)
                 rows_d.append(did)
                 rows_j.append(j)
-        return pd.DataFrame({
-            "bucket": pd.array(rows_b, dtype="int32"),
-            "h": rows_h,
-            "doc_id": pd.array(rows_d, dtype="int64"),
-            "idx": pd.array(rows_j, dtype="int64")})
+        return pa.table({
+            "bucket": pa.array(np.asarray(rows_b, dtype=np.int32)),
+            "h": pa.array(rows_h, type=pa.string()),
+            "doc_id": pa.array(rows_d, type=pa.int64()),
+            "idx": pa.array(rows_j, type=pa.int64())})
 
-    def decide(g: pd.DataFrame) -> pd.DataFrame:
+    def decide(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: the union partner (tag_docs) emits Arrow blocks, and
+        # Ray's sort refuses mixed pandas/Arrow block streams
         g = g.sort_values(["h", "doc_id", "idx"])
         canonical = ~g.duplicated("h", keep="first")
-        out = g[~canonical][["doc_id", "idx"]].copy()
-        out["dbucket"] = (out["doc_id"] % n_doc_buckets).astype("int32")
-        out["text"] = ""
-        out["is_doc"] = False
-        return out[["dbucket", "doc_id", "idx", "text", "is_doc"]]
+        out = g[~canonical]
+        dids = out["doc_id"].to_numpy(np.int64)
+        return pa.table({
+            "dbucket": pa.array((dids % n_doc_buckets).astype(np.int32)),
+            "doc_id": pa.array(dids),
+            "idx": pa.array(out["idx"].to_numpy(np.int64)),
+            "text": pa.array([""] * len(dids), type=pa.string()),
+            "is_doc": pa.array(np.zeros(len(dids), dtype=bool))})
 
     drops = (_docs(sf_dir, ["doc_id", "text"])
-             .map_batches(explode, batch_format="pandas")
+             .map_batches(explode, batch_format="pyarrow")
              .repartition(max(1, n_buckets // 4))
              .groupby("bucket").map_groups(decide, batch_format="pandas"))
 
-    def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "dbucket": (batch["doc_id"] % n_doc_buckets).astype("int32"),
-            "doc_id": batch["doc_id"].astype("int64"),
-            "idx": pd.array([-1] * len(batch), dtype="int64"),
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        dids = _np(batch["doc_id"]).astype(np.int64, copy=False)
+        return pa.table({
+            "dbucket": pa.array((dids % n_doc_buckets).astype(np.int32)),
+            "doc_id": pa.array(dids),
+            "idx": pa.array(np.full(len(dids), -1, dtype=np.int64)),
             "text": batch["text"],
-            "is_doc": True})
+            "is_doc": pa.array(np.ones(len(dids), dtype=bool))})
 
     tagged = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tag_docs, batch_format="pandas")
+        tag_docs, batch_format="pyarrow")
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         drop_by_doc: dict[int, set] = {}
@@ -1165,17 +1222,19 @@ def incremental_dedup_bloom(sf_dir: str, n_buckets: int = 64,
     n_total = docs.count()  # parquet metadata, no scan
     m = 1 << max(10, int(np.ceil(np.log2(max(bits_per_key * n_total, 2)))))
 
-    def partial_bloom(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_bloom(batch: pa.Table) -> pa.Table:
         bm = np.zeros(m >> 3, dtype=np.uint8)
-        texts = batch.loc[_is_prior(batch["source"]), "text"]
-        if len(texts):
-            pos = _bloom_positions(list(texts), m, k_hashes).ravel()
+        prior = _is_prior(batch["source"].to_pylist())
+        texts = [t for t, p in zip(batch["text"].to_pylist(), prior) if p]
+        if texts:
+            pos = _bloom_positions(texts, m, k_hashes).ravel()
             np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
                              (np.uint8(1) << (pos & np.uint64(7))
                               .astype(np.uint8)))
-        return pd.DataFrame({"bloom": [bm.tobytes()]})
+        return pa.table({"bloom": pa.array([bm.tobytes()],
+                                           type=pa.binary())})
 
-    parts = docs.map_batches(partial_bloom, batch_format="pandas",
+    parts = docs.map_batches(partial_bloom, batch_format="pyarrow",
                              batch_size=1024).to_pandas()
     bloom = np.zeros(m >> 3, dtype=np.uint8)
     for b in parts["bloom"]:
@@ -1184,22 +1243,25 @@ def incremental_dedup_bloom(sf_dir: str, n_buckets: int = 64,
 
     from ..functions.hashing import md5_hex
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+    def probe(batch: pa.Table) -> pa.Table:
         bm = ray.get(bloom_ref)  # zero-copy from the object store
-        new = batch[~np.asarray(_is_prior(batch["source"]))]
-        if new.empty:
-            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                                 "h": pd.array([], dtype="object"),
-                                 "positive": pd.array([], dtype="bool")})
-        pos = _bloom_positions(list(new["text"]), m, k_hashes)
+        new_mask = ~np.asarray(_is_prior(batch["source"].to_pylist()),
+                               dtype=bool)
+        texts = [t for t, nm in zip(batch["text"].to_pylist(), new_mask)
+                 if nm]
+        if not texts:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.string()),
+                             "positive": pa.array([], type=pa.bool_())})
+        pos = _bloom_positions(texts, m, k_hashes)
         bits = (bm[(pos >> np.uint64(3)).astype(np.int64)]
                 >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
-        return pd.DataFrame({
-            "doc_id": new["doc_id"].values,
-            "h": [md5_hex(t) for t in new["text"]],
-            "positive": bits.all(axis=1)})
+        return pa.table({
+            "doc_id": pa.array(_np(batch["doc_id"])[new_mask]),
+            "h": pa.array([md5_hex(t) for t in texts], type=pa.string()),
+            "positive": pa.array(bits.all(axis=1))})
 
-    probed = docs.map_batches(probe, batch_format="pandas").materialize()
+    probed = docs.map_batches(probe, batch_format="pyarrow").materialize()
     admitted_fast = probed.filter(
         expr="positive == False").select_columns(["doc_id"])
 
@@ -1211,28 +1273,36 @@ def incremental_dedup_bloom(sf_dir: str, n_buckets: int = 64,
         [hash64(x) & (n_buckets - 1) for x in positives["h"]], dtype="int64")
     hot_buckets = frozenset(positives["bucket"])
 
-    def tag_prior(batch: pd.DataFrame) -> pd.DataFrame:
-        prior = batch[np.asarray(_is_prior(batch["source"]))]
-        h = [md5_hex(t) for t in prior["text"]]
-        out = pd.DataFrame({
-            "bucket": pd.array([hash64(x) & (n_buckets - 1) for x in h],
-                               dtype="int64"),
-            "h": h,
-            "prior": pd.array([True] * len(h), dtype="bool"),
-            "doc_id": prior["doc_id"].values})
-        return out[out["bucket"].isin(hot_buckets)]
+    def tag_prior(batch: pa.Table) -> pa.Table:
+        pm = np.asarray(_is_prior(batch["source"].to_pylist()),
+                        dtype=bool)
+        texts = [t for t, p in zip(batch["text"].to_pylist(), pm) if p]
+        h = [md5_hex(t) for t in texts]
+        bucket = np.fromiter((hash64(x) & (n_buckets - 1) for x in h),
+                             dtype=np.int64, count=len(h))
+        hot = np.asarray([b in hot_buckets for b in bucket.tolist()],
+                         dtype=bool)
+        return pa.table({
+            "bucket": pa.array(bucket[hot]),
+            "h": pa.array([x for x, k in zip(h, hot) if k],
+                          type=pa.string()),
+            "prior": pa.array(np.ones(int(hot.sum()), dtype=bool)),
+            "doc_id": pa.array(_np(batch["doc_id"])[pm][hot])})
 
-    pos_ds = rd.from_pandas(positives.assign(
+    # Arrow block to match tag_prior's (Ray's sort refuses mixed types)
+    pos_ds = rd.from_arrow(pa.Table.from_pandas(positives.assign(
         prior=pd.array([False] * len(positives), dtype="bool"))[
-        ["bucket", "h", "prior", "doc_id"]])
+        ["bucket", "h", "prior", "doc_id"]], preserve_index=False))
 
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
+    def anti(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: the fast path it unions with is an Arrow stream
         prior_set = set(g.loc[g["prior"], "h"])
         new = g[~g["prior"]]
         keep = new[~new["h"].isin(prior_set)]
-        return keep[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(
+            np.sort(keep["doc_id"].to_numpy(np.int64)))})
 
-    verified = (docs.map_batches(tag_prior, batch_format="pandas")
+    verified = (docs.map_batches(tag_prior, batch_format="pyarrow")
                 .union(pos_ds)
                 .repartition(max(1, n_buckets // 4))
                 .groupby("bucket").map_groups(anti, batch_format="pandas"))
@@ -1294,19 +1364,20 @@ def ngram_novelty(sf_dir: str, k: int = 3,
     windowed-SQL oracle reuses its proven gram expression."""
     from ..stages.agg import combine_partials
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch: pa.Table) -> pa.Table:
         rows_b, rows_g, rows_d = [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
+        for did, text in zip(_np(batch["doc_id"]).tolist(),
+                             batch["text"].to_pylist()):
             if not text.strip():
                 continue
             for g in _shingles(text, k):
                 rows_b.append(hash64(g) % n_buckets)
                 rows_g.append(g)
                 rows_d.append(did)
-        return pd.DataFrame({
-            "bucket": pd.array(rows_b, dtype="int32"),
-            "g": rows_g,
-            "doc_id": pd.array(rows_d, dtype="int64")})
+        return pa.table({
+            "bucket": pa.array(np.asarray(rows_b, dtype=np.int32)),
+            "g": pa.array(rows_g, type=pa.string()),
+            "doc_id": pa.array(rows_d, type=pa.int64())})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         owner = g.groupby("g", sort=False)["doc_id"].transform("min")
@@ -1319,7 +1390,7 @@ def ngram_novelty(sf_dir: str, k: int = 3,
 
     df = combine_partials(
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(explode, batch_format="pandas")
+        .map_batches(explode, batch_format="pyarrow")
         .repartition(max(1, n_buckets // 4))
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas"),
         ["doc_id"], {"n_grams": "sum", "n_novel": "sum"}).to_pandas()
@@ -1342,14 +1413,24 @@ def corpus_diff(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     from ..functions.hashing import md5_hex
     from ..stages.agg import combine_partials
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        is_a = [int(s[3:]) % 2 == 0 for s in batch["source"]]
-        h = [md5_hex(t) for t in batch["text"]]
-        return pd.DataFrame({
-            "bucket": pd.array([hash64(x) & (n_buckets - 1) for x in h],
-                               dtype="int64"),
-            "h": h,
-            "in_a": pd.array(is_a, dtype="bool")}).drop_duplicates()
+    def tag(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        seen = set()
+        buckets, hs, in_a = [], [], []
+        for s, t in zip(srcs, texts):
+            a = int(s[3:]) % 2 == 0
+            h = md5_hex(t)
+            if (h, a) in seen:     # batch-local drop_duplicates
+                continue
+            seen.add((h, a))
+            buckets.append(hash64(h) & (n_buckets - 1))
+            hs.append(h)
+            in_a.append(a)
+        return pa.table({
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "h": pa.array(hs, type=pa.string()),
+            "in_a": pa.array(in_a, type=pa.bool_())})
 
     def classify(g: pd.DataFrame) -> pd.DataFrame:
         # a hash is in A iff any A row; in B iff any non-A row
@@ -1364,7 +1445,7 @@ def corpus_diff(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
 
     df = combine_partials(
         _docs(sf_dir, ["text", "source"])
-        .map_batches(tag, batch_format="pandas")
+        .map_batches(tag, batch_format="pyarrow")
         .repartition(max(1, n_buckets // 4))
         .groupby("bucket").map_groups(classify, batch_format="pandas"),
         ["k"], {"n_added": "sum", "n_removed": "sum", "n_kept": "sum"}
@@ -1407,9 +1488,10 @@ def substring_dup_spans(sf_dir: str, k: int = 8,
 
     K = k
 
-    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    def gram_rows(batch: pa.Table) -> pa.Table:
         rows_b, rows_h, rows_d, rows_p = [], [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
+        for did, text in zip(_np(batch["doc_id"]).tolist(),
+                             batch["text"].to_pylist()):
             ws = text.split()
             for i in range(len(ws) - K + 1):
                 h = md5_hex(" ".join(ws[i:i + K]))
@@ -1417,11 +1499,11 @@ def substring_dup_spans(sf_dir: str, k: int = 8,
                 rows_h.append(h)
                 rows_d.append(did)
                 rows_p.append(i + 1)        # 1-based, matching the oracle
-        return pd.DataFrame({
-            "bucket": pd.array(rows_b, dtype="int32"),
-            "h": rows_h,
-            "doc_id": pd.array(rows_d, dtype="int64"),
-            "pos": pd.array(rows_p, dtype="int64")})
+        return pa.table({
+            "bucket": pa.array(np.asarray(rows_b, dtype=np.int32)),
+            "h": pa.array(rows_h, type=pa.string()),
+            "doc_id": pa.array(rows_d, type=pa.int64()),
+            "pos": pa.array(rows_p, type=pa.int64())})
 
     def dup_hits(g: pd.DataFrame) -> pd.DataFrame:
         dup = g.groupby("h")["doc_id"].transform("size") >= 2
@@ -1443,21 +1525,22 @@ def substring_dup_spans(sf_dir: str, k: int = 8,
         return agg.rename(columns={"cov": "n_dup_tokens", "ns": "n_spans"})
 
     hits = (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(gram_rows, batch_format="pandas")
+            .map_batches(gram_rows, batch_format="pyarrow")
             .repartition(max(1, n_buckets // 4))
             .groupby("bucket").map_groups(dup_hits, batch_format="pandas")
             .groupby("doc_bucket")
             .map_groups(merge_intervals, batch_format="pandas")
             .to_pandas())
 
-    def tok_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        return pa.table({
             "doc_id": batch["doc_id"],
-            "n_tokens": batch["text"].str.split().str.len()
-            .astype("int64")})
+            "n_tokens": pa.array([len(t.split())
+                                  for t in batch["text"].to_pylist()],
+                                 type=pa.int64())})
 
     toks = (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(tok_counts, batch_format="pandas").to_pandas())
+            .map_batches(tok_counts, batch_format="pyarrow").to_pandas())
     out = toks.merge(hits[["doc_id", "n_dup_tokens", "n_spans"]]
                      if not hits.empty else
                      pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
@@ -1496,10 +1579,11 @@ def source_leakage_matrix(sf_dir: str, passage_words: int = 10,
 
     P = passage_words
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch: pa.Table) -> pa.Table:
         rows_b, rows_h, rows_s = [], [], []
         seen = set()
-        for src, text in zip(batch["source"], batch["text"]):
+        for src, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
             ws = text.split()
             for j in range(len(ws) // P):
                 h = md5_hex(" ".join(ws[j * P:(j + 1) * P]))
@@ -1509,10 +1593,10 @@ def source_leakage_matrix(sf_dir: str, passage_words: int = 10,
                 rows_b.append(hash64(h) % n_buckets)
                 rows_h.append(h)
                 rows_s.append(src)
-        return pd.DataFrame({
-            "bucket": pd.array(rows_b, dtype="int32"),
-            "h": rows_h,
-            "source": rows_s})
+        return pa.table({
+            "bucket": pa.array(np.asarray(rows_b, dtype=np.int32)),
+            "h": pa.array(rows_h, type=pa.string()),
+            "source": pa.array(rows_s, type=pa.string())})
 
     def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
         sh = g[["h", "source"]].drop_duplicates()
@@ -1525,7 +1609,7 @@ def source_leakage_matrix(sf_dir: str, passage_words: int = 10,
                                    "source_b": "src_b"})
 
     parts = (_docs(sf_dir, ["source", "text"])
-             .map_batches(explode, batch_format="pandas")
+             .map_batches(explode, batch_format="pyarrow")
              .repartition(max(1, n_buckets // 4))
              .groupby("bucket").map_groups(pair_partials,
                                            batch_format="pandas"))
@@ -1678,10 +1762,10 @@ def contrastive_pairs(sf_dir: str, k: int = 3,
     anchors_ref = ray.put({int(a): frozenset(partners[int(a)])
                            for a in pairs["id_a"].unique()})
 
-    def neg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def neg_partial(batch: pa.Table) -> pa.Table:
         excl = ray.get(anchors_ref)
-        ids = batch["doc_id"].astype("int64").tolist()
-        rows = {"anchor": [], "h": [], "negative": []}
+        ids = _np(batch["doc_id"]).tolist()
+        anchors, hks = [], []
         for a, banned in excl.items():
             best_h, best_d = None, None
             for d in ids:
@@ -1692,26 +1776,19 @@ def contrastive_pairs(sf_dir: str, k: int = 3,
                                                     and d < best_d):
                     best_h, best_d = h, d
             if best_h is not None:
-                rows["anchor"].append(a)
-                rows["h"].append(best_h)
-                rows["negative"].append(best_d)
-        return pd.DataFrame({
-            "anchor": pd.array(rows["anchor"], dtype="int64"),
-            "h": rows["h"],
-            "negative": pd.array(rows["negative"], dtype="int64")})
-
-    # min-combiner on the md5 string; the (h, negative) pair must move
-    # together, so encode negative into the key: ties on h break by the
-    # smaller doc id via the lexicographic zero-padded suffix
-    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.copy()
-        b["hk"] = b["h"] + ":" + b["negative"].astype(str).str.zfill(20)
-        return b[["anchor", "hk"]]
+                anchors.append(a)
+                # min-combiner key: the (h, negative) pair must move
+                # together, so encode negative into the key; ties on h
+                # break by the smaller doc id via the lexicographic
+                # zero-padded suffix
+                hks.append(f"{best_h}:{best_d:020d}")
+        return pa.table({
+            "anchor": pa.array(anchors, type=pa.int64()),
+            "hk": pa.array(hks, type=pa.string())})
 
     mins = combine_partials(
         _docs(sf_dir, ["doc_id"]).map_batches(neg_partial,
-                                              batch_format="pandas")
-        .map_batches(keyed, batch_format="pandas"),
+                                              batch_format="pyarrow"),
         ["anchor"], {"hk": "min"}).to_pandas()
     if mins.empty or "anchor" not in mins.columns:
         return empty
@@ -1747,27 +1824,37 @@ def dedup_retention_by_source(sf_dir: str, k: int = 3,
                                        clusters["cluster_id"]) if d != c)
     drop_ref = ray.put(drop)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         dropset = ray.get(drop_ref)
-        b = batch.reset_index(drop=True)
-        t = b["text"].str.strip()
-        toks = np.where(t.eq("").to_numpy(), 0,
-                        t.str.split().str.len().fillna(0)
-                        .to_numpy(np.int64))
-        kept = ~b["doc_id"].isin(dropset).to_numpy()
-        g = pd.DataFrame({"source": b["source"].values,
-                          "n_docs": 1,
-                          "n_kept": kept.astype("int64"),
-                          "n_tokens": toks,
-                          "n_tokens_kept": np.where(kept, toks, 0)})
-        out = g.groupby("source", sort=False).sum().reset_index()
-        for c in ("n_docs", "n_kept", "n_tokens", "n_tokens_kept"):
-            out[c] = out[c].astype("int64")
-        return out
+        toks = np.fromiter((len(t.split())
+                            for t in batch["text"].to_pylist()),
+                           dtype=np.int64, count=len(batch))
+        kept = np.asarray([d not in dropset
+                           for d in _np(batch["doc_id"]).tolist()],
+                          dtype=bool)
+        srcs = batch["source"].to_pylist()
+        agg: dict[str, list] = {}
+        for i, s in enumerate(srcs):
+            a = agg.get(s)
+            if a is None:
+                a = agg[s] = [0, 0, 0, 0]
+            a[0] += 1
+            a[1] += int(kept[i])
+            a[2] += int(toks[i])
+            a[3] += int(toks[i]) if kept[i] else 0
+        keys = list(agg)
+        cols = np.asarray([agg[s] for s in keys], dtype=np.int64) \
+            if keys else np.zeros((0, 4), dtype=np.int64)
+        return pa.table({
+            "source": pa.array(keys, type=pa.string()),
+            "n_docs": pa.array(cols[:, 0]),
+            "n_kept": pa.array(cols[:, 1]),
+            "n_tokens": pa.array(cols[:, 2]),
+            "n_tokens_kept": pa.array(cols[:, 3])})
 
     out = combine_partials(
         _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
-            partial, batch_format="pandas"),
+            partial, batch_format="pyarrow"),
         ["source"], {c: "sum" for c in ("n_docs", "n_kept", "n_tokens",
                                         "n_tokens_kept")}).to_pandas()
     if out.empty or "source" not in out.columns:
@@ -1809,20 +1896,21 @@ def bloom_fpr_calibration(sf_dir: str, bits_per_key: int = 16,
     def _is_prior(sources) -> list:
         return [int(s[3:]) % 2 == 0 for s in sources]
 
-    def partial_bloom(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_bloom(batch: pa.Table) -> pa.Table:
         bm = np.zeros(m >> 3, dtype=np.uint8)
-        texts = batch.loc[_is_prior(batch["source"]), "text"]
+        prior = _is_prior(batch["source"].to_pylist())
+        texts = [t for t, p in zip(batch["text"].to_pylist(), prior) if p]
         n_keys = len(texts)
         if n_keys:
-            pos = _bloom_positions(list(texts), m, k_hashes).ravel()
+            pos = _bloom_positions(texts, m, k_hashes).ravel()
             np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
                              (np.uint8(1) << (pos & np.uint64(7))
                               .astype(np.uint8)))
-        out = pd.DataFrame({"bloom": [bm.tobytes()]})
-        out["n_keys"] = pd.array([n_keys], dtype="int64")
-        return out
+        return pa.table({
+            "bloom": pa.array([bm.tobytes()], type=pa.binary()),
+            "n_keys": pa.array([n_keys], type=pa.int64())})
 
-    parts = docs.map_batches(partial_bloom, batch_format="pandas",
+    parts = docs.map_batches(partial_bloom, batch_format="pyarrow",
                              batch_size=1024).to_pandas()
     bloom = np.zeros(m >> 3, dtype=np.uint8)
     for b in parts["bloom"]:
