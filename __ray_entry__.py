@@ -815,6 +815,7 @@ def entry() -> Any:
 _R5_WINDOW = [
     # round-5 additions (oracled, by definition never driver-verified)
     # — prepended as they land
+    "entity_graph", "graph_communities", "community_reports",
     "doc_embedding_sums", "produced_emb_knn", "weighted_query_bm25_topk",
     # oracled but never hash-verified by any driver round (r1–r4)
     "user_activity_span", "monthly_revenue_growth",
@@ -837,10 +838,19 @@ _R5_WINDOW = [
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ragflow_core16_ray.pipelines import (dedup, relational, similarity,
-                                              text_analysis)
+    from ragflow_core16_ray.pipelines import (dedup, graphrag, relational,
+                                              similarity, text_analysis)
 
     all_q = {
+        # --- round-5: GraphRAG / RAPTOR deterministic cores
+        # (pipelines/graphrag.py — graphrag/general/*.py, rag/raptor.py
+        # minus the north-rule-excluded LLM calls)
+        "entity_graph": lambda sf: graphrag.entity_graph(sf),
+        "graph_communities": lambda sf: graphrag.graph_communities(sf),
+        "community_reports": lambda sf: graphrag.community_reports(sf),
+        # layered cluster tree per label group — rows-only (iterative
+        # k-means isn't SQL); invariants + determinism pinned in pytest
+        "raptor_tree": lambda sf: graphrag.raptor_tree(sf),
         # --- round-5: embedding production stage (stages/embed.py — the
         # reference's encode step, task_executor.py:384-426)
         "doc_embedding_sums": _doc_embedding_sums,
@@ -1223,6 +1233,128 @@ _STOPWORDS_SQL = "('the','and','of','to','is','in','that','it','for','with')"
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # GraphRAG entity co-occurrence graph: entities = per-doc top-12
+        # tokens of length ≥ 4 by (tf desc, token asc); edge weight =
+        # co-occurring doc count. Pure string/int — hash-strict.
+        "entity_graph": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), toks AS (
+              SELECT doc_id, t.tok FROM d, LATERAL unnest(d.ws) AS t(tok)
+              WHERE len(t.tok) >= 4
+            ), cnt AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM toks GROUP BY doc_id, tok
+            ), ranked AS (
+              SELECT doc_id, tok, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+              FROM cnt
+            ), ents AS (SELECT doc_id, tok FROM ranked WHERE rn <= 12)
+            SELECT a.tok AS src, b.tok AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS weight
+            FROM ents a JOIN ents b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+        """,
+        # connected components over the entity graph, community id =
+        # lexicographically-min member (min-label propagation replica)
+        "graph_communities": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), toks AS (
+              SELECT doc_id, t.tok FROM d, LATERAL unnest(d.ws) AS t(tok)
+              WHERE len(t.tok) >= 4
+            ), cnt AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM toks GROUP BY doc_id, tok
+            ), ranked AS (
+              SELECT doc_id, tok, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+              FROM cnt
+            ), ents AS (SELECT doc_id, tok FROM ranked WHERE rn <= 12
+            ), ew AS (
+              SELECT a.tok AS src, b.tok AS dst
+              FROM ents a JOIN ents b
+                ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2
+            ), und AS (
+              SELECT src AS a, dst AS b FROM ew
+              UNION SELECT dst, src FROM ew
+              UNION SELECT src, src FROM ew
+              UNION SELECT dst, dst FROM ew
+            ), reach(src, dst) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+            )
+            SELECT src AS entity, MIN(dst) AS community
+            FROM reach GROUP BY src
+        """,
+        # extractive community report: per community entity/edge/weight
+        # rollups + top entity by weighted degree (tie → lex smaller)
+        "community_reports": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), toks AS (
+              SELECT doc_id, t.tok FROM d, LATERAL unnest(d.ws) AS t(tok)
+              WHERE len(t.tok) >= 4
+            ), cnt AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM toks GROUP BY doc_id, tok
+            ), ranked AS (
+              SELECT doc_id, tok, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+              FROM cnt
+            ), ents AS (SELECT doc_id, tok FROM ranked WHERE rn <= 12
+            ), ew AS (
+              SELECT a.tok AS src, b.tok AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS weight
+              FROM ents a JOIN ents b
+                ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2
+            ), und AS (
+              SELECT src AS a, dst AS b FROM ew
+              UNION SELECT dst, src FROM ew
+              UNION SELECT src, src FROM ew
+              UNION SELECT dst, dst FROM ew
+            ), reach(src, dst) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+            ), comm AS (
+              SELECT src AS entity, MIN(dst) AS community
+              FROM reach GROUP BY src
+            ), deg AS (
+              SELECT tok, CAST(SUM(w) AS BIGINT) AS dg FROM (
+                SELECT src AS tok, weight AS w FROM ew
+                UNION ALL SELECT dst AS tok, weight AS w FROM ew) u
+              GROUP BY tok
+            ), rke AS (
+              SELECT c.community, c.entity, deg.dg, ROW_NUMBER() OVER (
+                  PARTITION BY c.community
+                  ORDER BY deg.dg DESC, c.entity) AS rn
+              FROM comm c JOIN deg ON deg.tok = c.entity
+            ), sizes AS (
+              SELECT community, CAST(COUNT(*) AS BIGINT) AS n_entities
+              FROM comm GROUP BY community
+            ), eper AS (
+              SELECT c.community, CAST(COUNT(*) AS BIGINT) AS n_edges,
+                     CAST(SUM(ew.weight) AS BIGINT) AS total_weight
+              FROM ew JOIN comm c ON c.entity = ew.src
+              GROUP BY c.community
+            )
+            SELECT s.community, s.n_entities, e.n_edges, e.total_weight,
+                   r.entity AS top_entity, r.dg AS top_degree
+            FROM sizes s
+            JOIN eper e ON e.community = s.community
+            JOIN rke r ON r.community = s.community AND r.rn = 1
+        """,
         # feature-hash embedder probe (stages/embed.py): exact signed
         # bucket sums — md5_hash64 == DuckDB md5_number_lower, bucket =
         # h % 64, sign = bit 6 of h; zero buckets omitted on both sides
