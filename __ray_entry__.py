@@ -816,6 +816,7 @@ _R5_WINDOW = [
     # round-5 additions (oracled, by definition never driver-verified)
     # — prepended as they land
     "entity_graph", "graph_communities", "community_reports",
+    "entity_resolution_candidates",
     "doc_embedding_sums", "produced_emb_knn", "weighted_query_bm25_topk",
     # oracled but never hash-verified by any driver round (r1–r4)
     "user_activity_span", "monthly_revenue_growth",
@@ -848,6 +849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_graph": lambda sf: graphrag.entity_graph(sf),
         "graph_communities": lambda sf: graphrag.graph_communities(sf),
         "community_reports": lambda sf: graphrag.community_reports(sf),
+        "entity_resolution_candidates":
+            lambda sf: graphrag.entity_resolution_candidates(sf),
         # layered cluster tree per label group — rows-only (iterative
         # k-means isn't SQL); invariants + determinism pinned in pytest
         "raptor_tree": lambda sf: graphrag.raptor_tree(sf),
@@ -1293,6 +1296,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS entity, MIN(dst) AS community
             FROM reach GROUP BY src
+        """,
+        # entity-resolution CANDIDATE pairs (the deterministic gate of
+        # graphrag/entity_resolution.py:215-223; the LLM merge decision
+        # is excluded): English pairs within edit distance
+        # floor(min(len)/2), or any pair sharing > 1 distinct char
+        "entity_resolution_candidates": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), toks AS (
+              SELECT doc_id, t.tok FROM d, LATERAL unnest(d.ws) AS t(tok)
+              WHERE len(t.tok) >= 4
+            ), cnt AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM toks GROUP BY doc_id, tok
+            ), ranked AS (
+              SELECT doc_id, tok, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+              FROM cnt
+            ), ents AS (SELECT doc_id, tok FROM ranked WHERE rn <= 12
+            ), ew AS (
+              SELECT a.tok AS src, b.tok AS dst
+              FROM ents a JOIN ents b
+                ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2
+            ), vocab AS (
+              SELECT DISTINCT tok FROM (
+                SELECT src AS tok FROM ew
+                UNION ALL SELECT dst AS tok FROM ew) u
+            )
+            SELECT a.tok AS ent_a, b.tok AS ent_b,
+                   CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS lev,
+                   CAST(len(list_intersect(
+                       list_distinct(string_split(a.tok, '')),
+                       list_distinct(string_split(b.tok, ''))))
+                       AS BIGINT) AS n_common_chars
+            FROM vocab a JOIN vocab b ON a.tok < b.tok
+            WHERE (regexp_matches(a.tok, '^[A-Za-z]+$')
+                   AND regexp_matches(b.tok, '^[A-Za-z]+$')
+                   AND levenshtein(a.tok, b.tok)
+                       <= least(len(a.tok), len(b.tok)) // 2)
+               OR len(list_intersect(
+                      list_distinct(string_split(a.tok, '')),
+                      list_distinct(string_split(b.tok, '')))) > 1
         """,
         # extractive community report: per community entity/edge/weight
         # rollups + top entity by weighted degree (tie → lex smaller)

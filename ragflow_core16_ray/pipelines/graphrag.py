@@ -284,3 +284,73 @@ def raptor_tree(sf_dir: str, max_cluster: int = 8,
         return _EMPTY
     return (df.sort_values(["label", "layer", "node_id"])
             .reset_index(drop=True))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (two-row DP) — matches DuckDB's
+    ``levenshtein()`` so the candidate gate is SQL-reproducible."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def entity_resolution_candidates(sf_dir: str, min_len: int = 4,
+                                 per_doc_cap: int = 12) -> pd.DataFrame:
+    """The DETERMINISTIC half of the reference's entity resolution
+    (``graphrag/entity_resolution.py:94-96,215-223``): candidate
+    same-entity pairs over the graph's node vocabulary, gated by
+    ``is_similarity`` — English names within edit distance
+    ⌊min(len)/2⌋, or any pair sharing > 1 distinct character. The
+    reference then asks an LLM which candidates actually merge (north-
+    rule excluded); the candidate set itself is pure string logic and
+    hash-strict against DuckDB's levenshtein + list_intersect.
+
+    Scale: the node vocabulary is entity-dimension-sized (not corpus),
+    so the all-pairs scan is bounded exactly like the reference's
+    per-type ``itertools.combinations`` — documented driver-side.
+    Output (ent_a, ent_b, lev, n_common_chars), sorted."""
+    import re
+
+    edges = entity_graph(sf_dir, min_len, per_doc_cap)
+    empty = pd.DataFrame({
+        "ent_a": pd.array([], dtype="object"),
+        "ent_b": pd.array([], dtype="object"),
+        "lev": pd.array([], dtype="int64"),
+        "n_common_chars": pd.array([], dtype="int64")})
+    if edges.empty:
+        return empty
+    vocab = sorted(set(edges["src"]) | set(edges["dst"]))
+    ascii_alpha = re.compile(r"^[A-Za-z]+$")
+    is_en = {v: bool(ascii_alpha.match(v)) for v in vocab}
+    chars = {v: set(v) for v in vocab}
+    rows = {"ent_a": [], "ent_b": [], "lev": [], "n_common_chars": []}
+    for i in range(len(vocab)):
+        a = vocab[i]
+        for j in range(i + 1, len(vocab)):
+            b = vocab[j]
+            common = len(chars[a] & chars[b])
+            lev = _levenshtein(a, b)
+            if (is_en[a] and is_en[b]
+                    and lev <= min(len(a), len(b)) // 2) or common > 1:
+                rows["ent_a"].append(a)
+                rows["ent_b"].append(b)
+                rows["lev"].append(lev)
+                rows["n_common_chars"].append(common)
+    if not rows["ent_a"]:
+        return empty
+    return pd.DataFrame({
+        "ent_a": rows["ent_a"], "ent_b": rows["ent_b"],
+        "lev": pd.array(rows["lev"], dtype="int64"),
+        "n_common_chars": pd.array(rows["n_common_chars"],
+                                   dtype="int64")})

@@ -130,3 +130,32 @@ def test_raptor_tree_single_vector_group(ray_session, tmp_path):
     assert len(t) == 1
     r = t.iloc[0]
     assert (r.layer, r.node_id, r.parent_id, r.n_members) == (0, 7, -1, 1)
+
+
+def test_entity_resolution_candidates_gates(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.graphrag import (
+        _levenshtein, entity_resolution_candidates)
+
+    # vocab: {alpha, alphb, beta2} — alpha/alphb: lev 1 ≤ 2 (edit
+    # gate, both English); alphb/beta2: share {a,b} (char gate; the
+    # digit makes beta2 non-English so the edit gate is off);
+    # alpha/beta2: share only {a} and edit gate off → NOT a candidate
+    sf = _write_docs(tmp_path, ["alpha alphb", "alphb beta2",
+                                "alpha beta2"])
+    df = entity_resolution_candidates(sf)
+    got = {(r.ent_a, r.ent_b): (r.lev, r.n_common_chars)
+           for r in df.itertuples()}
+    assert got == {("alpha", "alphb"): (1, 4),
+                   ("alphb", "beta2"): (5, 2)}
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("", "abc") == 3
+
+
+def test_entity_resolution_excludes_dissimilar(ray_session, tmp_path):
+    from ragflow_core16_ray.pipelines.graphrag import (
+        entity_resolution_candidates)
+
+    # wxyz / qrst: lev 4 > min(4,4)//2, share 0 chars → no candidates
+    sf = _write_docs(tmp_path, ["wxyz qrst"])
+    df = entity_resolution_candidates(sf)
+    assert df.empty
