@@ -341,6 +341,31 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
 
 # ------------------------------------------------------- BM25 retrieval ---
 
+def _ws_tok_arrays(text) -> tuple[object, np.ndarray, np.ndarray]:
+    """Whitespace-tokenize an Arrow string column → (flat token array,
+    parent row index per token, per-row non-empty token count).
+    ``utf8_split_whitespace`` emits empty tokens at leading/trailing/run
+    whitespace (unlike Python ``str.split``), so lengths count only
+    non-empty tokens; term-equality masks never match "" because query
+    terms are non-empty."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.utf8_split_whitespace(text)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    dl = np.bincount(parent[keep], minlength=len(text)).astype(np.int64)
+    return flat, parent, dl
+
+
+def _term_tf(flat, parent: np.ndarray, term: str, n: int) -> np.ndarray:
+    """Per-row term frequency: one vectorized string-equality kernel +
+    bincount — the C-speed replacement for the pandas explode/groupby
+    tf pass."""
+    m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+    return np.bincount(parent[m], minlength=n).astype(np.float64)
+
+
 def bm25_topk(sf_dir: str, query: str = "hash table scan",
               k: int = 10, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
     """Distributed BM25 top-k keyword retrieval (Robertson/Spärck Jones
@@ -363,22 +388,20 @@ def bm25_topk(sf_dir: str, query: str = "hash table scan",
     between engines only below the quantum. Ties break on doc_id asc."""
     terms = query.split()
 
-    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.strip()
-        nonempty = toks != ""
-        split = toks[nonempty].str.split()
-        dl = split.str.len()
-        tdf = {t: int(split.map(lambda ws, t=t: t in ws).sum())
-               for t in terms}
-        return pd.DataFrame({
-            "n_docs": pd.array([int(nonempty.sum())], dtype="int64"),
-            "sum_dl": pd.array([int(dl.sum())], dtype="int64"),
-            **{f"df_{i}": pd.array([tdf[t]], dtype="int64")
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, dl = _ws_tok_arrays(batch["text"])
+        tdf = {t: int(np.unique(
+            parent[pc.equal(flat, t).to_numpy(zero_copy_only=False)]).size)
+            for t in terms}
+        return pa.table({
+            "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+            **{f"df_{i}": pa.array([tdf[t]], pa.int64())
                for i, t in enumerate(terms)}})
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    st = docs.map_batches(stats_partial, batch_format="pandas") \
+    st = docs.map_batches(stats_partial, batch_format="pyarrow") \
         .to_pandas().sum()
     n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
     avgdl = sum_dl / n_docs
@@ -387,32 +410,29 @@ def bm25_topk(sf_dir: str, query: str = "hash table scan",
            for i, t in enumerate(terms)}
     const = ray.put((idf, avgdl))
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pa.Table) -> pa.Table:
         idf_m, av = ray.get(const)
-        batch = batch[batch["text"].str.strip() != ""].reset_index(drop=True)
-        if batch.empty:
-            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                                 "score_q": pd.array([], dtype="int64")})
-        split = batch["text"].str.strip().str.split()
-        dl = split.str.len().values.astype(np.float64)
-        toks = split.explode()
-        toks = toks[toks.isin(terms)]
-        tf = toks.groupby([toks.index, toks]).size()
-        s = np.zeros(len(batch))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_q": pa.array([], pa.int64())})
+        flat, parent, dl = _ws_tok_arrays(batch["text"])
+        dlf = dl.astype(np.float64)
+        s = np.zeros(n)
         for t in terms:
-            tft = np.zeros(len(batch))
-            if (slice_ := tf[tf.index.get_level_values(1) == t]).size:
-                tft[slice_.index.get_level_values(0)] = slice_.values
-            denom = tft + k1 * (1 - b + b * dl / av)
+            tft = _term_tf(flat, parent, t, n)
+            denom = tft + k1 * (1 - b + b * dlf / av)
             s += idf_m[t] * (tft * (k1 + 1)) / denom
-        out = pd.DataFrame({
-            "doc_id": batch["doc_id"].values,
-            "score_q": np.round(s * 1e6).astype(np.int64)})
-        out = out[out["score_q"] > 0]
-        return out.sort_values(["score_q", "doc_id"],
-                               ascending=[False, True]).head(k)
+        score_q = np.round(s * 1e6).astype(np.int64)
+        pos = score_q > 0  # empty docs score 0 and drop here, same as
+        # the oracle's WHERE score > 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[pos]
+        sq = score_q[pos]
+        order = np.lexsort((ids, -sq))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score_q": pa.array(sq[order], pa.int64())})
 
-    df = docs.map_batches(score, batch_format="pandas").to_pandas()
+    df = docs.map_batches(score, batch_format="pyarrow").to_pandas()
     if df.empty:  # zero-hit query: a fully-empty dataset loses its
         # schema on to_pandas() — return the typed empty frame
         return pd.DataFrame({"rank": pd.array([], dtype="int64"),
@@ -450,22 +470,20 @@ def weighted_query_bm25_topk(sf_dir: str,
     all_terms = list(dict.fromkeys(
         uni + [s for t in uni for s in rw.synonyms.get(t, ())]))
 
-    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.strip()
-        nonempty = toks != ""
-        split = toks[nonempty].str.split()
-        dl = split.str.len()
-        tdf = {t: int(split.map(lambda ws, t=t: t in ws).sum())
-               for t in all_terms}
-        return pd.DataFrame({
-            "n_docs": pd.array([int(nonempty.sum())], dtype="int64"),
-            "sum_dl": pd.array([int(dl.sum())], dtype="int64"),
-            **{f"df_{i}": pd.array([tdf[t]], dtype="int64")
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, dl = _ws_tok_arrays(batch["text"])
+        tdf = {t: int(np.unique(
+            parent[pc.equal(flat, t).to_numpy(zero_copy_only=False)]).size)
+            for t in all_terms}
+        return pa.table({
+            "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+            **{f"df_{i}": pa.array([tdf[t]], pa.int64())
                for i, t in enumerate(all_terms)}})
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    st = docs.map_batches(stats_partial, batch_format="pandas") \
+    st = docs.map_batches(stats_partial, batch_format="pyarrow") \
         .to_pandas().sum()
     n_docs = int(st["n_docs"])
     avgdl = int(st["sum_dl"]) / n_docs
@@ -478,40 +496,44 @@ def weighted_query_bm25_topk(sf_dir: str,
     plan = compose(rw, {t: idf(t) for t in uni})
     const = ray.put((plan, {t: idf(t) for t in all_terms}, avgdl))
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pa.Table) -> pa.Table:
         plan_m, idf_m, av = ray.get(const)
-        batch = batch[batch["text"].str.strip() != ""] \
-            .reset_index(drop=True)
-        if batch.empty:
-            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                                 "score_q": pd.array([], dtype="int64")})
-        split = batch["text"].str.strip().str.split()
-        dl = split.str.len().values.astype(np.float64)
-        stream = split.map(lambda ws: " " + " ".join(ws) + " ")
-        toks = split.explode()
-        toks = toks[toks.isin([t for knd, t, _w in plan_m
-                               if knd != "phrase"])]
-        tf = toks.groupby([toks.index, toks]).size()
-        s = np.zeros(len(batch))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_q": pa.array([], pa.int64())})
+        text = batch["text"]
+        flat, parent, dl = _ws_tok_arrays(text)
+        dlf = dl.astype(np.float64)
+        stream = None  # built once, only if the plan carries phrases
+        s = np.zeros(n)
         for kind, term, w in plan_m:
             if kind == "phrase":
-                pat = f" {term} "
-                s += w * stream.map(lambda x, p=pat: x.count(p)).values
+                if stream is None:
+                    # " tok tok ... " with runs of whitespace collapsed —
+                    # byte-equal to the old " ".join(str.split()) padding
+                    # on this ASCII-whitespace corpus
+                    col = pc.replace_substring_regex(
+                        text, pattern=r"\s+", replacement=" ")
+                    stream = pc.binary_join_element_wise(
+                        pa.scalar(""), pc.utf8_trim_whitespace(col),
+                        pa.scalar(""), " ")
+                hits = pc.count_substring(stream, f" {term} ") \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                s += w * hits
                 continue
-            tft = np.zeros(len(batch))
-            sl = tf[tf.index.get_level_values(1) == term]
-            if sl.size:
-                tft[sl.index.get_level_values(0)] = sl.values
-            denom = tft + k1 * (1 - b + b * dl / av)
+            tft = _term_tf(flat, parent, term, n)
+            denom = tft + k1 * (1 - b + b * dlf / av)
             s += w * idf_m[term] * (tft * (k1 + 1)) / denom
-        out = pd.DataFrame({
-            "doc_id": batch["doc_id"].values,
-            "score_q": np.round(s * 1e6).astype(np.int64)})
-        out = out[out["score_q"] > 0]
-        return out.sort_values(["score_q", "doc_id"],
-                               ascending=[False, True]).head(k)
+        score_q = np.round(s * 1e6).astype(np.int64)
+        pos = score_q > 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[pos]
+        sq = score_q[pos]
+        order = np.lexsort((ids, -sq))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score_q": pa.array(sq[order], pa.int64())})
 
-    df = docs.map_batches(score, batch_format="pandas").to_pandas()
+    df = docs.map_batches(score, batch_format="pyarrow").to_pandas()
     if df.empty:
         return pd.DataFrame({"rank": pd.array([], dtype="int64"),
                              "doc_id": pd.array([], dtype="int64"),
@@ -855,46 +877,42 @@ def bm25_build_index(sf_dir: str, index_dir: str,
     fsio.rmtree((ifs, ipath))
     fsio.makedirs((ifs, ipath))
 
-    def postings(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.strip()
-        batch = batch[toks != ""]
-        split = toks[toks != ""].str.split()
-        dl = split.str.len()
-        ex = split.explode()
-        tf = (ex.groupby([ex.index, ex]).size()
-              .rename("tf").reset_index())
-        tf.columns = ["row", "term", "tf"]
-        out = pd.DataFrame({
-            "term": tf["term"].values,
-            "doc_id": batch["doc_id"].values[
-                batch.index.get_indexer(tf["row"])],
-            "tf": tf["tf"].astype("int64").values,
-            "dl": dl.values[dl.index.get_indexer(tf["row"])]})
-        out["dl"] = out["dl"].astype("int64")
-        # explicit int64: an all-empty batch would otherwise infer the
-        # partition column as float64 and poison the parquet schema
-        # (float-named 'bucket=0.0' dirs the query glob never matches)
-        out["bucket"] = pd.array([hash64(t) % n_buckets
-                                  for t in out["term"]], dtype="int64")
-        # stats sidecar partials ride along as sentinel rows? no — keep
-        # the posting table pure; stats are a second cheap pass below
-        return out
+    def postings(batch: pa.Table) -> pa.Table:
+        flat, parent, dl = _ws_tok_arrays(batch["text"])
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        pairs = pa.table({"row": pa.array(parent[keep], pa.int64()),
+                          "term": flat.filter(pa.array(keep))})
+        tf = pairs.group_by(["row", "term"],
+                            use_threads=False).aggregate([([], "count_all")])
+        rows = tf["row"].to_numpy(zero_copy_only=False)
+        terms = tf["term"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # hash each DISTINCT term once (uniq is tiny next to postings);
+        # explicit int64 everywhere: an all-empty batch would otherwise
+        # infer the partition column as float64 and poison the parquet
+        # schema (float-named 'bucket=0.0' dirs the query glob misses)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        ubkt = np.fromiter((hash64(t) % n_buckets for t in uniq),
+                           dtype=np.int64, count=len(uniq))
+        return pa.table({
+            "term": tf["term"],
+            "doc_id": pa.array(ids[rows], pa.int64()),
+            "tf": pc.cast(tf["count_all"], pa.int64()),
+            "dl": pa.array(dl[rows], pa.int64()),
+            "bucket": pa.array(ubkt[inv], pa.int64())})
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    (docs.map_batches(postings, batch_format="pandas")
+    (docs.map_batches(postings, batch_format="pyarrow")
      .write_parquet(ipath, filesystem=ifs, partition_cols=["bucket"]))
 
-    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.strip()
-        nonempty = toks != ""
-        return pd.DataFrame({
-            "n_docs": pd.array([int(nonempty.sum())], dtype="int64"),
-            "sum_dl": pd.array(
-                [int(toks[nonempty].str.split().str.len().sum())],
-                dtype="int64")})
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        _flat, _parent, dl = _ws_tok_arrays(batch["text"])
+        return pa.table({
+            "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64())})
 
-    st = docs.map_batches(stats_partial, batch_format="pandas") \
+    st = docs.map_batches(stats_partial, batch_format="pyarrow") \
         .to_pandas().sum()
     fsio.write_json((ifs, f"{ipath}/stats.json"),
                     {"n_docs": int(st["n_docs"]),
