@@ -1366,14 +1366,23 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
             "r": ((1.0 - damping)
                   + damping * s["c"]).astype("float64")})
 
+    def fold_then_contribs(g: pd.DataFrame) -> pd.DataFrame:
+        # contribution rows arrive already grouped by their HOME bucket
+        # (contribs emits bucket = dst % n_buckets), so the rank update
+        # and the NEXT superstep's contributions are bucket-local to the
+        # same group — fusing them halves the per-iteration shuffles
+        # (2 → 1): the only exchange left is the dst-directed one.
+        return contribs(fold(g))
+
     # supersteps chain LAZILY — one streaming execution runs all
     # iterations back to back; only the node-sized rank table shuffles,
     # edges stream from their spilled partitions
-    for _ in range(iters):
-        ranks = (ranks.groupby("bucket")
-                 .map_groups(contribs, batch_format="pandas")
-                 .groupby("bucket").map_groups(fold,
-                                               batch_format="pandas"))
+    flow = ranks.groupby("bucket").map_groups(contribs,
+                                              batch_format="pandas")
+    for _ in range(iters - 1):
+        flow = flow.groupby("bucket").map_groups(fold_then_contribs,
+                                                 batch_format="pandas")
+    ranks = flow.groupby("bucket").map_groups(fold, batch_format="pandas")
 
     def topk_partial(g: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
