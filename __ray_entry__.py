@@ -816,7 +816,7 @@ _R5_WINDOW = [
     # round-5 additions (oracled, by definition never driver-verified)
     # — prepended as they land
     "entity_graph", "graph_communities", "community_reports",
-    "entity_resolution_candidates",
+    "entity_resolution_candidates", "rerank_hybrid_topk",
     "doc_embedding_sums", "produced_emb_knn", "weighted_query_bm25_topk",
     # oracled but never hash-verified by any driver round (r1–r4)
     "user_activity_span", "monthly_revenue_growth",
@@ -864,6 +864,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # feeding weighted BM25 retrieval
         "weighted_query_bm25_topk":
             lambda sf: similarity.weighted_query_bm25_topk(sf),
+        # hybrid second-stage rerank (rag/nlp/search.py:274-312 via
+        # query.py:203-239): 0.3·token_sim + 0.7·cos over PRODUCED
+        # hash embeddings — exact int64 dots make the cosine
+        # bit-identical to the SQL oracle
+        "rerank_hybrid_topk": lambda sf: similarity.rerank_hybrid_topk(sf),
         # --- never driver-verified through r3 (dedup / retrieval at the
         # 100-TB shapes, event analytics, TPC-H joins)
         "near_dup_removal_scalable":
@@ -1464,6 +1469,99 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_query_rewrite.py); weights = normalized unigram
         # idf, synonyms at w/4, phrases at 2·max(w) — the FulltextQueryer
         # ratios (rag/nlp/query.py:96-112)
+        # hybrid rerank: 0.3·token_sim + 0.7·cosine, token weights =
+        # normalized unigram idf (synonyms at w/4 — the same VALUES
+        # literals as the weighted-query oracle), vectors = the
+        # md5_number_lower feature-hash bucket sums of the lowercased
+        # token stream (the produced-embedding idiom). All dots/norms
+        # are exact BIGINTs, so dot/sqrt(qq·vv) is the same
+        # correctly-rounded double in both engines.
+        "rerank_hybrid_topk": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(
+                         trim(lower(text), ' ' || chr(9) || chr(10)
+                              || chr(13) || chr(12) || chr(11)),
+                         '\s+') AS ws
+              FROM documents
+            ), stats AS (
+              SELECT (SELECT COUNT(*) FROM documents
+                      WHERE trim(text) <> '') AS n
+            ), uni AS (
+              SELECT * FROM (VALUES ('hash'), ('table'), ('scan'))
+                  AS t(term)
+            ), uw AS (
+              SELECT uni.term,
+                     ln(1.0 + ((SELECT n FROM stats)
+                               - (SELECT COUNT(*) FROM d
+                                  WHERE list_contains(d.ws, uni.term))
+                               + 0.5)
+                        / ((SELECT COUNT(*) FROM d
+                            WHERE list_contains(d.ws, uni.term)) + 0.5))
+                         AS idf
+              FROM uni
+            ), wn AS (
+              SELECT term, idf / (SELECT SUM(idf) FROM uw) AS w FROM uw
+            ), tk AS (
+              SELECT term, w FROM wn
+              UNION ALL
+              SELECT s.syn, wn.w / 4
+              FROM (VALUES ('hash', 'digest'), ('hash', 'checksum'),
+                           ('hash', 'key'), ('table', 'relation'),
+                           ('table', 'grid'), ('scan', 'sweep'),
+                           ('scan', 'read'), ('scan', 'filter'))
+                   AS s(parent, syn)
+              JOIN wn ON wn.term = s.parent
+            ), tot AS (
+              SELECT SUM(w) AS tw FROM tk
+            ), m AS (
+              SELECT d.doc_id, SUM(tk.w) AS mw
+              FROM d JOIN tk ON list_contains(d.ws, tk.term)
+              GROUP BY d.doc_id
+            ), toks AS (
+              SELECT doc_id, unnest(ws) AS t FROM d
+            ), h AS (
+              SELECT doc_id, md5_number_lower(t) AS hv
+              FROM toks WHERE t <> ''
+            ), v AS (
+              SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bucket,
+                     CAST(SUM(CASE WHEN ((hv // 64) % 2) = 0
+                                   THEN 1 ELSE -1 END) AS BIGINT) AS v
+              FROM h GROUP BY doc_id, bucket
+            ), qv AS (
+              SELECT CAST(hv % 64 AS BIGINT) AS bucket,
+                     CAST(SUM(CASE WHEN ((hv // 64) % 2) = 0
+                                   THEN 1 ELSE -1 END) AS BIGINT) AS q
+              FROM (SELECT md5_number_lower(term) AS hv FROM uni)
+              GROUP BY bucket
+            ), qq AS (
+              SELECT SUM(q * q) AS qq FROM qv
+            ), vv AS (
+              SELECT doc_id, SUM(v * v) AS vv FROM v GROUP BY doc_id
+            ), dt AS (
+              SELECT v.doc_id, SUM(v.v * qv.q) AS dot
+              FROM v JOIN qv USING (bucket) GROUP BY v.doc_id
+            ), sc AS (
+              SELECT docs.doc_id,
+                     0.3 * ((1e-9 + COALESCE(m.mw, 0))
+                            / (1e-9 + (SELECT tw FROM tot)))
+                     + 0.7 * (CASE WHEN COALESCE(vv.vv, 0) > 0
+                                   THEN COALESCE(dt.dot, 0)
+                                        / sqrt((SELECT qq FROM qq)
+                                               * vv.vv)
+                                   ELSE 0 END) AS s
+              FROM documents docs
+              LEFT JOIN m ON m.doc_id = docs.doc_id
+              LEFT JOIN vv ON vv.doc_id = docs.doc_id
+              LEFT JOIN dt ON dt.doc_id = docs.doc_id
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY round(s * 1000000) DESC, doc_id
+                   ) AS BIGINT) AS rank,
+                   doc_id,
+                   CAST(round(s * 1000000) AS BIGINT) AS score_q
+            FROM sc ORDER BY rank LIMIT 10
+        """,
         "weighted_query_bm25_topk": r"""
             WITH d AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws

@@ -545,6 +545,124 @@ def weighted_query_bm25_topk(sf_dir: str,
     return df[["rank", "doc_id", "score_q"]]
 
 
+_TOK_BUCKET_CACHE: dict = {}
+
+
+def rerank_hybrid_topk(sf_dir: str,
+                       question: str = "what is the hash table scan",
+                       k: int = 10, tkweight: float = 0.3,
+                       vtweight: float = 0.7, dim: int = 64
+                       ) -> pd.DataFrame:
+    """HYBRID RERANK — the reference's second-stage scoring
+    (rag/nlp/search.py:274-312 ``rerank`` via
+    rag/nlp/query.py:203-239 ``hybrid_similarity``/``token_similarity``
+    /``similarity``): score = tkweight·token_sim + vtweight·cos_sim
+    with the reference's 0.3/0.7 defaults.
+
+    token_sim is the matched-weight-mass ratio
+    ``(1e-9 + Σ w[t in doc]) / (1e-9 + Σ w)`` (query.py:227-239 with
+    its 1e-9 floors), over the query rewrite's unigrams (normalized
+    corpus-idf weights) and synonyms at w/4. cos_sim is cosine against
+    the PRODUCED feature-hash embedding (stages/embed — the stand-in
+    for the GPU encoder the reference calls): both vectors are exact
+    int64 bucket sums, so dot/√(qq·vv) is the same correctly-rounded
+    double in numpy and DuckDB and the ×1e6 quantized score is
+    hash-strict.
+
+    Scale shape: one tiny stats pass (per-term df partials), then one
+    streaming scoring pass emitting each batch's local top-k — the
+    corpus never shuffles, the driver merges ≤k·batches rows.
+    Tokenization is lowercased whitespace (the rag_tokenizer
+    lowercases, tokenizer.py parity)."""
+    from ..functions.query_rewrite import rewrite_query
+    from ..stages.embed import hash_embed_sums
+
+    rw = rewrite_query(question)
+    uni = rw.tokens
+    syn_pairs = [(s, t) for t in uni for s in rw.synonyms.get(t, ())]
+    all_terms = list(dict.fromkeys(uni + [s for s, _t in syn_pairs]))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, dl = _ws_tok_arrays(pc.utf8_lower(batch["text"]))
+        tdf = {t: int(np.unique(
+            parent[pc.equal(flat, t).to_numpy(zero_copy_only=False)]).size)
+            for t in uni}
+        return pa.table({
+            "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
+            **{f"df_{i}": pa.array([tdf[t]], pa.int64())
+               for i, t in enumerate(uni)}})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    st = docs.map_batches(stats_partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+    n_docs = int(st["n_docs"])
+    idf = {t: float(np.log(1.0 + (n_docs - int(st[f"df_{i}"]) + 0.5)
+                           / (int(st[f"df_{i}"]) + 0.5)))
+           for i, t in enumerate(uni)}
+    tot_idf = sum(idf.values()) or 1.0
+    w = {t: idf[t] / tot_idf for t in uni}
+    weighted = [(t, w[t]) for t in uni] + \
+        [(s, w[t] / 4.0) for s, t in syn_pairs]
+    total_w = sum(wt for _t, wt in weighted)
+    qv = hash_embed_sums(uni, dim)
+    qq = int((qv * qv).sum())
+    const = ray.put((weighted, total_w, qv, qq))
+
+    def score(batch: pa.Table) -> pa.Table:
+        weighted_m, total_m, qv_m, qq_m = ray.get(const)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_q": pa.array([], pa.int64())})
+        flat, parent, _dl = _ws_tok_arrays(pc.utf8_lower(batch["text"]))
+        matched = np.zeros(n)
+        for t, wt in weighted_m:
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            matched += wt * (np.bincount(parent[m], minlength=n) > 0)
+        tksim = (1e-9 + matched) / (1e-9 + total_m)
+        # doc vectors: per-distinct-token (bucket, sign) via the embed
+        # stage's cached hash, scattered with add.at — exact int64 sums
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)[keep]
+        rows = parent[keep]
+        v = np.zeros((n, dim), dtype=np.int64)
+        if len(toks):
+            from ..functions.hashing import md5_hash64
+            cache = _TOK_BUCKET_CACHE
+            uniq, inv = np.unique(toks, return_inverse=True)
+            bs = np.empty(len(uniq), dtype=np.int64)
+            sg = np.empty(len(uniq), dtype=np.int64)
+            for i, t in enumerate(uniq):
+                hit = cache.get((t, dim))
+                if hit is None:  # same (bucket, sign) law as
+                    # stages/embed.hash_embed_sums — one md5 per
+                    # DISTINCT token, cached across batches per worker
+                    h = md5_hash64(t)
+                    hit = (h % dim, 1 if ((h // dim) & 1) == 0 else -1)
+                    cache[(t, dim)] = hit
+                bs[i], sg[i] = hit
+            np.add.at(v, (rows, bs[inv]), sg[inv])
+        dot = (v @ qv_m).astype(np.float64)
+        vv = (v * v).sum(1).astype(np.float64)
+        cos = np.where(vv > 0, dot / np.sqrt(qq_m * vv), 0.0)
+        s = tkweight * tksim + vtweight * cos
+        score_q = np.round(s * 1e6).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -score_q))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score_q": pa.array(score_q[order], pa.int64())})
+
+    df = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["score_q", "doc_id"],
+                        ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score_q"] = df["score_q"].astype("int64")
+    return df[["rank", "doc_id", "score_q"]]
+
+
 def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
                     return_embeddings: bool = False) -> rd.Dataset:
     """Distributed Lloyd's k-means over the embeddings table — the
