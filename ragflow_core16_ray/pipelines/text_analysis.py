@@ -12,8 +12,10 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -320,25 +322,33 @@ def term_weights(sf_dir: str, k: int = 5, min_len: int = 2,
          shuffle instead of an aggregate plus a second join;
       3. re-bucket by doc_id hash for the vectorized per-doc top-k.
     Output: (doc_id, term, tf, df, rank), rank 1..k."""
-    import re
-
     from ..functions.hashing import hash64
 
-    tok_re = re.compile(r"[A-Za-z0-9]+")
-
-    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].map(
-            lambda t: [w.lower() for w in tok_re.findall(t)
-                       if len(w) >= min_len])
-        flat = (pd.DataFrame({"doc_id": batch["doc_id"].values,
-                              "term": toks})
-                .explode("term").dropna(subset=["term"]))
-        g = (flat.groupby(["doc_id", "term"], sort=False)
-             .size().rename("tf").reset_index())
-        g["tf"] = g["tf"].astype("int64")
-        g["term_bucket"] = pd.array(
-            [hash64(t) & (n_buckets - 1) for t in g["term"]], dtype="int64")
-        return g
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        # [A-Za-z0-9]+ findall ≡ split on the complement + drop empties;
+        # tokenize/count entirely in Arrow kernels, hash once per
+        # DISTINCT term (vocabulary ≪ posting rows)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        pairs = pa.table({"doc_id": ids.take(parent),
+                          "term": flat}).filter(keep)
+        g = pairs.group_by(["doc_id", "term"],
+                           use_threads=False).aggregate([([], "count_all")])
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        ubkt = np.fromiter((hash64(t) & (n_buckets - 1) for t in uniq),
+                           dtype=np.int64, count=len(uniq))
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": pc.cast(g["count_all"], pa.int64()),
+            "term_bucket": pa.array(ubkt[inv], pa.int64())})
 
     def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
         # all (doc, term) rows of every term in this bucket are here and
@@ -361,7 +371,7 @@ def term_weights(sf_dir: str, k: int = 5, min_len: int = 2,
 
     width = max(1, n_buckets // 4)
     return (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(tf_rows, batch_format="pandas")
+            .map_batches(tf_rows, batch_format="pyarrow")
             .repartition(width)
             .groupby("term_bucket").map_groups(annotate_df,
                                                batch_format="pandas")
