@@ -53,11 +53,12 @@ class ExtractConfig:
     # ToC, header/footer); "plain" = the reference's "Plain Text"
     # layout_recognize mode (rag/app/naive.py:282-299 PlainParser): raw
     # text lines in input order, no layout machinery at all; "onnx" =
-    # deepdoc layout with the scanned-page det/rec pair loaded from
-    # ``onnx_dir`` .onnx files (functions/vision_onnx.py — the
-    # reference's det.onnx/rec.onnx slot, ocr.py:70-126), one session
-    # per actor, falling back to the rule kernels when weights are
-    # absent
+    # deepdoc layout with the model heads loaded from ``onnx_dir``
+    # .onnx files (functions/vision_onnx.py): det.onnx/rec.onnx for
+    # scanned-page OCR (the reference's ocr.py:70-126 slot) and
+    # layout.onnx for box classification (layout_recognizer.py:31-161
+    # slot), one session each per actor; each model independently
+    # falls back to its rule head when its weights file is absent
     layout_recognize: str = "deepdoc"
     # weights dir (pyarrow.fs URI ok) for layout_recognize="onnx";
     # None reads $RAGFLOW_ONNX_DIR

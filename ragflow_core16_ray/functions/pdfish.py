@@ -104,6 +104,38 @@ def parse_box(span_text: str) -> Box:
 
 _SENT_END_LAY = re.compile(r"[.!?。！？;；,，]\s*$")
 
+# model-backed layout head (functions/vision_onnx.OnnxLayout.classify):
+# installed per batch by the extract router when
+# layout_recognize="onnx" and layout.onnx is present, None = rule head
+_LAYOUT_MODEL = None
+LAYOUT_CLASSES = ("header", "footer", "title", "text")
+
+
+def set_layout_model(fn) -> None:
+    """Install/remove the model-backed layout classifier (a callable
+    ``feats[n,5] → class index into LAYOUT_CLASSES``)."""
+    global _LAYOUT_MODEL
+    _LAYOUT_MODEL = fn
+
+
+def layout_features(untagged: list[Box], boxes: list[Box],
+                    page_height: int):
+    """Per-box geometry features for the layout head — the same five
+    signals the rule thresholds on, as a float32 matrix: [short,
+    top-margin, bottom-margin, tall-type, sentence-punctuated]."""
+    import numpy as np
+
+    heights = sorted(b.bot - b.top for b in boxes)
+    med_h = max(heights[len(heights) // 2], 1e-6)
+    f = np.zeros((len(untagged), 5), dtype=np.float32)
+    for i, b in enumerate(untagged):
+        f[i, 0] = len(b.text.strip()) <= 60
+        f[i, 1] = b.bot < 0.08 * page_height
+        f[i, 2] = b.top > 0.92 * page_height
+        f[i, 3] = (b.bot - b.top) >= 1.3 * med_h
+        f[i, 4] = bool(_SENT_END_LAY.search(b.text))
+    return f
+
 
 def _infer_layout(boxes: list[Box], page_height: int) -> None:
     """Layout classification for untagged boxes — the role of the
@@ -113,9 +145,15 @@ def _infer_layout(boxes: list[Box], page_height: int) -> None:
     short lines hugging the top/bottom page margins become header/footer;
     lines set in type ≥1.3× the page's median line height, short and not
     sentence-punctuated, become titles; everything else is body text.
-    Tagged boxes are never reclassified."""
+    Tagged boxes are never reclassified. When a model head is installed
+    (set_layout_model), it classifies the same feature rows instead."""
     untagged = [b for b in boxes if b.lay is None]
     if not untagged:
+        return
+    if _LAYOUT_MODEL is not None:
+        idx = _LAYOUT_MODEL(layout_features(untagged, boxes, page_height))
+        for b, i in zip(untagged, idx):
+            b.lay = LAYOUT_CLASSES[int(i)]
         return
     heights = sorted(b.bot - b.top for b in boxes)
     med_h = max(heights[len(heights) // 2], 1e-6)

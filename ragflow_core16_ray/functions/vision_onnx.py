@@ -219,3 +219,70 @@ class OnnxOcr:
                           "y0": int(frame_y0),
                           "y1": int(frame_y0) + CELL_H})
         return lines
+
+
+# -------------------------------------------------- layout classifier ---
+
+LAYOUT_BATCH = 16
+
+
+def build_toy_layout(out_dir: str) -> str:
+    """Write layout.onnx — a linear head over the five geometry features
+    of ``pdfish.layout_features`` whose argmax reproduces the rule
+    head's if/elif chain exactly (class order [header, footer, title,
+    text]; the 1.5 text bias makes text win unless a 2-scoring
+    conjunction fires; argmax's first-index tie-break IS the chain's
+    header-before-title priority)."""
+    from ..state import fsio
+
+    #                 hdr  ftr  ttl  txt
+    W = np.array([[1.0, 1.0, 1.0, 0.0],    # short
+                  [1.0, 0.0, 0.0, 0.0],    # top margin
+                  [0.0, 1.0, 0.0, 0.0],    # bottom margin
+                  [0.0, 0.0, 1.0, 0.0],    # tall type
+                  [0.0, 0.0, -1.0, 0.0]],  # sentence-punctuated
+                 dtype=np.float32)
+    B = np.array([0.0, 0.0, 0.0, 1.5], dtype=np.float32)
+    # title scores short + tall − sent: reaches 2 (beats text's 1.5)
+    # exactly on short ∧ tall ∧ ¬sent
+    model = make_model(
+        [make_node("Gemm", ["x", "w", "b"], ["score"])],
+        [make_tensor("w", W), make_tensor("b", B)],
+        ["x"], ["score"], name="toy_layout")
+    fsio.makedirs(out_dir)
+    uri = fsio.join(out_dir, "layout.onnx")
+    fsio.write_bytes(uri, model)
+    return uri
+
+
+class OnnxLayout:
+    """layout.onnx session, loaded once per process/actor — the model
+    slot for deepdoc/vision/layout_recognizer.py:31-161 (10-class
+    LayoutLM-family detector batched like recognizer.py:409-431).
+    DeepDoc's model consumes rasterized page images; this engine's
+    text-PDF path carries no page rasters, so the slot classifies the
+    SAME deterministic geometry features the rule head thresholds
+    (pdfish.layout_features) — the load-once / batched / per-actor
+    plumbing is identical either way, and image-based weights slot
+    behind the same ``classify`` once a rasterizer feeds it."""
+
+    n_loads = 0        # pytest pins load-once-per-actor
+    max_batch = 0      # pytest pins the 16-batch contract
+
+    def __init__(self, weights_dir: str):
+        from ..state import fsio
+
+        self.sess = OnnxSession(
+            fsio.read_bytes(fsio.join(weights_dir, "layout.onnx")))
+        type(self).n_loads += 1
+
+    def classify(self, feats: np.ndarray) -> np.ndarray:
+        out = []
+        for i in range(0, len(feats), LAYOUT_BATCH):
+            b = np.ascontiguousarray(feats[i:i + LAYOUT_BATCH],
+                                     dtype=np.float32)
+            type(self).max_batch = max(type(self).max_batch, len(b))
+            (scores,) = self.sess.run(["score"], {"x": b})
+            out.append(np.argmax(scores, axis=1))
+        return (np.concatenate(out) if out
+                else np.zeros(0, dtype=np.int64))

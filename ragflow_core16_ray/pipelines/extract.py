@@ -70,6 +70,7 @@ class ExtractRouter:
         # install them as the glyph core; weights absent → rule kernels
         # (a warning, not a failure — the rule path is golden-pinned)
         self.ocr = None
+        self.layout = None
         if cfg.layout_recognize == "onnx":
             weights = cfg.onnx_dir or os.environ.get("RAGFLOW_ONNX_DIR")
             try:
@@ -78,21 +79,36 @@ class ExtractRouter:
                 self.ocr = OnnxOcr(weights) if weights else None
             except (FileNotFoundError, OSError):
                 self.ocr = None
+            try:  # independent: a weights dir may carry det/rec only,
+                # layout.onnx only, or both — each model falls back to
+                # its rule head on its own
+                from ..functions.vision_onnx import OnnxLayout
+
+                self.layout = OnnxLayout(weights) if weights else None
+            except (FileNotFoundError, OSError):
+                self.layout = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # install the model-backed OCR core for THIS batch only (tasks
-        # run sequentially within a worker, so the scope is race-free;
-        # an instance pickled to a task-pool worker installs here, not
-        # in __init__, because module globals don't travel with pickle)
+        # install the model-backed OCR/layout heads for THIS batch only
+        # (tasks run sequentially within a worker, so the scope is
+        # race-free; an instance pickled to a task-pool worker installs
+        # here, not in __init__, because module globals don't travel
+        # with pickle)
         if self.ocr is not None:
             from ..functions.glyphs import set_core_ocr
 
             set_core_ocr(self.ocr.ocr_binary)
+        if self.layout is not None:
+            from ..functions.pdfish import set_layout_model
+
+            set_layout_model(self.layout.classify)
         try:
             return self._extract_batch(batch)
         finally:
             if self.ocr is not None:
                 set_core_ocr(None)
+            if self.layout is not None:
+                set_layout_model(None)
 
     def _extract_batch(self, batch: pa.Table) -> pa.Table:
         from ..schemas import spans_column_to_pylists

@@ -898,6 +898,7 @@ class ExtractShard:
         # OCR their page ranges HERE, so the det/rec pair must be
         # available in this stage too
         self.ocr = None
+        self.layout = None
         if cfg.layout_recognize == "onnx":
             import os as _os
 
@@ -908,17 +909,29 @@ class ExtractShard:
                 self.ocr = OnnxOcr(weights) if weights else None
             except (FileNotFoundError, OSError):
                 self.ocr = None
+            try:
+                from ..functions.vision_onnx import OnnxLayout
+
+                self.layout = OnnxLayout(weights) if weights else None
+            except (FileNotFoundError, OSError):
+                self.layout = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.ocr is not None:
             from ..functions.glyphs import set_core_ocr
 
             set_core_ocr(self.ocr.ocr_binary)
+        if self.layout is not None:
+            from ..functions.pdfish import set_layout_model
+
+            set_layout_model(self.layout.classify)
         try:
             return self._shard_batch(batch)
         finally:
             if self.ocr is not None:
                 set_core_ocr(None)
+            if self.layout is not None:
+                set_layout_model(None)
 
     def _shard_batch(self, batch: pa.Table) -> pa.Table:
         from ..schemas import spans_column_to_pylists

@@ -150,3 +150,99 @@ def test_missing_weights_fall_back_to_rule(ray_session, tmp_path):
                         onnx_dir=str(tmp_path / "absent"))
     r = ExtractRouter(cfg, str(tmp_path / "staging"))
     assert r.ocr is None  # rule kernels remain active
+
+
+def test_toy_layout_matches_rule_exhaustively(tmp_path):
+    """All 32 feature combinations: the toy linear head's argmax equals
+    the rule chain's decision, including the header-over-title and
+    footer-over-title tie priorities."""
+    from itertools import product
+
+    from ragflow_core16_ray.functions.pdfish import LAYOUT_CLASSES
+    from ragflow_core16_ray.functions.vision_onnx import (OnnxLayout,
+                                                          build_toy_layout)
+
+    d = str(tmp_path / "w")
+    build_toy_layout(d)
+    head = OnnxLayout(d)
+    feats = np.array(list(product([0.0, 1.0], repeat=5)), dtype=np.float32)
+    got = [LAYOUT_CLASSES[i] for i in head.classify(feats)]
+
+    def rule(short, top, bot, tall, sent):
+        if short and top:
+            return "header"
+        if short and bot:
+            return "footer"
+        if tall and short and not sent:
+            return "title"
+        return "text"
+
+    want = [rule(*map(bool, f)) for f in feats]
+    assert got == want
+    assert OnnxLayout.n_loads >= 1
+    assert 0 < OnnxLayout.max_batch <= 16
+
+
+def test_layout_model_in_infer_layout(tmp_path):
+    """The installed model head classifies untagged boxes through
+    _infer_layout identically to the rule head on a realistic page, and
+    never touches pre-tagged boxes."""
+    from ragflow_core16_ray.functions import pdfish
+    from ragflow_core16_ray.functions.pdfish import Box
+    from ragflow_core16_ray.functions.vision_onnx import (OnnxLayout,
+                                                          build_toy_layout)
+
+    def mk_boxes():
+        return [
+            Box("Page 3 of 9", 10, 200, 20, 40, 0, None),
+            Box("A TALL TITLE", 10, 400, 120, 160, 0, None),
+            Box("body text that ends with a period.", 10, 500, 200,
+                220, 0, None),
+            Box("short tall but punctuated!", 10, 300, 260, 300, 0, None),
+            Box("footer line", 10, 150, 940, 955, 0, None),
+            Box("pre-tagged", 10, 150, 500, 520, 0, "table"),
+        ]
+
+    rule_boxes = mk_boxes()
+    pdfish._infer_layout(rule_boxes, 1000)
+
+    d = str(tmp_path / "w")
+    build_toy_layout(d)
+    head = OnnxLayout(d)
+    model_boxes = mk_boxes()
+    pdfish.set_layout_model(head.classify)
+    try:
+        pdfish._infer_layout(model_boxes, 1000)
+    finally:
+        pdfish.set_layout_model(None)
+    assert [b.lay for b in model_boxes] == [b.lay for b in rule_boxes]
+    assert model_boxes[-1].lay == "table"  # tagged boxes untouched
+
+
+def test_layout_onnx_extract_path(ray_session, toy_weights, tmp_path):
+    """Full extract with det/rec AND layout toys installed: identical
+    output to the rule path (the layout head classifies every untagged
+    pdf box through the actor's batch-scoped hook)."""
+    import ray.data as rd
+
+    from ragflow_core16_ray.config import ExtractConfig
+    from ragflow_core16_ray.functions.vision_onnx import build_toy_layout
+    from ragflow_core16_ray.pipelines.extract import run_extract
+    from ragflow_core16_ray.sources.synth import write_corpus
+
+    build_toy_layout(toy_weights)  # det/rec already there
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, n_docs=60, seed=7, mega_every=0)
+    rule_out = str(tmp_path / "rule_out")
+    onnx_out = str(tmp_path / "onnx_out")
+    run_extract(corpus, rule_out)
+    cfg = ExtractConfig(layout_recognize="onnx", onnx_dir=toy_weights)
+    run_extract(corpus, onnx_out, cfg=cfg)
+    a = rd.read_parquet(rule_out + "/docs").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = rd.read_parquet(onnx_out + "/docs").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert a["spans"].map(lambda s: [tuple(sorted(x.items()))
+                                     for x in s]).equals(
+        b["spans"].map(lambda s: [tuple(sorted(x.items())) for x in s]))
