@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     # round-4 session-5 additions
     "copurchase_pagerank", "video_scene_cuts", "audio_vad_segments",
     "events_watermark_hourly",
+    # round-5 additions: retrieval rewrite/rerank + graph enrichment
+    "weighted_query_bm25_topk", "rerank_hybrid_topk", "entity_graph",
+    "graph_communities", "raptor_tree", "chunk_vectors",
 ]
 
 

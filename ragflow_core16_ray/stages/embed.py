@@ -52,6 +52,55 @@ def _norm(v: np.ndarray) -> np.ndarray:
     return f / n if n > 0 else f
 
 
+def _bucket_sign(uniq, dim: int, _cache: dict = {}):
+    """(bucket, sign) arrays for an array of DISTINCT tokens — one md5
+    per new token ever seen by this process, the vectorized twin of
+    ``hash_embed_sums``'s cache."""
+    bs = np.empty(len(uniq), dtype=np.int64)
+    sg = np.empty(len(uniq), dtype=np.int64)
+    for i, t in enumerate(uniq):
+        hit = _cache.get((t, dim))
+        if hit is None:
+            h = md5_hash64(t)
+            hit = (h % dim, 1 if ((h // dim) & 1) == 0 else -1)
+            _cache[(t, dim)] = hit
+        bs[i], sg[i] = hit
+    return bs, sg
+
+
+def sums_matrix(texts, dim: int = EMBED_DIM) -> np.ndarray:
+    """Whitespace-tokenize a string column and scatter every token's
+    signed bucket into an (n, dim) int64 matrix — the batched form of
+    ``hash_embed_sums`` (row i == hash_embed_sums(texts[i].split())):
+    Arrow split + one np.unique + one add.at, no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(["" if t is None else t for t in texts], pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    toks = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    rows = parent[keep]
+    v = np.zeros((len(arr), dim), dtype=np.int64)
+    if len(words):
+        uniq, inv = np.unique(words, return_inverse=True)
+        bs, sg = _bucket_sign(uniq, dim)
+        np.add.at(v, (rows, bs[inv]), sg[inv])
+    return v
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    f = m.astype(np.float32)
+    n = np.linalg.norm(f, axis=1, keepdims=True)
+    return np.divide(f, n, out=f, where=n > 0)
+
+
 class HashEmbedder:
     """Actor-pool encode stage (chunk-doc batches in, + ``q_vec`` out)."""
 
@@ -67,17 +116,32 @@ class HashEmbedder:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["q_vec"] = [
-            self._encode(t or "", c or "")
-            for t, c in zip(batch.get("title_tks", [""] * len(batch)),
-                            batch["content_ltks"])]
+        # batched encode (row-for-row equal to _encode, pinned by
+        # pytest): tokenize/scatter both fields as whole-column Arrow +
+        # numpy passes — no per-row Python in the hot stage
+        titles = batch["title_tks"] if "title_tks" in batch.columns \
+            else [""] * len(batch)
+        tv = _norm_rows(sums_matrix(titles, self.dim))
+        cv = _norm_rows(sums_matrix(batch["content_ltks"], self.dim))
+        q = _norm_rows(self.title_w * tv + (1 - self.title_w) * cv)
+        batch["q_vec"] = list(q)
         return batch
 
 
 def embed_chunks(chunks: rd.Dataset, dim: int = EMBED_DIM,
-                 batch_size: int = EMBED_BATCH,
+                 batch_size: int | None = None,
                  concurrency=None) -> rd.Dataset:
-    """chunk docs (stages/enrich.chunk_docs output) → + ``q_vec``."""
+    """chunk docs (stages/enrich.chunk_docs output) → + ``q_vec``.
+
+    ``batch_size=None`` = one task per upstream block: Ray fuses this
+    stage with the chunker, and a row-count batch size would count the
+    chunker's INPUT rows (docs), collapsing the fused stage into one
+    giant task (measured: 1 task / 9 s for a 92k-chunk corpus vs
+    parallel sub-second per-block tasks). The reference's batch-16
+    (task_executor.py:393, EMBED_BATCH) is the MODEL micro-batch: a
+    real GPU encoder slices its forward passes to 16 inside
+    ``__call__``, exactly like OnnxOcr slices recognition to
+    REC_BATCH — it is not a Ray task granularity."""
     from ..pipelines.multimodal import _default_pool
 
     return chunks.map_batches(

@@ -59,3 +59,26 @@ def test_embed_chunks_dataset_stage(ray_session):
     a = out.set_index("id").loc["c7", "q_vec"]
     b = HashEmbedder()._encode("doc 1", "token 7 stream batch table")
     assert np.abs(np.asarray(a) - b).max() < 1e-6
+
+
+def test_batched_call_equals_per_row_encode():
+    """The vectorized __call__ is row-for-row bit-equal to the scalar
+    _encode path (same float32 op order), including empty/missing
+    fields."""
+    import numpy as np
+    import pandas as pd
+
+    from ragflow_core16_ray.stages.embed import HashEmbedder
+
+    enc = HashEmbedder()
+    batch = pd.DataFrame({
+        "title_tks": ["alpha beta", "", "  ", "gamma", "x y z"],
+        "content_ltks": ["the quick brown fox", "lone", "", "gamma gamma",
+                         "x x  y"]})
+    out = enc(batch.copy())
+    for i in range(len(batch)):
+        want = enc._encode(batch["title_tks"][i], batch["content_ltks"][i])
+        assert np.array_equal(out["q_vec"][i], want), i
+    # no title column at all → title side contributes zeros
+    out2 = enc(pd.DataFrame({"content_ltks": ["a b c"]}))
+    assert np.array_equal(out2["q_vec"][0], enc._encode("", "a b c"))
