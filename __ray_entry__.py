@@ -869,6 +869,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash embeddings — exact int64 dots make the cosine
         # bit-identical to the SQL oracle
         "rerank_hybrid_topk": lambda sf: similarity.rerank_hybrid_topk(sf),
+        # answer-grounding citation insertion (search.py:158-245) run
+        # doc-locally — rows-only (regex walk + threshold ladder), the
+        # algorithm itself is fixture-pinned in tests/test_citations.py
+        "citation_markers": lambda sf: similarity.citation_markers(sf),
         # --- never driver-verified through r3 (dedup / retrieval at the
         # 100-TB shapes, event analytics, TPC-H joins)
         "near_dup_removal_scalable":

@@ -663,6 +663,43 @@ def rerank_hybrid_topk(sf_dir: str,
     return df[["rank", "doc_id", "score_q"]]
 
 
+def citation_markers(sf_dir: str, answer_chars: int = 400,
+                     max_chunks: int = 6) -> rd.Dataset:
+    """Answer-grounding pass over the corpus — the serving-side
+    ``insert_citations`` (functions/citations.py, search.py:158-245)
+    run doc-locally: each document's opening ``answer_chars`` act as
+    the generated answer and its own sentence passages as the retrieved
+    chunks, so every row exercises the full piece-split → hybrid-score
+    → threshold-ladder → marker walk. Embarrassingly parallel (no
+    shuffle; a doc's pieces and chunks never leave its batch). Output:
+    (doc_id, n_chunks, n_cited, n_markers). Rows-only (the ladder +
+    regex walk is not SQL); fixtures pin the algorithm in
+    tests/test_citations.py."""
+    from ..functions.citations import insert_citations
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, n_chunks, n_cited, n_marks = [], [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            text = text or ""
+            chunks = [s.strip() for s in text.split(". ") if s.strip()]
+            chunks = chunks[:max_chunks]
+            out, cited = insert_citations(text[:answer_chars], chunks)
+            doc_ids.append(did)
+            n_chunks.append(len(chunks))
+            n_cited.append(len(cited))
+            n_marks.append(out.count("$$"))
+        return pd.DataFrame({
+            "doc_id": pd.array(doc_ids, dtype="int64"),
+            "n_chunks": pd.array(n_chunks, dtype="int64"),
+            "n_cited": pd.array(n_cited, dtype="int64"),
+            "n_markers": pd.array(n_marks, dtype="int64")})
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]).map_batches(
+            per_batch, batch_format="pandas")
+
+
 def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
                     return_embeddings: bool = False) -> rd.Dataset:
     """Distributed Lloyd's k-means over the embeddings table — the
