@@ -477,21 +477,17 @@ def _warc_main_content(sf_dir: str):
     return read_warc(out_dir).map_batches(fn, batch_format="pandas")
 
 
-def _chunk_tags(sf_dir: str):
-    """Chunk↔tag-KB assignment (the §2.4 tag lookup): the KB is the
-    cached tag-template extraction of this corpus ((tag, tag_kwd) span
-    pairs), broadcast once; the documents table is the chunk stream.
-    Rows-only (the KB side is template extraction, not SQL-shaped);
-    the scoring replica is pinned in pytest."""
+def _tag_kb(sf_dir: str) -> list[tuple[str, list[str]]]:
+    """The tag KB for this corpus: (tag, keywords) span pairs from the
+    cached tag-template extraction."""
     import ray.data as rd
 
-    from ragflow_core16_ray.pipelines.tagging import chunk_tags
     from ragflow_core16_ray.schemas import explode_spans
 
-    # reuse (or build) the cached tag-override extraction
     _extract_override(sf_dir, "tag")
     corpus = _corpus_for(sf_dir)
     out_dir = corpus + "_out_tag_" + _src_digest()
+
     def kb_rows(b):
         df = explode_spans(b).select(["kind", "text"]).to_pandas()
         # prune to KB pairs before anything leaves the task
@@ -507,12 +503,64 @@ def _chunk_tags(sf_dir: str):
         elif kind == "tag_kwd" and pending is not None:
             pairs.append((pending, [t for t in text.split(",") if t]))
             pending = None
+    return pairs
+
+
+def _chunk_tags(sf_dir: str):
+    """Chunk↔tag-KB assignment (the §2.4 tag lookup): the KB is the
+    cached tag-template extraction of this corpus ((tag, tag_kwd) span
+    pairs), broadcast once; the documents table is the chunk stream.
+    Rows-only (the KB side is template extraction, not SQL-shaped);
+    the scoring replica is pinned in pytest."""
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.tagging import chunk_tags
+
+    pairs = _tag_kb(sf_dir)
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     # keep_zero: the soup corpus legitimately clears no scoring bar (the
     # reference would fall to its LLM); the candidates' exact match
     # counts are the driver evidence
     return chunk_tags(docs, pairs, keep_zero=True)
+
+
+def _tag_rank_feature(sf_dir: str):
+    """The tag-feature rank boost (search.py:249-272): query tags from
+    tag_query over the KB, chunk tags from chunk_tags, per-doc cosine
+    ×10 quantized. Rows-only (KB side is template extraction); the
+    formula replica is pinned in pytest."""
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.tagging import (chunk_tags,
+                                                      rank_feature_scores,
+                                                      tag_query)
+
+    pairs = _tag_kb(sf_dir)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    tags = chunk_tags(docs, pairs, keep_zero=True)
+    q = dict(tag_query("what is the hash table scan", pairs))
+    if not q:
+        # the question shares no keywords with this KB (its tags are
+        # the tag-template's literal values) — fall back to the user-
+        # picked rank_feature dict the serving API accepts: the KB's
+        # top-2 tags by corpus match count, weighted 2/1. Counted with
+        # a per-batch partial + driver sum (distinct tags ≤ KB size).
+        import pandas as pd
+
+        def tag_counts(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby("tag", sort=False)["c"].sum().reset_index()
+            return g
+
+        cnt = (tags.map_batches(tag_counts, batch_format="pandas")
+               .to_pandas().groupby("tag")["c"].sum()
+               .sort_values(ascending=False))
+        q = {t: w for t, w in zip(cnt.index[:2], (2, 1))}
+    # value_col="c": this corpus's tag scores all floor to 0 (see
+    # _chunk_tags), so the exact match counts stand in as the stored
+    # tag values — same formula, informative evidence
+    return rank_feature_scores(tags, q, value_col="c")
 
 
 def _extract_override(sf_dir: str, template: str):
@@ -873,6 +921,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc-locally — rows-only (regex walk + threshold ladder), the
         # algorithm itself is fixture-pinned in tests/test_citations.py
         "citation_markers": lambda sf: similarity.citation_markers(sf),
+        # tag-feature rank boost (search.py:249-272) — rows-only; the
+        # cosine replica is pinned in pytest
+        "tag_rank_feature": _tag_rank_feature,
         # --- never driver-verified through r3 (dedup / retrieval at the
         # 100-TB shapes, event analytics, TPC-H joins)
         "near_dup_removal_scalable":

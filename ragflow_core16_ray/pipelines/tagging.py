@@ -131,3 +131,49 @@ def tag_query(question: str, kb_pairs: list[tuple[str, list[str]]],
     feats = tag_one(question, toks, tags, prior,
                     topn_tags=topn_tags, keywords_topn=10 ** 9, S=S)
     return {a: max(1, s) for a, s, _, _ in feats}
+
+
+def rank_feature_scores(tag_rows: rd.Dataset,
+                        query_rfea: dict[str, int],
+                        value_col: str = "score") -> rd.Dataset:
+    """Tag-feature rank boost (search.py:249-272
+    ``_rank_feature_scores``): per document,
+    ``10 · (Σ_t q[t]·sc[t]) / (√Σ sc² · √Σ q²)`` — the cosine between
+    the query's inferred tag vector (tag_query) and the chunk's stored
+    tag vector, scaled ×10; docs with no tags (or zero denominator)
+    score 0. The reference adds a per-chunk PAGERANK field on top —
+    absent from this corpus, so the additive term is 0 (the formula's
+    own default). Every input is an exact int, so the double result is
+    deterministic; emitted quantized ×1e6.
+
+    Input: chunk_tags output rows (doc_id, tag, score, ...);
+    ``value_col`` picks the stored tag value — "score" is the
+    reference's TAG_FLD payload, "c" (exact match counts) is the
+    keep_zero candidates' evidence on a corpus whose scores all floor
+    to 0 (see chunk_tags). Per-block
+    groupby is safe: a doc's ≤topn tag rows are emitted inside one
+    chunk_tags output block. Output: (doc_id, rank_fea_q)."""
+    import numpy as np
+
+    q_denor = float(np.sqrt(sum(float(s) * float(s)
+                                for s in query_rfea.values())))
+    q_ref = ray.put((query_rfea, q_denor))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        q, qd = ray.get(q_ref)
+        doc_ids, feas = [], []
+        for did, g in batch.groupby("doc_id", sort=False):
+            sc = g[value_col].to_numpy()
+            nor = sum(float(q[t]) * float(s)
+                      for t, s in zip(g["tag"], sc) if t in q)
+            denor = float((sc.astype("float64") ** 2).sum())
+            fea = 0.0 if (denor == 0 or qd == 0) \
+                else nor / np.sqrt(denor) / qd
+            doc_ids.append(did)
+            feas.append(int(np.floor(fea * 10.0 * 1e6 + 0.5)))
+        return pd.DataFrame({
+            "doc_id": pd.array(doc_ids, dtype="int64"),
+            "rank_fea_q": pd.array(feas, dtype="int64")})
+
+    return tag_rows.map_batches(fn, batch_format="pandas",
+                                batch_size=None)

@@ -75,3 +75,32 @@ def test_tag_query_floors_scores_at_one():
     assert got == {"infra": 1}
     # fully disjoint question -> no tags at all
     assert tag_query("qqq www eee", kb, S=10) == {}
+
+
+def test_rank_feature_scores_matches_reference_loop(ray_session):
+    """rank_feature_scores == the reference's _rank_feature_scores loop
+    (search.py:249-272) on a hand-built tag table, including the
+    no-tags → 0 and denor == 0 → 0 paths."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ragflow_core16_ray.pipelines.tagging import rank_feature_scores
+
+    rows = pd.DataFrame({
+        "doc_id": pd.array([1, 1, 2, 3, 3, 4], dtype="int64"),
+        "tag": ["alpha", "beta", "gamma", "alpha", "gamma", "delta"],
+        "score": pd.array([3, 1, 2, 5, 1, 0], dtype="int64")})
+    q = {"alpha": 2, "gamma": 1}
+    got = (rank_feature_scores(rd.from_pandas(rows), q).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    q_denor = np.sqrt(sum(s * s for s in q.values()))
+    want = {}
+    for did, g in rows.groupby("doc_id"):
+        nor = sum(q.get(t, 0) * s for t, s in zip(g["tag"], g["score"]))
+        denor = float((g["score"] ** 2).sum())
+        fea = 0.0 if denor == 0 else nor / np.sqrt(denor) / q_denor
+        want[did] = int(np.floor(fea * 10.0 * 1e6 + 0.5))
+    assert dict(zip(got["doc_id"], got["rank_fea_q"])) == want
+    assert want[4] == 0  # zero-score tags → denor 0 → 0
