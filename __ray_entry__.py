@@ -902,6 +902,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # layered cluster tree per label group — rows-only (iterative
         # k-means isn't SQL); invariants + determinism pinned in pytest
         "raptor_tree": lambda sf: graphrag.raptor_tree(sf),
+        # deterministic Louvain over the entity graph (the reference's
+        # hierarchical-leiden role, leiden.py:72) — rows-only
+        # (iterative); clique/weight/nesting fixtures in pytest
+        "modularity_communities":
+            lambda sf: graphrag.modularity_communities(sf),
         # --- round-5: embedding production stage (stages/embed.py — the
         # reference's encode step, task_executor.py:384-426)
         "doc_embedding_sums": _doc_embedding_sums,

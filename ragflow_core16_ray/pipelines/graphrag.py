@@ -354,3 +354,123 @@ def entity_resolution_candidates(sf_dir: str, min_len: int = 4,
         "lev": pd.array(rows["lev"], dtype="int64"),
         "n_common_chars": pd.array(rows["n_common_chars"],
                                    dtype="int64")})
+
+
+# ------------------------------------------------ modularity communities ---
+
+def _louvain(n: int, edges: list[tuple[int, int, float]],
+             max_levels: int = 10, max_passes: int = 20
+             ) -> list[int]:
+    """Deterministic weighted Louvain: greedy modularity local moves in
+    ascending node order (ties → smallest community label), then graph
+    aggregation, repeated until no level merges anything. Fully
+    order-stable — the property the reference goes out of its way to
+    force on graspologic's leiden via ``_stabilize_graph`` + a fixed
+    seed (graphrag/general/leiden.py:17-55,75). Returns the final
+    community id per ORIGINAL node (ids are arbitrary ints, stable)."""
+    mapping = list(range(n))          # original node → current supernode
+    cur_n = n
+    cur_edges = [(a, b, float(w)) for a, b, w in edges]
+    for _level in range(max_levels):
+        # adjacency (no self), self-loop weights, degrees
+        adj: list[dict[int, float]] = [dict() for _ in range(cur_n)]
+        self_w = [0.0] * cur_n
+        for a, b, w in cur_edges:
+            if a == b:
+                self_w[a] += w
+                continue
+            adj[a][b] = adj[a].get(b, 0.0) + w
+            adj[b][a] = adj[b].get(a, 0.0) + w
+        k = [sum(adj[i].values()) + 2.0 * self_w[i] for i in range(cur_n)]
+        m2 = sum(k)
+        if m2 == 0:
+            break
+        comm = list(range(cur_n))
+        sigma = k[:]                  # Σ degree per community
+        moved_any = False
+        for _pass in range(max_passes):
+            moved = False
+            for i in range(cur_n):
+                ci = comm[i]
+                # weight from i to each neighboring community
+                wto: dict[int, float] = {}
+                for j, w in adj[i].items():
+                    wto[comm[j]] = wto.get(comm[j], 0.0) + w
+                sigma[ci] -= k[i]
+                best_c, best_gain = ci, (wto.get(ci, 0.0)
+                                         - k[i] * sigma[ci] / m2)
+                for c in sorted(wto):
+                    if c == ci:
+                        continue
+                    gain = wto[c] - k[i] * sigma[c] / m2
+                    if gain > best_gain + 1e-12 or (
+                            abs(gain - best_gain) <= 1e-12
+                            and c < best_c):
+                        best_c, best_gain = c, gain
+                comm[i] = best_c
+                sigma[best_c] += k[i]
+                if best_c != ci:
+                    moved = moved_any = True
+            if not moved:
+                break
+        if not moved_any:
+            break
+        # relabel communities densely by smallest member id (stable)
+        label = {}
+        for i in range(cur_n):
+            c = comm[i]
+            if c not in label or i < label[c]:
+                label[c] = i
+        order = sorted(set(label.values()))
+        dense = {c: order.index(label[c]) for c in label}
+        comm = [dense[c] for c in comm]
+        mapping = [comm[m] for m in mapping]
+        # aggregate
+        agg: dict[tuple[int, int], float] = {}
+        for a, b, w in cur_edges:
+            ca, cb = comm[a], comm[b]
+            key = (ca, cb) if ca <= cb else (cb, ca)
+            agg[key] = agg.get(key, 0.0) + w
+        cur_edges = [(a, b, w) for (a, b), w in sorted(agg.items())]
+        cur_n = len(order)
+        if cur_n == len(comm) and all(c == i for i, c in enumerate(comm)):
+            break
+    return mapping
+
+
+def modularity_communities(sf_dir: str, min_len: int = 4,
+                           per_doc_cap: int = 12) -> pd.DataFrame:
+    """Modularity communities over the entity graph — the deterministic
+    stand-in for the reference's hierarchical Leiden partitioning
+    (graphrag/general/leiden.py:72 ``hierarchical_leiden`` over the
+    stabilized graph; its own determinism machinery is the fixed seed +
+    node/edge ordering). Weighted Louvain (_louvain) over the
+    aggregated (src, dst, weight) entity edges; community id = the
+    lexicographically smallest member entity, like graph_communities.
+
+    Scale shape: the EDGE AGGREGATION is distributed (entity_graph:
+    per-batch partials over the corpus); the partitioner runs on the
+    aggregate, whose size is vocabulary²-bounded and corpus-
+    independent — the same contract as the reference, which loads the
+    whole entity graph into networkx. Output (entity, community),
+    sorted; rows-only (iterative algorithm), invariants + determinism
+    pinned in pytest."""
+    edges = entity_graph(sf_dir, min_len, per_doc_cap)
+    empty = pd.DataFrame({"entity": pd.array([], dtype="string"),
+                          "community": pd.array([], dtype="string")})
+    if edges.empty:
+        return empty
+    names = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {nm: i for i, nm in enumerate(names)}
+    e = [(idx[s], idx[d], float(w))
+         for s, d, w in zip(edges["src"], edges["dst"], edges["weight"])]
+    comm = _louvain(len(names), e)
+    # community label = lexicographically smallest member entity
+    best: dict[int, str] = {}
+    for i, c in enumerate(comm):
+        if c not in best or names[i] < best[c]:
+            best[c] = names[i]
+    return (pd.DataFrame({
+        "entity": pd.array(names, dtype="string"),
+        "community": pd.array([best[c] for c in comm], dtype="string")})
+        .sort_values("entity").reset_index(drop=True))

@@ -159,3 +159,62 @@ def test_entity_resolution_excludes_dissimilar(ray_session, tmp_path):
     sf = _write_docs(tmp_path, ["wxyz qrst"])
     df = entity_resolution_candidates(sf)
     assert df.empty
+
+
+def test_louvain_separates_cliques():
+    """Two 4-cliques joined by one bridge edge → exactly the two
+    cliques; deterministic across runs."""
+    from ragflow_core16_ray.pipelines.graphrag import _louvain
+
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j, 1.0))
+    edges.append((0, 4, 1.0))  # bridge
+    comm = _louvain(8, edges)
+    assert comm == _louvain(8, edges)  # deterministic
+    assert len({comm[i] for i in range(4)}) == 1
+    assert len({comm[i] for i in range(4, 8)}) == 1
+    assert comm[0] != comm[4]
+
+
+def test_louvain_weight_binds():
+    """A heavy edge pulls a node into the neighboring community even
+    when unit edges tie it elsewhere."""
+    from ragflow_core16_ray.pipelines.graphrag import _louvain
+
+    # triangle 0-1-2 (unit), node 3 tied to 2 by weight 10, to 0 by 1
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+             (2, 3, 10.0), (0, 3, 1.0)]
+    comm = _louvain(4, edges)
+    assert comm[3] == comm[2]
+
+
+def test_louvain_singleton_and_empty():
+    from ragflow_core16_ray.pipelines.graphrag import _louvain
+
+    assert _louvain(3, []) == [0, 1, 2]
+    assert _louvain(1, [(0, 0, 2.0)]) == [0]
+
+
+def test_modularity_communities_refine_components(ray_session):
+    """Louvain communities nest inside connected components and carry
+    the same naming convention (id = lex-min member)."""
+    from ragflow_core16_ray.pipelines.graphrag import (
+        graph_communities, modularity_communities)
+
+    sf = "/root/testdata/sf0.001"
+    cc = graph_communities(sf).set_index("entity")["community"]
+    mc = modularity_communities(sf)
+    assert list(mc.columns) == ["entity", "community"]
+    assert set(mc["entity"]) == set(cc.index)
+    # nesting: two entities in the same louvain community share a CC
+    by_comm = mc.groupby("community")["entity"].apply(list)
+    for members in by_comm:
+        assert len({cc[m] for m in members}) == 1
+    # naming: community id is a member, and the lex-smallest one
+    for comm_id, members in by_comm.items():
+        assert comm_id == min(members)
+    # determinism
+    assert mc.equals(modularity_communities(sf))
