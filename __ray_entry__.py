@@ -865,6 +865,7 @@ _R5_WINDOW = [
     # — prepended as they land
     "entity_graph", "graph_communities", "community_reports",
     "entity_resolution_candidates", "rerank_hybrid_topk",
+    "fusion_weighted_topk",
     "doc_embedding_sums", "produced_emb_knn", "weighted_query_bm25_topk",
     # oracled but never hash-verified by any driver round (r1–r4)
     "user_activity_span", "monthly_revenue_growth",
@@ -922,6 +923,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash embeddings — exact int64 dots make the cosine
         # bit-identical to the SQL oracle
         "rerank_hybrid_topk": lambda sf: similarity.rerank_hybrid_topk(sf),
+        # first-stage weighted-sum fusion (search.py:110-113
+        # FusionExpr 0.05/0.95): raw BM25 + cosine, no rank conversion
+        "fusion_weighted_topk":
+            lambda sf: similarity.fusion_weighted_topk(sf),
         # answer-grounding citation insertion (search.py:158-245) run
         # doc-locally — rows-only (regex walk + threshold ladder), the
         # algorithm itself is fixture-pinned in tests/test_citations.py
@@ -1621,6 +1626,86 @@ def oracle_sql() -> dict[str, str]:
                    doc_id,
                    CAST(round(s * 1000000) AS BIGINT) AS score_q
             FROM sc ORDER BY rank LIMIT 10
+        """,
+        # weighted-sum retrieval fusion: the bm25_topk oracle's lexical
+        # half + the rerank oracle's exact-int cosine half, combined
+        # 0.05/0.95 over every document (raw scores, no positivity
+        # filter — cosine can be negative)
+        "fusion_weighted_topk": r"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), stats AS (
+              SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d
+            ), q AS (
+              SELECT unnest(['hash', 'table', 'scan']) AS term
+            ), df AS (
+              SELECT term, COUNT(*) AS df
+              FROM q JOIN d ON list_contains(d.ws, q.term)
+              GROUP BY term
+            ), tf AS (
+              SELECT d.doc_id, q.term, len(d.ws) AS dl,
+                     len(list_filter(d.ws, x -> x = q.term)) AS tf
+              FROM d CROSS JOIN q
+            ), lex AS (
+              SELECT tf.doc_id,
+                     SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * (tf.tf * (1.2 + 1))
+                         / (tf.tf + 1.2 * (1 - 0.75
+                                           + 0.75 * tf.dl / stats.avgdl))
+                     ) AS s
+              FROM tf
+              JOIN df USING (term) CROSS JOIN stats
+              WHERE tf.tf > 0
+              GROUP BY tf.doc_id
+            ), ld AS (
+              SELECT doc_id,
+                     string_split_regex(
+                         trim(lower(text), ' ' || chr(9) || chr(10)
+                              || chr(13) || chr(12) || chr(11)),
+                         '\s+') AS ws
+              FROM documents
+            ), h AS (
+              SELECT doc_id, md5_number_lower(t) AS hv
+              FROM (SELECT doc_id, unnest(ws) AS t FROM ld)
+              WHERE t <> ''
+            ), v AS (
+              SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bucket,
+                     CAST(SUM(CASE WHEN ((hv // 64) % 2) = 0
+                                   THEN 1 ELSE -1 END) AS BIGINT) AS v
+              FROM h GROUP BY doc_id, bucket
+            ), qv AS (
+              SELECT CAST(hv % 64 AS BIGINT) AS bucket,
+                     CAST(SUM(CASE WHEN ((hv // 64) % 2) = 0
+                                   THEN 1 ELSE -1 END) AS BIGINT) AS qd
+              FROM (SELECT md5_number_lower(term) AS hv FROM q)
+              GROUP BY bucket
+            ), qq AS (
+              SELECT SUM(qd * qd) AS qq FROM qv
+            ), vv AS (
+              SELECT doc_id, SUM(v * v) AS vv FROM v GROUP BY doc_id
+            ), dt AS (
+              SELECT v.doc_id, SUM(v.v * qv.qd) AS dot
+              FROM v JOIN qv USING (bucket) GROUP BY v.doc_id
+            ), fused AS (
+              SELECT docs.doc_id,
+                     0.05 * COALESCE(lex.s, 0)
+                     + 0.95 * (CASE WHEN COALESCE(vv.vv, 0) > 0
+                                    THEN COALESCE(dt.dot, 0)
+                                         / sqrt((SELECT qq FROM qq)
+                                                * vv.vv)
+                                    ELSE 0 END) AS s
+              FROM documents docs
+              LEFT JOIN lex ON lex.doc_id = docs.doc_id
+              LEFT JOIN vv ON vv.doc_id = docs.doc_id
+              LEFT JOIN dt ON dt.doc_id = docs.doc_id
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY round(s * 1000000) DESC, doc_id
+                   ) AS BIGINT) AS rank,
+                   doc_id,
+                   CAST(round(s * 1000000) AS BIGINT) AS score_q
+            FROM fused ORDER BY rank LIMIT 10
         """,
         "weighted_query_bm25_topk": r"""
             WITH d AS (

@@ -548,6 +548,35 @@ def weighted_query_bm25_topk(sf_dir: str,
 _TOK_BUCKET_CACHE: dict = {}
 
 
+def _hash_vec_matrix(flat, parent: np.ndarray, n: int,
+                     dim: int) -> np.ndarray:
+    """Feature-hash doc vectors from a tokenized batch: per-distinct-
+    token (bucket, sign) via the embed stage's hash law (one md5 per
+    new token per worker, cached), scattered with add.at — exact int64
+    bucket sums, the oracle-exact vector the retrieval stack scores
+    against."""
+    from ..functions.hashing import md5_hash64
+
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.to_numpy(zero_copy_only=False)[keep]
+    rows = parent[keep]
+    v = np.zeros((n, dim), dtype=np.int64)
+    if len(toks):
+        cache = _TOK_BUCKET_CACHE
+        uniq, inv = np.unique(toks, return_inverse=True)
+        bs = np.empty(len(uniq), dtype=np.int64)
+        sg = np.empty(len(uniq), dtype=np.int64)
+        for i, t in enumerate(uniq):
+            hit = cache.get((t, dim))
+            if hit is None:
+                h = md5_hash64(t)
+                hit = (h % dim, 1 if ((h // dim) & 1) == 0 else -1)
+                cache[(t, dim)] = hit
+            bs[i], sg[i] = hit
+        np.add.at(v, (rows, bs[inv]), sg[inv])
+    return v
+
+
 def rerank_hybrid_topk(sf_dir: str,
                        question: str = "what is the hash table scan",
                        k: int = 10, tkweight: float = 0.3,
@@ -621,33 +650,89 @@ def rerank_hybrid_topk(sf_dir: str,
             m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
             matched += wt * (np.bincount(parent[m], minlength=n) > 0)
         tksim = (1e-9 + matched) / (1e-9 + total_m)
-        # doc vectors: per-distinct-token (bucket, sign) via the embed
-        # stage's cached hash, scattered with add.at — exact int64 sums
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        toks = flat.to_numpy(zero_copy_only=False)[keep]
-        rows = parent[keep]
-        v = np.zeros((n, dim), dtype=np.int64)
-        if len(toks):
-            from ..functions.hashing import md5_hash64
-            cache = _TOK_BUCKET_CACHE
-            uniq, inv = np.unique(toks, return_inverse=True)
-            bs = np.empty(len(uniq), dtype=np.int64)
-            sg = np.empty(len(uniq), dtype=np.int64)
-            for i, t in enumerate(uniq):
-                hit = cache.get((t, dim))
-                if hit is None:  # same (bucket, sign) law as
-                    # stages/embed.hash_embed_sums — one md5 per
-                    # DISTINCT token, cached across batches per worker
-                    h = md5_hash64(t)
-                    hit = (h % dim, 1 if ((h // dim) & 1) == 0 else -1)
-                    cache[(t, dim)] = hit
-                bs[i], sg[i] = hit
-            np.add.at(v, (rows, bs[inv]), sg[inv])
+        v = _hash_vec_matrix(flat, parent, n, dim)
         dot = (v @ qv_m).astype(np.float64)
         vv = (v * v).sum(1).astype(np.float64)
         cos = np.where(vv > 0, dot / np.sqrt(qq_m * vv), 0.0)
         s = tkweight * tksim + vtweight * cos
         score_q = np.round(s * 1e6).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -score_q))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score_q": pa.array(score_q[order], pa.int64())})
+
+    df = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["score_q", "doc_id"],
+                        ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score_q"] = df["score_q"].astype("int64")
+    return df[["rank", "doc_id", "score_q"]]
+
+
+def fusion_weighted_topk(sf_dir: str, query: str = "hash table scan",
+                         k: int = 10, w_lex: float = 0.05,
+                         w_vec: float = 0.95, k1: float = 1.2,
+                         b: float = 0.75, dim: int = 64) -> pd.DataFrame:
+    """FIRST-STAGE WEIGHTED-SUM FUSION — the reference's retrieval
+    FusionExpr("weighted_sum", {"weights": "0.05, 0.95"}) combining the
+    full-text match with the dense match (rag/nlp/search.py:110-113):
+    fused = 0.05·BM25 + 0.95·cosine, raw scores, no rank conversion
+    (contrast hybrid_topk's RRF, which fuses ranks). BM25 over the raw
+    token stream exactly as bm25_topk; cosine against the feature-hash
+    vector of the lowercased stream exactly as rerank_hybrid_topk —
+    both halves keep their own oracle idioms, so the fused ×1e6 score
+    is hash-strict. Same scatter-gather shape: one tiny stats pass,
+    one streaming pass emitting per-batch top-k."""
+    terms = query.split()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, dl = _ws_tok_arrays(batch["text"])
+        tdf = {t: int(np.unique(
+            parent[pc.equal(flat, t).to_numpy(zero_copy_only=False)]).size)
+            for t in terms}
+        return pa.table({
+            "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+            **{f"df_{i}": pa.array([tdf[t]], pa.int64())
+               for i, t in enumerate(terms)}})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    st = docs.map_batches(stats_partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    avgdl = sum_dl / n_docs
+    idf = {t: float(np.log(1.0 + (n_docs - int(st[f"df_{i}"]) + 0.5)
+                           / (int(st[f"df_{i}"]) + 0.5)))
+           for i, t in enumerate(terms)}
+    from ..stages.embed import hash_embed_sums
+
+    qv = hash_embed_sums([t.lower() for t in terms], dim)
+    qq = int((qv * qv).sum())
+    const = ray.put((idf, avgdl, qv, qq))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_m, av, qv_m, qq_m = ray.get(const)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_q": pa.array([], pa.int64())})
+        flat, parent, dl = _ws_tok_arrays(batch["text"])
+        dlf = dl.astype(np.float64)
+        s_lex = np.zeros(n)
+        for t in terms:
+            tft = _term_tf(flat, parent, t, n)
+            denom = tft + k1 * (1 - b + b * dlf / av)
+            s_lex += idf_m[t] * (tft * (k1 + 1)) / denom
+        lflat, lparent, _ld = _ws_tok_arrays(pc.utf8_lower(batch["text"]))
+        v = _hash_vec_matrix(lflat, lparent, n, dim)
+        dot = (v @ qv_m).astype(np.float64)
+        vv = (v * v).sum(1).astype(np.float64)
+        cos = np.where(vv > 0, dot / np.sqrt(qq_m * vv), 0.0)
+        score_q = np.round((w_lex * s_lex + w_vec * cos)
+                           * 1e6).astype(np.int64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, -score_q))[:k]
         return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
