@@ -79,3 +79,59 @@ def char_ngrams(text: str, n: int = 4) -> set[str]:
     if len(t) < n:
         return {t} if t else set()
     return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+
+# --------------------------- vectorized whitespace-token kernels ---------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def ws_tok_arrays(text):
+    """Whitespace-tokenize an Arrow string column → (flat token array,
+    parent row index per token, per-row non-empty token count). The
+    canonical tokenize kernel every full-corpus streaming pass shares
+    (``utf8_split_whitespace`` emits empty tokens at leading/trailing/
+    run whitespace, so lengths count only non-empty tokens; equality
+    masks never match "" for non-empty needles)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.utf8_split_whitespace(text)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    dl = np.bincount(parent[keep], minlength=len(text)).astype(np.int64)
+    return flat, parent, dl
+
+
+def gopher_flag_arrays(text):
+    """(n, 4) bool matrix of the Gopher lexical rules — [length,
+    mean-word-length, alpha-fraction, stopword-presence], the same
+    integer thresholds as text_analysis.gopher_filter. ONE vectorized
+    implementation shared by the standalone query, clean.py's hard
+    screen and its per-rule rollup, so the three can't drift."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    flat, parent, nw = ws_tok_arrays(text)
+    n = len(nw)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    nc = np.bincount(parent[keep], weights=lens[keep],
+                     minlength=n).astype(np.int64)
+    am = pc.match_substring_regex(flat, "[A-Za-z]") \
+        .to_numpy(zero_copy_only=False)
+    na = np.bincount(parent[am], minlength=n).astype(np.int64)
+    low = pc.utf8_lower(flat)
+    ns = np.zeros(n, dtype=np.int64)
+    for sw in GOPHER_STOPWORDS:   # DISTINCT stopwords present
+        m = pc.equal(low, sw).to_numpy(zero_copy_only=False)
+        ns += np.bincount(parent[m], minlength=n) > 0
+    return np.stack([
+        (nw >= 50) & (nw <= 100_000),
+        (3 * nw <= nc) & (nc <= 10 * nw),
+        5 * na >= 4 * nw,
+        ns >= 2], axis=1), nw, nc, na, ns

@@ -34,8 +34,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import hash64, md5_hex
-from .text_analysis import (_GOPHER_STOPWORDS, _PII_EMAIL_RE, _PII_IPV4_RE,
-                            _PII_PHONE_RE)
+from .text_analysis import _PII_EMAIL_RE, _PII_IPV4_RE, _PII_PHONE_RE
 
 _TRIM = " \t\r"
 
@@ -337,28 +336,18 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
 
     # ---- stage 4: Gopher lexical filter, then exact dedup (keep the
     # minimum doc_id per surviving text — hash-bucketed, text as payload)
-    stop = set(_GOPHER_STOPWORDS)
-    alpha_re = re.compile("[A-Za-z]")
-
-    def _gopher_flags(t: str) -> tuple:
-        """(pass_len, pass_meanlen, pass_alpha, pass_stop) — the same
-        integer rules as text_analysis.gopher_filter; shared by the
-        keep filter and the rollup's per-rule attribution so the two
-        can't drift."""
-        ws = t.split()
-        nw = len(ws)
-        nc = sum(len(w) for w in ws)
-        na = sum(1 for w in ws if alpha_re.search(w))
-        ns = len({w.lower() for w in ws if w.lower() in stop})
-        return (50 <= nw <= 100_000, 3 * nw <= nc <= 10 * nw,
-                5 * na >= 4 * nw, ns >= 2)
+    # the Gopher rules live in ONE vectorized kernel
+    # (functions/textstats.gopher_flag_arrays) shared by this screen,
+    # the rollup below and text_analysis.gopher_filter, so they can't
+    # drift
+    from ..functions.textstats import gopher_flag_arrays
 
     if not _stage_done(out_dir, "final"):
 
         def gopher_keep(batch: pa.Table) -> pa.Table:
-            m = pa.array([all(_gopher_flags(t))
-                          for t in batch["text"].to_pylist()])
-            return batch.filter(m).select(["doc_id", "text"])
+            flags, *_ = gopher_flag_arrays(batch["text"])
+            return batch.filter(pa.array(flags.all(axis=1))) \
+                .select(["doc_id", "text"])
 
         def dedup_partial(batch: pa.Table) -> pa.Table:
             mins: dict[str, int] = {}
@@ -400,17 +389,14 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
     from ..stages.agg import combine_partials
 
     def flag_partials(batch: pa.Table) -> pa.Table:
-        fl = [_gopher_flags(t) for t in batch["text"].to_pylist()]
+        flags, *_ = gopher_flag_arrays(batch["text"])
+        s = flags.sum(axis=0)
         return pa.table({
             "k": pa.array([0], type=pa.int64()),
-            "pass_len": pa.array([sum(f[0] for f in fl)],
-                                 type=pa.int64()),
-            "pass_meanlen": pa.array([sum(f[1] for f in fl)],
-                                     type=pa.int64()),
-            "pass_alpha": pa.array([sum(f[2] for f in fl)],
-                                   type=pa.int64()),
-            "pass_stop": pa.array([sum(f[3] for f in fl)],
-                                  type=pa.int64())})
+            "pass_len": pa.array([int(s[0])], type=pa.int64()),
+            "pass_meanlen": pa.array([int(s[1])], type=pa.int64()),
+            "pass_alpha": pa.array([int(s[2])], type=pa.int64()),
+            "pass_stop": pa.array([int(s[3])], type=pa.int64())})
 
     flags = combine_partials(
         _read(passage_path).map_batches(flag_partials,

@@ -820,7 +820,8 @@ def source_mix_weights(sf_dir: str, alpha: float = 0.3,
     return df.sort_values("source").reset_index(drop=True)
 
 
-_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# canonical rule set lives in functions/textstats.py (shared kernel)
+from ..functions.textstats import GOPHER_STOPWORDS as _GOPHER_STOPWORDS  # noqa: E402
 
 
 def gopher_filter(sf_dir: str) -> rd.Dataset:
@@ -836,42 +837,30 @@ def gopher_filter(sf_dir: str) -> rd.Dataset:
     reason. Embarrassingly parallel — one vectorized map_batches, per-doc
     counters final at birth."""
 
-    stop = set(_GOPHER_STOPWORDS)
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import gopher_flag_arrays
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.reset_index(drop=True)
-        toks = batch["text"].str.strip().str.split().explode().dropna()
-        per = toks.groupby(level=0)
-        n_words = per.size()
-        n_chars = toks.str.len().groupby(level=0).sum()
-        alpha = toks.str.contains("[A-Za-z]", regex=True)
-        n_alpha = alpha.groupby(level=0).sum()
-        lower = toks.str.lower()
-        n_stop = (lower[lower.isin(stop)].groupby(level=0).nunique())
-
-        idx = batch.index
-
-        def col(s):
-            return s.reindex(idx).fillna(0).astype("int64").values
-
-        nw, nc, na, ns = (col(n_words), col(n_chars), col(n_alpha),
-                          col(n_stop))
-        pass_len = ((nw >= 50) & (nw <= 100_000)).astype("int64")
-        pass_word_len = ((3 * nw <= nc) & (nc <= 10 * nw)).astype("int64")
-        pass_alpha = (5 * na >= 4 * nw).astype("int64")
-        pass_stop = (ns >= 2).astype("int64")
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].values,
-            "n_words": nw, "n_word_chars": nc, "n_alpha_words": na,
-            "n_stopwords": ns,
-            "pass_len": pass_len, "pass_word_len": pass_word_len,
-            "pass_alpha": pass_alpha, "pass_stop": pass_stop,
-            "pass_gopher": (pass_len & pass_word_len & pass_alpha
-                            & pass_stop),
-        })
+        flags, nw, nc, na, ns = gopher_flag_arrays(batch["text"])
+        pass_len = flags[:, 0].astype(np.int64)
+        pass_word_len = flags[:, 1].astype(np.int64)
+        pass_alpha = flags[:, 2].astype(np.int64)
+        pass_stop = flags[:, 3].astype(np.int64)
+        i64 = pa.int64()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(nw, i64),
+            "n_word_chars": pa.array(nc, i64),
+            "n_alpha_words": pa.array(na, i64),
+            "n_stopwords": pa.array(ns, i64),
+            "pass_len": pa.array(pass_len, i64),
+            "pass_word_len": pa.array(pass_word_len, i64),
+            "pass_alpha": pa.array(pass_alpha, i64),
+            "pass_stop": pa.array(pass_stop, i64),
+            "pass_gopher": pa.array(pass_len & pass_word_len
+                                    & pass_alpha & pass_stop, i64)})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas")
+        fn, batch_format="pyarrow")
 
 
 # script classes counted by script_stats; Python uses \uXXXX ranges, the
