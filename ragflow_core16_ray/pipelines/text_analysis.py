@@ -394,38 +394,79 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
     parallel — no shuffle at all; each document's counters are final at
     birth inside its batch."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[batch["text"].str.strip() != ""].reset_index(drop=True)
-        toks = batch["text"].str.strip().str.split().explode()
-        nxt = toks.groupby(level=0).shift(-1)
-        nxt2 = toks.groupby(level=0).shift(-2)
+    def _per_row_gram_stats(grams: np.ndarray, rows: np.ndarray, n: int):
+        """(per-row total, per-row max count, per-row duplicated-gram
+        occurrence sum) for a flat gram array tagged with row ids —
+        factorize + one combined (row, gram) key, all numpy."""
+        total = np.bincount(rows, minlength=n).astype(np.int64)
+        if not len(grams):
+            z = np.zeros(n, dtype=np.int64)
+            return total, z, z
+        uniq, code = np.unique(grams, return_inverse=True)
+        key = rows.astype(np.int64) * len(uniq) + code
+        uk, cnt = np.unique(key, return_counts=True)
+        krow = (uk // len(uniq)).astype(np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        np.maximum.at(mx, krow, cnt)
+        dupm = cnt > 1
+        dup = np.bincount(krow[dupm], weights=cnt[dupm],
+                          minlength=n).astype(np.int64)
+        return total, mx, dup
 
-        def gram_stats(grams: pd.Series):
-            counts = grams.groupby([grams.index, grams]).size()
-            per_doc = counts.groupby(level=0)
-            return per_doc.sum(), per_doc.max(), counts
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import ws_tok_arrays
 
-        n_words, max_word, _ = gram_stats(toks)
-        bi_full = toks + " " + nxt  # identical indexes → positional align
-        n_bigrams, top_bigram, _ = gram_stats(bi_full.dropna())
-        tri = (bi_full + " " + nxt2).dropna()
-        n_trigrams, _, tri_counts = gram_stats(tri)
-        dup_tri = tri_counts[tri_counts > 1].groupby(level=0).sum()
-
-        idx = batch.index
-
-        def col(s):
-            return s.reindex(idx).fillna(0).astype("int64").values
-
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].values,
-            "n_words": col(n_words), "max_word_cnt": col(max_word),
-            "n_bigrams": col(n_bigrams), "top_bigram_cnt": col(top_bigram),
-            "n_trigrams": col(n_trigrams), "dup_trigram_cnt": col(dup_tri),
-        })
+        n = batch.num_rows
+        flat, parent, _nw = ws_tok_arrays(batch["text"])
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        rows = parent[keep]
+        # ONE string factorize (unigrams); every n-gram is then an
+        # integer code — w0·V²+w1·V+w2 < 2^63 for any realistic batch
+        # vocabulary, and integer unique is far cheaper than string
+        # unique on the gram streams
+        uw, wcode = (np.unique(
+            flat.to_numpy(zero_copy_only=False)[keep],
+            return_inverse=True) if keep.any()
+            else (np.array([], dtype=object),
+                  np.zeros(0, dtype=np.int64)))
+        V = max(1, len(uw))
+        wcode = wcode.astype(np.int64)
+        n_words, max_word, _ = _per_row_gram_stats(wcode, rows, n)
+        same = rows[1:] == rows[:-1] if len(rows) else \
+            np.zeros(0, dtype=bool)
+        bi_all = (wcode[:-1] * V + wcode[1:]) if len(wcode) > 1 \
+            else np.zeros(0, dtype=np.int64)   # ≤ V² ≤ tokens² — safe
+        bi = bi_all[same]
+        n_bigrams, top_bigram, _ = _per_row_gram_stats(
+            bi, rows[:-1][same] if len(rows) else rows, n)
+        m3 = same[:-1] & same[1:] if len(same) > 1 else \
+            np.zeros(0, dtype=bool)
+        # trigram key = factorized-pair-code · V + third word: bounded
+        # by tokens·V, never V³ (which could overflow int64 on a
+        # multi-million-token block)
+        if len(wcode) > 2:
+            _ub, bc = np.unique(bi_all, return_inverse=True)
+            tri = (bc[:-1].astype(np.int64) * V + wcode[2:])[m3]
+        else:
+            tri = np.zeros(0, dtype=np.int64)
+        n_trigrams, _mx3, dup_tri = _per_row_gram_stats(
+            tri, rows[:-2][m3] if len(rows) > 2 else rows[:0], n)
+        # empty-text rows were filtered before output in the old shape;
+        # they have zero grams everywhere, so keep only rows with words
+        nz = n_words > 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[nz]
+        i64 = pa.int64()
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_words": pa.array(n_words[nz], i64),
+            "max_word_cnt": pa.array(max_word[nz], i64),
+            "n_bigrams": pa.array(n_bigrams[nz], i64),
+            "top_bigram_cnt": pa.array(top_bigram[nz], i64),
+            "n_trigrams": pa.array(n_trigrams[nz], i64),
+            "dup_trigram_cnt": pa.array(dup_tri[nz], i64)})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas")
+        fn, batch_format="pyarrow")
 
 
 def decontam_ngrams(sf_dir: str, n: int = 5,
