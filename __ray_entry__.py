@@ -539,7 +539,10 @@ def _tag_rank_feature(sf_dir: str):
     pairs = _tag_kb(sf_dir)
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    tags = chunk_tags(docs, pairs, keep_zero=True)
+    # materialize: the fallback below and rank_feature_scores both
+    # consume this dataset — without it the whole tagging pass over the
+    # corpus would execute twice
+    tags = chunk_tags(docs, pairs, keep_zero=True).materialize()
     q = dict(tag_query("what is the hash table scan", pairs))
     if not q:
         # the question shares no keywords with this KB (its tags are

@@ -117,8 +117,11 @@ def insert_citations(answer: str, chunks: list[str],
             mx = float(np.max(sim)) * 0.99
             if mx < thr:
                 continue
-            cites[idx[i]] = list(set(
-                str(j) for j in range(len(chunks)) if sim[j] > mx))[:4]
+            # the reference truncates list(set(...))[:4] — set order is
+            # hash-seed dependent; sorting numerically keeps this
+            # engine's run-to-run determinism contract
+            cites[idx[i]] = [str(j) for j in sorted(
+                j for j in range(len(chunks)) if sim[j] > mx)][:4]
         thr *= 0.8
 
     res = ""

@@ -1377,12 +1377,14 @@ def copurchase_pagerank(sf_dir: str, iters: int = 5,
     # supersteps chain LAZILY — one streaming execution runs all
     # iterations back to back; only the node-sized rank table shuffles,
     # edges stream from their spilled partitions
-    flow = ranks.groupby("bucket").map_groups(contribs,
-                                              batch_format="pandas")
-    for _ in range(iters - 1):
-        flow = flow.groupby("bucket").map_groups(fold_then_contribs,
-                                                 batch_format="pandas")
-    ranks = flow.groupby("bucket").map_groups(fold, batch_format="pandas")
+    if iters > 0:
+        flow = ranks.groupby("bucket").map_groups(contribs,
+                                                  batch_format="pandas")
+        for _ in range(iters - 1):
+            flow = flow.groupby("bucket").map_groups(
+                fold_then_contribs, batch_format="pandas")
+        ranks = flow.groupby("bucket").map_groups(fold,
+                                                  batch_format="pandas")
 
     def topk_partial(g: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({

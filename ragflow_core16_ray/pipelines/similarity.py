@@ -341,21 +341,10 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
 
 # ------------------------------------------------------- BM25 retrieval ---
 
-def _ws_tok_arrays(text) -> tuple[object, np.ndarray, np.ndarray]:
-    """Whitespace-tokenize an Arrow string column → (flat token array,
-    parent row index per token, per-row non-empty token count).
-    ``utf8_split_whitespace`` emits empty tokens at leading/trailing/run
-    whitespace (unlike Python ``str.split``), so lengths count only
-    non-empty tokens; term-equality masks never match "" because query
-    terms are non-empty."""
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    toks = pc.utf8_split_whitespace(text)
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    dl = np.bincount(parent[keep], minlength=len(text)).astype(np.int64)
-    return flat, parent, dl
+# the canonical tokenize kernel lives in functions/textstats.py (one
+# implementation shared with the Gopher/repetition passes); keep the
+# local name every scoring pass here uses
+from ..functions.textstats import ws_tok_arrays as _ws_tok_arrays  # noqa: E402,E501
 
 
 def _term_tf(flat, parent: np.ndarray, term: str, n: int) -> np.ndarray:
@@ -545,34 +534,22 @@ def weighted_query_bm25_topk(sf_dir: str,
     return df[["rank", "doc_id", "score_q"]]
 
 
-_TOK_BUCKET_CACHE: dict = {}
-
-
 def _hash_vec_matrix(flat, parent: np.ndarray, n: int,
                      dim: int) -> np.ndarray:
     """Feature-hash doc vectors from a tokenized batch: per-distinct-
-    token (bucket, sign) via the embed stage's hash law (one md5 per
-    new token per worker, cached), scattered with add.at — exact int64
-    bucket sums, the oracle-exact vector the retrieval stack scores
-    against."""
-    from ..functions.hashing import md5_hash64
+    token (bucket, sign) via the embed stage's OWN hash-law helper
+    (stages/embed._bucket_sign — one md5 per new token per worker, one
+    shared cache), scattered with add.at — exact int64 bucket sums, so
+    doc vectors, query vectors and the SQL oracle can never desync."""
+    from ..stages.embed import _bucket_sign
 
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     toks = flat.to_numpy(zero_copy_only=False)[keep]
     rows = parent[keep]
     v = np.zeros((n, dim), dtype=np.int64)
     if len(toks):
-        cache = _TOK_BUCKET_CACHE
         uniq, inv = np.unique(toks, return_inverse=True)
-        bs = np.empty(len(uniq), dtype=np.int64)
-        sg = np.empty(len(uniq), dtype=np.int64)
-        for i, t in enumerate(uniq):
-            hit = cache.get((t, dim))
-            if hit is None:
-                h = md5_hash64(t)
-                hit = (h % dim, 1 if ((h // dim) & 1) == 0 else -1)
-                cache[(t, dim)] = hit
-            bs[i], sg[i] = hit
+        bs, sg = _bucket_sign(uniq, dim)
         np.add.at(v, (rows, bs[inv]), sg[inv])
     return v
 
@@ -609,7 +586,8 @@ def rerank_hybrid_topk(sf_dir: str,
     rw = rewrite_query(question)
     uni = rw.tokens
     syn_pairs = [(s, t) for t in uni for s in rw.synonyms.get(t, ())]
-    all_terms = list(dict.fromkeys(uni + [s for s, _t in syn_pairs]))
+    # (unlike weighted_query_bm25_topk, synonym df stats are NOT needed:
+    # rerank weights synonyms at the parent unigram's w/4)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         flat, parent, dl = _ws_tok_arrays(pc.utf8_lower(batch["text"]))
@@ -762,22 +740,29 @@ def citation_markers(sf_dir: str, answer_chars: int = 400,
     tests/test_citations.py."""
     from ..functions.citations import insert_citations
 
+    from ..functions.citations import split_answer_pieces
+
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, n_chunks, n_cited, n_marks = [], [], [], []
+        doc_ids, n_chunks, n_pieces, n_cited = [], [], [], []
         for did, text in zip(batch["doc_id"], batch["text"]):
             text = text or ""
             chunks = [s.strip() for s in text.split(". ") if s.strip()]
             chunks = chunks[:max_chunks]
-            out, cited = insert_citations(text[:answer_chars], chunks)
+            ans = text[:answer_chars]
+            _out, cited = insert_citations(ans, chunks)
             doc_ids.append(did)
             n_chunks.append(len(chunks))
+            # scoring-eligible pieces (the <5-char filter's survivors);
+            # markers inserted == len(cited) by the one-per-chunk rule,
+            # so n_cited carries that evidence
+            n_pieces.append(sum(1 for p in split_answer_pieces(ans)
+                                if len(p) >= 5))
             n_cited.append(len(cited))
-            n_marks.append(out.count("$$"))
         return pd.DataFrame({
             "doc_id": pd.array(doc_ids, dtype="int64"),
             "n_chunks": pd.array(n_chunks, dtype="int64"),
-            "n_cited": pd.array(n_cited, dtype="int64"),
-            "n_markers": pd.array(n_marks, dtype="int64")})
+            "n_pieces": pd.array(n_pieces, dtype="int64"),
+            "n_cited": pd.array(n_cited, dtype="int64")})
 
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
