@@ -63,9 +63,16 @@ def cfb_streams(data: bytes) -> dict[str, bytes]:
     def chain(start: int, size: int | None = None) -> bytes:
         out = bytearray()
         cur = start
+        # cycle guard: a corrupt FAT whose entries loop (fat[c] == c or
+        # any longer cycle) must degrade to a truncated stream, not an
+        # unbounded spin — a chain can't legitimately exceed the FAT
+        steps = 0
         while cur not in (_FREE, _ENDCHAIN) and cur < len(fat):
             out += sector(cur)
             cur = fat[cur]
+            steps += 1
+            if steps > len(fat):
+                break
         return bytes(out[:size] if size is not None else out)
 
     # directory entries
@@ -89,9 +96,13 @@ def cfb_streams(data: bytes) -> dict[str, bytes]:
     def mini_chain(start: int, size: int) -> bytes:
         out = bytearray()
         cur = start
+        steps = 0  # same cycle guard as chain()
         while cur not in (_FREE, _ENDCHAIN) and cur < len(mfat):
             out += mini_stream[cur * 64:(cur + 1) * 64]
             cur = mfat[cur]
+            steps += 1
+            if steps > len(mfat):
+                break
         return bytes(out[:size])
 
     out: dict[str, bytes] = {}

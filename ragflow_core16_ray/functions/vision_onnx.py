@@ -108,8 +108,15 @@ class OnnxOcr:
         import os as _os
 
         if isinstance(weights_dir, str) and _os.path.isdir(weights_dir):
-            with open(_os.path.join(weights_dir, "_loads.log"), "a") as f:
-                f.write(f"{_os.getpid()}\n")
+            try:  # best-effort instrumentation: a READ-ONLY weights dir
+                # (the normal state for a mounted model artifact) must
+                # not raise here — the callers' OSError fallback would
+                # silently disable the configured model backend
+                with open(_os.path.join(weights_dir, "_loads.log"),
+                          "a") as f:
+                    f.write(f"{_os.getpid()}\n")
+            except OSError:
+                pass
 
     # ---- rec: batched nearest-template scoring (batch = 16) ----
     def _classify(self, pats: list[np.ndarray]) -> list[int | None]:
@@ -286,3 +293,27 @@ class OnnxLayout:
             out.append(np.argmax(scores, axis=1))
         return (np.concatenate(out) if out
                 else np.zeros(0, dtype=np.int64))
+
+
+# per-process session cache: stages may be pickled per TASK (task
+# pools) or constructed per actor — either way each worker process
+# loads a given weights dir exactly once, and the sessions themselves
+# never travel by pickle (a real onnxruntime.InferenceSession is not
+# picklable)
+_SESSION_CACHE: dict = {}
+
+
+def load_ocr(weights_dir: str) -> OnnxOcr:
+    hit = _SESSION_CACHE.get(("ocr", weights_dir))
+    if hit is None:
+        hit = OnnxOcr(weights_dir)
+        _SESSION_CACHE[("ocr", weights_dir)] = hit
+    return hit
+
+
+def load_layout(weights_dir: str) -> OnnxLayout:
+    hit = _SESSION_CACHE.get(("layout", weights_dir))
+    if hit is None:
+        hit = OnnxLayout(weights_dir)
+        _SESSION_CACHE[("layout", weights_dir)] = hit
+    return hit

@@ -187,7 +187,10 @@ def run_clean(input_dir: str, out_dir: str, *, boiler_max_df: int = 3,
 
         def keep_clean(batch: pa.Table) -> pa.Table:
             m = pa.array([_screen_cause(t) == 0
-                          for t in batch["text"].to_pylist()])
+                          for t in batch["text"].to_pylist()],
+                         type=pa.bool_())  # empty list → null type,
+            # and filter(null_mask) raises — the typed empty parquet
+            # path makes 0-row batches a supported input here
             return batch.filter(m).select(["doc_id", "text"])
 
         _publish(_read(pii_path).map_batches(keep_clean,

@@ -282,7 +282,8 @@ def jaccard_dup_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
             def keep_cand(b: pa.Table) -> pa.Table:
                 w = ray.get(cand_ref)
-                mask = pa.array([d in w for d in b["doc_id"].to_pylist()])
+                mask = pa.array([d in w for d in b["doc_id"].to_pylist()],
+                                type=pa.bool_())  # 0-row batch safe
                 return b.filter(mask)
 
             szd = sizes_ds.map_batches(
@@ -731,7 +732,8 @@ def near_dup_removal(sf_dir: str, k: int = 3, threshold: float = 0.5,
     def keep(batch: pa.Table) -> pa.Table:
         dropset = ray.get(drop_ref)
         mask = pa.array([d not in dropset
-                         for d in batch["doc_id"].to_pylist()])
+                         for d in batch["doc_id"].to_pylist()],
+                        type=pa.bool_())  # 0-row batch safe
         return batch.filter(mask).select(["doc_id"])
 
     return _docs(sf_dir, ["doc_id"]).map_batches(keep,
@@ -1340,7 +1342,8 @@ def near_dup_removal_scalable(sf_dir: str, k: int = 3,
     def keep(batch: pa.Table) -> pa.Table:
         dropset = ray.get(drop_ref)
         mask = pa.array([d not in dropset
-                         for d in batch["doc_id"].to_pylist()])
+                         for d in batch["doc_id"].to_pylist()],
+                        type=pa.bool_())  # 0-row batch safe
         return batch.filter(mask).select(["doc_id"])
 
     return _docs(sf_dir, ["doc_id"]).map_batches(keep,

@@ -69,31 +69,41 @@ class ExtractRouter:
         # (the reference's per-process model cache, ocr.py:70-126) and
         # install them as the glyph core; weights absent → rule kernels
         # (a warning, not a failure — the rule path is golden-pinned)
+        # models load LAZILY in the worker (__call__) through a
+        # per-process session cache: this instance may be pickled per
+        # TASK, and sessions must neither travel by pickle (real
+        # onnxruntime sessions can't) nor load on the driver
         self.ocr = None
         self.layout = None
+        self._onnx_weights = None
+        self._models_ready = False
         if cfg.layout_recognize == "onnx":
-            weights = cfg.onnx_dir or os.environ.get("RAGFLOW_ONNX_DIR")
-            try:
-                from ..functions.vision_onnx import OnnxOcr
+            self._onnx_weights = (cfg.onnx_dir
+                                  or os.environ.get("RAGFLOW_ONNX_DIR"))
 
-                self.ocr = OnnxOcr(weights) if weights else None
-            except (FileNotFoundError, OSError):
-                self.ocr = None
-            try:  # independent: a weights dir may carry det/rec only,
-                # layout.onnx only, or both — each model falls back to
-                # its rule head on its own
-                from ..functions.vision_onnx import OnnxLayout
+    def _ensure_models(self) -> None:
+        if self._models_ready or not self._onnx_weights:
+            return
+        from ..functions.vision_onnx import load_layout, load_ocr
 
-                self.layout = OnnxLayout(weights) if weights else None
-            except (FileNotFoundError, OSError):
-                self.layout = None
+        try:
+            self.ocr = load_ocr(self._onnx_weights)
+        except (FileNotFoundError, OSError):
+            self.ocr = None
+        try:  # independent: a weights dir may carry det/rec only,
+            # layout.onnx only, or both — each model falls back to
+            # its rule head on its own
+            self.layout = load_layout(self._onnx_weights)
+        except (FileNotFoundError, OSError):
+            self.layout = None
+        self._models_ready = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # install the model-backed OCR/layout heads for THIS batch only
         # (tasks run sequentially within a worker, so the scope is
-        # race-free; an instance pickled to a task-pool worker installs
-        # here, not in __init__, because module globals don't travel
-        # with pickle)
+        # race-free; the load itself is once per worker process via the
+        # vision_onnx session cache, wherever the instance was pickled)
+        self._ensure_models()
         if self.ocr is not None:
             from ..functions.glyphs import set_core_ocr
 
@@ -350,8 +360,12 @@ def run_extract(input_uri: str, output_dir: str,
     # a naive rerun must not append duplicates; partition-level resume is
     # the job of state/lineage.py, which skips completed partitions BEFORE
     # calling this
-    fsio.rmtree(staging)
-    fsio.rmtree(staging + "_blobs")
+    sfs, spath = fsio.resolve(staging)
+    fsio.rmtree((sfs, spath))
+    # resolve-then-suffix: string-concatenating fsio.join's result would
+    # build a malformed 3-tuple when the caller passed a pre-resolved
+    # (FileSystem, path) pair
+    fsio.rmtree((sfs, spath + "_blobs"))
     fsio.rmtree(docs_dir)
     pass1 = extract_dataset(input_uri, staging, cfg, runtime)
     pass1.write_parquet(docs_path, filesystem=docs_fs)

@@ -340,6 +340,12 @@ def entity_resolution_candidates(sf_dir: str, min_len: int = 4,
         for j in range(i + 1, len(vocab)):
             b = vocab[j]
             common = len(chars[a] & chars[b])
+            # the O(len·len) DP only runs for pairs that can emit: a
+            # non-English pair with ≤1 shared char fails both gates no
+            # matter its edit distance (common > 1 pairs still need
+            # lev for the output row)
+            if common <= 1 and not (is_en[a] and is_en[b]):
+                continue
             lev = _levenshtein(a, b)
             if (is_en[a] and is_en[b]
                     and lev <= min(len(a), len(b)) // 2) or common > 1:

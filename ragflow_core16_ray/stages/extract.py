@@ -897,26 +897,36 @@ class ExtractShard:
         # same model slot as pass 1 (ExtractRouter): mega scanned PDFs
         # OCR their page ranges HERE, so the det/rec pair must be
         # available in this stage too
+        # lazy per-process loads (see ExtractRouter): this instance is
+        # pickled into tasks by reassemble_staged, so sessions must not
+        # load on the driver or travel by pickle
         self.ocr = None
         self.layout = None
+        self._onnx_weights = None
+        self._models_ready = False
         if cfg.layout_recognize == "onnx":
             import os as _os
 
-            weights = cfg.onnx_dir or _os.environ.get("RAGFLOW_ONNX_DIR")
-            try:
-                from ..functions.vision_onnx import OnnxOcr
+            self._onnx_weights = (cfg.onnx_dir
+                                  or _os.environ.get("RAGFLOW_ONNX_DIR"))
 
-                self.ocr = OnnxOcr(weights) if weights else None
-            except (FileNotFoundError, OSError):
-                self.ocr = None
-            try:
-                from ..functions.vision_onnx import OnnxLayout
+    def _ensure_models(self) -> None:
+        if self._models_ready or not self._onnx_weights:
+            return
+        from ..functions.vision_onnx import load_layout, load_ocr
 
-                self.layout = OnnxLayout(weights) if weights else None
-            except (FileNotFoundError, OSError):
-                self.layout = None
+        try:
+            self.ocr = load_ocr(self._onnx_weights)
+        except (FileNotFoundError, OSError):
+            self.ocr = None
+        try:
+            self.layout = load_layout(self._onnx_weights)
+        except (FileNotFoundError, OSError):
+            self.layout = None
+        self._models_ready = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure_models()
         if self.ocr is not None:
             from ..functions.glyphs import set_core_ocr
 

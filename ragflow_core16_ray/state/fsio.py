@@ -114,6 +114,9 @@ def write_bytes(uri, data: bytes) -> None:
         tmp = p + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
+            f.flush()
+            os.fsync(f.fileno())  # a crash must not persist the rename
+            # without the bytes — manifests gate stage resume
         os.replace(tmp, p)
     else:
         _ensure_parent(fs, p)

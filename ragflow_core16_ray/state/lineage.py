@@ -102,12 +102,25 @@ def run_partitioned(input_uri: str, output_dir: str,
             os.replace(os.path.join(tmp_dir, "docs"), part_dir)  # atomic
             shutil.rmtree(tmp_dir, ignore_errors=True)
         else:
-            # data first, manifest last (the commit point)
+            # extract into a tmp dir, then publish ONLY the docs
+            # parquet files into part={i} by per-file move (object
+            # stores have no directory rename) — same flat
+            # part=*/*.parquet layout as the local branch, and the
+            # tmp rmtree drops run_extract's _staging/_staging_blobs
+            # side dirs instead of publishing them; manifest-last
+            # remains the commit point
+            tmp_dir = fsio.join(output_dir, f"_tmp-part={i}")
+            fsio.rmtree(tmp_dir)
             fsio.rmtree(part_dir)
-            run_extract(files, part_dir, cfg, runtime)
+            run_extract(files, tmp_dir, cfg, runtime)
             wall = time.perf_counter() - t0
-            fs, docs_path = fsio.resolve(fsio.join(part_dir, "docs"))
+            fs, docs_path = fsio.resolve(fsio.join(tmp_dir, "docs"))
             n_docs = rd.read_parquet(docs_path, filesystem=fs).count()
+            _pfs, ppath = fsio.resolve(part_dir)
+            _pfs.create_dir(ppath, recursive=True)
+            for src in fsio.list_files((fs, docs_path), ".parquet"):
+                fs.move(src, f"{ppath}/{src.rsplit('/', 1)[1]}")
+            fsio.rmtree(tmp_dir)
         fsio.write_json(manifest_path, {
             "digest": digest,
             "files": [os.path.basename(f) for f in files],

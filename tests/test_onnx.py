@@ -149,7 +149,9 @@ def test_missing_weights_fall_back_to_rule(ray_session, tmp_path):
     cfg = ExtractConfig(layout_recognize="onnx",
                         onnx_dir=str(tmp_path / "absent"))
     r = ExtractRouter(cfg, str(tmp_path / "staging"))
-    assert r.ocr is None  # rule kernels remain active
+    assert r.ocr is None  # nothing loads at construction (driver side)
+    r._ensure_models()    # the worker-side load attempt
+    assert r.ocr is None and r.layout is None  # rule kernels active
 
 
 def test_toy_layout_matches_rule_exhaustively(tmp_path):
