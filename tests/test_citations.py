@@ -55,3 +55,33 @@ def test_each_chunk_cited_once_and_cap_four():
     for c in cited:
         assert out.count(f"##{c}$$") == 1
     assert all(len(seg.split("$$")) <= 6 for seg in out.split("."))
+
+
+def test_insert_citations_fuzz():
+    """Arbitrary answer/chunk text: never crashes, output text equals
+    the input plus well-formed ' ##i$$' markers, cited ids in range,
+    each cited at most once."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(min_codepoint=9, max_codepoint=0x2FFF),
+        max_size=200)
+
+    @settings(max_examples=60, deadline=None)
+    @given(ans=text, chunks=st.lists(text, max_size=4))
+    def run(ans, chunks):
+        out, cited = insert_citations(ans, chunks)
+        assert cited <= set(range(len(chunks)))
+        stripped = re.sub(r" ##\d+\$\$", "", out)
+        # removing markers recovers the original answer — unless the
+        # answer itself contains marker-shaped text, which the regex
+        # would also strip
+        if not re.search(r" ##\d+\$\$", ans):
+            assert stripped == ans
+        ids = re.findall(r" ##(\d+)\$\$", out)
+        assert len(ids) == len(set(ids))
+
+    run()
